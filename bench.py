@@ -1,0 +1,90 @@
+"""Benchmark runner — the driver executes this per-round at sf0.1.
+
+Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a count over the final plan (collect
+would be driver-bound for wide results; count forces the same computation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from bread_spark.queries import QUERIES
+    from bread_spark.session import get_spark
+
+    spark = get_spark(app_name="bread-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = [
+        # flagship scan+agg
+        "pricing_summary",
+        # joins
+        "revenue_by_segment",
+        "orders_by_nation",
+        "customers_without_orders",
+        "top_parts_by_revenue",
+        "nation_revenue_rollup",
+        # time-series aggs + windows
+        "txs_per_day",
+        "cum_txs_per_day",
+        "hourly_value_by_type",
+        "cum_value_by_type",
+        "distinct_users_per_day",
+        "events_pivot_by_type",
+        # scalar-function heavy
+        "props_json_extract",
+        "brand_number_extract",
+        "event_flows_union",
+        # text / dedup / similarity extensions
+        "doc_word_counts",
+        "token_stats",
+        "quality_scores",
+        "dedup_exact_hash",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_candidates",
+        "cosine_topk",
+        "centroid_by_label",
+    ]
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    QUERIES["txs_per_day"](spark, sf_dir).count()
+
+    total_start = time.perf_counter()
+    for name in bench_queries:
+        start = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(time.perf_counter() - total_start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bread_spark_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,283 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, scale-ordered:
+  exact        — hash-groupBy on content (one shuffle on the md5 key)
+  exact_hash   — same but shuffles a 16-byte digest, not the document body
+  ngram_jaccard— word-shingle inverted index self-join (exact near-dup)
+  minhash_lsh  — MinHash signatures + banded LSH (approximate near-dup;
+                 candidate pairs only meet in same-band buckets, so the
+                 self-join never goes quadratic)
+  simhash      — 64-bit SimHash fingerprint, hamming-bucket grouping
+
+Exact + jaccard have DuckDB oracles (deterministic, engine-agnostic math).
+MinHash/SimHash use Spark's xxhash64 — engine-specific hashing, so the
+driver records them as rows-only checks (SURVEY.md §5 notes which).
+
+Scale notes: at 100 TB, the shingle inverted index is the dominant shuffle;
+we cap postings per shingle (drop shingles appearing in > MAX_DF docs —
+they're stopword-like and contribute no discriminative signal) to bound the
+worst-case join fan-out. That cap is OFF at test scale (results must match
+the exact oracle) and ON in the production entry points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups: canonical (min) doc_id + dup count per text.
+
+    Scale: single shuffle keyed on text; with long documents switch to
+    `dedup_exact_hash` so the shuffle key is 32 hex chars.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content digest (md5 — identical in both engines).
+
+    The groupBy key is the digest: at 100 TB this shuffles ~48 bytes/doc
+    instead of the full body. Keeps one representative doc_id per digest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact similarity, inverted-index join)
+# ---------------------------------------------------------------------------
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _word_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """doc_id → distinct word n-gram shingles (JVM-side, no UDF)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    shingled = words.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    return shingled.distinct()
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard ≥ threshold.
+
+    Plan: shingle → distinct → self-join on shingle (inverted index: only
+    docs sharing ≥1 shingle ever meet) → pair-count / sizes → Jaccard.
+    Scale: `max_df` caps the posting-list length per shingle so a stopword
+    shingle can't produce an O(df²) pair explosion; AQE skew-join splits
+    any residual hot shingle. Shuffles: shingle distinct, the join, the
+    pair groupBy — all keyed, no cartesian anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        pair_inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+        SELECT text, MIN(doc_id) AS canonical_doc_id, COUNT(1) AS dup_count
+        FROM documents GROUP BY text
+    """,
+    "dedup_exact_hash": """
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(1) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+            FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+            WHERE len(words) >= {SHINGLE_N}
+        ),
+        sizes AS (SELECT doc_id, COUNT(1) AS n_shingles FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(inter / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON pairs.doc_a = sa.doc_id
+        JOIN sizes sb ON pairs.doc_b = sb.doc_id
+        WHERE ROUND(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= {JACCARD_THRESHOLD}
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate; engine-specific hash → rows-only check)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 32
+NUM_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high recall
+# 2^31-1 keeps a*x+b < 2^62 — inside int64 so ANSI-mode Spark never overflows.
+MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """doc_id → array<long> MinHash signature.
+
+    Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the xxhash64
+    of each shingle. Entirely JVM-side: `transform` over a literal (a,b)
+    array + `min_by`-style agg per hash index via explode + groupBy.
+    """
+    # Deterministic (a, b) parameters — fixed seed, python-side constants.
+    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % MERSENNE or 1 for i in range(1, num_hashes + 1)]
+    rng_b = [(i * 0xC2B2AE3D27D4EB4F) % MERSENNE for i in range(1, num_hashes + 1)]
+    # pmod (not abs%) — abs(Long.MIN_VALUE) would throw under ANSI mode.
+    hashed = docs_shingled.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("hx")
+    )
+    # One row per (doc, hash_index) with the hash value; min per index.
+    params = F.array(*[F.struct(F.lit(i).alias("i"), F.lit(rng_a[i]).alias("a"), F.lit(rng_b[i]).alias("b")) for i in range(num_hashes)])
+    exploded = hashed.select(
+        "doc_id", F.explode(params).alias("p"), "hx"
+    ).select(
+        "doc_id",
+        F.col("p.i").alias("hash_idx"),
+        ((F.col("p.a") * F.col("hx") + F.col("p.b")) % F.lit(MERSENNE)).alias("hval"),
+    )
+    return (
+        exploded.groupBy("doc_id", "hash_idx")
+        .agg(F.min("hval").alias("minhash"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))).alias("sig_structs"))
+        .select("doc_id", F.expr("transform(sig_structs, s -> s.minhash)").alias("signature"))
+    )
+
+
+def minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    Plan: signature → per-band hash → groupBy(band, bucket) self-join.
+    Scale: pairs are only generated within a (band, bucket) — the join key
+    is the band digest, so the shuffle is uniform unless many docs are
+    true duplicates (in which case the output is genuinely large).
+    Rows-only correctness check (hash family is engine-specific).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(_word_shingles(docs))
+    rows_per_band = NUM_HASHES // num_bands
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(signature, b * {rows_per_band} + 1, {rows_per_band}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit fingerprint; rows-only check)
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64.
+
+    For each of 64 bit positions, sum +1/-1 over token hashes and take the
+    sign. Implemented as explode(tokens) → per-(doc, bit) conditional sum →
+    bit assembly. All JVM-side; one shuffle keyed on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tok_hash = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
+    bits = F.array(*[F.lit(i) for i in range(64)])
+    per_bit = tok_hash.select(
+        "doc_id",
+        F.explode(bits).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, 1)
+        .otherwise(-1)
+        .alias("delta"),
+    )
+    bit_signs = per_bit.groupBy("doc_id", "bit").agg(F.sum("delta").alias("s"))
+    return (
+        bit_signs.select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

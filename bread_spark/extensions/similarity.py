@@ -1,0 +1,175 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- brute-force cosine top-k: the exact baseline. All math is JVM-side
+  (`zip_with` + `aggregate` in double precision, left-to-right summation —
+  deterministic and identical to DuckDB's sequential list fold, so it
+  hash-matches an oracle).
+- LSH-bucketed ANN (random hyperplane signatures): the scale path. Buckets
+  bound the candidate set; signature is engine-specific → rows-only check.
+
+Scale: brute force is O(Q·N) dot products — fine when Q is small or as a
+final re-rank; the hyperplane LSH turns it into O(Q·bucket) with a
+broadcast of the (tiny) query set either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # queries = vec_id < 10 (deterministic subset)
+
+
+def _dot(a: str, b: str):
+    """Double-precision dot product of two float arrays, JVM-side.
+
+    `aggregate` folds left-to-right — same order DuckDB's list_dot_product
+    uses, so cross-engine results agree to the last ulp on 64-dim vectors.
+    """
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (vec_id < N_QUERIES).
+
+    Plan: tiny query side is broadcast → map-side cross product (no
+    shuffle for the join) → per-query window top-k. Ordering uses the
+    rounded score + vec_id tie-break so results are engine-deterministic.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id"), F.col("embedding"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot("q_emb", "embedding")
+                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    posexplode → (label, pos) mean. At scale this is a single shuffle on
+    label×64 keys; the alternative (aggregate arrays elementwise) avoids
+    the explode but loses map-side partial aggregation — explode wins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(
+                     list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[])) *
+                      sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS cosine
+            FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cosine, rank FROM (
+            SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "centroid_by_label": """
+        SELECT label, i - 1 AS pos,
+               ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid_val
+        FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY label, i - 1
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN (scale path; rows-only check)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 12
+
+
+def _plane_literals(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG, no numpy dep)."""
+    planes = []
+    state = 42
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """ANN top-k: sign-of-projection bucket signature, candidates restricted
+    to same-bucket vectors, exact cosine re-rank inside the bucket.
+
+    Scale: the join key is the 12-bit signature (4096 buckets) — the
+    all-pairs product becomes per-bucket products. Recall < 1 by design;
+    rows-only correctness (signature depends on plane constants).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _plane_literals()
+    plane_arr = F.array(*[F.array(*[F.lit(v) for v in row]) for row in planes])
+    sig = F.expr(
+        "aggregate(sequence(0, {n}), cast(0 as long), (acc, p) -> acc * 2 + "
+        "  (case when aggregate(zip_with(embedding, planes_[p], (x, y) -> cast(x as double) * y), "
+        "        cast(0.0 as double), (a, v) -> a + v) >= 0 then 1 else 0 end))".format(n=N_PLANES - 1)
+    )
+    bucketed = emb.withColumn("planes_", plane_arr).withColumn("bucket", sig).drop("planes_")
+    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("bucket")
+    )
+    cands = bucketed.select("vec_id", "embedding", "bucket")
+    scored = (
+        cands.join(F.broadcast(queries), (cands.bucket == queries.bucket) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot("q_emb", "embedding")
+                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,165 @@
+"""Text analysis operators over the ``documents`` table.
+
+Training-data-pipeline primitives (BASELINE.json north star):
+  token counting      — whitespace + BPE-ish regex token estimate
+  quality scoring     — length / punctuation / stopword ratios
+  language ID         — stopword-set heuristic, argmax across languages
+  fingerprinting      — md5 content digest + 64-bit rolling hash
+
+Everything is built from native Spark expressions (split, regexp, explode,
+conditional aggregation) so it rides whole-stage codegen; the same logic is
+expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# Fixed stopword sets (deterministic, shared with the oracle SQL).
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+# BPE-ish token estimate: runs of letters, runs of digits, single punct.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish tokens,
+    characters, average token length.
+
+    Scale: pure map-side (no shuffle at all) — projection over the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.round(F.length("text") / F.size(ws_tokens), 4).alias("chars_per_token"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: stopword ratio, mean word length,
+    alpha ratio — the length/punct/stopword heuristics used to filter
+    low-quality web text before LLM training.
+
+    Ratios are rounded to 4 places (cross-engine float policy).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.round(n_stop / F.size(tokens), 4).alias("stopword_ratio"),
+        F.round(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+        F.round(
+            (F.length("text") - F.size(tokens) + 1) / F.size(tokens), 4
+        ).alias("mean_word_len"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 digest (cross-engine) + first-8-hex-chars
+    shard bucket — the digest-sharding pattern used to distribute dedup
+    state at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text").cast("binary"))
+    return docs.select(
+        "doc_id",
+        digest.alias("fingerprint"),
+        F.substring(digest, 1, 4).alias("shard_bucket"),
+    )
+
+
+LANG_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit score per language, argmax with
+    deterministic tie-break on language code ('und' when all scores are 0).
+
+    On the synthetic corpus (English-ish word soup) this mostly yields
+    'en'/'und' — the operator's value is the *shape*: per-language
+    conditional aggregation + argmax, which is exactly how a real
+    fastText-free langid pass distributes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    def _contains(arr):
+        # closure (not a default arg): a 2-param lambda would be treated
+        # as pyspark's (element, index) filter signature
+        return lambda t: F.array_contains(arr, t)
+
+    score_cols = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        score_cols.append(
+            F.size(F.filter(tokens, _contains(arr))).cast("long").alias(f"score_{lang}")
+        )
+    scored = docs.select("doc_id", *score_cols)
+    langs = sorted(LANG_STOPWORDS.keys())
+    # argmax via max-of-structs: (score, -lang_index) — ties prefer the
+    # alphabetically-first language; all-zero scores → 'und'.
+    candidates = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"),
+                F.lit(-i).alias("neg_idx"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(candidates)
+    lang_lit = F.array(*[F.lit(lang) for lang in langs])
+    predicted = F.when(
+        best["score"] > 0, F.get(lang_lit, (-best["neg_idx"]).cast("int"))
+    ).otherwise(F.lit("und"))
+    return scored.select(
+        "doc_id", *[f"score_{lang}" for lang in langs], predicted.alias("predicted_lang")
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "token_stats": f"""
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+               len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_actual,
+               ROUND(length(text) / len(list_filter(string_split(text, ' '), t -> t <> '')), 4)
+                   AS chars_per_token
+        FROM documents
+    """,
+    "quality_scores": """
+        WITH t AS (
+            SELECT doc_id, lang, length(text) AS n_chars,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               ROUND(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))
+                     / len(toks), 4) AS stopword_ratio,
+               ROUND(alpha_chars / n_chars, 4) AS alpha_ratio,
+               ROUND((n_chars - len(toks) + 1) / len(toks), 4) AS mean_word_len
+        FROM t
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id, md5(text) AS fingerprint,
+               substring(md5(text), 1, 4) AS shard_bucket
+        FROM documents
+    """,
+}

@@ -1,0 +1,580 @@
+"""Gold model DAG — the reference's dbt models re-expressed Spark-first.
+
+Every function here takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB oracle SQL lives in ``ORACLE_SQL`` keyed by the same name.
+Column names are aliased identically on both sides (driver hash-compares
+values after sorting columns by name).
+
+Operator coverage (SURVEY.md §2):
+  A1-A4 group aggregations, W1 cumulative windows, W2 ordinals,
+  J1 broadcast equi-join, J2 left join, J3 anti-join, J4 union append,
+  S-OP1 union-distinct, P5 base64, P7 date_trunc, P8 casts, P9/P10 regex,
+  P11 concat, P12 JSON extract, P13 explode/unnest, R4 dynamic pivot,
+  O1 sort, plus distinct-agg / rollup / top-k extensions the reference
+  lacks (SURVEY §2.5 "absent" list).
+
+Scale notes are inline: each model states why its plan survives 100 TB.
+
+Reference citations: dbt/old_models/txs/num_txs_per_day.sql,
+cum_txs_per_day.sql, gas/gas_used_per_day.sql, ibc/*.sql (via SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+
+# ---------------------------------------------------------------------------
+# Daily / hourly aggregations (A1-A4, P7)  [ref: num_txs_per_day.sql,
+# gas_used_per_day.sql, daily_ibc_transfers.sql, hourly_ibc_transfers.sql]
+# ---------------------------------------------------------------------------
+
+def txs_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(1) per day (ref num_txs_per_day.sql:1-11).
+
+    Scale: partial (map-side) count per partition then one shuffle on ~365
+    day keys — no skew concern; scan prunes to (ts) only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("tx_count"))
+    )
+
+
+def value_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(value) per day (ref gas_used_per_day.sql:1-5 analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("day")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum over 2 group keys (ref daily_ibc_transfers.sql:1-19 shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type", "value")
+        .groupBy("day", "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def hourly_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hourly variant (ref hourly_ibc_transfers.sql:1-19 shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_trunc("hour", "ts").alias("hour"), "event_type", "value")
+        .groupBy("hour", "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — absent from the reference (SURVEY §2.5), added.
+
+    Scale: exact distinct needs a two-stage shuffle; for 100 TB dashboards
+    prefer approx_count_distinct (see bench notes) — exact kept here because
+    the oracle gate demands exact values.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("unique_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative windows (W1)  [ref cum_txs_per_day.sql, daily_cum_ibc_transfers.sql]
+# ---------------------------------------------------------------------------
+
+def cum_txs_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative count over days (ref cum_txs_per_day.sql:4-8).
+
+    The unpartitioned window runs on the *aggregated* (≤ thousands of rows)
+    output, so the single-partition sort is trivially small even at 100 TB
+    of input — the heavy lifting was the day-grain pre-aggregation.
+    """
+    daily = txs_per_day(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("day", "tx_count", F.sum("tx_count").over(w).alias("cum_tx_count"))
+
+
+def cum_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type cumulative sum — the per-denom-partitioned correction of the
+    reference's unpartitioned daily_cum_ibc_transfers.sql:4-6 (SURVEY W1
+    notes the reference omits PARTITION BY; we implement the correct
+    per-key semantics and the oracle encodes the same)."""
+    daily = daily_value_by_type(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "total_value",
+        F.round(F.sum("total_value").over(w), 4).alias("cum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3)  [ref parse.py:219-221 block join; ibc_transfers_in.sql:36;
+# extract.py:246-251 anti-join]
+# ---------------------------------------------------------------------------
+
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join + group agg (J1 shape at star-schema scale).
+
+    Scale: lineitem⋈orders shuffles on orderkey (both huge → sort-merge,
+    AQE may skew-split); customer is small relative → broadcast hint so the
+    second join adds NO shuffle. Filters/projections reach the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join chain with small-dim broadcast (J2 + J1).
+
+    nation (25 rows) and customer are broadcast: zero shuffles beyond the
+    final 25-key aggregation.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_revenue"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J3; ref extract.py:246-251 set-difference intent).
+
+    Scale: left_anti on custkey; orders side is pre-projected to the join
+    key only so the shuffle moves 8 bytes/row.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Set ops (S-OP1)  [ref ibc_transfers.sql:1-10 union-distinct]
+# ---------------------------------------------------------------------------
+
+def event_flows_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inflows ∪ outflows with sign flip, UNION **distinct** semantics
+    preserved (ref ibc_transfers.sql:5-6 uses plain UNION which dedupes;
+    P16 negate at ibc_transfers.sql:6)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    inflow = ev.filter(F.col("event_type") == "purchase").select(
+        day, F.col("user_id"), F.round(F.col("value"), 4).alias("flow_value")
+    )
+    outflow = ev.filter(F.col("event_type") == "error").select(
+        day, F.col("user_id"), F.round(-F.col("value"), 4).alias("flow_value")
+    )
+    return inflow.unionByName(outflow).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: regex, JSON, base64, concat (P5, P9-P12)
+# [ref ibc_transfers_in.sql:7-16 regex; parse.py:51-64 base64;
+#  parse.py:177 concat; ibc_transfers_in.sql:9-34 JSON extract]
+# ---------------------------------------------------------------------------
+
+def brand_number_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract digits / regexp_replace strip (P9/P10, the
+    '123uatom' → (123, 'uatom') split at ibc_transfers_in.sql:7-16)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+            F.regexp_replace("p_brand", "[0-9]+", "").alias("brand_prefix"),
+            "p_retailprice",
+        )
+        .groupBy("brand_num", "brand_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column (P12: parsed->'key').
+
+    get_json_object stays JVM-side (no UDF); the cast-to-int mirrors the
+    reference's ::numeric casts (P8).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base64 encode/decode parity (P5; ref decode_base64 parse.py:51-64).
+
+    unbase64/base64 are native JVM expressions — the reference used a
+    row-at-a-time Series.apply here; Spark needs no Python at all.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary"))).cast("string").alias("name_decoded"),
+    )
+
+
+def lineitem_flag_status_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String concat combined key (P11: combined_key = type+'_'+key at
+    parse.py:177) + occurrence ordinal per key (W2/R3 row_number)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("combined_key").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            F.concat_ws("_", "l_returnflag", "l_linestatus").alias("combined_key"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn("occurrence", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .groupBy("combined_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("occurrence").alias("max_occurrence"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / pivot (P13, R1, R4)  [ref parse.py:148-180,
+# ibc_transfers_in.sql:17-34 unnest]
+# ---------------------------------------------------------------------------
+
+def doc_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array unnest → frequency count (P13/R1 explode chain analog).
+
+    Scale: explode multiplies rows ~40x before the shuffle — the groupBy
+    does map-side partial aggregation so the shuffle carries one row per
+    distinct word per partition, not per token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+    )
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an explicit value list (R4; ref parse.py:179).
+
+    Passing the value list avoids the extra distinct-keys pass (SURVEY R4
+    note); at 100 TB the dynamic variant would do that pass once and cache.
+    Nulls→0 to keep a dense fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship / bench queries (multi-operator)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the flagship query (scan → filter
+    → 2-key groupBy with 6 aggregates). Whole plan is one scan + one
+    shuffle on 6 keys; every expression is codegen'd JVM-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (O1 + LIMIT, which the reference
+    lacks — SURVEY §2.8). Ordering on the rounded value + key makes the
+    result stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_partkey"), F.col("p_name"), F.col("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("p_partkey")).limit(10)
+
+
+def nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation (absent in reference, SURVEY §2.5).
+
+    region←nation are broadcast; rollup adds grouping-set expansion before
+    the same single shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+
+
+def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event count + time span (min/max aggregation over time,
+    A5/A6 shape from extract.py:236-243,539-551)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect) — one entry per model above, identical aliases
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {
+    "txs_per_day": """
+        SELECT CAST(ts AS DATE) AS day, COUNT(1) AS tx_count
+        FROM events GROUP BY 1
+    """,
+    "value_per_day": """
+        SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY 1
+    """,
+    "daily_value_by_type": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "hourly_value_by_type": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "distinct_users_per_day": """
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+        FROM events GROUP BY 1
+    """,
+    "cum_txs_per_day": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(1) AS tx_count
+            FROM events GROUP BY 1
+        )
+        SELECT day, tx_count,
+               SUM(tx_count) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tx_count
+        FROM daily
+    """,
+    "cum_value_by_type": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, total_value,
+               ROUND(SUM(total_value) OVER (PARTITION BY event_type ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+        FROM daily
+    """,
+    "revenue_by_segment": """
+        SELECT c_mktsegment,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(1) AS line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "orders_by_nation": """
+        SELECT n_name,
+               COUNT(1) AS order_count,
+               ROUND(SUM(o_totalprice), 4) AS total_revenue
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "event_flows_union": """
+        SELECT CAST(ts AS DATE) AS day, user_id, ROUND(value, 4) AS flow_value
+        FROM events WHERE event_type = 'purchase'
+        UNION
+        SELECT CAST(ts AS DATE) AS day, user_id, ROUND(-value, 4) AS flow_value
+        FROM events WHERE event_type = 'error'
+    """,
+    "brand_number_extract": """
+        SELECT regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               regexp_replace(p_brand, '[0-9]+', '') AS brand_prefix,
+               COUNT(1) AS part_count,
+               ROUND(AVG(p_retailprice), 4) AS avg_price
+        FROM part GROUP BY 1, 2
+    """,
+    "props_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               COUNT(1) AS event_count,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY 1
+    """,
+    "base64_roundtrip": """
+        SELECT p_partkey,
+               to_base64(encode(p_name)) AS name_b64,
+               decode(from_base64(to_base64(encode(p_name)))) AS name_decoded
+        FROM part
+    """,
+    "lineitem_flag_status_key": """
+        WITH keyed AS (
+            SELECT l_returnflag || '_' || l_linestatus AS combined_key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_returnflag || '_' || l_linestatus
+                       ORDER BY l_orderkey, l_linenumber) - 1 AS occurrence
+            FROM lineitem
+        )
+        SELECT combined_key, COUNT(1) AS n,
+               CAST(MAX(occurrence) AS BIGINT) AS max_occurrence
+        FROM keyed GROUP BY combined_key
+    """,
+    "doc_word_counts": """
+        SELECT word, COUNT(1) AS word_count
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    "events_pivot_by_type": """
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY 1
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               COUNT(1) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_parts_by_revenue": """
+        SELECT p_partkey, p_name, revenue FROM (
+            SELECT p_partkey, p_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey, p_name
+        ) ORDER BY revenue DESC, p_partkey ASC LIMIT 10
+    """,
+    "nation_revenue_rollup": """
+        SELECT r_name, n_name, ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "user_activity_span": """
+        SELECT user_id, COUNT(1) AS n_events,
+               MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+               ROUND(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+}
+
+MODELS = {
+    "txs_per_day": txs_per_day,
+    "value_per_day": value_per_day,
+    "daily_value_by_type": daily_value_by_type,
+    "hourly_value_by_type": hourly_value_by_type,
+    "distinct_users_per_day": distinct_users_per_day,
+    "cum_txs_per_day": cum_txs_per_day,
+    "cum_value_by_type": cum_value_by_type,
+    "revenue_by_segment": revenue_by_segment,
+    "orders_by_nation": orders_by_nation,
+    "customers_without_orders": customers_without_orders,
+    "event_flows_union": event_flows_union,
+    "brand_number_extract": brand_number_extract,
+    "props_json_extract": props_json_extract,
+    "base64_roundtrip": base64_roundtrip,
+    "lineitem_flag_status_key": lineitem_flag_status_key,
+    "doc_word_counts": doc_word_counts,
+    "events_pivot_by_type": events_pivot_by_type,
+    "pricing_summary": pricing_summary,
+    "top_parts_by_revenue": top_parts_by_revenue,
+    "nation_revenue_rollup": nation_revenue_rollup,
+    "user_activity_span": user_activity_span,
+}

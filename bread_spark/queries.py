@@ -1,0 +1,109 @@
+"""Unified named-query registry — the serving surface (SURVEY.md §2.11).
+
+Aggregates every implemented operator's (spark_fn, oracle_sql) pair from
+models/extensions/functions into the single catalog `__spark_entry__.py`
+exposes to the driver. Also implements Evidence-style named-query chaining
+(E1-E3): register queries as temp views and compose later queries on top.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import models
+from .extensions import dedup, similarity
+from .functions import text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Catalog assembly
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(fns: dict[str, QueryFn], oracles: dict[str, str]) -> None:
+    QUERIES.update(fns)
+    ORACLES.update({k: v for k, v in oracles.items() if k in fns or k in QUERIES})
+
+
+_register(models.MODELS, models.ORACLE_SQL)
+_register(
+    {
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_exact_hash": dedup.dedup_exact_hash,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
+        "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
+    },
+    dedup.ORACLE_SQL,
+)
+_register(
+    {
+        "cosine_topk": similarity.cosine_topk,
+        "centroid_by_label": similarity.centroid_by_label,
+        "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
+    },
+    similarity.ORACLE_SQL,
+)
+_register(
+    {
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "doc_fingerprints": text.doc_fingerprints,
+        "lang_id_scores": text.lang_id_scores,  # rows-only (heuristic)
+    },
+    text.ORACLE_SQL,
+)
+
+
+# ---------------------------------------------------------------------------
+# Evidence-style named-query chaining (E1-E3)
+# ---------------------------------------------------------------------------
+
+_REF_RE = re.compile(r"\$\{(\w+)\}")
+MAX_CHAIN_DEPTH = 15  # matches the reference's iteration cap
+
+
+class QueryChainError(ValueError):
+    pass
+
+
+def compile_chained(queries: dict[str, str], name: str) -> str:
+    """Inline ``${other_query}`` references as parenthesized subqueries —
+    the Evidence extractQueries semantics (reference
+    extractQueries.server.js:55-103) including the depth cap and circular
+    reference detection."""
+    sql = queries[name]
+    for _ in range(MAX_CHAIN_DEPTH):
+        refs = set(_REF_RE.findall(sql))
+        if not refs:
+            return sql
+        for ref in refs:
+            if ref == name:
+                raise QueryChainError(f"circular reference: {name} -> {ref}")
+            if ref not in queries:
+                raise QueryChainError(f"unknown query reference: ${{{ref}}}")
+            sql = sql.replace(f"${{{ref}}}", f"(SELECT * FROM ({queries[ref]}))")
+    if _REF_RE.findall(sql):
+        raise QueryChainError(f"chain depth > {MAX_CHAIN_DEPTH} (circular?)")
+    return sql
+
+
+def run_named_queries(
+    spark: SparkSession, queries: dict[str, str]
+) -> dict[str, DataFrame]:
+    """Execute a set of named SQL queries with ${ref} chaining; each result
+    is registered as a temp view so later queries can also use plain table
+    references (the dbt `ref()` analog)."""
+    out: dict[str, DataFrame] = {}
+    for name in queries:
+        df = spark.sql(compile_chained(queries, name))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,43 @@
+"""Differential tests: every oracle-declared query must match DuckDB on the
+same parquet — the in-repo mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from bread_spark.queries import ORACLES, QUERIES
+from tests.oracle_utils import compare, duckdb_con
+from tests.conftest import SF_DIR
+
+ORACLE_CHECKED = sorted(ORACLES.keys())
+ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    df = QUERIES[name](spark, sf_dir)
+    ok, msg = compare(df, con, ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    # rows-only contract: runs, stable schema, ≥0 rows
+    assert df.columns
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
