@@ -1,0 +1,216 @@
+"""Bronze→silver blockchain parser — the Spark rebuild of reference
+parse.py (DataParser), producing the four silver tables of SURVEY.md §1.2:
+
+  blocks          P1/P6/P8: nested projection, date parts, casts
+  tx_result       P2/P3, J1: struct flatten + broadcast block-time join
+  log_attributes  R1/P4: safe JSON parse + 3-level explode (long/EAV)
+  events (wide)   R5 intent: posexplode → unbase64 → occurrence → pivot
+
+Design decisions (SURVEY.md §4.2):
+- `log_attributes` (EAV) is the CANONICAL store; wide `events` is derived.
+  The pivot's column set is data-dependent — deriving it per-run from the
+  EAV table sidesteps parquet schema drift across batches.
+- Ordinals (`msg_index`, `occurrence`) come from posexplode positions, not
+  input row order (the reference's cumcount relies on pandas row order —
+  non-reproducible; SURVEY R3).
+- The reference's misaligned wide-events join (parse.py:173-175) is NOT
+  replicated — we implement the intent: one row per (tx, occurrence), one
+  column per type_key (SURVEY R5).
+- Zero Python UDFs: from_json, unbase64, explode, pivot are all JVM-side.
+
+Scale: every transform is a narrow map until the single pivot/groupBy
+shuffle; the blocks-time join broadcasts the (small per-batch) blocks side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schemas import (
+    BLOCKS_SCHEMA,
+    LOG_ATTRIBUTES_COLUMNS,
+    LOG_SCHEMA,
+    RAW_BLOCK_SCHEMA,
+    RAW_TX_SCHEMA,
+    TX_RESULT_COLUMNS,
+)
+
+__all__ = [
+    "read_raw_blocks",
+    "read_raw_txs",
+    "parse_blocks",
+    "parse_tx_result",
+    "parse_log_attributes",
+    "parse_events_wide",
+    "attach_block_time",
+    "run",
+]
+
+
+def read_raw_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Bronze block scan with the explicit schema (never infer; SRC10)."""
+    return spark.read.schema(RAW_BLOCK_SCHEMA).json(path)
+
+
+def read_raw_txs(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(RAW_TX_SCHEMA).json(path)
+
+
+def _date_parts(ts_col):
+    """day/month/year STRINGS — matches the reference's
+    pd.to_period('D'|'M'|'Y').astype(str) semantics (parse.py:136-138)."""
+    return [
+        F.date_format(ts_col, "yyyy-MM-dd").alias("day"),
+        F.date_format(ts_col, "yyyy-MM").alias("month"),
+        F.date_format(ts_col, "yyyy").alias("year"),
+    ]
+
+
+def parse_blocks(raw_blocks: DataFrame) -> DataFrame:
+    """blocks silver table (reference parse.py:130-139).
+
+    Nested projection (P1) + string→long cast (P8) + ns-RFC3339 timestamp
+    parse. Spark TimestampType is µs — the ns tail is truncated, the
+    documented divergence (SURVEY §1.5); `time_ns_frac` is NOT kept because
+    no downstream model consumes sub-µs precision.
+    """
+    ts = F.to_timestamp(
+        # normalize RFC3339: trim to µs precision, keep the zone designator
+        F.regexp_replace("block.header.time", r"(\.\d{6})\d*(Z|[+-]\d{2}:\d{2})$", "$1$2")
+    )
+    return raw_blocks.select(
+        F.col("block.header.height").cast("long").alias("height"),
+        F.col("block.header.chain_id").alias("chain_id"),
+        ts.alias("time"),
+        F.col("block.header.proposer_address").alias("proposer_address"),
+        *_date_parts(ts),
+    )
+
+
+def parse_tx_result(raw_txs: DataFrame) -> DataFrame:
+    """tx_result silver table *before* the block-time join (reference
+    parse.py:141-146): struct flatten (P2) + key columns."""
+    return raw_txs.select(
+        F.col("hash"),
+        F.col("height").cast("long").alias("height"),
+        F.col("tx_result.gas_wanted").alias("gas_wanted"),
+        F.col("tx_result.gas_used").alias("gas_used"),
+        F.col("tx_result.code").alias("code"),
+        F.col("tx_result.codespace").alias("codespace"),
+        F.col("tx_result.info").alias("info"),
+    )
+
+
+def parse_log_attributes(raw_txs: DataFrame) -> DataFrame:
+    """log_attributes silver table — long/EAV (reference parse.py:148-162).
+
+    The `log` string → from_json (P4: malformed → NULL row, the 'safe
+    parse' semantics) → explode msgs → explode events → explode attributes
+    (R1). Explode preserves sibling columns, so no np.repeat (R2) needed.
+    """
+    parsed = raw_txs.select(
+        "hash",
+        F.col("height").cast("long").alias("height"),
+        F.from_json("tx_result.log", LOG_SCHEMA).alias("logs"),
+    )
+    return (
+        parsed.select("hash", "height", F.explode("logs").alias("msg"))
+        .select("hash", "height", F.col("msg.msg_index").alias("msg_index"), F.explode("msg.events").alias("event"))
+        .select("hash", "height", "msg_index", F.col("event.type").alias("type"), F.explode("event.attributes").alias("attr"))
+        .select("hash", "height", "msg_index", "type", F.col("attr.key").alias("key"), F.col("attr.value").alias("value"))
+    )
+
+
+def parse_events_attrs(raw_txs: DataFrame) -> DataFrame:
+    """Typed-events attributes in EAV form with deterministic ordinals
+    (the intent of reference parse.py:164-178, without its row
+    misalignment — SURVEY R5).
+
+    posexplode twice so (event_pos, attr_pos) give a total order per tx;
+    `occurrence` = rank of the event among events sharing (tx, type_key).
+    """
+    ev = raw_txs.select(
+        "hash",
+        F.col("height").cast("long").alias("height"),
+        F.posexplode("tx_result.events").alias("event_pos", "event"),
+    )
+    attrs = ev.select(
+        "hash",
+        "height",
+        "event_pos",
+        F.col("event.type").alias("type"),
+        F.posexplode("event.attributes").alias("attr_pos", "attr"),
+    ).select(
+        "hash",
+        "height",
+        "event_pos",
+        "attr_pos",
+        "type",
+        # b64 decode (P5) — reference decode_base64 at parse.py:51-64
+        F.unbase64(F.col("attr.key")).cast("string").alias("key"),
+        F.unbase64(F.col("attr.value")).cast("string").alias("value"),
+    )
+    combined = attrs.withColumn("combined_key", F.concat_ws("_", "type", "key"))
+    # occurrence (R3): ordinal of the event among same-key events of the tx,
+    # ordered by event position — reproducible, unlike pandas cumcount.
+    w = Window.partitionBy("hash", "height", "combined_key").orderBy("event_pos", "attr_pos")
+    return combined.withColumn("occurrence", (F.row_number().over(w) - F.lit(1)).cast("long"))
+
+
+def parse_events_wide(raw_txs: DataFrame, key_values: list[str] | None = None) -> DataFrame:
+    """events silver table — wide/pivoted (reference parse.py:164-180).
+
+    Dynamic pivot (R4): when `key_values` is None, Spark runs the extra
+    distinct-keys pass; production callers pass the known vocabulary to
+    skip it (SURVEY §4.2 — at 100 TB the distinct pass is one cheap
+    column-pruned scan, done once and cached in the table's metadata).
+    """
+    attrs = parse_events_attrs(raw_txs)
+    grouped = attrs.groupBy("hash", "height", "occurrence")
+    if key_values is None:
+        pivoted = grouped.pivot("combined_key").agg(F.first("value"))
+    else:
+        pivoted = grouped.pivot("combined_key", key_values).agg(F.first("value"))
+    return pivoted
+
+
+def attach_block_time(df: DataFrame, blocks: DataFrame) -> DataFrame:
+    """J1: enrich a silver table with blocks.{time,day,month,year} on
+    height (reference parse.py:219-221, pd.merge inner). The blocks side
+    of one batch is tiny relative to txs → broadcast, zero shuffle."""
+    time_cols = blocks.select("height", "time", "day", "month", "year")
+    return df.join(F.broadcast(time_cols), "height", "inner")
+
+
+def run(
+    spark: SparkSession,
+    blocks_path: str,
+    txs_path: str,
+    out_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Full bronze→silver hop (reference DataParser.run, parse.py:202-226):
+    parse all four tables, attach block time columns, optionally write
+    each partitioned by year/month/day (SRC12)."""
+    from .io import write_partitioned
+
+    raw_blocks = read_raw_blocks(spark, blocks_path)
+    raw_txs = read_raw_txs(spark, txs_path)
+
+    blocks = parse_blocks(raw_blocks)
+    tx_result = attach_block_time(parse_tx_result(raw_txs), blocks).select(*TX_RESULT_COLUMNS)
+    log_attributes = attach_block_time(parse_log_attributes(raw_txs), blocks).select(
+        *LOG_ATTRIBUTES_COLUMNS
+    )
+    events = attach_block_time(parse_events_wide(raw_txs), blocks)
+
+    tables = {
+        "blocks": blocks,
+        "tx_result": tx_result,
+        "log_attributes": log_attributes,
+        "events": events,
+    }
+    if out_dir:
+        for name, df in tables.items():
+            write_partitioned(df, f"{out_dir}/{name}")
+    return tables
