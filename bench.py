@@ -47,15 +47,22 @@ def main() -> None:
         "props_json_extract",
         "brand_number_extract",
         "event_flows_union",
+        # sessionization
+        "session_stats",
         # text / dedup / similarity extensions
         "doc_word_counts",
         "token_stats",
         "quality_scores",
+        "lang_id_scores",
+        "doc_fingerprints",
         "dedup_exact_hash",
         "ngram_jaccard_pairs",
         "minhash_lsh_candidates",
+        "simhash_fingerprints",
         "cosine_topk",
         "centroid_by_label",
+        "embedding_cosine_dups",
+        "lsh_bucket_topk",
     ]
 
     timings: dict[str, float] = {}

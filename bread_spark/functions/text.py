@@ -162,4 +162,28 @@ ORACLE_SQL: dict[str, str] = {
                substring(md5(text), 1, 4) AS shard_bucket
         FROM documents
     """,
+    # Deterministic arithmetic (stopword-set hits + argmax with a fixed
+    # alphabetical tie-break) — fully SQL-expressible, so oracle-checked.
+    "lang_id_scores": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','zu'))) AS score_de,
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS score_en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS score_es,
+                   len(list_filter(toks, x -> x IN ('le','la','de','et','que'))) AS score_fr
+            FROM t
+        )
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                    WHEN score_de >= score_en AND score_de >= score_es
+                         AND score_de >= score_fr THEN 'de'
+                    WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                    WHEN score_es >= score_fr THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM s
+    """,
 }

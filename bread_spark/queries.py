@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import models
 from .extensions import dedup, similarity
 from .functions import text
+from .streaming import sessions
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -47,16 +48,18 @@ _register(
     {
         "cosine_topk": similarity.cosine_topk,
         "centroid_by_label": similarity.centroid_by_label,
+        "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
     },
     similarity.ORACLE_SQL,
 )
+_register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
 _register(
     {
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "doc_fingerprints": text.doc_fingerprints,
-        "lang_id_scores": text.lang_id_scores,  # rows-only (heuristic)
+        "lang_id_scores": text.lang_id_scores,
     },
     text.ORACLE_SQL,
 )

@@ -55,6 +55,36 @@ def session_stats(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> Data
     )
 
 
+def session_stats_query(spark, sf_dir: str) -> DataFrame:
+    """Catalog entry: per-session rollup over the events table."""
+    from ..io import load_table
+
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SQL: dict[str, str] = {
+    "session_stats": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessioned AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, COUNT(1) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               ROUND(SUM(value), 4) AS session_value
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+}
+
+
 # ---------------------------------------------------------------------------
 # Streaming variant: applyInPandasWithState
 # ---------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""Physical-plan audits — the scale contract, asserted.
+
+Correctness tests prove the math; these prove the *plan* is the one that
+survives a 100× scale-up: filters reach the parquet scan, columns are
+pruned, aggregations have map-side partials, small sides broadcast, top-k
+uses rank-limit pushdown, and nothing degenerates into a cartesian
+product. A regression here is a performance bug even when results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bread_spark.queries import QUERIES
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name):
+        return physical_plan(QUERIES[name](spark, sf_dir))
+
+    return get
+
+
+def test_pricing_summary_pushdown_and_partial_agg(plans):
+    p = plans("pricing_summary")
+    # date predicate reaches the parquet reader, not a post-scan Filter
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_comment" not in p
+    # map-side combine before the exchange
+    assert "partial_sum" in p
+
+
+def test_join_queries_broadcast_small_sides(plans):
+    for name in ["revenue_by_segment", "orders_by_nation", "top_parts_by_revenue"]:
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_anti_join_stays_broadcast_or_hash(plans):
+    p = plans("customers_without_orders")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cosine_topk_rank_limit_pushdown(plans):
+    p = plans("cosine_topk")
+    # WindowGroupLimit prunes to k rows per partition *before* the shuffle
+    assert "WindowGroupLimit" in p
+    # the tiny query side is the broadcast side
+    assert "BroadcastExchange" in p
+    # query-side filter is pushed into its scan
+    assert "LessThan(vec_id,10)" in p.replace(" ", "")
+
+
+def test_aggregations_have_map_side_partials(plans):
+    for name in ["txs_per_day", "revenue_by_segment", "centroid_by_label"]:
+        assert "partial_" in plans(name), name
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    # embedding_cosine_dups is a deliberate BroadcastNestedLoopJoin
+    # (all-pairs semantics); everything else must be keyed or broadcast.
+    for name, fn in QUERIES.items():
+        p = physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+
+
+def test_dedup_hash_shuffles_digest_not_body(plans):
+    p = plans("dedup_exact_hash")
+    # the exchange key is the md5 digest, and the document body is pruned
+    # away before the shuffle (projection contains md5, not text)
+    assert "Exchange hashpartitioning(content_hash" in p
