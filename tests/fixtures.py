@@ -128,6 +128,52 @@ def make_txs(blocks: list[dict], seed: int = 43) -> list[dict]:
     return txs
 
 
+def make_mock_rpc(blocks: list[dict], txs: list[dict]):
+    """A fake Tendermint node: abci_info, /block min-height probe,
+    block_search and tx_search with real pagination over a fixture chain."""
+    import re
+    from urllib.parse import parse_qs, urlparse
+
+    head = max(int(b["block"]["header"]["height"]) for b in blocks)
+    lo = min(int(b["block"]["header"]["height"]) for b in blocks)
+
+    def fetch(url):
+        parsed = urlparse(url)
+        q = parse_qs(parsed.query)
+        if "abci_info" in parsed.path:
+            return {"result": {"response": {"last_block_height": str(head)}}}
+        if parsed.path.endswith("/block"):
+            return {"error": {"data": f"height 1 is not available, lowest height is {lo}"}}
+        query = q["query"][0].strip('"')
+        m = re.search(r">= (\d+) AND \S+ <= (\d+)", query)
+        start, end = int(m.group(1)), int(m.group(2))
+        page, per_page = int(q["page"][0]), int(q["per_page"][0])
+        if "block_search" in parsed.path:
+            pool = [b for b in blocks if start <= int(b["block"]["header"]["height"]) <= end]
+            key = "blocks"
+        else:
+            pool = [t for t in txs if start <= int(t["height"]) <= end]
+            key = "txs"
+        window = pool[(page - 1) * per_page : page * per_page]
+        return {"result": {key: window, "total_count": str(len(pool))}}
+
+    return fetch
+
+
+_CANON = None
+
+
+def canonical_rpc_transport(url: str) -> dict:
+    """Module-level transport over the canonical 30-block fixture chain —
+    importable BY NAME on Spark executors (a closure can't be referenced
+    from a DataSource option string)."""
+    global _CANON
+    if _CANON is None:
+        blocks = make_blocks(30)
+        _CANON = make_mock_rpc(blocks, make_txs(blocks))
+    return _CANON(url)
+
+
 def write_fixture_files(tmpdir: str, n_blocks: int = 20) -> tuple[str, str, list[dict], list[dict]]:
     """Write {start}_{end}.json batch files (the reference's landing-zone
     layout, extract.py:175-192) as JSON-lines for Spark."""
