@@ -133,6 +133,7 @@ class Extractor:
             "query": f'"{query}"',
             "page": str(page),
             "per_page": str(per_page),
+            # O2: source-side ascending order (reference extract.py:150,169)
             "order_by": '"asc"',
         }
         return f"{self.rpc_url}/{endpoint}?{urlencode(params)}"
@@ -177,6 +178,66 @@ class Extractor:
             "tx_search", f"tx.height >= {start} AND tx.height <= {end}", "txs", start, end
         )
 
+    def get_block(self, height: int) -> dict | None:
+        """SRC4: point block lookup (`GET /block?height=N`, reference
+        extract.py:225) — the repair path's unit of re-fetch."""
+        resp = self.fetch(f"{self.rpc_url}/block?height={height}")
+        result = resp.get("result")
+        if not result:
+            return None
+        # /block returns {block_id, block}; block_search items share that
+        # shape, so point lookups append to the same landing files.
+        return {"block_id": result.get("block_id"), "block": result.get("block")}
+
+    def extract_txs_lcd(self, start: int, end: int, page_limit: int = 100) -> list[dict]:
+        """SRC3: Cosmos SDK LCD REST scan (reference extract.py:107-141) —
+        the alternative endpoint, offset-paginated. Kept for parity and
+        node-compatibility; the RPC path is primary (the reference
+        measured LCD ~50× slower, extract.py:145)."""
+        items: list[dict] = []
+        offset = 0
+        while True:
+            params = urlencode(
+                {
+                    "events": f"tx.height>={start}",
+                    "pagination.limit": str(page_limit),
+                    "pagination.offset": str(offset),
+                }
+            )
+            resp = self.fetch(f"{self.rpc_url}/cosmos/tx/v1beta1/txs?{params}")
+            batch = resp.get("tx_responses", [])
+            items.extend(t for t in batch if int(t.get("height", 0)) <= end)
+            total = int(resp.get("pagination", {}).get("total", len(items)))
+            offset += len(batch)
+            if not batch or offset >= total:
+                break
+        return items
+
+    def repair_dead_letter(self) -> list[int]:
+        """S3: gap fill — re-extract heights recorded in
+        errors/error_heights.json via point lookups (SRC4), append them to
+        the landing zone as single-height batches, and clear the ledger of
+        the heights that succeeded. (The reference's flow has this step
+        scaffolded but commented out, pipeline.py:99-109/120-123 —
+        implemented here as intended.)"""
+        path = os.path.join(self.out_dir, self.network, "errors", "error_heights.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            heights = json.load(f)
+        repaired: list[int] = []
+        for h in heights:
+            doc = self.get_block(h)
+            if doc is not None:
+                self.save_batch([doc], "blocks", h, h)
+                txs = self.extract_txs(h, h)
+                self.save_batch(txs, "txs", h, h)
+                repaired.append(h)
+        remaining = sorted(set(heights) - set(repaired))
+        with open(path, "w") as f:
+            json.dump(remaining, f)
+        return repaired
+
     def save_batch(self, items: list[dict], prefix: str, start: int, end: int) -> str:
         """SRC9: landing-zone sink — JSON-lines (one doc per line) so Spark
         reads each batch file splittably; path mirrors the reference layout
@@ -218,8 +279,9 @@ class Extractor:
 
 def ingested_bounds(landing_dir: str) -> tuple[int | None, int | None]:
     """(min, max) ingested height parsed from {start}_{end}.json names
-    (P18); (None, None) when the landing zone is empty — the reference's
-    FileNotFound→0 path."""
+    (P18 filename-range parse + A5 min/max watermark bounds, reference
+    extract.py:539-551); (None, None) when the landing zone is empty —
+    the reference's FileNotFound→0 path."""
     if not os.path.isdir(landing_dir):
         return None, None
     lo: int | None = None

@@ -116,7 +116,9 @@ def parse_log_attributes(raw_txs: DataFrame) -> DataFrame:
     )
     return (
         parsed.select("hash", "height", F.explode("logs").alias("msg"))
-        .select("hash", "height", F.col("msg.msg_index").alias("msg_index"), F.explode("msg.events").alias("event"))
+        # P17: single-msg logs omit msg_index — fill 0 (the reference's
+        # fillna(0) on the normalized logs, parse.py:154)
+        .select("hash", "height", F.coalesce(F.col("msg.msg_index"), F.lit(0).cast("long")).alias("msg_index"), F.explode("msg.events").alias("event"))
         .select("hash", "height", "msg_index", F.col("event.type").alias("type"), F.explode("event.attributes").alias("attr"))
         .select("hash", "height", "msg_index", "type", F.col("attr.key").alias("key"), F.col("attr.value").alias("value"))
     )

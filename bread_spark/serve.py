@@ -11,6 +11,9 @@ surface is a thin class over one SparkSession:
 - compiled-text hash caching              (E3 → results cached per md5)
 - JSON row serving                        (E4 → `run_json`)
 - markdown extraction                     (E1 → `extract_queries_md`)
+- serving queries run verbatim over the registered gold/testdata views
+  (E5 — the reference's `select cast(gas_used as int) ...` page query is
+  just a `run_json` call here)
 
 For multi-client serving the same registry sits behind Spark Connect or the
 Thrift JDBC server — both serve the registered temp views as-is; nothing in

@@ -90,6 +90,57 @@ def test_save_batch_layout_and_watermarks(tmp_path):
     assert ingest.ingested_bounds(str(tmp_path / "nope")) == (None, None)
 
 
+def test_point_block_lookup(tmp_path):
+    """SRC4: GET /block?height=N returns the block_search item shape."""
+    def fetch(url):
+        assert url == "http://node/block?height=42"
+        return {"result": {"block_id": {"hash": "H42"}, "block": {"header": {"height": "42"}}}}
+
+    ex = ingest.Extractor("http://node", str(tmp_path), fetch=fetch)
+    doc = ex.get_block(42)
+    assert doc["block_id"]["hash"] == "H42"
+    assert doc["block"]["header"]["height"] == "42"
+    # missing height → None
+    ex2 = ingest.Extractor("http://node", str(tmp_path), fetch=lambda u: {"error": {}})
+    assert ex2.get_block(7) is None
+
+
+def test_lcd_scan_offset_pagination(tmp_path):
+    """SRC3: LCD REST endpoint, offset-paged, range-filtered."""
+    all_txs = [{"txhash": f"T{i}", "height": str(100 + i)} for i in range(5)]
+
+    def fetch(url):
+        assert "/cosmos/tx/v1beta1/txs" in url
+        offset = int(url.split("pagination.offset=")[1].split("&")[0])
+        return {"tx_responses": all_txs[offset : offset + 2], "pagination": {"total": "5"}}
+
+    ex = ingest.Extractor("http://node", str(tmp_path), fetch=fetch)
+    got = ex.extract_txs_lcd(100, 102, page_limit=2)
+    assert [t["txhash"] for t in got] == ["T0", "T1", "T2"]  # 103/104 out of range
+
+
+def test_repair_dead_letter_gap_fill(tmp_path):
+    """S3: error heights re-fetched via point lookup, landing files
+    appended, ledger cleared of successes only."""
+    def fetch(url):
+        if "/block?height=8" in url:
+            return {"error": {"data": "still missing"}}
+        if "/block?height=" in url:
+            h = url.rsplit("=", 1)[1]
+            return {"result": {"block_id": {"hash": f"H{h}"}, "block": {"header": {"height": h}}}}
+        return {"result": {"txs": [], "total_count": "0"}}
+
+    ex = ingest.Extractor("http://node", str(tmp_path), network="n1", fetch=fetch)
+    ex.dead_letter = [7, 8, 9]
+    ex.flush_dead_letter()
+    repaired = ex.repair_dead_letter()
+    assert repaired == [7, 9]
+    with open(tmp_path / "n1" / "errors" / "error_heights.json") as f:
+        assert json.load(f) == [8]  # the still-failing height stays
+    assert (tmp_path / "n1" / "blocks" / "7_7.json").exists()
+    assert (tmp_path / "n1" / "blocks" / "9_9.json").exists()
+
+
 def test_audit_missing_blocks_and_txs(spark, tmp_path):
     bdir, tdir, blocks, txs = write_fixture_files(str(tmp_path))
     raw_blocks = P.read_raw_blocks(spark, bdir)
