@@ -104,6 +104,11 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+    # The shingle set feeds three subtrees (both join sides + sizes);
+    # without materialization Spark recomputes scan+shingle+distinct 3×.
+    # localCheckpoint is the single-job fix; a multi-step 100 TB pipeline
+    # would write the shingle index to a staging table instead.
+    sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -113,11 +118,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # per-doc size tables are tiny relative to the pair set → broadcast
+    # (at 100 TB sizes is O(docs) — still far smaller than pairs; if it
+    # outgrows broadcast, these become shuffle joins keyed on doc id)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
-        pair_inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pair_inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -229,6 +237,9 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # both self-join sides read the signature pipeline (3 shuffles deep) —
+    # materialize once instead of recomputing it per side
+    bands = bands.localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

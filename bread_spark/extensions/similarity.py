@@ -39,26 +39,43 @@ def _dot(a: str, b: str):
 def cosine_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id < N_QUERIES).
 
-    Plan: tiny query side is broadcast → map-side cross product (no
-    shuffle for the join) → per-query window top-k. Ordering uses the
-    rounded score + vec_id tie-break so results are engine-deterministic.
+    Plan: the tiny query set rides a broadcast as a unit-normalized
+    float64 matrix; each mapInPandas block scores corpus-block × queries
+    with one BLAS matmul (same kernel as `embedding_cosine_dups` — the
+    JVM higher-order-fold version was ~40× slower), then a per-query
+    window top-k over the (small) scored set. Ordering uses the rounded
+    score + vec_id tie-break so ranks are engine-deterministic.
+
+    Scale: scoring is map-side only; the shuffle moves just
+    N_QUERIES × corpus candidate rows, and WindowGroupLimit prunes to k
+    per partition before the exchange (asserted in tests/test_plans.py).
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    corpus = emb.select(F.col("vec_id"), F.col("embedding"))
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                _dot("q_emb", "embedding")
-                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
-                6,
-            ).alias("cosine"),
-        )
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_unit))
+
+    def blocks(it):
+        b_qids, b_qunit = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+            scores = np.round(a_unit @ b_qunit.T, 6)  # corpus_block × queries
+            ic, iq = np.nonzero(a_ids[:, None] != b_qids[None, :])
+            yield pd.DataFrame(
+                {"query_id": b_qids[iq], "vec_id": a_ids[ic], "cosine": scores[ic, iq]}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        blocks, "query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default (true):
+        # measured locally, size-first coalescing starved the shingle
+        # self-join of parallelism (+2.3s) for ~0.1s saved on tiny shuffles.
+        # On a production cluster with large shuffles, revisit per job.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # files.maxPartitionBytes default 128MB is right for the target;

@@ -54,10 +54,9 @@ def test_cosine_topk_rank_limit_pushdown(plans):
     p = plans("cosine_topk")
     # WindowGroupLimit prunes to k rows per partition *before* the shuffle
     assert "WindowGroupLimit" in p
-    # the tiny query side is the broadcast side
-    assert "BroadcastExchange" in p
-    # query-side filter is pushed into its scan
-    assert "LessThan(vec_id,10)" in p.replace(" ", "")
+    # scoring is the Arrow/BLAS map stage, not a pair join
+    assert "MapInPandas" in p
+    assert "Join" not in p
 
 
 def test_aggregations_have_map_side_partials(plans):
