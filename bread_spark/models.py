@@ -394,6 +394,47 @@ def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_cube_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation (absent in reference; SURVEY §2.5
+    lists cube/rollup as free Spark extensions). Same single-shuffle shape
+    as the rollup — grouping-set expansion happens map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type", "value")
+        .cube("day", "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (absent in reference;
+    quantiles are a §2.5 extension). Spark's `percentile` matches
+    PERCENTILE_CONT/quantile_cont interpolation exactly.
+
+    Scale: exact percentile holds all group values — at 100 TB switch to
+    `percentile_approx` (t-digest, mergeable, bounded memory); it's the
+    same call-site with a rank-error knob, but no longer oracle-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def day_over_day_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window over the day grain (reference uses only running
+    sums — SURVEY §2.6 notes no lead/lag; added as surface extension).
+    Window is over the tiny day-grain aggregate, not the raw events."""
+    daily = txs_per_day(spark, sf_dir)
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "tx_count",
+        (F.col("tx_count") - F.lag("tx_count").over(w)).alias("dod_change"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — one entry per model above, identical aliases
 # ---------------------------------------------------------------------------
@@ -553,6 +594,27 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id
     """,
+    "value_cube_by_type_day": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ROUND(SUM(value), 4) AS total_value, COUNT(1) AS n
+        FROM events GROUP BY CUBE (day, event_type)
+    """,
+    "value_percentiles_by_type": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "day_over_day_txs": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(1) AS tx_count
+            FROM events GROUP BY 1
+        )
+        SELECT day, tx_count,
+               tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
+        FROM daily
+    """,
 }
 
 MODELS = {
@@ -577,4 +639,7 @@ MODELS = {
     "top_parts_by_revenue": top_parts_by_revenue,
     "nation_revenue_rollup": nation_revenue_rollup,
     "user_activity_span": user_activity_span,
+    "value_cube_by_type_day": value_cube_by_type_day,
+    "value_percentiles_by_type": value_percentiles_by_type,
+    "day_over_day_txs": day_over_day_txs,
 }
