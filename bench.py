@@ -47,8 +47,15 @@ def main() -> None:
         "props_json_extract",
         "brand_number_extract",
         "event_flows_union",
+        # windows/grouping-set extensions
+        "value_cube_by_type_day",
+        "value_percentiles_by_type",
+        "day_over_day_txs",
         # sessionization
         "session_stats",
+        # multimodal binary columns
+        "media_features",
+        "media_dedup",
         # text / dedup / similarity extensions
         "doc_word_counts",
         "token_stats",

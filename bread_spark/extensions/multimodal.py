@@ -87,6 +87,64 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from `documents`: payload =
+    UTF-8 bytes of the text, kind cycled by doc_id. Lets the binary-column
+    plumbing run (and be oracle-checked) against driver-provided data —
+    a real deployment reads blob columns or object-store paths here."""
+    from ..io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("video/mp4"), F.lit("audio/wav")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        mime.alias("mime"),
+    )
+
+
+def media_features_query(spark, sf_dir: str) -> DataFrame:
+    """Catalog entry: the engine-agnostic feature columns (byte length,
+    sha256 digest) produced by the real mapInPandas media path. The
+    codec-derived columns (width/height/n_frames) are fake-decoder
+    specific, so they stay out of the oracle-compared projection."""
+    feats = extract_media_features(media_from_documents(spark, sf_dir))
+    return feats.select("media_id", "kind", "byte_len", "content_sha256")
+
+
+def media_dedup_query(spark, sf_dir: str) -> DataFrame:
+    """Catalog entry: exact media dedup over the derived media table."""
+    return media_dedup_exact(media_from_documents(spark, sf_dir))
+
+
+ORACLE_SQL: dict[str, str] = {
+    "media_features": """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                    ELSE 'audio' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS content_sha256
+        FROM documents
+    """,
+    "media_dedup": """
+        SELECT sha256(text) AS content_sha256,
+               MIN(doc_id) AS canonical_media_id,
+               COUNT(1) AS dup_count,
+               MIN(CAST(octet_length(encode(text)) AS BIGINT)) AS byte_len
+        FROM documents GROUP BY 1
+    """,
+}
+
+
 def media_dedup_exact(media: DataFrame) -> DataFrame:
     """Exact binary dedup via content digest — the 100 TB pattern: shuffle
     32-byte digests, never payloads."""
@@ -94,5 +152,7 @@ def media_dedup_exact(media: DataFrame) -> DataFrame:
     return feats.groupBy("content_sha256").agg(
         F.min("media_id").alias("canonical_media_id"),
         F.count(F.lit(1)).alias("dup_count"),
-        F.first("byte_len").alias("byte_len"),
+        # min (not first): same digest ⇒ same bytes, but min is
+        # deterministic under any row order / engine
+        F.min("byte_len").alias("byte_len"),
     )

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import models
-from .extensions import dedup, similarity
+from .extensions import dedup, multimodal, similarity
 from .functions import text
 from .streaming import sessions
 
@@ -54,6 +54,13 @@ _register(
     similarity.ORACLE_SQL,
 )
 _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
+_register(
+    {
+        "media_features": multimodal.media_features_query,
+        "media_dedup": multimodal.media_dedup_query,
+    },
+    multimodal.ORACLE_SQL,
+)
 _register(
     {
         "token_stats": text.token_stats,

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): operator semantics vs independent
+pure-Python references on randomized inputs (SURVEY.md §5 — exceeds the
+reference's test strategy, which has no property tests)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bread_spark.streaming.sessions import SESSION_GAP_MIN, session_stats
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+# events per user: gaps in minutes (0..180), values
+user_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=180), st.integers(min_value=0, max_value=100)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def python_sessionize(per_user: dict[int, list[tuple[int, int]]]):
+    """Independent reference implementation: dict-of-lists, no Spark."""
+    out = {}
+    for uid, gaps in per_user.items():
+        t = 0
+        sid, n, total, start = 0, 0, 0.0, None
+        last = None
+        for gap_min, value in gaps:
+            t += gap_min * 60
+            if last is not None and t - last > SESSION_GAP_MIN * 60:
+                out[(uid, sid)] = (n, start, last, total)
+                sid += 1
+                n, total, start = 0, 0.0, t
+            if start is None:
+                start = t
+            n += 1
+            total += float(value)
+            last = t
+        out[(uid, sid)] = (n, start, last, total)
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(user_events, min_size=1, max_size=4))
+def test_sessionize_matches_python_reference(spark, users):
+    per_user = {uid: gaps for uid, gaps in enumerate(users)}
+    rows = []
+    for uid, gaps in per_user.items():
+        t = 0
+        for gap_min, value in gaps:
+            t += gap_min * 60
+            rows.append((uid, EPOCH + datetime.timedelta(seconds=t), float(value)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_id"] - 1): (
+            r["n_events"],
+            int((r["session_start"] - EPOCH).total_seconds()),
+            int((r["session_end"] - EPOCH).total_seconds()),
+            r["session_value"],
+        )
+        for r in session_stats(df).collect()
+    }
+    expected = python_sessionize(per_user)
+    assert got == {k: (n, s, e, pytest.approx(v)) for k, (n, s, e, v) in expected.items()}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ", min_size=10, max_size=60),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_minhash_signature_properties(spark, texts):
+    """Identical documents always get identical MinHash signatures, and
+    signatures have the configured length with values in [0, p)."""
+    from bread_spark.extensions.dedup import MERSENNE, NUM_HASHES, _word_shingles, minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(len(texts), texts[0])]  # clone of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _word_shingles(docs)
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(sh).collect()}
+    if 0 in sigs:  # doc 0 had ≥1 shingle
+        assert sigs[0] == sigs[len(texts)]
+        for sig in sigs.values():
+            assert len(sig) == NUM_HASHES
+            assert all(0 <= v < MERSENNE for v in sig)
+
+
+def test_pivot_roundtrip_random_occurrences(spark):
+    """EAV → wide pivot → melt returns the original EAV set, including
+    repeated (type,key) pairs disambiguated by occurrence (R3/R4)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    rows = []
+    for tx in range(20):
+        for rep in range(rng.randint(1, 3)):
+            for key in rng.sample(["amount", "denom", "sender"], rng.randint(1, 3)):
+                rows.append((f"H{tx}", 10 + tx, rep, "transfer_" + key, f"v{tx}_{rep}_{key}"))
+    eav = spark.createDataFrame(
+        rows, "hash string, height long, occurrence long, combined_key string, value string"
+    )
+    wide = eav.groupBy("hash", "height", "occurrence").pivot("combined_key").agg(F.first("value"))
+    melted = wide.selectExpr(
+        "hash",
+        "height",
+        "occurrence",
+        "stack(3, 'transfer_amount', transfer_amount, 'transfer_denom', transfer_denom, "
+        "'transfer_sender', transfer_sender) as (combined_key, value)",
+    ).filter("value IS NOT NULL")
+    assert sorted(map(tuple, melted.collect())) == sorted(map(tuple, eav.collect()))
