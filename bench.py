@@ -36,6 +36,8 @@ def main() -> None:
         "customers_without_orders",
         "top_parts_by_revenue",
         "nation_revenue_rollup",
+        "regional_supplier_revenue",
+        "returned_items_topk",
         # time-series aggs + windows
         "txs_per_day",
         "cum_txs_per_day",

@@ -394,6 +394,62 @@ def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with local-supplier predicate
+    (c_nationkey = s_nationkey), region filter, revenue by nation.
+
+    Plan shape at scale: lineitem⨝orders⨝customer shuffle on their keys;
+    supplier/nation/region broadcast; the region filter prunes *through*
+    the broadcast dims before the fact shuffle (Catalyst pushes it into
+    the dimension scans).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").filter(
+        F.col("r_name") == "ASIA"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+
+
+def returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items, top-20 customers.
+    Deterministic ordering: rounded revenue desc, then custkey."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    ).filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "lost_revenue"
+            )
+        )
+    )
+    return rev.orderBy(F.desc("lost_revenue"), F.asc("c_custkey")).limit(20)
+
+
 def value_cube_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets aggregation (absent in reference; SURVEY §2.5
     lists cube/rollup as free Spark extensions). Same single-shuffle shape
@@ -594,6 +650,30 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id
     """,
+    "regional_supplier_revenue": """
+        SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "returned_items_topk": """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY lost_revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
     "value_cube_by_type_day": """
         SELECT CAST(ts AS DATE) AS day, event_type,
                ROUND(SUM(value), 4) AS total_value, COUNT(1) AS n
@@ -642,4 +722,6 @@ MODELS = {
     "value_cube_by_type_day": value_cube_by_type_day,
     "value_percentiles_by_type": value_percentiles_by_type,
     "day_over_day_txs": day_over_day_txs,
+    "regional_supplier_revenue": regional_supplier_revenue,
+    "returned_items_topk": returned_items_topk,
 }
