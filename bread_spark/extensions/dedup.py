@@ -186,8 +186,10 @@ def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -
     """doc_id → array<long> MinHash signature.
 
     Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the xxhash64
-    of each shingle. Entirely JVM-side: `transform` over a literal (a,b)
-    array + `min_by`-style agg per hash index via explode + groupBy.
+    of each shingle. One groupBy(doc_id) with `num_hashes` min-aggregate
+    expressions — a single shuffle of the shingle rows, with map-side
+    partial mins. (A first cut exploded a (doc, hash_idx) row per hash —
+    32× the shuffle volume and a second shuffle to re-assemble the array.)
     """
     # Deterministic (a, b) parameters — fixed seed, python-side constants.
     rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % MERSENNE or 1 for i in range(1, num_hashes + 1)]
@@ -196,21 +198,14 @@ def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -
     hashed = docs_shingled.select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("hx")
     )
-    # One row per (doc, hash_index) with the hash value; min per index.
-    params = F.array(*[F.struct(F.lit(i).alias("i"), F.lit(rng_a[i]).alias("a"), F.lit(rng_b[i]).alias("b")) for i in range(num_hashes)])
-    exploded = hashed.select(
-        "doc_id", F.explode(params).alias("p"), "hx"
-    ).select(
-        "doc_id",
-        F.col("p.i").alias("hash_idx"),
-        ((F.col("p.a") * F.col("hx") + F.col("p.b")) % F.lit(MERSENNE)).alias("hval"),
-    )
+    mins = [
+        F.min((F.lit(rng_a[i]) * F.col("hx") + F.lit(rng_b[i])) % F.lit(MERSENNE)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        exploded.groupBy("doc_id", "hash_idx")
-        .agg(F.min("hval").alias("minhash"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))).alias("sig_structs"))
-        .select("doc_id", F.expr("transform(sig_structs, s -> s.minhash)").alias("signature"))
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"))
     )
 
 
