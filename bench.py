@@ -53,8 +53,9 @@ def main() -> None:
         "value_cube_by_type_day",
         "value_percentiles_by_type",
         "day_over_day_txs",
-        # sessionization
+        # sessionization + event-time windows
         "session_stats",
+        "windowed_value_by_type",
         # multimodal binary columns
         "media_features",
         "media_dedup",
@@ -64,6 +65,7 @@ def main() -> None:
         "quality_scores",
         "lang_id_scores",
         "doc_fingerprints",
+        "redact_pii",
         "dedup_exact_hash",
         "ngram_jaccard_pairs",
         "minhash_lsh_candidates",

@@ -79,6 +79,31 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: replace email addresses and
+    phone-number-shaped spans with typed placeholders; report counts.
+
+    Regexes stay in the Java∩RE2 common dialect so the same patterns run
+    in both engines. Pure map-side (zero shuffle) — at 100 TB this is a
+    pass-through rewrite pipelined with the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        n_emails.cast("long").alias("n_emails"),
+        (F.length("text") - F.length(redacted)).cast("long").alias("chars_removed"),
+    )
+
+
 LANG_STOPWORDS = {
     "en": ("the", "a", "of", "and", "to"),
     "es": ("el", "la", "de", "y", "que"),
@@ -161,6 +186,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(text) AS fingerprint,
                substring(md5(text), 1, 4) AS shard_bucket
         FROM documents
+    """,
+    "redact_pii": f"""
+        WITH r AS (
+            SELECT doc_id, text,
+                   regexp_replace(
+                       regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PHONE_RE.replace("'", "''")}', '<PHONE>', 'g') AS redacted_text
+            FROM documents
+        )
+        SELECT doc_id, redacted_text,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               CAST(length(text) - length(redacted_text) AS BIGINT) AS chars_removed
+        FROM r
     """,
     # Deterministic arithmetic (stopword-set hits + argmax with a fixed
     # alphabetical tie-break) — fully SQL-expressible, so oracle-checked.

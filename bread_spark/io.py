@@ -59,6 +59,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    """Bucketed managed table: co-locates join/agg keys at write time so
+    repeated joins on `key` skip the shuffle entirely (the Exchange-free
+    plan is asserted in tests/test_bucketing.py).
+
+    The 100 TB pattern: bucket the big fact tables on their join key once
+    at ingest; every downstream join/aggregation on that key becomes a
+    zero-shuffle local operation. Bucket count should be sized so one
+    bucket ≈ one task's worth of data (hundreds of MB)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("year", "month", "day"), mode: str = "overwrite"
 ) -> None:

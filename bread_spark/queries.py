@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import models
 from .extensions import dedup, multimodal, similarity
 from .functions import text
-from .streaming import sessions
+from .streaming import sessions, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -54,6 +54,7 @@ _register(
     similarity.ORACLE_SQL,
 )
 _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
+_register({"windowed_value_by_type": windows.windowed_value_query}, windows.ORACLE_SQL)
 _register(
     {
         "media_features": multimodal.media_features_query,
@@ -67,6 +68,7 @@ _register(
         "quality_scores": text.quality_scores,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_id_scores": text.lang_id_scores,
+        "redact_pii": text.redact_pii,
     },
     text.ORACLE_SQL,
 )
