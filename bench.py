@@ -77,9 +77,13 @@ def main() -> None:
     ]
 
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # Warm the three engine paths once so per-query numbers measure the
+    # query, not startup: JVM+parquet footers (agg), the shuffle machinery
+    # (join), and the Python worker pool (Arrow/pandas stage). Steady-state
+    # is the honest number for a long-lived cluster session.
     QUERIES["txs_per_day"](spark, sf_dir).count()
+    QUERIES["orders_by_nation"](spark, sf_dir).count()
+    QUERIES["media_features"](spark, sf_dir).count()
 
     total_start = time.perf_counter()
     for name in bench_queries:

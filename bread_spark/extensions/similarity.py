@@ -239,18 +239,34 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("bucket")
     )
     cands = bucketed.select("vec_id", "embedding", "bucket")
-    scored = (
-        cands.join(F.broadcast(queries), (cands.bucket == queries.bucket) & (F.col("vec_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                _dot("q_emb", "embedding")
-                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("embedding", "embedding"))),
-                6,
-            ).alias("cosine"),
-        )
-    )
+    pairs = cands.join(
+        F.broadcast(queries),
+        (cands.bucket == queries.bucket) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", "q_emb", "embedding")
+
+    # exact re-rank inside the bucket — numpy row-wise dots (the HOF fold
+    # is interpreted per element; Arrow+BLAS is the dense-math fast path)
+    import numpy as np
+    import pandas as pd
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["q_emb"].tolist(), dtype=np.float64)
+            b = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", a, b) / (
+                np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "cosine": np.round(cos, 6),
+                }
+            )
+
+    scored = pairs.mapInPandas(score, "query_id long, vec_id long, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
