@@ -394,6 +394,22 @@ def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct (SURVEY §2.5 lists approximate aggregates as
+    a Spark-free extension). At 100 TB this replaces exact distinct for
+    dashboards: the sketch is fixed-size and mergeable, so partial
+    aggregation works map-side and the shuffle carries sketches, not user
+    ids. Rows-only correctness (sketch estimates are engine-specific);
+    tests assert the estimate lands within the configured rsd of exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
 def regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with local-supplier predicate
     (c_nationkey = s_nationkey), region filter, revenue by nation.
@@ -724,4 +740,5 @@ MODELS = {
     "day_over_day_txs": day_over_day_txs,
     "regional_supplier_revenue": regional_supplier_revenue,
     "returned_items_topk": returned_items_topk,
+    "approx_distinct_users_per_day": approx_distinct_users_per_day,  # rows-only (HLL)
 }

@@ -41,3 +41,24 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()) >= set(e.oracle_sql())
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL estimate must land within ~3x the configured rsd of exact."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.io import load_table
+    from bread_spark.models import approx_distinct_users_per_day
+
+    approx = {r["day"]: r["approx_users"] for r in approx_distinct_users_per_day(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["day"]: r["n"]
+        for r in ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.06 * n), (day, approx[day], n)

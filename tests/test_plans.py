@@ -72,6 +72,26 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in p, name
 
 
+def test_silver_partition_pruning(spark, tmp_path):
+    """The year/month/day Hive layout must prune at the scan: a day-
+    filtered read of partitioned silver touches one partition directory,
+    shown as PartitionFilters on the FileScan (SURVEY §4 row 1)."""
+    from bread_spark import parse as P
+    from tests.fixtures import write_fixture_files
+
+    bdir, tdir, blocks, txs = write_fixture_files(str(tmp_path / "bronze"))
+    out = str(tmp_path / "silver")
+    P.run(spark, bdir, tdir, out_dir=out)
+
+    silver = spark.read.parquet(f"{out}/blocks")
+    one_day = silver.filter("day = '2023-07-01'")
+    plan = physical_plan(one_day)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # pruned scan reads fewer files than the full table
+    assert one_day.count() < silver.count()
+    assert one_day.select("day").distinct().count() == 1
+
+
 def test_dedup_hash_shuffles_digest_not_body(plans):
     p = plans("dedup_exact_hash")
     # the exchange key is the md5 digest, and the document body is pruned
