@@ -56,6 +56,7 @@ def main() -> None:
         # sessionization + event-time windows
         "session_stats",
         "windowed_value_by_type",
+        "last_purchase_asof",
         # multimodal binary columns
         "media_features",
         "media_dedup",
