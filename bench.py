@@ -57,6 +57,7 @@ def main() -> None:
         "session_stats",
         "windowed_value_by_type",
         "last_purchase_asof",
+        "events_near_errors",
         # multimodal binary columns
         "media_features",
         "media_dedup",

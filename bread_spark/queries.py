@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import models
 from .extensions import dedup, multimodal, similarity
 from .functions import text
-from .operators import asof
+from .operators import asof, interval
 from .streaming import sessions, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -57,6 +57,7 @@ _register(
 _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
 _register({"windowed_value_by_type": windows.windowed_value_query}, windows.ORACLE_SQL)
 _register({"last_purchase_asof": asof.last_purchase_asof}, asof.ORACLE_SQL)
+_register({"events_near_errors": interval.events_near_errors}, interval.ORACLE_SQL)
 _register(
     {
         "media_features": multimodal.media_features_query,

@@ -65,3 +65,44 @@ def test_asof_plan_is_single_shuffle(spark):
     # no join operator (and so no possibility of a range-join blow-up)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join
+# ---------------------------------------------------------------------------
+
+def test_interval_join_semantics(spark):
+    from bread_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, _ts(0)), (2, _ts(30)), (3, _ts(65)), (4, _ts(200))],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts(25), _ts(70)), (11, _ts(60), _ts(61))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(points, intervals, "ts", "s", "e", bucket_seconds=3600).collect()
+    )
+    # point 2 ∈ [25,70]; point 3 ∈ [25,70] only (65 ∉ [60,61]); 1 & 4 nowhere
+    assert got == [(2, 10), (3, 10)]
+
+
+def test_interval_join_bucket_boundary(spark):
+    """Intervals spanning a bucket boundary still match points in both
+    buckets (the 2-bucket explode)."""
+    from bread_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, _ts(59)), (2, _ts(61))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts(58), _ts(62))], "iid long, s timestamp, e timestamp"
+    )
+    got = sorted(
+        r["pid"]
+        for r in interval_join(points, intervals, "ts", "s", "e", bucket_seconds=3600).collect()
+    )
+    assert got == [1, 2]
