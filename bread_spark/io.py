@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -86,3 +87,59 @@ def write_partitioned(
     128 MB target so scans parallelize across executors.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = ("year", "month", "day"),
+    files_per_partition: int = 1,
+    sort_by: str | None = None,
+) -> int:
+    """Rewrite a Hive-partitioned table into `files_per_partition` files
+    per partition — the compaction pass every incremental pipeline needs.
+
+    Incremental appends (micro-batches, backfills, gap repairs) each add
+    small files; at 100 TB the scan's task count — and the namenode/object
+    store metadata load — grows with file count, not data size. Periodic
+    compaction restores ~128 MB files. `sort_by` additionally clusters
+    rows inside each file so parquet row-group min/max statistics prune
+    point/range predicates on that column.
+
+    Rewrites to a staging dir then swaps, so a crash mid-compact never
+    leaves the table half-written. Returns the resulting file count.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    if files_per_partition == 1:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        # repartition(cols) co-locates each whole hive partition in one
+        # task (1 file each) — and AQE will happily coalesce salted hash
+        # buckets back together. Range-partition on (partition_cols, salt)
+        # with an explicit task count so each (partition, salt) combo
+        # keeps its own task → its own file.
+        data_cols = [c for c in df.columns if c not in partition_cols]
+        salt = F.pmod(F.xxhash64(*data_cols), F.lit(files_per_partition))
+        n_parts = df.select(*partition_cols).distinct().count()
+        out = (
+            df.withColumn("__salt", salt)
+            .repartitionByRange(
+                max(1, n_parts * files_per_partition),
+                *[F.col(c) for c in partition_cols],
+                F.col("__salt"),
+            )
+            .drop("__salt")
+        )
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_cols, sort_by)
+    staging = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(
+        1 for _, _, files in os.walk(path) for f in files if f.endswith(".parquet")
+    )
