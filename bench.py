@@ -68,6 +68,8 @@ def main() -> None:
         "lang_id_scores",
         "doc_fingerprints",
         "redact_pii",
+        "doc_chunks",
+        "deterministic_sample",
         "dedup_exact_hash",
         "ngram_jaccard_pairs",
         "minhash_lsh_candidates",

@@ -79,6 +79,57 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    chunking pass that feeds context-bounded models. One row per chunk:
+    (doc_id, chunk_start, chunk_text, n_chunk_tokens).
+
+    JVM-side end to end: sequence → transform(slice) → posexplode; the
+    row multiplication is ~n_tokens/stride per doc, and chunks inherit
+    the scan's partitioning (no shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        docs.select("doc_id", words.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.size("w").alias("n"),
+            F.explode(F.expr(f"sequence(0, size(w) - 1, {CHUNK_STRIDE})")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.expr(f"concat_ws(' ', slice(w, s + 1, {CHUNK_TOKENS}))").alias("chunk_text"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s")).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+SAMPLE_HEX_CUTOFF = "40"  # first md5 byte < 0x40 → deterministic 25%
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: keep documents whose content-md5
+    starts below a hex cutoff — a 25% sample that is stable across runs,
+    engines, partitionings, and cluster sizes (unlike `df.sample`, whose
+    output depends on partition layout even with a fixed seed).
+
+    Stratified variants use per-key cutoffs (e.g. per-language rates) on
+    the same digest — same mechanism, different thresholds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    return docs.filter(bucket < SAMPLE_HEX_CUTOFF).select(
+        "doc_id", "lang", "source", bucket.alias("sample_bucket")
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
@@ -186,6 +237,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, md5(text) AS fingerprint,
                substring(md5(text), 1, 4) AS shard_bucket
         FROM documents
+    """,
+    "doc_chunks": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               s AS chunk_start,
+               array_to_string(w[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+               least({CHUNK_TOKENS}, len(w) - s) AS n_chunk_tokens
+        FROM t, LATERAL (SELECT unnest(range(0, len(w), {CHUNK_STRIDE})) AS s) g
+    """,
+    "deterministic_sample": f"""
+        SELECT doc_id, lang, source, substring(md5(text), 1, 2) AS sample_bucket
+        FROM documents
+        WHERE substring(md5(text), 1, 2) < '{SAMPLE_HEX_CUTOFF}'
     """,
     "redact_pii": f"""
         WITH r AS (

@@ -72,6 +72,8 @@ _register(
         "doc_fingerprints": text.doc_fingerprints,
         "lang_id_scores": text.lang_id_scores,
         "redact_pii": text.redact_pii,
+        "doc_chunks": text.doc_chunks,
+        "deterministic_sample": text.deterministic_sample,
     },
     text.ORACLE_SQL,
 )
