@@ -9,9 +9,16 @@ Layout (see SURVEY.md §7):
   models.py     gold model DAG — aggregations, windows, joins, set ops
   queries.py    named-query registry with ${ref} chaining (Evidence analog)
   ingest.py     RPC ingestion client: range planning, pagination, retry, backfill
-  functions/    scalar/text function library (JSON, base64, text analysis)
+  pipeline.py   end-to-end flow driver (plan → extract → parse → gold)
+  serve.py      query serving: markdown extraction, chain inlining, caching
+  functions/    scalar/text function library (JSON, base64, text analysis,
+                PII redaction, chunking, deterministic sampling)
   extensions/   LLM-data-pipeline operators: dedup, similarity, multimodal
-  streaming/    incremental bronze→silver with Structured Streaming
+  operators/    relational ops Spark lacks: as-of join, interval join
+  plans/        physical-plan helpers: skew salting
+  sources/      Spark 4 Python DataSource for Tendermint RPC
+  streaming/    incremental bronze→silver, watermarked windows, streaming
+                dedup, stateful sessionization
 """
 
 __version__ = "0.1.0"

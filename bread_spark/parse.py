@@ -49,12 +49,46 @@ __all__ = [
 
 
 def read_raw_blocks(spark: SparkSession, path: str) -> DataFrame:
-    """Bronze block scan with the explicit schema (never infer; SRC10)."""
+    """Bronze block scan with the explicit schema (never infer; SRC10).
+
+    PERMISSIVE mode: a malformed line yields a row of NULLs instead of
+    failing the job — the engine-native form of the reference's
+    "non-JSON → skip" transport rule (extract.py:361-366). Use
+    `read_raw_with_corrupt` when the malformed payloads themselves need
+    to be captured for repair.
+    """
     return spark.read.schema(RAW_BLOCK_SCHEMA).json(path)
 
 
 def read_raw_txs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(RAW_TX_SCHEMA).json(path)
+
+
+def read_raw_with_corrupt(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+):
+    """Bronze scan that dead-letters malformed lines instead of silently
+    nulling them: returns (good_rows, corrupt_rows). The corrupt side
+    carries the raw line for the repair job — the parse-path analog of
+    the ingest client's error_heights ledger (SRC16/S3)."""
+    from pyspark.sql.types import StringType, StructType
+
+    with_corrupt = StructType(list(schema.fields)).add(corrupt_col, StringType())
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # capture file origin at scan time (input_file_name is empty once the
+    # relation is cached), then cache so filtering on the corrupt column
+    # is allowed (Spark forbids it directly on the lazy json relation)
+    df = df.withColumn("__src", F.input_file_name()).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col, "__src")
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col("__src").alias("source_file"), F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad
 
 
 def _date_parts(ts_col):

@@ -155,3 +155,35 @@ def test_parse_idempotent(spark, fixture_env):
     a = P.parse_log_attributes(fixture_env["raw_txs"]).collect()
     b = P.parse_log_attributes(fixture_env["raw_txs"]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_corrupt_record_dead_letter(spark, tmp_path):
+    """Malformed bronze lines split into a repairable dead-letter side
+    instead of silently nulling or failing the job."""
+    import json as _json
+
+    from bread_spark.parse import read_raw_with_corrupt
+    from bread_spark.schemas import RAW_BLOCK_SCHEMA
+    from tests.fixtures import make_blocks
+
+    blocks = make_blocks(5)
+    p = tmp_path / "blocks"
+    p.mkdir()
+    with open(p / "1_5.json", "w") as f:
+        for b in blocks[:3]:
+            f.write(_json.dumps(b) + "\n")
+        f.write("{this is not json\n")
+        for b in blocks[3:]:
+            f.write(_json.dumps(b) + "\n")
+        f.write("[1,2,3\n")
+
+    good, bad = read_raw_with_corrupt(spark, str(p), RAW_BLOCK_SCHEMA)
+    assert good.count() == 5
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert {r["raw_line"] for r in bad_rows} == {"{this is not json", "[1,2,3"}
+    assert all(r["source_file"].endswith("1_5.json") for r in bad_rows)
+    # the good side parses identically to the plain reader on clean data
+    from bread_spark.parse import parse_blocks
+
+    assert parse_blocks(good).count() == 5
