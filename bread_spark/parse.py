@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .schemas import (
-    BLOCKS_SCHEMA,
     LOG_ATTRIBUTES_COLUMNS,
     LOG_SCHEMA,
     RAW_BLOCK_SCHEMA,

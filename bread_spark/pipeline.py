@@ -27,7 +27,6 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from . import parse as P
 from .ingest import (
@@ -40,7 +39,6 @@ from .ingest import (
     ingested_bounds,
     write_metadata,
 )
-from .io import write_partitioned
 from .models_ibc import (
     assert_not_null,
     assert_unique,
