@@ -34,6 +34,7 @@ def main() -> None:
         "revenue_by_segment",
         "orders_by_nation",
         "customers_without_orders",
+        "orders_with_returns",
         "top_parts_by_revenue",
         "nation_revenue_rollup",
         "regional_supplier_revenue",

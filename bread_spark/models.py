@@ -394,6 +394,24 @@ def user_activity_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join (TPC-H Q4 shape): orders having at least one
+    returned lineitem, counted by priority. LeftSemi keeps the probe side
+    unduplicated — no distinct needed, and the build side shrinks to its
+    join key at the exchange."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
 def approx_distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct (SURVEY §2.5 lists approximate aggregates as
     a Spark-free extension). At 100 TB this replaces exact distinct for
@@ -666,6 +684,15 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id
     """,
+    "orders_with_returns": """
+        SELECT o_orderpriority, COUNT(1) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        GROUP BY o_orderpriority
+    """,
     "regional_supplier_revenue": """
         SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
         FROM lineitem
@@ -741,4 +768,5 @@ MODELS = {
     "regional_supplier_revenue": regional_supplier_revenue,
     "returned_items_topk": returned_items_topk,
     "approx_distinct_users_per_day": approx_distinct_users_per_day,  # rows-only (HLL)
+    "orders_with_returns": orders_with_returns,
 }

@@ -50,6 +50,13 @@ def test_anti_join_stays_broadcast_or_hash(plans):
     assert "CartesianProduct" not in p
 
 
+def test_semi_join_shape(plans):
+    p = plans("orders_with_returns")
+    assert "LeftSemi" in p
+    # returnflag filter reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in p.replace(" ", "")
+
+
 def test_cosine_topk_rank_limit_pushdown(plans):
     p = plans("cosine_topk")
     # WindowGroupLimit prunes to k rows per partition *before* the shuffle
