@@ -117,3 +117,35 @@ def test_pivot_roundtrip_random_occurrences(spark):
         "'transfer_sender', transfer_sender) as (combined_key, value)",
     ).filter("value IS NOT NULL")
     assert sorted(map(tuple, melted.collect())) == sorted(map(tuple, eav.collect()))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=15),
+    st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=8),
+)
+def test_asof_join_matches_python_reference(spark, left_offsets, right_offsets):
+    """asof_join == bisect-based reference on random timelines (one key;
+    per-key isolation is covered by the unit tests)."""
+    import bisect
+
+    from bread_spark.operators.asof import asof_join
+
+    right_offsets = sorted(set(right_offsets))
+    left_rows = [
+        (i, 1, EPOCH + datetime.timedelta(seconds=o)) for i, o in enumerate(left_offsets)
+    ]
+    right_rows = [
+        (1, EPOCH + datetime.timedelta(seconds=o), float(o)) for o in right_offsets
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, v double")
+
+    got = {
+        r["lid"]: r["v"] for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    for lid, _, ts in left_rows:
+        o = (ts - EPOCH).total_seconds()
+        idx = bisect.bisect_right(right_offsets, o) - 1
+        expected = float(right_offsets[idx]) if idx >= 0 else None
+        assert got[lid] == expected, (lid, o, got[lid], expected)
