@@ -108,9 +108,23 @@ def compact_partitioned(
 
     Rewrites to a staging dir then swaps, so a crash mid-compact never
     leaves the table half-written. Returns the resulting file count.
+
+    Refuses to compact a Structured-Streaming file sink (a directory with
+    a `_spark_metadata` transaction log): the resumed stream and any
+    log-driven reader would reference the pre-compaction files. Plain
+    file sinks and compaction don't compose — that is exactly the gap
+    table formats (Delta/Iceberg) close with ACID rewrites; with plain
+    parquet, either compact only batch-written tables (this function) or
+    have the stream write via foreachBatch to per-batch idempotent paths.
     """
     import shutil
 
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a streaming file sink (_spark_metadata present); "
+            "compacting it would break the sink log. Use a table format "
+            "or a foreachBatch sink for compactable streaming output."
+        )
     df = spark.read.parquet(path)
     if files_per_partition == 1:
         out = df.repartition(*[F.col(c) for c in partition_cols])

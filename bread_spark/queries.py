@@ -112,6 +112,15 @@ def compile_chained(queries: dict[str, str], name: str) -> str:
     return sql
 
 
+def list_catalog() -> str:
+    """Human-readable catalog listing (``python -m bread_spark.queries``)."""
+    lines = [f"{len(QUERIES)} queries ({sum(1 for q in QUERIES if q in ORACLES)} oracle-checked):"]
+    for name in sorted(QUERIES):
+        kind = "oracle" if name in ORACLES else "rows-only"
+        lines.append(f"  {name:32s} {kind}")
+    return "\n".join(lines)
+
+
 def run_named_queries(
     spark: SparkSession, queries: dict[str, str]
 ) -> dict[str, DataFrame]:
@@ -124,3 +133,7 @@ def run_named_queries(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+if __name__ == "__main__":
+    print(list_catalog())

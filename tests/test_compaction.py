@@ -62,3 +62,46 @@ def test_compaction_multiple_files_and_sort(spark, fragmented):
     for f in _parquet_files(fragmented):
         ids = [r["id"] for r in spark.read.parquet(f).select("id").collect()]
         assert ids == sorted(ids)
+
+
+def test_compaction_refuses_streaming_sink(spark, tmp_path):
+    """A streaming file sink's _spark_metadata log makes in-place
+    compaction unsafe (resumed sink + log-driven readers reference the
+    old files) — the function must refuse loudly, not corrupt."""
+    import pytest as _pytest
+
+    from bread_spark.streaming import incremental as INC
+    from tests.fixtures import write_fixture_files
+
+    bdir, _, blocks, _ = write_fixture_files(str(tmp_path / "bronze"))
+    out = str(tmp_path / "silver")
+    INC.incremental_blocks(spark, bdir, out, str(tmp_path / "ckpt")).awaitTermination(120)
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    with _pytest.raises(ValueError, match="_spark_metadata"):
+        compact_partitioned(spark, out, partition_cols=("year", "month", "day"))
+    # sink unharmed: stream resumes and reads still work
+    assert spark.read.parquet(out).count() == len(blocks)
+
+
+def test_compaction_of_batch_pipeline_silver(spark, tmp_path):
+    """The supported maintenance path: batch-written silver (pipeline
+    parse.run) compacts in place and stays readable/appendable."""
+    from bread_spark import parse as P
+    from tests.fixtures import write_fixture_files
+
+    bdir, tdir, blocks, txs = write_fixture_files(str(tmp_path / "bronze"))
+    silver = str(tmp_path / "silver")
+    P.run(spark, bdir, tdir, out_dir=silver)
+    path = f"{silver}/blocks"
+    n1 = spark.read.parquet(path).count()
+    assert n1 == len(blocks)
+
+    n_files = compact_partitioned(spark, path)
+    assert len(_parquet_files(path)) == n_files
+    assert spark.read.parquet(path).count() == n1
+
+    # incremental batch append after compaction works as normal
+    raw = P.read_raw_blocks(spark, bdir)
+    extra = P.parse_blocks(raw)
+    extra.write.mode("append").partitionBy("year", "month", "day").parquet(path)
+    assert spark.read.parquet(path).count() == n1 * 2
