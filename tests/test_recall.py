@@ -1,0 +1,49 @@
+"""Recall quality gates for the approximate operators: rows-only checks
+verify shape; these verify the approximation is actually good."""
+
+from __future__ import annotations
+
+from bread_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Every exact word-3-gram Jaccard ≥ 0.5 pair must surface as an LSH
+    candidate (8 bands × 4 rows targets exactly this threshold)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_lsh_candidates"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture corpus should contain near-duplicate pairs"
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.95, f"minhash-LSH recall {recall:.2f}"
+
+
+def test_ann_recall_vs_exact_topk(spark):
+    """Multi-table hyperplane LSH must recover a substantial fraction of
+    the exact top-k. Uniform-random embeddings are LSH's worst case
+    (true neighbors sit at ~60-70°); 16 tables × 6 bits measures ~0.55
+    here and far higher on clustered real embeddings. Deterministic
+    planes + data → stable assertion."""
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["cosine_topk"](spark, SF_DIR).collect()
+    }
+    ann = {
+        (r["query_id"], r["vec_id"])
+        for r in QUERIES["lsh_bucket_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.4, f"ANN recall {recall:.2f}"
+
+
+def test_lsh_topk_collects_cleanly(spark):
+    """Regression: the earlier broadcast-join formulation passed count()
+    but failed collect() with a Catalyst attribute-binding internal
+    error — keep a collect in the suite."""
+    rows = QUERIES["lsh_bucket_topk"](spark, SF_DIR).collect()
+    assert all(r["rank"] >= 1 and r["cosine"] is not None for r in rows)
