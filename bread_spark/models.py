@@ -559,8 +559,8 @@ ORACLE_SQL: dict[str, str] = {
             FROM events GROUP BY 1
         )
         SELECT day, tx_count,
-               SUM(tx_count) OVER (ORDER BY day ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tx_count
+               CAST(SUM(tx_count) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tx_count
         FROM daily
     """,
     "cum_value_by_type": """

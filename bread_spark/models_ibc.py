@@ -58,6 +58,7 @@ def ibc_transfers_in(logs: DataFrame, txs: DataFrame) -> DataFrame:
     )
     zipped = inflow.select(
         "txhash",
+        "msg_index",
         F.explode(
             F.arrays_zip(
                 F.col("p")["transfer_amount"].alias("transfer_amount"),
@@ -71,10 +72,14 @@ def ibc_transfers_in(logs: DataFrame, txs: DataFrame) -> DataFrame:
         ).alias("z"),
     ).select(
         "txhash",
+        "msg_index",
         F.regexp_extract(F.col("z.transfer_amount"), "^([0-9]*)", 1)
         .cast(AMOUNT_DECIMAL)
         .alias("transfer_amount"),
-        F.regexp_replace(F.col("z.transfer_amount"), "[0-9]*", "").alias("transfer_denom"),
+        # Postgres regexp_replace without the 'g' flag replaces only the
+        # FIRST match — i.e. strips just the leading digit run; denoms may
+        # themselves contain digits ('123ibc/27AB...' → 'ibc/27AB...')
+        F.regexp_replace(F.col("z.transfer_amount"), "^[0-9]*", "").alias("transfer_denom"),
         F.col("z.sender").alias("sender"),
         F.col("z.receiver").alias("receiver"),
         F.col("z.src_port").alias("src_port"),
@@ -96,6 +101,7 @@ def ibc_transfers_out(logs: DataFrame, txs: DataFrame) -> DataFrame:
     )
     zipped = outflow.select(
         "txhash",
+        "msg_index",
         F.explode(
             F.arrays_zip(
                 F.col("p")["transfer_amount"].alias("transfer_amount"),
@@ -109,10 +115,12 @@ def ibc_transfers_out(logs: DataFrame, txs: DataFrame) -> DataFrame:
         ).alias("z"),
     ).select(
         "txhash",
+        "msg_index",
         F.regexp_extract(F.col("z.transfer_amount"), "^([0-9]*)", 1)
         .cast(AMOUNT_DECIMAL)
         .alias("transfer_amount"),
-        F.regexp_replace(F.col("z.transfer_amount"), "[0-9]*", "").alias("transfer_denom"),
+        # leading digit run only — see ibc_transfers_in
+        F.regexp_replace(F.col("z.transfer_amount"), "^[0-9]*", "").alias("transfer_denom"),
         F.col("z.sender").alias("sender"),
         F.col("z.receiver").alias("receiver"),
         F.col("z.src_port").alias("src_port"),
@@ -124,14 +132,18 @@ def ibc_transfers_out(logs: DataFrame, txs: DataFrame) -> DataFrame:
 
 
 def ibc_transfers(logs: DataFrame, txs: DataFrame) -> DataFrame:
-    """in ∪ out with sign flip on outflows; UNION **distinct** semantics
-    preserved (reference ibc_transfers.sql:5 plain UNION; P16 negate)."""
-    cols = ["txhash", "timestamp", "transfer_amount", "transfer_denom"]
-    inflow = ibc_transfers_in(logs, txs).select(*cols)
-    outflow = (
-        ibc_transfers_out(logs, txs)
-        .withColumn("transfer_amount", -F.col("transfer_amount"))
-        .select(*cols)
+    """in ∪ out (reference ibc_transfers.sql): full-width `select *` union
+    with an added `amount_over_direction` (= +amount in, -amount out; P16).
+
+    UNION **distinct** semantics preserved at full row width — two
+    legitimate identical transfers in one tx at different msg_index are
+    both kept (they differ on msg_index), matching the reference exactly.
+    """
+    inflow = ibc_transfers_in(logs, txs).withColumn(
+        "amount_over_direction", F.col("transfer_amount")
+    )
+    outflow = ibc_transfers_out(logs, txs).withColumn(
+        "amount_over_direction", (-F.col("transfer_amount")).cast(AMOUNT_DECIMAL)
     )
     return inflow.unionByName(outflow).distinct()
 
@@ -142,10 +154,10 @@ def _flows_by_grain(logs: DataFrame, txs: DataFrame, grain: str) -> DataFrame:
         flows.select(
             F.date_trunc(grain, "timestamp").alias(grain),
             "transfer_denom",
-            "transfer_amount",
+            "amount_over_direction",
         )
         .groupBy(grain, "transfer_denom")
-        .agg(F.sum("transfer_amount").alias("total_amount"))
+        .agg(F.sum("amount_over_direction").alias("total_amount"))
     )
 
 

@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -49,17 +50,26 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {on, *by_cols}]
 
-    l_tagged = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    l_tagged = l_tagged.withColumn("__r_ts", F.lit(None).cast(right.schema[on].dataType))
+    # The carried right-side payload travels as ONE struct so a single
+    # last(ignorenulls=True) picks the whole matched row atomically — a
+    # per-column last() would resurrect older non-null values when the
+    # matched row has NULLs in some value columns, mixing columns from
+    # different right rows (diverging from matched-row ASOF semantics).
+    payload_type = StructType(
+        [StructField("__ts", right.schema[on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(payload_type)
+    )
 
     r_tagged = right.select(
         *by_cols,
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(on).alias("__r_ts"),
+        F.struct(
+            F.col(on).alias("__ts"), *[F.col(c) for c in value_cols]
+        ).alias("__r"),
     )
     for c in left.columns:
         if c not in {on, *by_cols}:
@@ -72,16 +82,15 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        F.last("__r_ts", ignorenulls=True).over(w).alias(right_ts_alias),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in value_cols
-        ],
-    )
-    return carried.filter(F.col("__side") == 1).drop(
-        "__side", "__r_ts", *[f"__r_{c}" for c in value_cols]
+    carried = u.withColumn("__c", F.last("__r", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            "*",
+            F.col("__c.__ts").alias(right_ts_alias),
+            *[F.col(f"__c.{c}").alias(c) for c in value_cols],
+        )
+        .drop("__side", "__r", "__c")
     )
 
 

@@ -73,8 +73,8 @@ ORACLE_SQL: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sessioned AS (
             SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id, COUNT(1) AS n_events,
@@ -109,8 +109,14 @@ def _session_func(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: Any) -> I
 
     out_rows = []
     gap = SESSION_GAP_MIN * 60
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("ts")
+    # Materialize ALL Arrow chunks before sorting: applyInPandasWithState
+    # does not guarantee event-time order across the chunks a key's rows
+    # span within one micro-batch, and the gap computation needs a globally
+    # sorted view per key per batch. Memory is bounded by one key's rows in
+    # one micro-batch (not the whole partition).
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts_s = ts.value // 1_000_000_000  # pandas ns → s
             if last_ts is not None and ts_s - last_ts > gap:

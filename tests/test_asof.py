@@ -48,6 +48,23 @@ def test_asof_multiple_value_columns_and_keys(spark):
     assert got == {"a": (1.0, "x", _ts(3)), "b": (2.0, "y", _ts(7))}
 
 
+def test_asof_null_value_column_not_resurrected(spark):
+    """When the matched (most recent) right row has a NULL value column,
+    that NULL must be carried — not the previous non-null value. All
+    carried columns must come from the SAME right row (struct carry)."""
+    left = spark.createDataFrame(
+        [(1, _ts(30), "e0")], "k long, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0, "old"), (1, _ts(20), None, "new")],
+        "k long, ts timestamp, px double, tag string",
+    )
+    (row,) = asof_join(left, right, on="ts", by="k").collect()
+    assert row["asof_ts"] == _ts(20)
+    assert row["px"] is None          # matched row's NULL, not 100.0
+    assert row["tag"] == "new"        # same row as asof_ts
+
+
 def test_asof_plan_is_single_shuffle(spark):
     left = spark.range(100).select(
         (F.col("id") % 5).alias("k"), F.timestamp_seconds(F.col("id") * 60).alias("ts")

@@ -26,15 +26,22 @@ def _make_legacy_tables():
     def add_log(txhash, msg_index, parsed: dict):
         logs_rows.append({"txhash": txhash, "msg_index": msg_index, "parsed": json.dumps(parsed)})
 
+    # third entry: an IBC voucher denom that itself contains digits —
+    # only the LEADING digit run is the amount (Postgres regexp_replace
+    # without 'g' strips just the first match)
     inflow = {
         "message_module": ["ibc_channel", "ibc_channel"],
-        "transfer_amount": ["1500000uakt", "25uatom"],
-        "fungible_token_packet_sender": ["cosmos1aaa", "cosmos1bbb"],
-        "fungible_token_packet_receiver": ["akash1aaa", "akash1bbb"],
-        "recv_packet_packet_src_port": ["transfer", "transfer"],
-        "recv_packet_packet_src_channel": ["channel-0", "channel-1"],
-        "recv_packet_packet_dst_port": ["transfer", "transfer"],
-        "recv_packet_packet_dst_channel": ["channel-9", "channel-8"],
+        "transfer_amount": [
+            "1500000uakt",
+            "25uatom",
+            "500ibc/27394FB092D2ECCD56123C74F36E4C1F926001CEADA9CA97EA622B25F41E5EB2",
+        ],
+        "fungible_token_packet_sender": ["cosmos1aaa", "cosmos1bbb", "cosmos1ccc"],
+        "fungible_token_packet_receiver": ["akash1aaa", "akash1bbb", "akash1ccc"],
+        "recv_packet_packet_src_port": ["transfer", "transfer", "transfer"],
+        "recv_packet_packet_src_channel": ["channel-0", "channel-1", "channel-2"],
+        "recv_packet_packet_dst_port": ["transfer", "transfer", "transfer"],
+        "recv_packet_packet_dst_channel": ["channel-9", "channel-8", "channel-7"],
     }
     outflow = {
         "message_module": ["transfer", "ibc_channel"],
@@ -92,7 +99,7 @@ def legacy(spark, tmp_path_factory):
 # citations per model in bread_spark/models_ibc.py docstrings).
 IN_SQL = """
     WITH matched AS (
-        SELECT txhash,
+        SELECT txhash, msg_index,
                unnest(CAST(parsed->'$.transfer_amount' AS VARCHAR[])) AS amt,
                unnest(CAST(parsed->'$.fungible_token_packet_sender' AS VARCHAR[])) AS sender,
                unnest(CAST(parsed->'$.fungible_token_packet_receiver' AS VARCHAR[])) AS receiver,
@@ -103,9 +110,9 @@ IN_SQL = """
         FROM logs
         WHERE CAST(parsed->'$.message_module' AS VARCHAR[]) = ['ibc_channel','ibc_channel']
     )
-    SELECT m.txhash,
+    SELECT m.txhash, m.msg_index,
            CAST(regexp_extract(amt, '^([0-9]*)', 1) AS DECIMAL(38,0)) AS transfer_amount,
-           regexp_replace(amt, '[0-9]*', '', 'g') AS transfer_denom,
+           regexp_replace(amt, '^[0-9]*', '') AS transfer_denom,
            sender, receiver, src_port, src_channel, dst_port, dst_channel,
            t.timestamp
     FROM matched m LEFT JOIN txs t ON m.txhash = t.txhash
@@ -113,7 +120,7 @@ IN_SQL = """
 
 OUT_SQL = """
     WITH matched AS (
-        SELECT txhash,
+        SELECT txhash, msg_index,
                unnest(CAST(parsed->'$.transfer_amount' AS VARCHAR[])) AS amt,
                unnest(CAST(parsed->'$.ibc_transfer_sender' AS VARCHAR[])) AS sender,
                unnest(CAST(parsed->'$.ibc_transfer_receiver' AS VARCHAR[])) AS receiver,
@@ -125,18 +132,20 @@ OUT_SQL = """
         WHERE list_contains(CAST(parsed->'$.message_module' AS VARCHAR[]), 'transfer')
           AND list_contains(CAST(parsed->'$.message_module' AS VARCHAR[]), 'ibc_channel')
     )
-    SELECT m.txhash,
+    SELECT m.txhash, m.msg_index,
            CAST(regexp_extract(amt, '^([0-9]*)', 1) AS DECIMAL(38,0)) AS transfer_amount,
-           regexp_replace(amt, '[0-9]*', '', 'g') AS transfer_denom,
+           regexp_replace(amt, '^[0-9]*', '') AS transfer_denom,
            sender, receiver, src_port, src_channel, dst_port, dst_channel,
            t.timestamp
     FROM matched m LEFT JOIN txs t ON m.txhash = t.txhash
 """
 
+# Full-width UNION, mirroring the reference's `select *` union with the
+# added amount_over_direction column (ibc_transfers.sql).
 FLOWS_SQL = f"""
-    SELECT txhash, timestamp, transfer_amount, transfer_denom FROM ({IN_SQL})
+    SELECT *, transfer_amount AS amount_over_direction FROM ({IN_SQL})
     UNION
-    SELECT txhash, timestamp, -transfer_amount AS transfer_amount, transfer_denom FROM ({OUT_SQL})
+    SELECT *, CAST(-transfer_amount AS DECIMAL(38,0)) AS amount_over_direction FROM ({OUT_SQL})
 """
 
 
@@ -145,7 +154,7 @@ def _grain_sql(grain: str) -> str:
     # which the reference targeted) yield TIMESTAMP
     return f"""
         SELECT CAST(date_trunc('{grain}', timestamp) AS TIMESTAMP) AS {grain}, transfer_denom,
-               SUM(transfer_amount) AS total_amount
+               SUM(amount_over_direction) AS total_amount
         FROM ({FLOWS_SQL}) GROUP BY 1, 2
     """
 
@@ -187,9 +196,14 @@ def test_ibc_transfers_union_distinct(legacy):
     df = M.ibc_transfers(legacy["logs"], legacy["txs"])
     ok, msg = compare(df, legacy["con"], FLOWS_SQL)
     assert ok, msg
-    # TXIN2 had two identical parsed logs → UNION collapses them
+    # TXIN2 has two identical parsed logs at msg_index 0 and 1 — the
+    # full-width UNION keeps BOTH (they differ on msg_index), matching the
+    # reference's `select *` union semantics
     txin2 = [r for r in df.collect() if r["txhash"] == "TXIN2"]
-    assert len(txin2) == 2  # one per denom, not 4
+    assert len(txin2) == 6  # 3 denoms × 2 msg_index
+    # digit-containing voucher denom survives intact (leading digits only)
+    denoms = {r["transfer_denom"] for r in df.collect()}
+    assert "ibc/27394FB092D2ECCD56123C74F36E4C1F926001CEADA9CA97EA622B25F41E5EB2" in denoms
 
 
 @pytest.mark.parametrize("grain", ["day", "hour"])
