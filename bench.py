@@ -72,12 +72,16 @@ def main() -> None:
         "doc_chunks",
         "deterministic_sample",
         "dedup_exact_hash",
-        "ngram_jaccard_pairs",
+        # capped variant is the benched/production near-dup plan (bounded
+        # hot-shingle fan-out); uncapped exists for the oracle gate
+        "ngram_jaccard_pairs_capped",
         "minhash_lsh_candidates",
         "simhash_fingerprints",
         "cosine_topk",
         "centroid_by_label",
-        "embedding_cosine_dups",
+        # distributed near-dup is the benched/production plan; the
+        # collect+broadcast brute force exists as oracle + re-rank kernel
+        "lsh_bucket_pairs",
         "lsh_bucket_topk",
     ]
 

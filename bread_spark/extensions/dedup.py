@@ -102,8 +102,16 @@ def ngram_jaccard_pairs(
     docs = load_table(spark, sf_dir, "documents")
     sh = _word_shingles(docs)
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle")
+        # The HOT set (df > cap) is tiny by construction — broadcast it and
+        # anti-join map-side, instead of shuffling the full shingle index
+        # through an inner join against the (huge) kept set.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # The shingle set feeds three subtrees (both join sides + sizes);
     # without materialization Spark recomputes scan+shingle+distinct 3×.
     # localCheckpoint is the single-job fix; a multi-step 100 TB pipeline
@@ -133,6 +141,24 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+MAX_DF = 100  # production posting-list cap (bounds fan-out at df²)
+
+
+def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production near-dup entry: `ngram_jaccard_pairs` with the hot-
+    shingle posting cap ON (max_df=100) — the plan to run at 100 TB, where
+    a stopword shingle's df² pair fan-out is the quadratic failure mode.
+
+    Semantics: dropping a shingle with df > cap removes it from BOTH the
+    intersection and the per-doc sizes, i.e. the score is the exact
+    Jaccard of the capped shingle sets. Near-dup pairs share mostly rare
+    shingles, so the capped score tracks the true score closely; recall
+    vs the uncapped exact result is pinned by tests/test_recall.py.
+    Rows-only check (cap choice is engine-policy, not reference
+    semantics)."""
+    return ngram_jaccard_pairs(spark, sf_dir, max_df=MAX_DF)
 
 
 ORACLE_SQL: dict[str, str] = {

@@ -119,9 +119,10 @@ def embedding_cosine_dups(
     list_dot_product. Arrow + numpy is the idiomatic fast path for dense
     math Spark's expression engine can't vectorize.
 
-    Scale: broadcast holds to ~10M×64 float64 (~5 GB); past that,
-    pre-bucket with hyperplane LSH (`lsh_bucket_topk`) so blocks only meet
-    in-bucket, or tile the corpus into block-matrix chunks. Scores are
+    Scale: the collect+broadcast holds to ~10M×64 float64 (~5 GB) and is
+    the exact small-corpus/re-rank kernel; **at scale use
+    `lsh_bucket_pairs`** — the fully distributed default (signature-
+    bucketed candidate generation, no driver collect). Scores are
     rounded to 4 decimals — wide enough that BLAS vs sequential-fold
     summation-order differences (~1e-15) can't flip a rounding boundary,
     so the result stays engine-deterministic and oracle-checkable.
@@ -283,3 +284,90 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFra
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def lsh_bucket_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Corpus-×-corpus embedding near-duplicate pairs, fully distributed —
+    the 100 TB-safe default; `embedding_cosine_dups` (driver collect +
+    broadcast) remains the small-corpus/re-rank kernel.
+
+    Shape (the minhash-band pattern applied to hyperplane signatures):
+
+        scan → mapInPandas: unit-normalize + L×b sign-of-projection
+               signatures, emit (table, bucket, vec_id, unit) — N·L rows
+        → groupBy(table, bucket): candidates only ever meet INSIDE a
+               bucket (never all-pairs); applyInPandas scores each
+               bucket's upper triangle with one BLAS matmul and keeps
+               pairs ≥ threshold
+        → distinct(): a pair sharing buckets in several tables collapses
+               (scores are rounded, so duplicates are exact)
+
+    Cost: one shuffle of N·L signature rows (the unit vector rides along:
+    64 float64 ≈ 512 B — same order as a document row), plus a distinct
+    over the (tiny) pair set. No driver collect, no cartesian.
+
+    `max_bucket` bounds the worst bucket: a bucket of m rows scores m²/2
+    pairs, so a degenerate bucket (all-identical corpus) would otherwise
+    quadratic-blow-up exactly like uncapped jaccard fan-out. Oversized
+    buckets are dropped (recall loss is confined to pathological buckets;
+    raise b / n_tables instead at that density). Precision is exact
+    (candidates are re-scored), so output ⊆ brute-force output; recall is
+    pinned by tests/test_recall.py.
+
+    Rows-only check: bucket membership is plane-constant-specific.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = _plane_matrix()
+    bits = 1 << np.arange(N_PLANES_PER_TABLE, dtype=np.int64)
+
+    def sig_rows(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+            signs = (unit @ planes.T) >= 0
+            sigs = signs.reshape(len(unit), N_TABLES, N_PLANES_PER_TABLE) @ bits
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    "table": np.tile(np.arange(N_TABLES, dtype=np.int32), n),
+                    "bucket": sigs.reshape(-1),
+                    "vec_id": np.repeat(ids, N_TABLES),
+                    "unit": list(np.repeat(unit, N_TABLES, axis=0)),
+                }
+            )
+
+    sig = emb.mapInPandas(
+        sig_rows, "table int, bucket long, vec_id long, unit array<double>"
+    )
+
+    def bucket_pairs(key, pdf):
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        unit = np.array(pdf["unit"].tolist(), dtype=np.float64)
+        scores = np.round(unit @ unit.T, 4)
+        ia, ib = np.nonzero((scores >= threshold) & (ids[:, None] < ids[None, :]))
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {"vec_a": ids[ia], "vec_b": ids[ib], "cosine": scores[ia, ib]}
+        )
+
+    cand = sig.groupBy("table", "bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cosine double"
+    )
+    return cand.distinct()

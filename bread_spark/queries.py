@@ -40,6 +40,7 @@ _register(
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_hash": dedup.dedup_exact_hash,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # rows-only (prod cap)
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
     },
@@ -51,6 +52,7 @@ _register(
         "centroid_by_label": similarity.centroid_by_label,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
+        "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
     },
     similarity.ORACLE_SQL,
 )

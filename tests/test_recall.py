@@ -41,6 +41,57 @@ def test_ann_recall_vs_exact_topk(spark):
     assert recall >= 0.4, f"ANN recall {recall:.2f}"
 
 
+def test_capped_jaccard_recall_vs_uncapped(spark):
+    """The production (max_df-capped) jaccard plan must recover nearly all
+    uncapped pairs on this corpus — near-dup pairs share mostly rare
+    shingles, so removing hot shingles barely moves the score."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["ngram_jaccard_pairs_capped"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture corpus should contain near-duplicate pairs"
+    recall = len(exact & capped) / len(exact)
+    assert recall >= 0.9, f"capped jaccard recall {recall:.2f}"
+
+
+def test_lsh_bucket_pairs_vs_brute_force(spark):
+    """The distributed near-dup path must (a) emit ONLY true pairs — exact
+    in-bucket re-scoring makes precision 1.0, so output ⊆ brute force —
+    and (b) recover a substantial fraction of them. Deterministic planes
+    + data → stable assertion."""
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERIES["embedding_cosine_dups"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in QUERIES["lsh_bucket_pairs"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture corpus should contain near-dup pairs"
+    assert set(lsh) <= set(exact), "false positives: LSH pair not in brute force"
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # same rounded exact score
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.4, f"lsh_bucket_pairs recall {recall:.2f}"
+
+
+def test_lsh_bucket_pairs_plan_is_distributed(spark):
+    """Scale-safety: no driver collect (the plan is a pure scan→map→
+    group→map chain) and no cartesian product."""
+    plan = (
+        QUERIES["lsh_bucket_pairs"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # in-bucket scoring
+    # exactly the two expected exchanges: groupBy(table,bucket) + distinct
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_lsh_topk_collects_cleanly(spark):
     """Regression: the earlier broadcast-join formulation passed count()
     but failed collect() with a Catalyst attribute-binding internal
