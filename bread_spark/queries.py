@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import models
+from . import models, models_ibc_catalog
 from .extensions import dedup, multimodal, similarity
 from .functions import text
 from .operators import asof, interval
@@ -35,6 +35,9 @@ def _register(fns: dict[str, QueryFn], oracles: dict[str, str]) -> None:
 
 
 _register(models.MODELS, models.ORACLE_SQL)
+# The reference's own gold DAG (old_models/**) on fixture-derived legacy
+# tables — A1-A3, J2, P9-P16, S-OP1, W1 earn direct CORRECTNESS rows.
+_register(models_ibc_catalog.QUERIES, models_ibc_catalog.ORACLE_SQL)
 _register(
     {
         "dedup_exact": dedup.dedup_exact,
