@@ -15,9 +15,11 @@ surface is a thin class over one SparkSession:
   (E5 — the reference's `select cast(gas_used as int) ...` page query is
   just a `run_json` call here)
 
-For multi-client serving the same registry sits behind Spark Connect or the
-Thrift JDBC server — both serve the registered temp views as-is; nothing in
-this module is driver-local state beyond the cache dict.
+For multi-client serving the same registry sits behind Spark Connect —
+`python -m bread_spark.connect --port 15002 --sf-dir ...` brings up the
+gRPC endpoint (see `bread_spark/connect.py`, the BV-proxy analog); the
+registered temp views serve as-is. Nothing in this module is driver-local
+state beyond the cache dict.
 """
 
 from __future__ import annotations

@@ -66,6 +66,51 @@ def test_paged_scan_and_adaptive_page_size(tmp_path):
     assert not ex.dead_letter
 
 
+def test_concurrent_scan_bounded_inflight(tmp_path):
+    """SRC8: the pool fetches pages concurrently but never holds more than
+    `concurrency` requests in flight (the reference's Semaphore(10)
+    semantics), and page order is preserved in the result."""
+    import threading
+    import time as _time
+
+    lock = threading.Lock()
+    inflight = {"now": 0, "max": 0}
+    TOTAL, PER_PAGE = 40, 2  # 20 pages
+
+    def fetch(url):
+        with lock:
+            inflight["now"] += 1
+            inflight["max"] = max(inflight["max"], inflight["now"])
+        _time.sleep(0.02)
+        page = int(url.split("page=")[1].split("&")[0])
+        items = [
+            {"i": n} for n in range((page - 1) * PER_PAGE, min(page * PER_PAGE, TOTAL))
+        ]
+        with lock:
+            inflight["now"] -= 1
+        return {"result": {"blocks": items, "total_count": str(TOTAL)}}
+
+    ex = ingest.Extractor(
+        "http://node", str(tmp_path), per_page=PER_PAGE, concurrency=4, fetch=fetch
+    )
+    items = ex.extract_blocks(1, 100)
+    assert [it["i"] for it in items] == list(range(TOTAL))  # ordered, complete
+    assert 2 <= inflight["max"] <= 4  # actually concurrent, never over bound
+
+
+def test_concurrent_scan_matches_sequential(tmp_path):
+    """Concurrent and sequential scans return identical items."""
+
+    def fetch(url):
+        page = int(url.split("page=")[1].split("&")[0])
+        items = [{"i": n} for n in range((page - 1) * 3, min(page * 3, 10))]
+        return {"result": {"blocks": items, "total_count": "10"}}
+
+    seq = ingest.Extractor("http://n", str(tmp_path), per_page=3, concurrency=1, fetch=fetch)
+    con = ingest.Extractor("http://n", str(tmp_path), per_page=3, concurrency=8, fetch=fetch)
+    assert seq.extract_blocks(1, 99) == con.extract_blocks(1, 99)
+
+
 def test_adaptive_page_size_gives_up(tmp_path):
     def fetch(url):
         raise json.JSONDecodeError("too big", "", 0)
