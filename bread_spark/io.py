@@ -107,7 +107,17 @@ def compact_partitioned(
     point/range predicates on that column.
 
     Rewrites to a staging dir then swaps, so a crash mid-compact never
-    leaves the table half-written. Returns the resulting file count.
+    leaves the table half-written; the swap itself is two renames, and a
+    crash between them is repaired by `recover_compaction` (auto-invoked
+    here on startup leftovers) — roll FORWARD if staging completed
+    (_SUCCESS present), roll BACK otherwise. This is the strongest
+    guarantee plain parquet directories allow: a reader racing the swap
+    window sees a missing/partial listing for the rename instant. True
+    concurrent-reader atomicity needs a table format's ACID log
+    (Delta/Iceberg) — neither is installable in this offline container
+    (no package, no jars; checked), so EAV-canonical + batch-maintenance
+    windows is the documented policy (DIVERGENCES.md). Returns the
+    resulting file count.
 
     Refuses to compact a Structured-Streaming file sink (a directory with
     a `_spark_metadata` transaction log): the resumed stream and any
@@ -119,6 +129,7 @@ def compact_partitioned(
     """
     import shutil
 
+    recover_compaction(path)  # heal any crashed previous swap first
     if os.path.isdir(os.path.join(path, "_spark_metadata")):
         raise ValueError(
             f"{path} is a streaming file sink (_spark_metadata present); "
@@ -156,4 +167,42 @@ def compact_partitioned(
     shutil.rmtree(backup)
     return sum(
         1 for _, _, files in os.walk(path) for f in files if f.endswith(".parquet")
+    )
+
+
+def recover_compaction(path: str) -> str:
+    """Repair a compaction interrupted anywhere in its swap sequence.
+
+    States (staging = `path__compacting`, backup = `path__precompact`):
+      - table present:             drop leftover staging/backup (the
+                                   rewrite either finished or never
+                                   swapped — the live dir is truth)
+      - table missing, staging has _SUCCESS:  roll FORWARD (promote
+                                   staging, drop backup)
+      - table missing, staging incomplete:    roll BACK (restore backup,
+                                   drop staging)
+
+    Returns which action ran: 'clean' | 'cleanup' | 'forward' | 'back'.
+    Idempotent; called automatically by `compact_partitioned`.
+    """
+    import shutil
+
+    staging = path.rstrip("/") + "__compacting"
+    backup = path.rstrip("/") + "__precompact"
+    if os.path.isdir(path):
+        if not os.path.isdir(staging) and not os.path.isdir(backup):
+            return "clean"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+        return "cleanup"
+    if os.path.isdir(staging) and os.path.exists(os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, path)
+        shutil.rmtree(backup, ignore_errors=True)
+        return "forward"
+    if os.path.isdir(backup):
+        os.rename(backup, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        return "back"
+    raise FileNotFoundError(
+        f"{path}: no table, no recoverable staging/backup — nothing to repair"
     )

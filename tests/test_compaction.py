@@ -64,6 +64,52 @@ def test_compaction_multiple_files_and_sort(spark, fragmented):
         assert ids == sorted(ids)
 
 
+def test_recover_compaction_all_crash_states(spark, fragmented):
+    """Every interruption point of the swap must repair to a consistent
+    table with the full row set."""
+    import shutil
+
+    from bread_spark.io import recover_compaction
+
+    rows = sorted(
+        map(tuple, spark.read.parquet(fragmented).select("id", "day", "v").collect())
+    )
+    staging = fragmented + "__compacting"
+    backup = fragmented + "__precompact"
+
+    # state A: crash after staging write, before first rename
+    shutil.copytree(fragmented, staging)
+    assert recover_compaction(fragmented) == "cleanup"
+    assert not os.path.isdir(staging)
+
+    # state B: crash between the two renames, staging COMPLETE → forward
+    shutil.copytree(fragmented, staging)  # has _SUCCESS from the write
+    open(os.path.join(staging, "_SUCCESS"), "a").close()
+    os.rename(fragmented, backup)
+    assert recover_compaction(fragmented) == "forward"
+    assert sorted(
+        map(tuple, spark.read.parquet(fragmented).select("id", "day", "v").collect())
+    ) == rows
+    assert not os.path.isdir(backup)
+
+    # state C: crash between renames, staging INCOMPLETE → roll back
+    shutil.copytree(fragmented, staging)
+    success = os.path.join(staging, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    os.rename(fragmented, backup)
+    assert recover_compaction(fragmented) == "back"
+    assert sorted(
+        map(tuple, spark.read.parquet(fragmented).select("id", "day", "v").collect())
+    ) == rows
+
+    # state D: nothing to do
+    assert recover_compaction(fragmented) == "clean"
+
+    # and a real compaction after all that still works
+    assert compact_partitioned(spark, fragmented, partition_cols=("day",)) == 3
+
+
 def test_compaction_refuses_streaming_sink(spark, tmp_path):
     """A streaming file sink's _spark_metadata log makes in-place
     compaction unsafe (resumed sink + log-driven readers reference the
