@@ -161,6 +161,63 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(spark, sf_dir, max_df=MAX_DF)
 
 
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    jaccard pair graph, labeling every document with the min doc_id of
+    its component (the canonical survivor a dedup pipeline keeps).
+
+    The missing step between pair generation and an actual deduped
+    corpus: pairs only say "a~b"; keeping one doc per transitive group
+    needs components (a~b, b~c → {a,b,c} even though a≁c directly).
+
+    Algorithm: min-label propagation — labels start as doc_id; each
+    round every node takes the min label among itself and its neighbors;
+    converged when no label changes. Rounds = graph diameter, and dup
+    components are small and dense (diameter 2-3), so the loop is short.
+    Each round is one join + one groupBy — all keyed shuffles. The
+    driver-side loop only reads a per-round changed-count (an aggregate,
+    not data). At 100 TB scale with adversarial long-chain graphs, swap
+    the body for the large-star/small-star variant (alternating rounds
+    halve long paths); the loop harness stays the same.
+
+    Oracle: DuckDB recursive CTE computing the same transitive min-label.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # undirected edge list, both directions
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(max_iters):
+        # neighbor labels: for each edge (a,b), b's current label flows to a
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
+                "label",
+            )
+        ).localCheckpoint()  # cut the lineage — iterative plans explode otherwise
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select("doc_id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS canonical_doc_id, COUNT(1) AS dup_count
@@ -196,6 +253,28 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ROUND(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= {JACCARD_THRESHOLD}
     """,
 }
+
+# Connected components over the jaccard pair graph via recursive CTE:
+# walk(node, label) enumerates every component member reachable from each
+# node; MIN(label) per node is the component's canonical (min) doc_id.
+ORACLE_SQL["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_SQL["ngram_jaccard_pairs"]}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.label
+        FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id,
+           MIN(label) AS cluster_id,
+           MIN(label) = node AS is_canonical
+    FROM walk GROUP BY node
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -371,3 +371,152 @@ def lsh_bucket_pairs(
         bucket_pairs, "vec_a long, vec_b long, cosine double"
     )
     return cand.distinct()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_K = 32  # coarse centroids
+IVF_NPROBE = 8  # clusters probed per query
+IVF_ITERS = 2  # Lloyd refinement rounds
+
+
+def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int):
+    """Deterministic k-means coarse quantizer.
+
+    Init = the first k vectors by vec_id (deterministic, standard for a
+    coarse quantizer); each Lloyd round assigns via a broadcast-centroid
+    mapInPandas argmax and recomputes means with posexplode →
+    groupBy(cluster, pos) — fully distributed; only the k×dim centroid
+    MATRIX (an aggregate, ~16 KB) ever reaches the driver.
+    """
+    import numpy as np
+
+    init = emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    cents = np.array([r["embedding"] for r in init], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        assigned = _assign_clusters(spark, emb, cents)
+        means = (
+            assigned.join(emb, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = np.array(cents)
+        for r in means:
+            new[r["cluster"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
+
+
+def _assign_clusters(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
+    """vec_id → nearest centroid (max cosine), map-side only."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(it):
+        c = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cluster": np.argmax(a @ c.T, axis=1).astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, cluster int"
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """ANN top-k via an IVF coarse quantizer — the second scale path
+    alongside hyperplane LSH (`lsh_bucket_topk`).
+
+    Index: k-means centroids; every corpus vector lives in one inverted
+    list (its nearest centroid). Query: probe the `nprobe` nearest
+    centroids, score ONLY vectors in those lists exactly, take top-k.
+    Probing nprobe/k of the corpus bounds work per query; recall follows
+    the usual IVF curve (pinned by tests/test_recall.py).
+
+    Plan shape at scale: assignment is map-side (broadcast centroids);
+    the probe table (queries × nprobe, tiny) broadcast-joins the
+    assignment on `cluster` — no shuffle of the corpus; exact scoring is
+    map-side; the only shuffle is the final per-query top-k window.
+    Rows-only check (cluster geometry is implementation-specific).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(spark, emb, n_centroids, IVF_ITERS)
+    assigned = _assign_clusters(spark, emb, cents)
+
+    q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # probe table: nprobe nearest centroids per query (driver-side: Q×k)
+    probe_order = np.argsort(-(q_unit @ cents.T), axis=1)[:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c))
+            for qi in range(len(q_ids))
+            for c in probe_order[qi]
+        ],
+        "query_id long, cluster int",
+    )
+    bc_q = spark.sparkContext.broadcast((q_ids, q_unit))
+
+    cand = assigned.join(F.broadcast(probes), "cluster").join(emb, "vec_id")
+
+    def score(it):
+        b_qids, b_qunit = bc_q.value
+        pos = {int(q): i for i, q in enumerate(b_qids)}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            qi = pdf["query_id"].map(pos).to_numpy(dtype=np.int64)
+            cos = np.round(
+                np.einsum("ij,ij->i", a, b_qunit[qi]), 6
+            )
+            keep = pdf["vec_id"].to_numpy(dtype=np.int64) != pdf["query_id"].to_numpy(
+                dtype=np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64)[keep],
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    scored = cand.select("query_id", "vec_id", "embedding").mapInPandas(
+        score, "query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -46,6 +46,7 @@ _register(
         "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # rows-only (prod cap)
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
+        "dedup_clusters": dedup.dedup_clusters,  # connected components
     },
     dedup.ORACLE_SQL,
 )
@@ -56,6 +57,7 @@ _register(
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
+        "ivf_topk": similarity.ivf_topk,  # rows-only (IVF ANN scale path)
     },
     similarity.ORACLE_SQL,
 )
