@@ -148,6 +148,37 @@ def test_sessionize_stream_state(spark, tmp_path):
         assert r["session_value"] == pytest.approx(4.0)
 
 
+def test_session_func_sorts_across_chunks():
+    """applyInPandasWithState may deliver a key's micro-batch rows split
+    across multiple Arrow chunks in ANY order; the gap computation must
+    see a globally sorted view (regression: per-chunk sorting produced
+    negative gaps that split/merged sessions wrongly)."""
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+        hasTimedOut = True  # force emission of the trailing session
+
+        def remove(self):
+            pass
+
+    def chunk(minutes):
+        return pd.DataFrame(
+            {
+                "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m) for m in minutes],
+                "value": [1.0] * len(minutes),
+            }
+        )
+
+    # one true session 0-15 min, then a 2h gap, then a session at 135-140;
+    # the chunks interleave the two sessions out of order
+    chunks = [chunk([135, 5]), chunk([0, 140]), chunk([15, 10])]
+    (out,) = list(S._session_func((7,), iter(chunks), FakeState()))
+    sessions = out.groupby("session_id").agg(n=("n_events", "first")).reset_index()
+    assert len(sessions) == 2
+    assert sorted(out["n_events"].tolist()) == [2, 4]  # 4-event + 2-event sessions
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------
