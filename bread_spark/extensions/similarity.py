@@ -321,10 +321,20 @@ def lsh_bucket_pairs(
 
     Rows-only check: bucket membership is plane-constant-specific.
     """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lsh_bucket_pairs_df(emb, threshold=threshold, max_bucket=max_bucket)
+
+
+def lsh_bucket_pairs_df(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Core of `lsh_bucket_pairs` over any (vec_id, embedding) frame —
+    also the seam the adversarial-skew test drives directly."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planes = _plane_matrix()
     bits = 1 << np.arange(N_PLANES_PER_TABLE, dtype=np.int64)
 

@@ -125,6 +125,30 @@ def test_dedup_clusters_partition_properties(spark):
         assert c == min(ds)  # canonical is the min doc_id of its component
 
 
+def test_lsh_bucket_pairs_cap_bounds_degenerate_bucket(spark):
+    """Adversarial skew: an all-identical corpus lands every vector in
+    the same bucket of every table — m²/2 pairs without the cap. With
+    max_bucket below m the degenerate buckets are dropped (bounded work);
+    vectors outside the hot bucket still pair normally."""
+    from bread_spark.extensions.similarity import lsh_bucket_pairs_df
+
+    n = 200
+    rows = [(i, [1.0] * 64) for i in range(n)]  # identical → one bucket
+    rows += [(1000, [1.0, -1.0] * 32), (1001, [1.0, -1.0] * 32)]  # a separate pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    capped = lsh_bucket_pairs_df(emb, threshold=0.9, max_bucket=50).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in capped}
+    # the degenerate 200-vector bucket is skipped entirely...
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+    # ...but the small bucket still produces its true pair
+    assert (1000, 1001) in pairs
+
+    # and with the cap off, the quadratic pair set does materialize
+    uncapped = lsh_bucket_pairs_df(emb, threshold=0.9, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2 + 1
+
+
 def test_lsh_topk_collects_cleanly(spark):
     """Regression: the earlier broadcast-join formulation passed count()
     but failed collect() with a Catalyst attribute-binding internal
