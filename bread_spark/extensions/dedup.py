@@ -186,6 +186,15 @@ def dedup_clusters(
     """
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, pairs, max_iters=max_iters)
+
+
+def connected_components(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation over any (doc_a, doc_b) edge frame — the
+    core of `dedup_clusters`, also driven directly by the hypothesis
+    property test against a union-find reference."""
     # undirected edge list, both directions
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

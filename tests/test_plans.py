@@ -66,6 +66,25 @@ def test_cosine_topk_rank_limit_pushdown(plans):
     assert "Join" not in p
 
 
+def test_ivf_probe_join_is_broadcast(plans):
+    """IVF candidate generation must broadcast the (tiny) probe table
+    onto the corpus assignment — no shuffle of the corpus for candidate
+    selection; scoring stays in the Arrow map stage."""
+    p = plans("ivf_topk")
+    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_bucket_pairs_no_driver_side_join(plans):
+    """The distributed near-dup plan: in-bucket scoring via grouped
+    pandas, pair dedup via one extra exchange — nothing else."""
+    p = plans("lsh_bucket_pairs")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Join" not in p
+
+
 def test_aggregations_have_map_side_partials(plans):
     for name in ["txs_per_day", "revenue_by_segment", "centroid_by_label"]:
         assert "partial_" in plans(name), name

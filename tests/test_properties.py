@@ -149,3 +149,56 @@ def test_asof_join_matches_python_reference(spark, left_offsets, right_offsets):
         idx = bisect.bisect_right(right_offsets, o) - 1
         expected = float(right_offsets[idx]) if idx >= 0 else None
         assert got[lid] == expected, (lid, o, got[lid], expected)
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find reference
+# ---------------------------------------------------------------------------
+
+def python_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=25).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=n - 1),
+                    st.integers(min_value=0, max_value=n - 1),
+                ).filter(lambda e: e[0] != e[1]),
+                max_size=30,
+            ),
+        )
+    )
+)
+def test_connected_components_matches_union_find(spark, case):
+    """Min-label propagation must agree with union-find on arbitrary
+    graphs — including long chains (worst case for the diameter-bounded
+    loop) and isolated nodes."""
+    from bread_spark.extensions.dedup import connected_components
+
+    n, edges = case
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    pairs = spark.createDataFrame(norm or [(0, 0)], "doc_a long, doc_b long")
+    if not norm:
+        pairs = pairs.filter("doc_a <> doc_a")  # empty edge frame, typed
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(docs, pairs).collect()
+    }
+    assert got == python_components(n, edges)
