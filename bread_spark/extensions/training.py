@@ -1,0 +1,239 @@
+"""Training-data pipeline operators beyond dedup/similarity: the corpus-
+preparation steps between "cleaned documents" and "batches on GPUs".
+
+All deterministic (content/md5-derived randomness — stable across runs,
+engines, partitionings and cluster sizes, unlike `df.sample`), all
+JVM-side except the sequential-by-nature packing kernel.
+
+- stratified_sample: per-language keep rates (downsample the dominant
+  language) on the md5 trick `deterministic_sample` introduced.
+- shuffle_order:     seeded global permutation for training order.
+- vocab_topk:        corpus token vocabulary with counts (tokenizer
+                     vocabulary building / frequency cutoffs).
+- decontaminate:     n-gram overlap of every corpus doc against a
+                     benchmark/probe set — the eval-contamination check.
+- pack_sequences:    greedy token packing into fixed-budget sequences
+                     (sample packing), partition-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# Per-language keep rates as first-md5-byte hex cutoffs: en is dominant
+# in the corpus → 25%; the rest keep 75%. ("ff" would be ~100%.)
+LANG_CUTOFFS = {"en": "40", "de": "c0", "es": "c0", "fr": "c0", "zh": "c0"}
+DEFAULT_CUTOFF = "c0"
+
+SHUFFLE_SEED = "seed42"
+VOCAB_K = 100
+PROBE_MAX_DOC_ID = 20  # docs with id < 20 act as the "benchmark" set
+CONTAM_THRESHOLD = 0.5
+PACK_BUDGET = 256  # tokens per packed sequence
+PACK_BUCKETS = 8
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: keep a doc when its content
+    md5 falls below its language's cutoff. One map-side filter — at
+    100 TB this pipelines with the scan, no shuffle, and the sample is
+    reproducible under any repartitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    cutoff = F.lit(DEFAULT_CUTOFF)
+    for lang, cut in LANG_CUTOFFS.items():
+        cutoff = F.when(F.col("lang") == lang, F.lit(cut)).otherwise(cutoff)
+    return docs.filter(bucket < cutoff).select(
+        "doc_id", "lang", "source", bucket.alias("sample_bucket")
+    )
+
+
+def shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle: a deterministic training-order permutation
+    (rank by md5(seed || doc_id), doc_id tiebreak for hash collisions).
+
+    The window here is global — right for the gold/serving grain it
+    serves. At 100 TB emit the sort KEY map-side (shuffle_key below) and
+    let the training loader `repartitionByRange(shuffle_key)` +
+    `sortWithinPartitions` — same permutation, no single-reducer rank.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.row_number().over(w).cast("long").alias("shuffle_rank"),
+    )
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency (count desc, token asc
+    tiebreak). explode → groupBy token keeps map-side partials; the top-k
+    window runs over the (small) distinct-token aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("token", "n", "rank")
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, the
+    fraction of its distinct word-3-gram shingles that appear anywhere
+    in the probe (benchmark) set; flag docs over the threshold.
+
+    The probe shingle set is tiny (benchmarks are) → broadcast; the
+    overlap count is a map-side broadcast join + one groupBy(doc_id).
+    Docs with shingles but zero probe overlap report overlap 0; docs
+    with fewer than 3 words have no shingles and are out of scope (both
+    engines agree).
+    """
+    from .dedup import _word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    probe_sh = (
+        sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID).select("shingle").distinct()
+    )
+    corpus_sh = sh.filter(F.col("doc_id") >= PROBE_MAX_DOC_ID)
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(F.col("n_overlap") / F.col("n_shingles"), 4)
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= CONTAM_THRESHOLD)
+    )
+
+
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to packs of ≤ `budget`
+    tokens (sample packing for training efficiency). Packing is
+    inherently sequential, so it runs greedily PER BUCKET
+    (bucket = doc_id % n_buckets, docs in doc_id order) — deterministic,
+    embarrassingly parallel across buckets, and at 100 TB the bucket
+    count scales with the cluster while each kernel stays a trivial
+    running-sum loop. A doc longer than the budget gets its own pack.
+
+    Rows-only check (greedy capacity-reset packing is not expressible as
+    window SQL); invariants pinned by tests: exactly-once membership,
+    budget respected, order preserved.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).alias("bucket"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+
+    def pack(key, pdf):
+        (bucket,) = key
+        pdf = pdf.sort_values("doc_id")
+        pack_ids, local, used = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if used > 0 and used + n > budget:
+                local += 1
+                used = 0
+            used += int(n)
+            pack_ids.append(int(bucket) * 1_000_000 + local)
+        out = pdf[["doc_id", "bucket", "n_tokens"]].copy()
+        out["pack_id"] = pack_ids
+        return out
+
+    return docs.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, bucket int, n_tokens long, pack_id long"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang, source,
+               substring(md5(text), 1, 2) AS sample_bucket
+        FROM documents
+        WHERE substring(md5(text), 1, 2) <
+              CASE lang
+                  {' '.join(f"WHEN '{lang}' THEN '{cut}'" for lang, cut in LANG_CUTOFFS.items())}
+                  ELSE '{DEFAULT_CUTOFF}'
+              END
+    """,
+    "shuffle_order": f"""
+        SELECT doc_id,
+               md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS shuffle_rank
+        FROM documents
+    """,
+    "vocab_topk": f"""
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        c AS (
+            SELECT token, COUNT(1) AS n FROM t WHERE token <> '' GROUP BY token
+        )
+        SELECT token, n, rank FROM (
+            SELECT token, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS rank
+            FROM c
+        ) WHERE rank <= {VOCAB_K}
+    """,
+    "decontaminate": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+            FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+            WHERE len(words) >= 3
+        ),
+        probe AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id < {PROBE_MAX_DOC_ID}
+        ),
+        corpus AS (SELECT * FROM sh WHERE doc_id >= {PROBE_MAX_DOC_ID}),
+        sizes AS (
+            SELECT doc_id, COUNT(1) AS n_shingles FROM corpus GROUP BY doc_id
+        ),
+        ov AS (
+            SELECT c.doc_id, COUNT(1) AS n_overlap
+            FROM corpus c JOIN probe p ON c.shingle = p.shingle
+            GROUP BY c.doc_id
+        )
+        SELECT s.doc_id, s.n_shingles,
+               COALESCE(ov.n_overlap, 0) AS n_overlap,
+               COALESCE(ROUND(ov.n_overlap / s.n_shingles, 4), 0.0) AS overlap_frac,
+               COALESCE(ROUND(ov.n_overlap / s.n_shingles, 4), 0.0) >= {CONTAM_THRESHOLD}
+                   AS contaminated
+        FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+    """,
+}

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import models, models_ibc_catalog
-from .extensions import dedup, multimodal, similarity
+from .extensions import dedup, multimodal, similarity, training
 from .functions import text
 from .operators import asof, interval
 from .streaming import sessions, windows
@@ -71,6 +71,16 @@ _register(
         "media_dedup": multimodal.media_dedup_query,
     },
     multimodal.ORACLE_SQL,
+)
+_register(
+    {
+        "stratified_sample": training.stratified_sample,
+        "shuffle_order": training.shuffle_order,
+        "vocab_topk": training.vocab_topk,
+        "decontaminate": training.decontaminate,
+        "pack_sequences": training.pack_sequences,  # rows-only (greedy packing)
+    },
+    training.ORACLE_SQL,
 )
 _register(
     {

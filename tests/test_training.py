@@ -1,0 +1,80 @@
+"""Training-data operators: packing invariants + sampling/shuffle
+semantics (the oracle-checked ops are also covered by test_oracle.py's
+parametrized differential sweep)."""
+
+from __future__ import annotations
+
+from bread_spark.extensions.training import PACK_BUDGET, PROBE_MAX_DOC_ID
+from bread_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_pack_sequences_invariants(spark):
+    rows = QUERIES["pack_sequences"](spark, SF_DIR).collect()
+    docs = QUERIES["token_stats"](spark, SF_DIR).count()
+
+    # exactly-once membership: every document packed once
+    assert len(rows) == docs
+    assert len({r["doc_id"] for r in rows}) == docs
+
+    packs: dict[int, list] = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        total = sum(m["n_tokens"] for m in members)
+        # budget respected, except a single over-budget doc in its own pack
+        assert total <= PACK_BUDGET or len(members) == 1, pid
+        # a pack never mixes buckets
+        assert len({m["bucket"] for m in members}) == 1
+
+    # greedy order: within a bucket, pack ids are monotone in doc_id
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, members in by_bucket.items():
+        members.sort(key=lambda r: r["doc_id"])
+        pids = [m["pack_id"] for m in members]
+        assert pids == sorted(pids), b
+
+
+def test_pack_sequences_deterministic(spark):
+    a = sorted(map(tuple, QUERIES["pack_sequences"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, QUERIES["pack_sequences"](spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_stratified_sample_downsamples_dominant_lang(spark):
+    full = QUERIES["lang_id_scores"](spark, SF_DIR).count()
+    sample = QUERIES["stratified_sample"](spark, SF_DIR).collect()
+    assert 0 < len(sample) < full
+    # en keeps ~25%, others ~75% — assert the ordering of realized rates
+    from collections import Counter
+
+    kept = Counter(r["lang"] for r in sample)
+    docs = QUERIES["stratified_sample"](spark, SF_DIR).sparkSession.read.parquet(
+        f"{SF_DIR}/documents.parquet"
+    )
+    total = Counter(r["lang"] for r in docs.select("lang").collect())
+    en_rate = kept.get("en", 0) / total["en"]
+    other_kept = sum(v for k, v in kept.items() if k != "en")
+    other_total = sum(v for k, v in total.items() if k != "en")
+    assert en_rate < other_kept / other_total
+
+
+def test_shuffle_order_is_permutation(spark):
+    rows = QUERIES["shuffle_order"](spark, SF_DIR).collect()
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    # seeded → stable across runs
+    again = QUERIES["shuffle_order"](spark, SF_DIR).collect()
+    assert {r["doc_id"]: r["shuffle_rank"] for r in rows} == {
+        r["doc_id"]: r["shuffle_rank"] for r in again
+    }
+
+
+def test_decontaminate_probe_excluded_and_bounded(spark):
+    rows = QUERIES["decontaminate"](spark, SF_DIR).collect()
+    assert all(r["doc_id"] >= PROBE_MAX_DOC_ID for r in rows)
+    for r in rows:
+        assert 0.0 <= r["overlap_frac"] <= 1.0
+        assert r["n_overlap"] <= r["n_shingles"]
