@@ -102,6 +102,11 @@ def ngram_jaccard_pairs(
     docs = load_table(spark, sf_dir, "documents")
     sh = _word_shingles(docs)
     if max_df is not None:
+        # Materialize the index BEFORE the df-count pass — otherwise the
+        # scan→shingle→distinct subtree runs twice (once under the hot
+        # aggregate, once under the capped index the second checkpoint
+        # materializes below).
+        sh = sh.localCheckpoint()
         # The HOT set (df > cap) is tiny by construction — broadcast it and
         # anti-join map-side, instead of shuffling the full shingle index
         # through an inner join against the (huge) kept set.
