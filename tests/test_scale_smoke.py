@@ -50,6 +50,58 @@ def test_asof_scales(spark, big_events):
     assert out.count() == big_events.count()
 
 
+def test_connected_components_scales(spark):
+    """Components over disjoint replica graphs: labels stay within each
+    replica's id space and counts scale exactly linearly."""
+    from bread_spark.extensions.dedup import connected_components
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    # chain pairs inside each replica: (i, i+1) for even i → 50-node pairs
+    base_pairs = spark.range(50).select(
+        (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+    )
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id")
+    )
+    big_pairs = base_pairs.crossJoin(reps).select(
+        (F.col("doc_a") + F.col("rep") * 1_000_000).alias("doc_a"),
+        (F.col("doc_b") + F.col("rep") * 1_000_000).alias("doc_b"),
+    )
+    out = connected_components(big_docs, big_pairs)
+    assert out.count() == 100 * REPS
+    # 50 two-doc clusters per replica → canonical count = 50 per replica
+    canon = out.filter("is_canonical").count()
+    assert canon == 50 * REPS
+    # no label crosses a replica boundary
+    crossed = out.filter(
+        (F.col("doc_id") / 1_000_000).cast("long")
+        != (F.col("cluster_id") / 1_000_000).cast("long")
+    )
+    assert crossed.count() == 0
+
+
+def test_lsh_bucket_pairs_scales(spark):
+    """Replicated embeddings: identical vectors share buckets, so the
+    capped kernel must keep pair counts bounded by the cap — and pair
+    output for the original corpus stays a subset of what replication
+    produces (no pairs lost by adding data)."""
+    from bread_spark.extensions.similarity import lsh_bucket_pairs_df
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"), "embedding"
+    ).localCheckpoint()
+    pairs = lsh_bucket_pairs_df(big, threshold=0.99, max_bucket=5_000)
+    # replicas of the same vector are exact dups (cosine 1.0): each of the
+    # 3 copies pairs with the other 2 → ≥ 3 × n_vectors pairs exist; the
+    # run completing without quadratic blow-up is the smoke signal, the
+    # count bound is the invariant
+    n = emb.count()
+    assert pairs.filter(F.col("cosine") >= 0.99).count() >= 3 * n // 2
+
+
 def test_minhash_scales(spark):
     from bread_spark.extensions.dedup import _word_shingles, minhash_signatures
 
