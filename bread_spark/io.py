@@ -161,6 +161,14 @@ def compact_partitioned(
         out = out.sortWithinPartitions(*partition_cols, sort_by)
     staging = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    # carry the foreachBatch idempotency markers (underscore dirs are
+    # invisible to parquet discovery but must survive the swap, or a
+    # post-compaction stream restart could replay its last batch)
+    markers = os.path.join(path, "_batch_markers")
+    if os.path.isdir(markers):
+        import shutil as _sh
+
+        _sh.copytree(markers, os.path.join(staging, "_batch_markers"))
     backup = path.rstrip("/") + "__precompact"
     os.rename(path, backup)
     os.rename(staging, path)

@@ -50,6 +50,57 @@ def incremental_blocks(
     )
 
 
+def incremental_blocks_compactable(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
+) -> StreamingQuery:
+    """Streaming blocks sink whose output IS maintainable by
+    `io.compact_partitioned` — the foreachBatch alternative to the plain
+    file sink (whose `_spark_metadata` log pins the original files and
+    makes in-place compaction unsafe; `io.compact_partitioned` refuses it).
+
+    Idempotency without the sink log: each micro-batch appends to the
+    plain partitioned directory only after checking a per-batch marker
+    (`<out>/_batch_markers/<id>`), written AFTER the parquet append. On
+    crash-and-replay the checkpoint re-delivers the same batch_id; the
+    marker makes the replay a no-op, so the table holds each batch at
+    most once while staying an ordinary parquet directory — readable,
+    appendable, and compactable like any batch table.
+
+    The write→marker pair is not atomic: a crash BETWEEN them replays an
+    already-appended batch (duplicates) — the same at-least-once window
+    every non-transactional foreachBatch sink has. The dedup repair is a
+    digest anti-join; a table format closes it with real transactions.
+    """
+    import os
+
+    raw = (
+        spark.readStream.schema(RAW_BLOCK_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(landing_dir)
+    )
+    silver = parse_blocks(raw)
+    markers = os.path.join(out_dir, "_batch_markers")
+
+    def write_batch(df, batch_id: int) -> None:
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch — already fully written
+        df.write.mode("append").partitionBy("year", "month", "day").parquet(out_dir)
+        os.makedirs(markers, exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        silver.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_tx_result(
     spark: SparkSession,
     landing_dir: str,

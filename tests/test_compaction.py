@@ -129,6 +129,44 @@ def test_compaction_refuses_streaming_sink(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(blocks)
 
 
+def test_foreachbatch_sink_is_compactable_and_idempotent(spark, tmp_path):
+    """The foreachBatch sink closes the streaming-vs-compaction gap:
+    output is a plain partitioned dir (no _spark_metadata) that
+    compact_partitioned accepts; restarts don't duplicate batches; the
+    idempotency markers survive the compaction swap."""
+    from bread_spark.streaming import incremental as INC
+    from tests.fixtures import write_fixture_files
+
+    bdir, _, blocks, _ = write_fixture_files(str(tmp_path / "bronze"))
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    INC.incremental_blocks_compactable(spark, bdir, out, ckpt).awaitTermination(120)
+    assert not os.path.isdir(os.path.join(out, "_spark_metadata"))
+    assert os.path.isdir(os.path.join(out, "_batch_markers"))
+    n = spark.read.parquet(out).count()
+    assert n == len(blocks)
+
+    # restart with the same checkpoint: nothing new → no duplicates
+    INC.incremental_blocks_compactable(spark, bdir, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
+
+    # compaction works on this sink (refused for the plain file sink)
+    n_files = compact_partitioned(spark, out)
+    assert spark.read.parquet(out).count() == n
+    assert len(_parquet_files(out)) == n_files
+    assert os.path.isdir(os.path.join(out, "_batch_markers"))  # survived swap
+
+    # new landing files after compaction are picked up exactly once
+    extra_dir, _, extra_blocks, _ = write_fixture_files(str(tmp_path / "bronze2"))
+    for f in os.listdir(extra_dir):
+        os.rename(
+            os.path.join(extra_dir, f), os.path.join(bdir, "extra_" + f)
+        )
+    INC.incremental_blocks_compactable(spark, bdir, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n + len(extra_blocks)
+
+
 def test_compaction_of_batch_pipeline_silver(spark, tmp_path):
     """The supported maintenance path: batch-written silver (pipeline
     parse.run) compacts in place and stays readable/appendable."""
