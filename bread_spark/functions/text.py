@@ -163,6 +163,64 @@ LANG_STOPWORDS = {
 }
 
 
+REP_N = 3  # word n-gram size for the repetition signal
+REP_THRESHOLD = 0.2  # flag docs where > 20% of n-gram occurrences repeat
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of word-3-gram
+    occurrences that are repeats of an earlier occurrence in the same
+    document (1 - distinct/total). High values mark boilerplate,
+    templated spam, and looping generations — a standard pre-training
+    quality filter.
+
+    Map-side except one groupBy(doc_id): the n-gram list and its
+    distinct cardinality are computed per row with JVM higher-order
+    functions — zero explode, zero shuffle for the ratio itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # guard short docs INSIDE the expr: sequence(0, negative) descends in
+    # Spark and the resulting slice(…, 0, n) would throw under ANSI
+    grams = F.expr(
+        f"CASE WHEN size(filter(split(text, ' '), t -> t != '')) >= {REP_N} "
+        f"THEN transform(sequence(0, size(filter(split(text, ' '), t -> t != '')) - {REP_N}), "
+        f"i -> concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), i + 1, {REP_N}))) "
+        f"ELSE array() END"
+    )
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    dup_frac = F.when(
+        n_grams > 0, F.round((n_grams - n_distinct) / n_grams, 4)
+    ).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_ngrams"),
+        n_distinct.alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac > REP_THRESHOLD).alias("repetitive"),
+    )
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document
+    (bits/char, 4 dp). Near-zero entropy = degenerate/repeated-char
+    text; unusually high = binary-ish noise — both standard gibberish
+    filters. explode(chars) → two keyed aggregations, no joins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    # H = log2(N) - (Σ n·log2(n)) / N — one aggregation, no window/join
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.round(
+            F.log2(F.sum("n")) - F.sum(F.col("n") * F.log2("n")) / F.sum("n"), 4
+        ).alias("entropy_bits"),
+    )
+
+
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-hit score per language, argmax with
     deterministic tie-break on language code ('und' when all scores are 0).
@@ -291,5 +349,41 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN score_es >= score_fr THEN 'es'
                     ELSE 'fr' END AS predicted_lang
         FROM s
+    """,
+    "repetition_scores": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS words
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+            FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+            WHERE len(words) >= {REP_N}
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(1) AS n_ngrams,
+                   COUNT(DISTINCT gram) AS n_distinct
+            FROM g GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               COALESCE(n_ngrams, 0) AS n_ngrams,
+               COALESCE(n_distinct, 0) AS n_distinct,
+               COALESCE(ROUND((n_ngrams - n_distinct) / n_ngrams, 4), 0.0) AS dup_frac,
+               COALESCE(ROUND((n_ngrams - n_distinct) / n_ngrams, 4), 0.0)
+                   > {REP_THRESHOLD} AS repetitive
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+    """,
+    "char_entropy": """
+        WITH c AS (
+            SELECT doc_id, substring(text, i, 1) AS ch
+            FROM documents, LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) t
+            WHERE len(text) >= 1
+        ),
+        counts AS (SELECT doc_id, ch, COUNT(1) AS n FROM c GROUP BY doc_id, ch)
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+               ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 4) AS entropy_bits
+        FROM counts GROUP BY doc_id
     """,
 }

@@ -86,6 +86,8 @@ _register(
     {
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
+        "repetition_scores": text.repetition_scores,
+        "char_entropy": text.char_entropy,
         "doc_fingerprints": text.doc_fingerprints,
         "lang_id_scores": text.lang_id_scores,
         "redact_pii": text.redact_pii,
