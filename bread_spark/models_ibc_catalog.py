@@ -95,39 +95,70 @@ def _legacy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return _legacy_from_events(load_table(spark, sf_dir, "events"))
 
 
+_AMOUNT_COLS = (
+    "transfer_amount",
+    "amount_over_direction",
+    "total_amount",
+    "cum_amount",
+    "total_gas_used",
+)
+
+
+def _bigintify(df: DataFrame) -> DataFrame:
+    """CATALOG-BOUNDARY ONLY: cast wide-decimal amount columns to BIGINT.
+
+    The real models keep DECIMAL(38,0) (overflow policy documented in
+    models_ibc.py). The driver hashes *values by representation*, and
+    DuckDB returns wide DECIMAL / HUGEINT sums as float64 while Spark
+    renders Decimal('3815') — identical values, divergent hashes
+    (diagnosed in VERDICT r2 #1, values verified identical at sf0.01).
+    Test-scale amounts fit comfortably in int64; both sides of the
+    differential are cast to BIGINT here so the comparison is on value.
+    """
+    for c in _AMOUNT_COLS:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
 def ibc_transfers_in_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs, txs = _legacy(spark, sf_dir)
-    return M.ibc_transfers_in(logs, txs)
+    return _bigintify(M.ibc_transfers_in(logs, txs))
 
 
 def ibc_transfers_out_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs, txs = _legacy(spark, sf_dir)
-    return M.ibc_transfers_out(logs, txs)
+    return _bigintify(M.ibc_transfers_out(logs, txs))
 
 
 def ibc_transfers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs, txs = _legacy(spark, sf_dir)
-    return M.ibc_transfers(logs, txs)
+    return _bigintify(M.ibc_transfers(logs, txs))
 
 
 def daily_ibc_transfers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs, txs = _legacy(spark, sf_dir)
-    return M.daily_ibc_transfers(logs, txs)
+    return _bigintify(M.daily_ibc_transfers(logs, txs))
 
 
 def hourly_ibc_transfers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs, txs = _legacy(spark, sf_dir)
-    return M.hourly_ibc_transfers(logs, txs)
+    return _bigintify(M.hourly_ibc_transfers(logs, txs))
 
 
 def daily_cum_ibc_transfers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     logs, txs = _legacy(spark, sf_dir)
-    return M.daily_cum_ibc_transfers(logs, txs)
+    return _bigintify(M.daily_cum_ibc_transfers(logs, txs))
+
+
+def hourly_cum_ibc_transfers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    logs, txs = _legacy(spark, sf_dir)
+    return _bigintify(M.hourly_cum_ibc_transfers(logs, txs))
 
 
 def gas_used_per_day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, txs = _legacy(spark, sf_dir)
-    return M.gas_used_per_day(txs)
+    return _bigintify(M.gas_used_per_day(txs))
 
 
 QUERIES = {
@@ -137,6 +168,7 @@ QUERIES = {
     "daily_ibc_transfers": daily_ibc_transfers_q,
     "hourly_ibc_transfers": hourly_ibc_transfers_q,
     "daily_cum_ibc_transfers": daily_cum_ibc_transfers_q,
+    "hourly_cum_ibc_transfers": hourly_cum_ibc_transfers_q,
     "gas_used_per_day": gas_used_per_day_q,
 }
 
@@ -172,7 +204,7 @@ _LEGACY_CTE = """
 _IN_CTE = """
     in_rows AS (
         SELECT l.txhash, l.msg_index,
-               CAST(regexp_extract(amt_str, '^([0-9]*)', 1) AS DECIMAL(38,0)) AS transfer_amount,
+               CAST(regexp_extract(amt_str, '^([0-9]*)', 1) AS BIGINT) AS transfer_amount,
                regexp_replace(amt_str, '^[0-9]*', '') AS transfer_denom,
                sender0 AS sender, receiver0 AS receiver,
                'transfer' AS src_port, chan AS src_channel,
@@ -186,7 +218,7 @@ _IN_CTE = """
 _OUT_CTE = """
     out_rows AS (
         SELECT l.txhash, l.msg_index,
-               CAST(regexp_extract(amt_str, '^([0-9]*)', 1) AS DECIMAL(38,0)) AS transfer_amount,
+               CAST(regexp_extract(amt_str, '^([0-9]*)', 1) AS BIGINT) AS transfer_amount,
                regexp_replace(amt_str, '^[0-9]*', '') AS transfer_denom,
                sender0 AS sender, receiver0 AS receiver,
                'transfer' AS src_port, chan AS src_channel,
@@ -204,18 +236,42 @@ _FLOWS_CTE = f"""
     flows AS (
         SELECT *, transfer_amount AS amount_over_direction FROM in_rows
         UNION
-        SELECT *, CAST(-transfer_amount AS DECIMAL(38,0)) AS amount_over_direction FROM out_rows
+        SELECT *, CAST(-transfer_amount AS BIGINT) AS amount_over_direction FROM out_rows
     )
 """
 
 
 def _grain_oracle(grain: str) -> str:
+    # CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) widens to HUGEINT, which
+    # round-trips to the driver as float64 — same representation bug as
+    # wide decimals (VERDICT r2 #1); the Spark wrapper casts to long too.
     return f"""
         WITH {_LEGACY_CTE}, {_FLOWS_CTE}
         SELECT CAST(date_trunc('{grain}', "timestamp") AS TIMESTAMP) AS {grain},
                transfer_denom,
-               SUM(amount_over_direction) AS total_amount
+               CAST(SUM(amount_over_direction) AS BIGINT) AS total_amount
         FROM flows GROUP BY 1, 2
+    """
+
+
+def _cum_oracle(grain: str) -> str:
+    # MATERIALIZED: DuckDB 1.0 computes the window with an unstable row
+    # order when fused directly onto the aggregation subquery (found while
+    # differential-testing, tests/test_ibc_models.py); materializing the
+    # grain aggregate first behaves.
+    return f"""
+        WITH {_LEGACY_CTE}, {_FLOWS_CTE},
+        grains AS MATERIALIZED (
+            SELECT CAST(date_trunc('{grain}', "timestamp") AS TIMESTAMP) AS {grain},
+                   transfer_denom,
+                   CAST(SUM(amount_over_direction) AS BIGINT) AS total_amount
+            FROM flows GROUP BY 1, 2
+        )
+        SELECT {grain}, transfer_denom, total_amount,
+               CAST(SUM(total_amount) OVER (PARTITION BY transfer_denom
+                   ORDER BY {grain} ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_amount
+        FROM grains
     """
 
 
@@ -225,28 +281,12 @@ ORACLE_SQL = {
     "ibc_transfers": f"WITH {_LEGACY_CTE}, {_FLOWS_CTE} SELECT * FROM flows",
     "daily_ibc_transfers": _grain_oracle("day"),
     "hourly_ibc_transfers": _grain_oracle("hour"),
-    # MATERIALIZED: DuckDB 1.0 computes the window with an unstable row
-    # order when fused directly onto the aggregation subquery (found while
-    # differential-testing, tests/test_ibc_models.py); materializing the
-    # grain aggregate first behaves.
-    "daily_cum_ibc_transfers": f"""
-        WITH {_LEGACY_CTE}, {_FLOWS_CTE},
-        grains AS MATERIALIZED (
-            SELECT CAST(date_trunc('day', "timestamp") AS TIMESTAMP) AS day,
-                   transfer_denom,
-                   SUM(amount_over_direction) AS total_amount
-            FROM flows GROUP BY 1, 2
-        )
-        SELECT day, transfer_denom, total_amount,
-               SUM(total_amount) OVER (PARTITION BY transfer_denom
-                   ORDER BY day ASC NULLS LAST
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_amount
-        FROM grains
-    """,
+    "daily_cum_ibc_transfers": _cum_oracle("day"),
+    "hourly_cum_ibc_transfers": _cum_oracle("hour"),
     "gas_used_per_day": f"""
         WITH {_LEGACY_CTE}
         SELECT CAST(date_trunc('day', "timestamp") AS TIMESTAMP) AS day,
-               SUM(gas_used) AS total_gas_used
+               CAST(SUM(gas_used) AS BIGINT) AS total_gas_used
         FROM txs GROUP BY 1
     """,
 }
