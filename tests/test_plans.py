@@ -118,6 +118,35 @@ def test_silver_partition_pruning(spark, tmp_path):
     assert one_day.select("day").distinct().count() == 1
 
 
+def test_vocab_topk_uses_take_ordered_not_global_window(plans):
+    """Top-k over the distinct-token aggregate must be a distributed
+    TakeOrderedAndProject; the only Window left runs on the already-
+    limited k rows (VERDICT r2 #5)."""
+    p = plans("vocab_topk")
+    assert "TakeOrderedAndProject" in p
+    # the window (rank assignment) sits ABOVE the take-ordered limit, so
+    # its input is k rows, not the full vocabulary
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+
+
+def test_shuffle_order_distributed_has_no_window(plans):
+    """The scale path ranks via range partitioning + per-partition offsets
+    — no Window operator (and so no single-partition sort) anywhere."""
+    p = plans("shuffle_order_distributed")
+    assert "Window" not in p
+    assert "MapInPandas" in p
+
+
+def test_simhash_single_doc_keyed_shuffle(plans):
+    """SimHash must shuffle one row per token keyed on doc_id alone — the
+    64 bit-sums ride as aggregate expressions with map-side partials, not
+    as a 64×-exploded (doc_id, bit) key (VERDICT r2 #4)."""
+    p = plans("simhash_fingerprints")
+    assert "Exchange hashpartitioning(doc_id" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in p
+
+
 def test_dedup_hash_shuffles_digest_not_body(plans):
     p = plans("dedup_exact_hash")
     # the exchange key is the md5 digest, and the document body is pruned

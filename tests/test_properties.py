@@ -92,6 +92,50 @@ def test_minhash_signature_properties(spark, texts):
             assert all(0 <= v < MERSENNE for v in sig)
 
 
+def test_simhash_matches_per_bit_plan(spark, sf_dir):
+    """The single-shuffle SimHash (64 conditional sums in one
+    groupBy(doc_id)) must produce bit-identical fingerprints to the naive
+    per-(doc_id, bit) plan it replaced (VERDICT r2 #4)."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.extensions.dedup import simhash_fingerprints
+    from bread_spark.io import load_table
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(spark, sf_dir).collect()}
+
+    # reference: the r2 explode(64 bits) + groupBy(doc_id, bit) plan
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    per_bit = tok_hash.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(64)])).alias("bit"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, cast(bit as int)) & 1") == 1, 1).otherwise(-1).alias("delta"),
+    )
+    expected = {
+        r["doc_id"]: r["simhash"]
+        for r in per_bit.groupBy("doc_id", "bit")
+        .agg(F.sum("delta").alias("s"))
+        .select(
+            "doc_id",
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_pivot_roundtrip_random_occurrences(spark):
     """EAV → wide pivot → melt returns the original EAV set, including
     repeated (type,key) pairs disambiguated by occurrence (R3/R4)."""

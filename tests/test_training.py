@@ -72,6 +72,29 @@ def test_shuffle_order_is_permutation(spark):
     }
 
 
+def test_shuffle_order_distributed_matches_window_variant(spark):
+    """The repartitionByRange + two-pass-offset plan must produce the
+    EXACT permutation of the single-window shuffle_order — the 100 TB
+    path is value-identical, not approximately shuffled."""
+    window = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in QUERIES["shuffle_order"](spark, SF_DIR).collect()
+    }
+    distributed = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in QUERIES["shuffle_order_distributed"](spark, SF_DIR).collect()
+    }
+    assert distributed == window
+    # also under a partition count that forces many non-empty ranges
+    from bread_spark.extensions.training import shuffle_order_distributed
+
+    coarse = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order_distributed(spark, SF_DIR, num_partitions=7).collect()
+    }
+    assert coarse == window
+
+
 def test_decontaminate_probe_excluded_and_bounded(spark):
     rows = QUERIES["decontaminate"](spark, SF_DIR).collect()
     assert all(r["doc_id"] >= PROBE_MAX_DOC_ID for r in rows)
