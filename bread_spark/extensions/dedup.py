@@ -167,7 +167,7 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iters: int = 20
+    spark: SparkSession, sf_dir: str, max_iters: int | None = None
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the exact
     jaccard pair graph, labeling every document with the min doc_id of
@@ -195,17 +195,29 @@ def dedup_clusters(
 
 
 def connected_components(
-    docs: DataFrame, pairs: DataFrame, max_iters: int = 20
+    docs: DataFrame, pairs: DataFrame, max_iters: int | None = None
 ) -> DataFrame:
     """Min-label propagation over any (doc_a, doc_b) edge frame — the
     core of `dedup_clusters`, also driven directly by the hypothesis
-    property test against a union-find reference."""
+    property test against a union-find reference.
+
+    Iterates until NO label changes. `max_iters` is purely a safety cap:
+    min-label propagation advances one hop per round, so it can never
+    need more rounds than there are nodes (diameter < |V|); if the cap
+    is hit while labels are still moving we RAISE rather than silently
+    return split clusters (a chain longer than the cap used to exit the
+    loop unconverged — ADVICE r2 #1). Default cap = node count."""
     # undirected edge list, both directions
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
 
+    if max_iters is None:
+        # diameter < node count; the count is one cheap aggregate job
+        max_iters = max(int(docs.count()), 1)
+
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    changed = 0
     for _ in range(max_iters):
         # neighbor labels: for each edge (a,b), b's current label flows to a
         nbr = (
@@ -225,6 +237,12 @@ def connected_components(
         labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing) — raise the cap or use a "
+            "large-star/small-star variant for adversarial diameters"
+        )
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

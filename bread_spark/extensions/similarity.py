@@ -325,6 +325,9 @@ def lsh_bucket_pairs(
     return lsh_bucket_pairs_df(emb, threshold=threshold, max_bucket=max_bucket)
 
 
+BUCKET_SCORE_TILE = 1024  # rows per in-bucket scoring block (bounds task memory)
+
+
 def lsh_bucket_pairs_df(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
@@ -369,13 +372,23 @@ def lsh_bucket_pairs_df(
             return empty
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         unit = np.array(pdf["unit"].tolist(), dtype=np.float64)
-        scores = np.round(unit @ unit.T, 4)
-        ia, ib = np.nonzero((scores >= threshold) & (ids[:, None] < ids[None, :]))
-        if not len(ia):
-            return empty
-        return pd.DataFrame(
-            {"vec_a": ids[ia], "vec_b": ids[ib], "cosine": scores[ia, ib]}
-        )
+        # Tile the upper triangle in row blocks: a dense m×m score matrix
+        # at m = max_bucket = 10_000 is ~800 MB in one task (ADVICE r2 #2);
+        # per-block peak is TILE×m ≈ 80 MB and output pairs stream out.
+        outs = []
+        for s in range(0, len(ids), BUCKET_SCORE_TILE):
+            blk_ids = ids[s : s + BUCKET_SCORE_TILE]
+            scores = np.round(unit[s : s + BUCKET_SCORE_TILE] @ unit.T, 4)
+            ia, ib = np.nonzero(
+                (scores >= threshold) & (blk_ids[:, None] < ids[None, :])
+            )
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {"vec_a": blk_ids[ia], "vec_b": ids[ib], "cosine": scores[ia, ib]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     cand = sig.groupBy("table", "bucket").applyInPandas(
         bucket_pairs, "vec_a long, vec_b long, cosine double"

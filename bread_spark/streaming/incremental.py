@@ -50,12 +50,35 @@ def incremental_blocks(
     )
 
 
+def _run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable per-checkpoint run id, minted on first use and persisted
+    INSIDE the checkpoint directory — so a deleted/recreated checkpoint
+    (whose batch ids restart at 0) gets a fresh id instead of silently
+    reusing the old marker namespace. Deliberately random, not
+    path-derived: the same path with a wiped checkpoint is exactly the
+    identity change that must be detected (ADVICE r2 #3)."""
+    import os
+    import uuid
+
+    token = os.path.join(checkpoint_dir, "_bread_run_id")
+    if os.path.exists(token):
+        return open(token).read().strip()
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    rid = uuid.uuid4().hex[:16]
+    tmp = token + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(rid)
+    os.replace(tmp, token)
+    return rid
+
+
 def incremental_blocks_compactable(
     spark: SparkSession,
     landing_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1000,
+    force_new_run: bool = False,
 ) -> StreamingQuery:
     """Streaming blocks sink whose output IS maintainable by
     `io.compact_partitioned` — the foreachBatch alternative to the plain
@@ -74,6 +97,15 @@ def incremental_blocks_compactable(
     already-appended batch (duplicates) — the same at-least-once window
     every non-transactional foreachBatch sink has. The dedup repair is a
     digest anti-join; a table format closes it with real transactions.
+
+    Markers are NAMESPACED by a per-checkpoint run id
+    (`_batch_markers/<run_id>/<batch_id>`): batch ids restart at 0 when a
+    checkpoint is deleted, so un-namespaced markers from a previous run
+    would make the new run's first batches look already-written — silent
+    data loss (ADVICE r2 #3). A fresh checkpoint pointed at an out_dir
+    holding another run's markers REFUSES to start; pass
+    ``force_new_run=True`` only when knowingly re-appending (duplicate
+    rows become the caller's to repair).
     """
     import os
 
@@ -83,7 +115,23 @@ def incremental_blocks_compactable(
         .json(landing_dir)
     )
     silver = parse_blocks(raw)
-    markers = os.path.join(out_dir, "_batch_markers")
+    run_id = _run_id_for_checkpoint(checkpoint_dir)
+    markers_root = os.path.join(out_dir, "_batch_markers")
+    if os.path.isdir(markers_root):
+        foreign = [
+            d for d in os.listdir(markers_root)
+            if d != run_id and not d.startswith(".")
+        ]
+        if foreign and not force_new_run:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds batch markers from other run(s) "
+                f"{sorted(foreign)} but checkpoint {checkpoint_dir!r} is run "
+                f"{run_id!r} — its batch ids restart at 0 and would re-append "
+                "data the previous run already wrote. Reuse the original "
+                "checkpoint, write to a fresh out_dir, or pass "
+                "force_new_run=True to append anyway."
+            )
+    markers = os.path.join(markers_root, run_id)
 
     def write_batch(df, batch_id: int) -> None:
         marker = os.path.join(markers, str(batch_id))

@@ -167,6 +167,45 @@ def test_foreachbatch_sink_is_compactable_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == n + len(extra_blocks)
 
 
+def test_compactable_sink_refuses_foreign_marker_namespace(spark, tmp_path):
+    """A DELETED/recreated checkpoint restarts batch ids at 0; with
+    un-namespaced markers those batches would silently no-op (data loss).
+    Run-id-namespaced markers must instead refuse to start, and
+    force_new_run must knowingly append (ADVICE r2 #3)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from bread_spark.streaming import incremental as INC
+    from tests.fixtures import write_fixture_files
+
+    bdir, _, blocks, _ = write_fixture_files(str(tmp_path / "bronze"))
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+
+    INC.incremental_blocks_compactable(spark, bdir, out, ckpt).awaitTermination(120)
+    n = spark.read.parquet(out).count()
+    assert n == len(blocks)
+
+    # wipe the checkpoint: same out_dir now holds a foreign marker namespace
+    shutil.rmtree(ckpt)
+    with _pytest.raises(ValueError, match="force_new_run"):
+        INC.incremental_blocks_compactable(spark, bdir, out, ckpt)
+    assert spark.read.parquet(out).count() == n  # nothing written or lost
+
+    # explicit opt-in: the new run re-appends (documented duplicate risk)
+    INC.incremental_blocks_compactable(
+        spark, bdir, out, ckpt, force_new_run=True
+    ).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2 * n
+
+    # and the opted-in run's own restarts stay idempotent
+    INC.incremental_blocks_compactable(
+        spark, bdir, out, ckpt, force_new_run=True
+    ).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2 * n
+
+
 def test_compaction_of_batch_pipeline_silver(spark, tmp_path):
     """The supported maintenance path: batch-written silver (pipeline
     parse.run) compacts in place and stays readable/appendable."""

@@ -246,3 +246,26 @@ def test_connected_components_matches_union_find(spark, case):
         r["doc_id"]: r["cluster_id"] for r in connected_components(docs, pairs).collect()
     }
     assert got == python_components(n, edges)
+
+
+def test_connected_components_long_chain_converges_or_raises(spark):
+    """A 30-node path graph (diameter > the old hardcoded 20-round cap)
+    must fully converge to one component under the default node-count
+    safety cap, and an explicitly too-small cap must RAISE instead of
+    returning split clusters (ADVICE r2 #1)."""
+    import pytest
+
+    from bread_spark.extensions.dedup import connected_components
+
+    n = 30
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(docs, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(docs, pairs, max_iters=3).collect()

@@ -149,6 +149,32 @@ def test_lsh_bucket_pairs_cap_bounds_degenerate_bucket(spark):
     assert uncapped.count() == n * (n - 1) // 2 + 1
 
 
+def test_lsh_bucket_pairs_tiling_is_exact(spark, monkeypatch):
+    """Blocked in-bucket scoring (ADVICE r2 #2) must emit the identical
+    pair set whether a bucket is scored in one block or many tiny tiles
+    — tiling bounds memory, never changes math."""
+    from bread_spark.extensions import similarity
+
+    n = 40
+    rows = [(i, [1.0] * 64) for i in range(n)]  # one dense 40-vector bucket
+    rows += [(1000, [1.0, -1.0] * 32), (1001, [1.0, -1.0] * 32)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in similarity.lsh_bucket_pairs_df(
+                emb, threshold=0.9, max_bucket=None
+            ).collect()
+        )
+
+    one_block = run()
+    monkeypatch.setattr(similarity, "BUCKET_SCORE_TILE", 3)
+    many_tiles = run()
+    assert many_tiles == one_block
+    assert len(one_block) == n * (n - 1) // 2 + 1
+
+
 def test_lsh_topk_collects_cleanly(spark):
     """Regression: the earlier broadcast-join formulation passed count()
     but failed collect() with a Catalyst attribute-binding internal
