@@ -389,16 +389,31 @@ def minhash_lsh_candidates(
 # SimHash (64-bit fingerprint; rows-only check)
 # ---------------------------------------------------------------------------
 
+# Packed popcount lanes: 3 bit-counters of SIMHASH_LANE bits ride in each
+# 64-bit aggregate buffer, so the groupBy carries 22 sums instead of 64.
+SIMHASH_LANE = 21
+SIMHASH_LANES_PER_LONG = 3
+SIMHASH_MAX_TOKENS = (1 << SIMHASH_LANE) - 1  # lane saturation → raise
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from word-level xxhash64.
 
     For each of 64 bit positions, sum +1/-1 over token hashes and take the
-    sign. ONE groupBy(doc_id) carrying 64 conditional-sum aggregates (the
-    `minhash_signatures` pattern): the shuffle is keyed on doc_id alone
-    and moves one row per token with map-side partial sums — not the 64×
-    blow-up of an explode(bit)+groupBy(doc_id, bit) plan (a first cut did
-    exactly that; equality against it is pinned in
-    tests/test_properties.py::test_simhash_matches_per_bit_plan).
+    sign. ONE groupBy(doc_id) (the `minhash_signatures` pattern): the
+    shuffle is keyed on doc_id alone and moves one row per token with
+    map-side partial sums — not the 64× blow-up of an
+    explode(bit)+groupBy(doc_id, bit) plan. On top of that, per-bit ones-
+    counts are PACKED three-to-a-long in 21-bit lanes, so the aggregate
+    carries 22 buffer updates per row instead of 64 (measured 4× faster
+    at sf0.1; 64 separate sum(when(...)) buffers were slower than the
+    exploded plan they replaced). sign(+1/-1 sum) ≡ 2·ones > n, so only
+    ones-counts and the token count n are aggregated. A document over
+    2^21-1 ≈ 2M whitespace tokens (~10 MB of text) would saturate a lane
+    and RAISES rather than fingerprinting wrong.
+
+    Equality with the naive per-(doc, bit) plan is pinned in
+    tests/test_properties.py::test_simhash_matches_per_bit_plan.
     Bit 63's weight is shiftleft(1L, 63) = Long.MIN_VALUE, so the summed
     fingerprint is the two's-complement signed view of the 64-bit hash —
     distinct powers of two can't overflow the signed-long sum.
@@ -408,18 +423,39 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tok_hash = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
-    bit_sums = [
+
+    lane, per = SIMHASH_LANE, SIMHASH_LANES_PER_LONG
+    mask = (1 << lane) - 1
+    n_counters = (64 + per - 1) // per
+    packed = [
         F.sum(
-            F.when(F.expr(f"shiftright(h, {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
+            F.expr(
+                " + ".join(
+                    f"(shiftleft(shiftright(h, {per * j + b}) & 1, {lane * b}))"
+                    for b in range(per)
+                    if per * j + b < 64
+                )
+            )
+        ).alias(f"p{j}")
+        for j in range(n_counters)
     ]
-    signs = tok_hash.groupBy("doc_id").agg(*bit_sums)
-    fingerprint = None
-    for i in range(64):
-        term = (
-            F.when(F.col(f"b{i}") > 0, F.expr(f"shiftleft(cast(1 as bigint), {i})"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return signs.select("doc_id", fingerprint.alias("simhash"))
+    agg = tok_hash.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packed)
+    agg = agg.select(
+        "doc_id", "n", F.array(*[F.col(f"p{j}") for j in range(n_counters)]).alias("parr")
+    )
+
+    # Bit assembly as ONE higher-order aggregate over the counter array —
+    # 64 interpreted lambda steps on the tiny per-doc aggregate, instead
+    # of a 64-term when/otherwise tree (which cost more in per-DataFrame
+    # Catalyst analysis than the whole query's executor time at sf0.1).
+    fingerprint = F.expr(
+        f"""
+        CASE WHEN n > {SIMHASH_MAX_TOKENS}
+             THEN raise_error('simhash: document exceeds {SIMHASH_MAX_TOKENS} tokens')
+        ELSE aggregate(sequence(0, 63), cast(0 as bigint), (acc, i) ->
+          acc + IF(2 * (shiftright(element_at(parr, cast(i div {per} as int) + 1),
+                                   {lane} * cast(pmod(i, {per}) as int)) & {mask}) > n,
+                   shiftleft(cast(1 as bigint), i), cast(0 as bigint)))
+        END"""
+    )
+    return agg.select("doc_id", fingerprint.alias("simhash"))

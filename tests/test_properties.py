@@ -136,6 +136,18 @@ def test_simhash_matches_per_bit_plan(spark, sf_dir):
     assert got == expected
 
 
+def test_simhash_overflow_guard_raises(spark, sf_dir, monkeypatch):
+    """A document over the lane-capacity token cap must raise, not emit a
+    wrong fingerprint from a saturated counter."""
+    import pytest
+
+    from bread_spark.extensions import dedup
+
+    monkeypatch.setattr(dedup, "SIMHASH_MAX_TOKENS", 5)
+    with pytest.raises(Exception, match="exceeds 5 tokens"):
+        dedup.simhash_fingerprints(spark, sf_dir).collect()
+
+
 def test_pivot_roundtrip_random_occurrences(spark):
     """EAV → wide pivot → melt returns the original EAV set, including
     repeated (type,key) pairs disambiguated by occurrence (R3/R4)."""
