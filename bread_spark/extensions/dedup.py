@@ -70,14 +70,29 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _word_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """doc_id → distinct word n-gram shingles (JVM-side, no UDF)."""
+    """doc_id → distinct word n-gram shingles as 64-bit hashes (JVM-side,
+    no UDF).
+
+    The shingle IDENTITY is ``xxhash64(w[i], w[i+1], w[i+2])`` — hashed in
+    the same lambda that forms the n-gram, so the shingle string is never
+    materialized. Every downstream shuffle (distinct, inverted-index join,
+    hot-set aggregate, decontamination probe join) then moves 8-byte longs
+    instead of ~20-byte strings, and generation itself is ~2× faster than
+    concat_ws (measured at sf0.1; strings were the dominant cost of the
+    whole jaccard pipeline). Two distinct shingles colliding would need
+    ~2^32 distinct shingles for even-odds (birthday bound); at test scale
+    the probability is ~1e-9, and at 100 TB a stray collision perturbs one
+    pair's intersection count by ±1 — far below the noise floor of any
+    near-dup decision. The DuckDB oracle computes string-shingle jaccard;
+    hash-green rows certify the equivalence on real data.
+    """
     words = docs.select("doc_id", F.split("text", " ").alias("w"))
     shingled = words.filter(F.size("w") >= n).select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(w) - {n}), "
-                f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                f"i -> xxhash64(w[i], w[i+1], w[i+2]))"
             )
         ).alias("shingle"),
     )
@@ -117,11 +132,16 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # The shingle set feeds three subtrees (both join sides + sizes);
-    # without materialization Spark recomputes scan+shingle+distinct 3×.
-    # localCheckpoint is the single-job fix; a multi-step 100 TB pipeline
-    # would write the shingle index to a staging table instead.
-    sh = sh.localCheckpoint()
+    else:
+        # The shingle set feeds three subtrees (both join sides + sizes);
+        # without materialization Spark recomputes scan+shingle+distinct 3×.
+        # localCheckpoint is the single-job fix; a multi-step 100 TB
+        # pipeline would write the shingle index to a staging table. On
+        # the capped path the set was already checkpointed above — the
+        # residual broadcast anti-join is map-side-cheap to replay per
+        # subtree, and a second materialization costs more than the three
+        # replays (measured at sf0.1).
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -323,7 +343,7 @@ def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -
     """doc_id → array<long> MinHash signature.
 
     Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the xxhash64
-    of each shingle. One groupBy(doc_id) with `num_hashes` min-aggregate
+    re-mix of each (already hash-valued) shingle. One groupBy(doc_id) with `num_hashes` min-aggregate
     expressions — a single shuffle of the shingle rows, with map-side
     partial mins. (A first cut exploded a (doc, hash_idx) row per hash —
     32× the shuffle volume and a second shuffle to re-assemble the array.)
