@@ -126,6 +126,9 @@ def main() -> None:
         "doc_chunks",
         "deterministic_sample",
         "dedup_exact_hash",
+        # end-to-end curation composite (quality → dedup → decontaminate
+        # → stratify → shuffle key) — the flagship training-data pipeline
+        "training_corpus",
         # capped variant is the benched/production near-dup plan (bounded
         # hot-shingle fan-out); uncapped exists for the oracle gate
         "ngram_jaccard_pairs_capped",

@@ -270,6 +270,30 @@ def connected_components(
     )
 
 
+def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-duplicate removal — the artifact a training
+    pipeline actually consumes. `ngram_jaccard_pairs` finds pairs,
+    `dedup_clusters` groups them transitively; this keeps each cluster's
+    canonical (min doc_id) member and drops the rest, annotating each
+    survivor with how many duplicates it absorbed.
+
+    Scale: clusters' label frame is O(docs) with doc_id keys — the final
+    join is a keyed shuffle (or broadcast, if the cluster frame is dim-
+    sized after filtering). No new shuffle shape beyond the components
+    loop itself.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        clusters.groupBy(F.col("cluster_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return docs.join(survivors, "doc_id").select(
+        "doc_id", "lang", "source", "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dups_removed"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS canonical_doc_id, COUNT(1) AS dup_count
@@ -326,6 +350,17 @@ ORACLE_SQL["dedup_clusters"] = f"""
            MIN(label) AS cluster_id,
            MIN(label) = node AS is_canonical
     FROM walk GROUP BY node
+"""
+
+ORACLE_SQL["deduped_corpus"] = f"""
+    WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+    survivors AS (
+        SELECT cluster_id AS doc_id, CAST(COUNT(1) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.source, s.cluster_size,
+           CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_removed
+    FROM documents d JOIN survivors s USING (doc_id)
 """
 
 

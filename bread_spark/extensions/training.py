@@ -235,6 +235,63 @@ def pack_sequences(
     )
 
 
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the pipeline a 100 TB pre-training
+    data build actually runs, composed from this repo's own operators:
+
+        quality filter   (adaptive 25th-pct alpha-ratio cutoff)
+      → exact dedup      (md5 digest, min-doc_id canonical survives)
+      → decontamination  (drop docs n-gram-overlapping the probe set ≥ 50%,
+                          and the probe docs themselves)
+      → stratified sample(per-language md5 cutoffs)
+      → shuffle key      (seeded deterministic training order)
+
+    Output: one row per surviving document with its token count and
+    shuffle key — ready for `pack_sequences` / shard writing.
+
+    Scale shape: the quality threshold is ONE tiny global aggregate
+    broadcast back; every other step is a doc_id-keyed join or a
+    map-side filter — co-partitioned on doc_id end to end, so AQE can
+    collapse the join chain into one exchange of O(docs) id rows. The
+    only content-sized shuffles are the digest groupBy (16-byte keys)
+    and the decontamination shingle probe (broadcast).
+
+    Fully deterministic (md5-derived randomness) → full DuckDB oracle,
+    composed from the same SQL fragments as the member operators.
+    """
+    from ..functions.text import QF_ALPHA_PCT, quality_scores
+    from .dedup import dedup_exact_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scores(spark, sf_dir)
+    th = scored.agg(
+        F.expr(f"percentile(alpha_ratio, {QF_ALPHA_PCT})").alias("alpha_th")
+    )
+    qual = (
+        scored.join(F.broadcast(th))
+        .filter(F.col("alpha_ratio") >= F.col("alpha_th"))
+        .select("doc_id", "n_tokens")
+    )
+    canon = dedup_exact_hash(spark, sf_dir).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    contam_bad = decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
+
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    cutoff = F.lit(DEFAULT_CUTOFF)
+    for lang, cut in LANG_CUTOFFS.items():
+        cutoff = F.when(F.col("lang") == lang, F.lit(cut)).otherwise(cutoff)
+
+    return (
+        docs.filter(F.col("doc_id") >= PROBE_MAX_DOC_ID)
+        .filter(bucket < cutoff)
+        .join(qual, "doc_id")
+        .join(canon, "doc_id")
+        .join(contam_bad, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_tokens", _shuffle_key().alias("shuffle_key"))
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "stratified_sample": f"""
         SELECT doc_id, lang, source,
@@ -307,3 +364,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
     """,
 }
+
+
+# Composed from the member operators' own oracle fragments (quality_scores
+# via functions.text, decontaminate above) so the composite can never
+# drift from its parts.
+def _training_corpus_oracle() -> str:
+    from ..functions.text import ORACLE_SQL as TEXT_ORACLE_SQL
+    from ..functions.text import QF_ALPHA_PCT
+
+    lang_case = " ".join(
+        f"WHEN '{lang}' THEN '{cut}'" for lang, cut in LANG_CUTOFFS.items()
+    )
+    return f"""
+        WITH scored AS ({TEXT_ORACLE_SQL["quality_scores"]}),
+        th AS (SELECT quantile_cont(alpha_ratio, {QF_ALPHA_PCT}) AS alpha_th FROM scored),
+        qual AS (
+            SELECT doc_id, n_tokens FROM scored, th WHERE alpha_ratio >= alpha_th
+        ),
+        canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        contam AS ({ORACLE_SQL["decontaminate"]}),
+        bad AS (SELECT doc_id FROM contam WHERE contaminated)
+        SELECT d.doc_id, d.lang, d.source, q.n_tokens,
+               md5('{SHUFFLE_SEED}:' || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents d
+        JOIN qual q USING (doc_id)
+        JOIN canon USING (doc_id)
+        WHERE d.doc_id >= {PROBE_MAX_DOC_ID}
+          AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+          AND substring(md5(d.text), 1, 2) <
+              CASE d.lang {lang_case} ELSE '{DEFAULT_CUTOFF}' END
+    """
+
+
+ORACLE_SQL["training_corpus"] = _training_corpus_oracle()

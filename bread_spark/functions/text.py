@@ -266,6 +266,38 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QF_ALPHA_PCT = 0.25  # drop the lowest-alpha-ratio quartile
+QF_STOP_PCT = 0.10  # drop the lowest-stopword-ratio decile (gibberish)
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering: keep documents at or above the corpus's
+    25th-percentile alpha ratio AND 10th-percentile stopword ratio — the
+    threshold-from-the-data pattern (fixed cutoffs rot as the corpus mix
+    shifts; percentile cutoffs track it).
+
+    Plan: score map-side (`quality_scores`), ONE global aggregate reduces
+    the corpus to two scalar thresholds, broadcast back, filter map-side.
+    At 100 TB the aggregate is the only shuffle and its output is 16
+    bytes; `percentile` is exact here because scores are rounded to 4dp
+    (bounded domain → bounded aggregation state) — an unbounded-domain
+    signal would use `approx_percentile`, same plan shape.
+    """
+    scored = quality_scores(spark, sf_dir)
+    th = scored.agg(
+        F.expr(f"percentile(alpha_ratio, {QF_ALPHA_PCT})").alias("alpha_th"),
+        F.expr(f"percentile(stopword_ratio, {QF_STOP_PCT})").alias("stop_th"),
+    )
+    return (
+        scored.join(F.broadcast(th))
+        .filter(
+            (F.col("alpha_ratio") >= F.col("alpha_th"))
+            & (F.col("stopword_ratio") >= F.col("stop_th"))
+        )
+        .select("doc_id", "lang", "n_tokens", "stopword_ratio", "alpha_ratio")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "token_stats": f"""
         SELECT doc_id,
@@ -387,3 +419,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM counts GROUP BY doc_id
     """,
 }
+
+
+# Composed from the quality_scores oracle so the two can never drift.
+ORACLE_SQL["quality_filter"] = f"""
+    WITH scored AS ({ORACLE_SQL["quality_scores"]}),
+    th AS (
+        SELECT quantile_cont(alpha_ratio, {QF_ALPHA_PCT}) AS alpha_th,
+               quantile_cont(stopword_ratio, {QF_STOP_PCT}) AS stop_th
+        FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, stopword_ratio, alpha_ratio
+    FROM scored, th
+    WHERE alpha_ratio >= alpha_th AND stopword_ratio >= stop_th
+"""

@@ -47,6 +47,7 @@ _register(
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
         "dedup_clusters": dedup.dedup_clusters,  # connected components
+        "deduped_corpus": dedup.deduped_corpus,  # surviving corpus post near-dup
     },
     dedup.ORACLE_SQL,
 )
@@ -80,6 +81,7 @@ _register(
         "vocab_topk": training.vocab_topk,
         "decontaminate": training.decontaminate,
         "pack_sequences": training.pack_sequences,  # rows-only (greedy packing)
+        "training_corpus": training.training_corpus,  # end-to-end curation composite
     },
     training.ORACLE_SQL,
 )
@@ -94,6 +96,7 @@ _register(
         "redact_pii": text.redact_pii,
         "doc_chunks": text.doc_chunks,
         "deterministic_sample": text.deterministic_sample,
+        "quality_filter": text.quality_filter,  # adaptive percentile curation
     },
     text.ORACLE_SQL,
 )
@@ -125,12 +128,15 @@ _SAMPLE_PRIORITY = (
     "daily_cum_ibc_transfers",
     "hourly_cum_ibc_transfers",
     "gas_used_per_day",
-    # 2 — training-data family (5)
+    # 2 — training-data family (8, incl. the r3 curation composites)
     "stratified_sample",
     "shuffle_order",
     "vocab_topk",
     "decontaminate",
     "pack_sequences",
+    "training_corpus",
+    "quality_filter",
+    "deduped_corpus",
     # 3 — text / asof / interval / media (13)
     "token_stats",
     "quality_scores",
@@ -156,20 +162,23 @@ _SAMPLE_PRIORITY = (
     "session_stats",
     "windowed_value_by_type",
     # 5 — TPC-H-ish models cross-section (15)
+    # (event_flows_union, cum_value_by_type and hourly_value_by_type
+    # yielded their slots to the r3 curation composites — their operator
+    # classes (S-OP1, W1, A1/A2-hour) stay driver-covered by
+    # ibc_transfers, daily/hourly_cum_ibc_transfers and
+    # hourly_ibc_transfers, and all three remain registered below and
+    # green in tests/test_oracle.py.)
     "pricing_summary",
     "revenue_by_segment",
     "orders_by_nation",
     "customers_without_orders",
-    "event_flows_union",
     "brand_number_extract",
     "props_json_extract",
     "base64_roundtrip",
     "lineitem_flag_status_key",
     "events_pivot_by_type",
     "cum_txs_per_day",
-    "cum_value_by_type",
     "txs_per_day",
-    "hourly_value_by_type",
     "user_activity_span",
 )
 

@@ -101,3 +101,81 @@ def test_decontaminate_probe_excluded_and_bounded(spark):
     for r in rows:
         assert 0.0 <= r["overlap_frac"] <= 1.0
         assert r["n_overlap"] <= r["n_shingles"]
+
+
+def test_training_corpus_curation_invariants(spark):
+    """The end-to-end composite must honor every member filter: no probe
+    docs, no contaminated docs, only exact-dedup canonicals, only docs at
+    or above the corpus quality threshold, and per-language sample rates
+    matching stratified_sample's cutoffs."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.extensions.dedup import dedup_exact_hash
+    from bread_spark.extensions.training import training_corpus, decontaminate
+
+    corpus = training_corpus(spark, SF_DIR)
+    rows = corpus.collect()
+    kept = {r["doc_id"] for r in rows}
+    assert kept, "composite should keep a non-trivial corpus"
+
+    # probe docs never survive
+    assert all(d >= PROBE_MAX_DOC_ID for d in kept)
+
+    # contaminated docs never survive
+    bad = {
+        r["doc_id"]
+        for r in decontaminate(spark, SF_DIR).filter("contaminated").collect()
+    }
+    assert not (kept & bad)
+
+    # only exact-dedup canonical doc_ids survive
+    canon = {
+        r["canonical_doc_id"] for r in dedup_exact_hash(spark, SF_DIR).collect()
+    }
+    assert kept <= canon
+
+    # survivors are a subset of the stratified sample's keep set
+    strat = {r["doc_id"] for r in QUERIES["stratified_sample"](spark, SF_DIR).collect()}
+    assert kept <= strat
+
+    # survivors meet the adaptive quality threshold computed on the FULL corpus
+    scored = QUERIES["quality_scores"](spark, SF_DIR)
+    th = scored.agg(F.expr("percentile(alpha_ratio, 0.25)").alias("t")).collect()[0]["t"]
+    above = {r["doc_id"] for r in scored.filter(F.col("alpha_ratio") >= th).collect()}
+    assert kept <= above
+
+
+def test_quality_filter_threshold_is_adaptive(spark):
+    """quality_filter keeps exactly the docs at/above the corpus
+    percentile thresholds — recomputed here independently."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.functions.text import QF_ALPHA_PCT, QF_STOP_PCT, quality_filter
+
+    scored = QUERIES["quality_scores"](spark, SF_DIR)
+    t = scored.agg(
+        F.expr(f"percentile(alpha_ratio, {QF_ALPHA_PCT})").alias("a"),
+        F.expr(f"percentile(stopword_ratio, {QF_STOP_PCT})").alias("s"),
+    ).collect()[0]
+    expected = {
+        r["doc_id"]
+        for r in scored.filter(
+            (F.col("alpha_ratio") >= t["a"]) & (F.col("stopword_ratio") >= t["s"])
+        ).collect()
+    }
+    got = {r["doc_id"] for r in quality_filter(spark, SF_DIR).collect()}
+    assert got == expected
+    assert 0 < len(got) < scored.count()  # filters something, keeps something
+
+
+def test_deduped_corpus_is_canonical_cover(spark):
+    """deduped_corpus = exactly the canonical (min doc_id) member of every
+    near-dup cluster, with cluster sizes summing to the full corpus."""
+    from bread_spark.extensions.dedup import dedup_clusters, deduped_corpus
+
+    clusters = dedup_clusters(spark, SF_DIR).collect()
+    canonical = {r["doc_id"] for r in clusters if r["is_canonical"]}
+    survivors = deduped_corpus(spark, SF_DIR).collect()
+    assert {r["doc_id"] for r in survivors} == canonical
+    assert sum(r["cluster_size"] for r in survivors) == len(clusters)
+    assert all(r["n_dups_removed"] == r["cluster_size"] - 1 for r in survivors)
