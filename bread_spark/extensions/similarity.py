@@ -543,3 +543,59 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup of the embedding corpus: connected components over
+    the cosine near-dup pair graph, keeping each component's canonical
+    (min vec_id) member — the embedding-side mirror of the text
+    pipeline's `deduped_corpus` (two paraphrases a~b, b~c collapse to one
+    representative even when a≁c directly).
+
+    Edges here come from the exact `embedding_cosine_dups` kernel so the
+    whole query is oracle-checkable (recursive-CTE components over the
+    same pair SQL); at 100 TB swap the edge source for `lsh_bucket_pairs`
+    — identical downstream shape, no driver collect. The components loop
+    is the shared `connected_components` harness (per-round keyed
+    join+groupBy, driver sees only a changed-count aggregate).
+    """
+    from .dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    pairs = embedding_cosine_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(nodes, pairs)
+    survivors = comp.groupBy(F.col("cluster_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return emb.join(survivors, "vec_id").select(
+        "vec_id",
+        "label",
+        "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dups_removed"),
+    )
+
+
+ORACLE_SQL["embedding_dedup_corpus"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_SQL["embedding_cosine_dups"]}),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+    survivors AS (
+        SELECT cluster_id AS vec_id, CAST(COUNT(1) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1
+    )
+    SELECT e.vec_id, e.label, s.cluster_size,
+           CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_removed
+    FROM embeddings e JOIN survivors s USING (vec_id)
+"""

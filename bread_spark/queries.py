@@ -59,6 +59,7 @@ _register(
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
         "ivf_topk": similarity.ivf_topk,  # rows-only (IVF ANN scale path)
+        "embedding_dedup_corpus": similarity.embedding_dedup_corpus,  # semantic dedup
     },
     similarity.ORACLE_SQL,
 )
@@ -146,7 +147,9 @@ _SAMPLE_PRIORITY = (
     "lang_id_scores",
     "redact_pii",
     "doc_chunks",
-    "deterministic_sample",
+    # (deterministic_sample yielded its slot to embedding_dedup_corpus —
+    # its md5-cutoff mechanism stays driver-covered by stratified_sample
+    # and training_corpus, and it remains registered + test_oracle-green.)
     "last_purchase_asof",
     "events_near_errors",
     "media_features",
@@ -159,6 +162,7 @@ _SAMPLE_PRIORITY = (
     "cosine_topk",
     "centroid_by_label",
     "embedding_cosine_dups",
+    "embedding_dedup_corpus",
     "session_stats",
     "windowed_value_by_type",
     # 5 — TPC-H-ish models cross-section (15)

@@ -181,3 +181,32 @@ def test_lsh_topk_collects_cleanly(spark):
     error — keep a collect in the suite."""
     rows = QUERIES["lsh_bucket_topk"](spark, SF_DIR).collect()
     assert all(r["rank"] >= 1 and r["cosine"] is not None for r in rows)
+
+
+def test_embedding_dedup_corpus_is_canonical_cover(spark):
+    """Semantic-dedup survivors = exactly the min-vec_id member of every
+    cosine-dup component; sizes sum to the full corpus; transitive
+    closure is honored (a~b, b~c collapse even when a is not a direct
+    dup of c)."""
+    from bread_spark.extensions.dedup import connected_components
+    from bread_spark.extensions.similarity import (
+        embedding_cosine_dups,
+        embedding_dedup_corpus,
+    )
+    from bread_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    nodes = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    pairs = embedding_cosine_dups(spark, SF_DIR).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(nodes, pairs).collect()
+    canonical = {r["doc_id"] for r in comp if r["is_canonical"]}
+
+    survivors = embedding_dedup_corpus(spark, SF_DIR).collect()
+    assert {r["vec_id"] for r in survivors} == canonical
+    assert sum(r["cluster_size"] for r in survivors) == len(comp)
+    assert all(r["n_dups_removed"] == r["cluster_size"] - 1 for r in survivors)
