@@ -464,3 +464,37 @@ def write_training_shards(
     with open(_os.path.join(out_dir, "_manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=2)
     return manifest
+
+
+def training_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`training_corpus` with the near-duplicate stage added — the
+    complete curation chain (quality → exact dedup → NEAR-dup removal →
+    decontamination → stratify → shuffle key). Near-dup survivors are
+    the connected-component canonicals of the word-3-gram jaccard pair
+    graph, computed over the full corpus (a doc's duplicate class does
+    not depend on which of its copies pass the other filters); the join
+    against the canonical set is one more doc_id-keyed semi-filter in
+    the already co-partitioned chain.
+
+    Oracle: the training_corpus SQL composed with the recursive-CTE
+    components — again built from the member operators' own fragments.
+    """
+    from .dedup import dedup_clusters
+
+    base = training_corpus(spark, sf_dir)
+    canon = dedup_clusters(spark, sf_dir).filter("is_canonical").select("doc_id")
+    return base.join(canon, "doc_id")
+
+
+def _training_corpus_neardup_oracle() -> str:
+    from .dedup import ORACLE_SQL as DEDUP_ORACLE_SQL
+
+    return f"""
+        WITH tc AS ({ORACLE_SQL["training_corpus"]}),
+        clusters AS ({DEDUP_ORACLE_SQL["dedup_clusters"]}),
+        canon AS (SELECT doc_id FROM clusters WHERE is_canonical)
+        SELECT tc.* FROM tc JOIN canon USING (doc_id)
+    """
+
+
+ORACLE_SQL["training_corpus_neardup"] = _training_corpus_neardup_oracle()

@@ -83,6 +83,7 @@ _register(
         "decontaminate": training.decontaminate,
         "pack_sequences": training.pack_sequences,  # rows-only (greedy packing)
         "training_corpus": training.training_corpus,  # end-to-end curation composite
+        "training_corpus_neardup": training.training_corpus_neardup,  # + near-dup stage
     },
     training.ORACLE_SQL,
 )

@@ -219,3 +219,28 @@ def test_write_training_shards_replays_permutation(spark, tmp_path):
     manifest2 = write_training_shards(corpus, str(tmp_path / "shards2"), n_shards=4)
     assert [s["rows"] for s in manifest2["shards"]] == [s["rows"] for s in manifest["shards"]]
     assert [s["min_key"] for s in manifest2["shards"]] == [s["min_key"] for s in manifest["shards"]]
+
+
+def test_training_corpus_neardup_subsets_and_removes_neardups(spark):
+    """The near-dup-complete composite is a subset of training_corpus
+    that contains no two docs from the same jaccard cluster."""
+    from bread_spark.extensions.dedup import dedup_clusters
+    from bread_spark.extensions.training import (
+        training_corpus,
+        training_corpus_neardup,
+    )
+
+    base = {r["doc_id"] for r in training_corpus(spark, SF_DIR).collect()}
+    full = {r["doc_id"] for r in training_corpus_neardup(spark, SF_DIR).collect()}
+    assert full <= base
+
+    cluster_of = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(spark, SF_DIR).collect()
+    }
+    seen = {}
+    for d in full:
+        c = cluster_of[d]
+        assert c not in seen, f"docs {seen[c]} and {d} share cluster {c}"
+        seen[c] = d
+    # docs dropped relative to base are exactly the non-canonical members
+    assert base - full == {d for d in base if cluster_of[d] != d}
