@@ -24,7 +24,7 @@ shuffle; the blocks-time join broadcasts the (small per-batch) blocks side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .schemas import (
@@ -162,35 +162,70 @@ def parse_events_attrs(raw_txs: DataFrame) -> DataFrame:
     (the intent of reference parse.py:164-178, without its row
     misalignment — SURVEY R5).
 
-    posexplode twice so (event_pos, attr_pos) give a total order per tx;
-    `occurrence` = rank of the event among events sharing (tx, type_key).
+    (event_pos, attr_pos) give a total order per tx; `occurrence` = rank
+    of this attr among same-combined_key attrs of the tx, in that order.
+
+    ZERO-SHUFFLE plan: a tx's events live in ONE array cell, so the
+    ordinal is computed inside the array (count of earlier elements with
+    the same combined_key — O(n²) interpreted-lambda steps on a
+    few-element array) before a single explode. The first cut instead
+    ran row_number() over Window.partitionBy(hash, height, combined_key)
+    AFTER exploding — a full shuffle+sort of the EAV table, the largest
+    frame in the pipeline, purely to recover per-tx information the
+    pre-explode row still had. At 100 TB that shuffle is the difference
+    between a map-only parse and re-clustering the corpus; equality with
+    the window plan is pinned in
+    tests/test_parse.py::test_events_attrs_matches_window_plan.
     """
-    ev = raw_txs.select(
-        "hash",
-        F.col("height").cast("long").alias("height"),
-        F.posexplode("tx_result.events").alias("event_pos", "event"),
+    # flattened per-tx attr array: (event_pos, attr_pos, type, key, value)
+    # with b64 decode (P5 — reference decode_base64 at parse.py:51-64)
+    arr = F.expr(
+        """
+        flatten(transform(tx_result.events, (e, ep) ->
+            transform(e.attributes, (a, ap) -> named_struct(
+                'event_pos', ep,
+                'attr_pos', ap,
+                'type', e.type,
+                'key', cast(unbase64(a.key) as string),
+                'value', cast(unbase64(a.value) as string)))))
+        """
     )
-    attrs = ev.select(
-        "hash",
-        "height",
-        "event_pos",
-        F.col("event.type").alias("type"),
-        F.posexplode("event.attributes").alias("attr_pos", "attr"),
-    ).select(
-        "hash",
-        "height",
-        "event_pos",
-        "attr_pos",
-        "type",
-        # b64 decode (P5) — reference decode_base64 at parse.py:51-64
-        F.unbase64(F.col("attr.key")).cast("string").alias("key"),
-        F.unbase64(F.col("attr.value")).cast("string").alias("value"),
+    # occurrence via earlier-same-key count; combined_key compared as the
+    # same concat_ws string the output exposes (null key ≡ skipped part)
+    occ = F.expr(
+        """
+        transform(sequence(0, size(arr) - 1), i -> named_struct(
+            'event_pos', arr[i].event_pos,
+            'attr_pos', arr[i].attr_pos,
+            'type', arr[i].type,
+            'key', arr[i].key,
+            'value', arr[i].value,
+            'combined_key', concat_ws('_', arr[i].type, arr[i].key),
+            'occurrence', cast(size(filter(slice(arr, 1, i), y ->
+                concat_ws('_', y.type, y.key) =
+                concat_ws('_', arr[i].type, arr[i].key))) as bigint)))
+        """
     )
-    combined = attrs.withColumn("combined_key", F.concat_ws("_", "type", "key"))
-    # occurrence (R3): ordinal of the event among same-key events of the tx,
-    # ordered by event position — reproducible, unlike pandas cumcount.
-    w = Window.partitionBy("hash", "height", "combined_key").orderBy("event_pos", "attr_pos")
-    return combined.withColumn("occurrence", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    return (
+        raw_txs.select(
+            "hash",
+            F.col("height").cast("long").alias("height"),
+            arr.alias("arr"),
+        )
+        .filter(F.size("arr") > 0)
+        .select("hash", "height", F.explode(occ).alias("r"))
+        .select(
+            "hash",
+            "height",
+            F.col("r.event_pos").alias("event_pos"),
+            F.col("r.attr_pos").alias("attr_pos"),
+            F.col("r.type").alias("type"),
+            F.col("r.key").alias("key"),
+            F.col("r.value").alias("value"),
+            F.col("r.combined_key").alias("combined_key"),
+            F.col("r.occurrence").alias("occurrence"),
+        )
+    )
 
 
 def parse_events_wide(raw_txs: DataFrame, key_values: list[str] | None = None) -> DataFrame:

@@ -187,3 +187,49 @@ def test_corrupt_record_dead_letter(spark, tmp_path):
     from bread_spark.parse import parse_blocks
 
     assert parse_blocks(good).count() == 5
+
+
+def test_events_attrs_matches_window_plan(fixture_env):
+    """The zero-shuffle in-array occurrence must be row-identical to the
+    window plan it replaced (row_number over (hash, height, combined_key)
+    ordered by (event_pos, attr_pos))."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw_txs = fixture_env["raw_txs"]
+    got = sorted(tuple(r) for r in P.parse_events_attrs(raw_txs).collect())
+
+    ev = raw_txs.select(
+        "hash",
+        F.col("height").cast("long").alias("height"),
+        F.posexplode("tx_result.events").alias("event_pos", "event"),
+    )
+    attrs = ev.select(
+        "hash", "height", "event_pos",
+        F.col("event.type").alias("type"),
+        F.posexplode("event.attributes").alias("attr_pos", "attr"),
+    ).select(
+        "hash", "height", "event_pos", "attr_pos", "type",
+        F.unbase64(F.col("attr.key")).cast("string").alias("key"),
+        F.unbase64(F.col("attr.value")).cast("string").alias("value"),
+    ).withColumn("combined_key", F.concat_ws("_", "type", "key"))
+    w = Window.partitionBy("hash", "height", "combined_key").orderBy("event_pos", "attr_pos")
+    expected = sorted(
+        tuple(r)
+        for r in attrs.select(
+            "hash", "height", "event_pos", "attr_pos", "type", "key", "value",
+            "combined_key",
+            (F.row_number().over(w) - F.lit(1)).cast("long").alias("occurrence"),
+        ).collect()
+    )
+    assert got == expected
+
+
+def test_events_attrs_is_shuffle_free(fixture_env):
+    """The EAV parse plan must contain no Exchange — it is a pure map
+    over the scan (the 100 TB contract the docstring claims)."""
+    plan = (
+        P.parse_events_attrs(fixture_env["raw_txs"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
