@@ -99,6 +99,25 @@ def _word_shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     return shingled.distinct()
 
 
+def _word_shingles_with_dups(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """`_word_shingles` WITHOUT the distinct — for duplicate-insensitive
+    consumers. MinHash's min-aggregate gives the same signature whether a
+    shingle appears once or ten times, so paying a full (doc_id, shingle)
+    shuffle to dedup first is pure waste; map-side partial mins absorb
+    the duplicates for free. Jaccard/decontamination COUNT shingles and
+    must keep the distinct."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    return words.filter(F.size("w") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {n}), "
+                f"i -> xxhash64(w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -413,7 +432,7 @@ def minhash_lsh_candidates(
     Rows-only correctness check (hash family is engine-specific).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(_word_shingles(docs))
+    sigs = minhash_signatures(_word_shingles_with_dups(docs))
     rows_per_band = NUM_HASHES // num_bands
     bands = sigs.select(
         "doc_id",

@@ -281,3 +281,20 @@ def test_connected_components_long_chain_converges_or_raises(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(docs, pairs, max_iters=3).collect()
+
+
+def test_minhash_signatures_duplicate_insensitive(spark, sf_dir):
+    """Signatures from the no-distinct shingle stream must equal those
+    from the distinct stream (min-aggregation absorbs duplicates) — the
+    invariant that lets minhash_lsh_candidates skip the dedup shuffle."""
+    from bread_spark.extensions.dedup import (
+        _word_shingles,
+        _word_shingles_with_dups,
+        minhash_signatures,
+    )
+    from bread_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["signature"] for r in minhash_signatures(_word_shingles(docs)).collect()}
+    b = {r["doc_id"]: r["signature"] for r in minhash_signatures(_word_shingles_with_dups(docs)).collect()}
+    assert a == b
