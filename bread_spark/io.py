@@ -47,22 +47,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → column pruning and filter
     pushdown happen automatically once the caller selects/filters.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
-    (TimestampType is µs — the ns divergence documented in SURVEY.md §1.3).
-    We read it as long nanos (legacy conf) and floor-divide to µs, matching
-    DuckDB's ns→µs truncation so oracle comparisons agree.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    parquet across testdata generations, so the read is type-adaptive:
+    TIMESTAMP(NANOS) is rejected by Spark's reader (TimestampType is µs —
+    the ns divergence documented in SURVEY.md §1.3), so we read it as long
+    nanos (legacy conf) and floor-divide to µs, matching DuckDB's ns→µs
+    truncation; TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and is cast to
+    the session-zone TimestampType (wall-clock preserving under the UTC
+    session zone) so every downstream model sees one ts type either way.
     """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     cacheable = path.startswith(_CACHEABLE_PREFIX)
     key = (spark.sparkContext.applicationId, path)
     if cacheable and key in _SOURCE_CACHE:
         return _SOURCE_CACHE[key]
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(path)
     if cacheable:
