@@ -51,12 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet across testdata generations, so the read is type-adaptive:
     TIMESTAMP(NANOS) is rejected by Spark's reader (TimestampType is µs —
     the ns divergence documented in SURVEY.md §1.3), so we read it as long
-    nanos (legacy conf) and floor-divide to µs, matching DuckDB's ns→µs
-    truncation; TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and is cast to
-    the session-zone TimestampType (wall-clock preserving under the UTC
-    session zone) so every downstream model sees one ts type either way.
+    nanos (legacy conf, scoped to that one read) and floor-divide to µs,
+    matching DuckDB's ns→µs truncation; TIMESTAMP(MICROS) arrives as
+    TIMESTAMP_NTZ and is cast to the session-zone TimestampType
+    (wall-clock preserving under the UTC session zone) so every downstream
+    model sees one ts type either way. Both encodings of the same instants
+    produce identical values (pinned by tests/test_io_timestamps.py).
     """
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     cacheable = path.startswith(_CACHEABLE_PREFIX)
@@ -64,18 +66,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cacheable and key in _SOURCE_CACHE:
         return _SOURCE_CACHE[key]
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_events(spark, path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
+            # NANOS generation read via the legacy conf: long ns → µs floor.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif isinstance(ts_type, TimestampType):
+            pass  # TIMESTAMP(MICROS, adjustedToUTC=true) — already the target type
+        else:
+            raise TypeError(
+                f"{path}: unsupported parquet encoding for events.ts "
+                f"({ts_type}); expected TIMESTAMP(MICROS/NANOS) or the "
+                "nanos-as-long legacy read"
+            )
     else:
         df = spark.read.parquet(path)
     if cacheable:
         _SOURCE_CACHE[key] = df
     return df
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events parquet, engaging the nanos-as-long legacy conf only
+    when the file actually ships TIMESTAMP(NANOS) — and restoring the conf
+    afterwards either way (the converted schema is captured at analysis
+    time, so later execution of the returned DataFrame is unaffected)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
