@@ -202,8 +202,9 @@ def pack_sequences(
     count scales with the cluster while each kernel stays a trivial
     running-sum loop. A doc longer than the budget gets its own pack.
 
-    Rows-only check (greedy capacity-reset packing is not expressible as
-    window SQL); invariants pinned by tests: exactly-once membership,
+    Oracle-checked: the per-bucket greedy recurrence (row k depends only
+    on row k-1's pack ordinal + used budget) is a recursive CTE in DuckDB;
+    invariants additionally pinned by tests: exactly-once membership,
     budget respected, order preserved.
     """
     import pandas as pd
@@ -362,6 +363,36 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(ROUND(ov.n_overlap / s.n_shingles, 4), 0.0) >= {CONTAM_THRESHOLD}
                    AS contaminated
         FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+    """,
+    # Greedy capacity-reset packing IS sequential, but per-bucket it is a
+    # linear recurrence — exactly what a recursive CTE expresses: row k of
+    # a bucket depends only on row k-1's (pack ordinal, used budget).
+    "pack_sequences": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tokens,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id % {PACK_BUCKETS} ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT bucket, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS local_pack, n_tokens AS used
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                   CASE WHEN p.used > 0 AND p.used + t.n_tokens > {PACK_BUDGET}
+                        THEN p.local_pack + 1 ELSE p.local_pack END,
+                   CASE WHEN p.used > 0 AND p.used + t.n_tokens > {PACK_BUDGET}
+                        THEN t.n_tokens ELSE p.used + t.n_tokens END
+            FROM toks t JOIN packed p ON t.bucket = p.bucket AND t.rn = p.rn + 1
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(bucket AS BIGINT) * 1000000 + local_pack AS pack_id
+        FROM packed
     """,
 }
 

@@ -81,7 +81,7 @@ _register(
         "shuffle_order_distributed": training.shuffle_order_distributed,
         "vocab_topk": training.vocab_topk,
         "decontaminate": training.decontaminate,
-        "pack_sequences": training.pack_sequences,  # rows-only (greedy packing)
+        "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
         "training_corpus": training.training_corpus,  # end-to-end curation composite
         "training_corpus_neardup": training.training_corpus_neardup,  # + near-dup stage
     },
