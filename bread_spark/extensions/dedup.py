@@ -201,8 +201,81 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, so the capped score tracks the true score closely; recall
     vs the uncapped exact result is pinned by tests/test_recall.py.
     Rows-only check (cap choice is engine-policy, not reference
-    semantics)."""
+    semantics).
+
+    A posting-list alternative (`_jaccard_posting_capped`: one
+    groupBy(shingle) aggregate + in-array pair expansion instead of the
+    index self-join) is value-identical (equality-pinned in
+    tests/test_recall.py) but measured ~0.3-0.5 s SLOWER at sf0.1
+    (broadcast-sizes build + collect_list/sort beat the hash join only
+    when posting lists amortize many co-occurrences). The self-join stays
+    the benched plan; revisit the posting variant where the pair/index
+    ratio is high."""
     return ngram_jaccard_pairs(spark, sf_dir, max_df=MAX_DF)
+
+
+def _jaccard_posting_capped(
+    docs: DataFrame, threshold: float, max_df: int
+) -> DataFrame:
+    """Posting-list capped jaccard: shingle → distinct → count-based hot
+    drop (no unbounded array ever materializes for a degenerate shingle)
+    → per-doc sizes ride the posting list as struct fields → map-side
+    pair expansion inside the array → ONE pair aggregate. Two fewer
+    shuffles than the self-join plan and no join after the anti-join;
+    kept as the measured-alternative seam (see
+    `ngram_jaccard_pairs_capped` docstring for the local measurement).
+
+    Per-shingle arrays are bounded by `max_df` (hot shingles are dropped
+    BEFORE any collect, via the count-based broadcast anti-join), so the
+    collect_list aggregation buffer is ≤ max_df structs per key at any
+    scale."""
+    sh = _word_shingles(docs).localCheckpoint()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Per-doc capped sizes: O(docs) rows → broadcast back onto the kept
+    # index map-side, so sizes ride the posting list as struct fields.
+    # (At 100 TB, if sizes outgrow broadcast this becomes a shuffle join
+    # keyed on doc_id — still upstream of the single posting aggregate.)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    posting = (
+        kept.join(F.broadcast(sizes), "doc_id")
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.n AS na, y.n AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def dedup_clusters(

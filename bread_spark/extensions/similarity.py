@@ -299,17 +299,21 @@ def lsh_bucket_pairs(
     Shape (the minhash-band pattern applied to hyperplane signatures):
 
         scan → mapInPandas: unit-normalize + L×b sign-of-projection
-               signatures, emit (table, bucket, vec_id, unit) — N·L rows
+               signatures, emit (table, bucket, vec_id, emb) — N·L rows
         → groupBy(table, bucket): candidates only ever meet INSIDE a
-               bucket (never all-pairs); applyInPandas scores each
-               bucket's upper triangle with one BLAS matmul and keeps
-               pairs ≥ threshold
+               bucket (never all-pairs); applyInPandas unit-normalizes in
+               float64 and scores each bucket's upper triangle with one
+               BLAS matmul, keeping pairs ≥ threshold
         → distinct(): a pair sharing buckets in several tables collapses
                (scores are rounded, so duplicates are exact)
 
-    Cost: one shuffle of N·L signature rows (the unit vector rides along:
-    64 float64 ≈ 512 B — same order as a document row), plus a distinct
-    over the (tiny) pair set. No driver collect, no cartesian.
+    Cost: one shuffle of N·L signature rows. The vector rides along in
+    its STORED float32 form (64 × 4 B = 256 B — half the float64 unit
+    vector an earlier revision shipped); normalization happens in the
+    scoring kernel in float64, the same op order as the brute-force
+    kernel, so rounded scores stay bit-identical to it (pinned by
+    tests/test_recall.py's exact-score assertion). Plus a distinct over
+    the (tiny) pair set. No driver collect, no cartesian.
 
     `max_bucket` bounds the worst bucket: a bucket of m rows scores m²/2
     pairs, so a degenerate bucket (all-identical corpus) would otherwise
@@ -356,12 +360,13 @@ def lsh_bucket_pairs_df(
                     "table": np.tile(np.arange(N_TABLES, dtype=np.int32), n),
                     "bucket": sigs.reshape(-1),
                     "vec_id": np.repeat(ids, N_TABLES),
-                    "unit": list(np.repeat(unit, N_TABLES, axis=0)),
+                    # stored float32 form — half the bytes of float64 units
+                    "emb": np.repeat(pdf["embedding"].to_numpy(), N_TABLES),
                 }
             )
 
     sig = emb.mapInPandas(
-        sig_rows, "table int, bucket long, vec_id long, unit array<double>"
+        sig_rows, "table int, bucket long, vec_id long, emb array<float>"
     )
 
     def bucket_pairs(key, pdf):
@@ -371,7 +376,10 @@ def lsh_bucket_pairs_df(
         if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
             return empty
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        unit = np.array(pdf["unit"].tolist(), dtype=np.float64)
+        # float64 normalize AFTER transport — same op order as the
+        # brute-force kernel, so rounded scores match it exactly
+        a = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        unit = a / np.linalg.norm(a, axis=1, keepdims=True)
         # Tile the upper triangle in row blocks: a dense m×m score matrix
         # at m = max_bucket = 10_000 is ~800 MB in one task (ADVICE r2 #2);
         # per-block peak is TILE×m ≈ 80 MB and output pairs stream out.
