@@ -1,0 +1,323 @@
+"""Corpus-curation operators beyond the core training family — the
+remaining steps a 100 TB pre-training data build runs between "raw
+documents" and "mixture-weighted, deduplicated corpus":
+
+- paragraph_dedup:        sub-document (chunk-level) exact dedup with
+                          global first-occurrence-wins and document
+                          reassembly (the Dolma/C4 paragraph-dedup shape;
+                          here a "paragraph" is a fixed 32-token chunk
+                          because the synthetic corpus has no newlines).
+- domain_quota_sample:    deterministic per-source quota cap (bound any
+                          one domain's share of the corpus).
+- corpus_mix:             repetition-factor mixture weighting — sources
+                          with weight w get floor(w) full epochs plus an
+                          md5-gated fractional epoch (the LLaMA-recipe
+                          upsampling shape).
+- unigram_logprob_scores: per-document mean unigram log-probability under
+                          the corpus's own unigram LM (the CCNet
+                          perplexity-filter shape, with a unigram model
+                          standing in for the KenLM n-gram model).
+
+All deterministic (content/md5-derived randomness), all JVM-side — no
+Python in any hot path. Every operator has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+CHUNK_TOKENS = 32  # "paragraph" size for sub-document dedup
+DOMAIN_QUOTA = 10  # max docs any one source may contribute
+MIX_SEED = "mix42"
+
+# Repetition factors per source: >1 upsamples (full epochs + fractional),
+# <1 downsamples (fractional epoch only). Unlisted sources get 1.0.
+MIX_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25}
+DEFAULT_MIX_WEIGHT = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (paragraph/chunk) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = CHUNK_TOKENS
+) -> DataFrame:
+    """Chunk-level exact dedup with document reassembly: split every
+    document into fixed `chunk_tokens`-token chunks, keep each distinct
+    chunk text only at its GLOBAL first occurrence (min (doc_id,
+    chunk_idx)), and rebuild each document from its surviving chunks.
+
+    Output: one row per document that keeps ≥1 chunk — doc_id, n_chunks,
+    n_kept, text (the surviving chunks re-joined in order).
+
+    Plan (all JVM): split → in-array chunking (transform over a
+    sequence of slice()s — no explode until chunks exist) → posexplode →
+    groupBy(chunk) taking the min composite (doc_id, chunk_idx) ordinal →
+    join back on chunk + ordinal equality (first occurrence wins) →
+    groupBy(doc_id) ordered reassembly.
+
+    Scale: shuffles are keyed on chunk text / doc_id (hash-partitioned,
+    no hot key unless one chunk dominates the corpus — and a duplicated
+    chunk's group only carries ONE min aggregate, not a posting list, so
+    even a degenerate chunk costs O(1) state). The reassembly
+    sort_array+collect_list holds one document per aggregation buffer —
+    bounded by document length, the same bound the scan already needs.
+    The composite ordinal packs (doc_id, chunk_idx) into one long
+    (doc_id * 2^20 + idx) so the min-aggregate and the equality join move
+    8-byte keys; 2^20 chunks/doc ≫ any real document at 32 tokens/chunk.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup_df(docs, chunk_tokens)
+
+
+def paragraph_dedup_df(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS
+) -> DataFrame:
+    """`paragraph_dedup` core over any (doc_id, text) frame — the seam
+    synthetic-fixture tests drive directly."""
+    n = chunk_tokens
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {n}.0) "
+                f"as int) - 1), i -> array_join(slice(split(text, ' '), "
+                f"i * {n} + 1, {n}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    ordinal = (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).alias("ord")
+    with_ord = chunked.select("doc_id", "chunk_idx", "chunk", ordinal)
+    winners = with_ord.groupBy("chunk").agg(F.min("ord").alias("win_ord"))
+    winners = winners.select(F.col("chunk").alias("win_chunk"), "win_ord")
+    kept = with_ord.join(
+        winners,
+        (F.col("chunk") == F.col("win_chunk")) & (F.col("ord") == F.col("win_ord")),
+    ).select("doc_id", "chunk_idx", "chunk")
+    sizes = chunked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return rebuilt.join(sizes, "doc_id").select(
+        "doc_id", "n_chunks", "n_kept", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota sampling
+# ---------------------------------------------------------------------------
+
+
+def domain_quota_sample(
+    spark: SparkSession, sf_dir: str, quota: int = DOMAIN_QUOTA
+) -> DataFrame:
+    """Cap any one source's contribution at `quota` documents, chosen
+    deterministically (md5(text) order, doc_id tiebreak) — the "no single
+    domain dominates" bound every web-scale corpus applies.
+
+    The window partitions by source: at 100 TB each source's rows meet in
+    one shuffle partition ONLY up to the quota decision — and since the
+    rank is per-source and sources number in the millions on real crawls,
+    the partitioning is fine-grained; a pathologically hot single source
+    is exactly what the quota exists to cut, and Spark's window TopK
+    pushdown (WindowGroupLimit, rank <= k) prunes per-partition before
+    the final sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("text").cast("binary"))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            key.alias("sample_key"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source", "lang", "sample_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-factor corpus mixing
+# ---------------------------------------------------------------------------
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting by repetition factor: a source with weight w
+    contributes floor(w) full copies ("epochs") of every document, plus
+    one more gated per-document by an md5 cutoff with probability
+    w - floor(w). Weights < 1 are pure downsampling (only the fractional
+    epoch), weights > 1 upsample (the LLaMA-recipe shape: high-quality
+    sources repeat, bulk web gets a fraction).
+
+    Deterministic: the fractional gate hashes (seed, doc_id, epoch), so
+    the same corpus always mixes identically — across runs, engines and
+    partitionings. The epoch fan-out is an in-array sequence + explode
+    (map-side, no shuffle at all); at 100 TB this pipelines with the scan
+    and the output is written straight to the shuffle-free sink.
+
+    Output: (doc_id, source, epoch) — one row per kept copy.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weight = F.lit(DEFAULT_MIX_WEIGHT)
+    for src, w_val in MIX_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(w_val)).otherwise(weight)
+    full = F.floor(weight).cast("int")
+    # fractional cutoff on the first two hex chars of the gate hash:
+    # keep epoch=floor(w) iff hex(md5) < 256 * (w - floor(w))
+    frac_cut = F.round((weight - F.floor(weight)) * 256).cast("int")
+    gate = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(MIX_SEED), F.col("doc_id"), full).cast("binary")
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    n_copies = full + F.when(gate < frac_cut, F.lit(1)).otherwise(F.lit(0))
+    # NB: Spark's sequence(0, -1) counts DOWN ([0, -1]), it is not empty —
+    # a weight < 1 source with a failed gate must yield zero rows, so the
+    # empty case is explicit.
+    epochs = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select("doc_id", "source", F.explode(epochs).alias("epoch"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log10 unigram probability under the corpus's own
+    unigram distribution — the perplexity-filter shape (CCNet trains a
+    KenLM model; the unigram stand-in keeps the engine-side plumbing
+    identical: build LM → score every doc → threshold the tail).
+
+    Low (very negative) scores mean a document of rare tokens; high means
+    common-token text. Plan: explode → token-count aggregate (the LM) →
+    token-keyed join back (broadcast here; at real vocab sizes a
+    shuffle join on token — both sides token-partitioned, and the heavy
+    side already exists from the explode) → per-doc mean. All JVM.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = lm.agg(F.sum("n").alias("total"))
+    lm_p = lm.join(F.broadcast(total)).select(
+        "token", (F.log10(F.col("n") / F.col("total"))).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(lm_p), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("mean_logp"),
+        )
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "paragraph_dedup": f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(
+                       toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}],
+                       ' ') AS chunk,
+                   doc_id * 1048576 + i AS ord
+            FROM w, LATERAL (
+                SELECT unnest(range(CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+            ) t
+        ),
+        winners AS (SELECT chunk, MIN(ord) AS win_ord FROM chunks GROUP BY chunk),
+        kept AS (
+            SELECT c.doc_id, c.chunk_idx, c.chunk
+            FROM chunks c JOIN winners x
+              ON c.chunk = x.chunk AND c.ord = x.win_ord
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(1) AS n_chunks FROM chunks GROUP BY doc_id
+        ),
+        rebuilt AS (
+            SELECT doc_id, COUNT(1) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT r.doc_id, s.n_chunks, r.n_kept, r.text
+        FROM rebuilt r JOIN sizes s ON r.doc_id = s.doc_id
+    """,
+    "domain_quota_sample": f"""
+        SELECT doc_id, source, lang, sample_key FROM (
+            SELECT doc_id, source, lang, md5(text) AS sample_key,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {DOMAIN_QUOTA}
+    """,
+    "corpus_mix": f"""
+        WITH weighted AS (
+            SELECT doc_id, source,
+                   CASE source
+                       {' '.join(f"WHEN '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items())}
+                       ELSE {DEFAULT_MIX_WEIGHT}
+                   END AS w
+            FROM documents
+        ),
+        gated AS (
+            SELECT doc_id, source,
+                   CAST(FLOOR(w) AS INT) AS full_epochs,
+                   CASE WHEN CAST(
+                            ('0x' || substring(
+                                md5('{MIX_SEED}' || ':' || CAST(doc_id AS VARCHAR)
+                                    || ':' || CAST(CAST(FLOOR(w) AS INT) AS VARCHAR)),
+                                1, 2)) AS INT)
+                          < CAST(ROUND((w - FLOOR(w)) * 256) AS INT)
+                        THEN 1 ELSE 0 END AS extra
+            FROM weighted
+        )
+        SELECT doc_id, source, CAST(e AS INT) AS epoch
+        FROM gated, LATERAL (
+            SELECT unnest(range(full_epochs + extra)) AS e
+        ) t
+    """,
+    "unigram_logprob_scores": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        t2 AS (SELECT * FROM toks WHERE token <> ''),
+        lm AS (SELECT token, COUNT(1) AS n FROM t2 GROUP BY token),
+        total AS (SELECT SUM(n) AS total FROM lm),
+        lmp AS (
+            SELECT token, log10(n / total) AS logp FROM lm CROSS JOIN total
+        )
+        SELECT t2.doc_id, COUNT(1) AS n_tokens,
+               ROUND(AVG(lmp.logp), 6) AS mean_logp
+        FROM t2 JOIN lmp ON t2.token = lmp.token
+        GROUP BY t2.doc_id
+    """,
+}

@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import models, models_ibc_catalog
-from .extensions import dedup, multimodal, similarity, training
+from .extensions import curation, dedup, multimodal, similarity, training
 from .functions import text
 from .operators import asof, interval
 from .streaming import sessions, windows
@@ -89,6 +89,15 @@ _register(
 )
 _register(
     {
+        "paragraph_dedup": curation.paragraph_dedup,
+        "domain_quota_sample": curation.domain_quota_sample,
+        "corpus_mix": curation.corpus_mix,
+        "unigram_logprob_scores": curation.unigram_logprob_scores,
+    },
+    curation.ORACLE_SQL,
+)
+_register(
+    {
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
         "repetition_scores": text.repetition_scores,
@@ -139,6 +148,13 @@ _SAMPLE_PRIORITY = (
     "training_corpus",
     "quality_filter",
     "deduped_corpus",
+    # 2b — the r4 curation operators (4): sub-document dedup, domain
+    # quota, mixture weighting, unigram-LM scoring — newest first-class
+    # training-data ops, need their first driver rows
+    "paragraph_dedup",
+    "domain_quota_sample",
+    "corpus_mix",
+    "unigram_logprob_scores",
     # 3 — text / asof / interval / media (13)
     "token_stats",
     "quality_scores",
@@ -180,8 +196,15 @@ _SAMPLE_PRIORITY = (
     "brand_number_extract",
     "props_json_extract",
     "base64_roundtrip",
-    "lineitem_flag_status_key",
     "events_pivot_by_type",
+    # — 50-row window ends here. The four below yielded their slots to
+    # the r4 curation family: their operator classes keep green driver
+    # evidence elsewhere in the window (P11 concat key → events grain
+    # keys inside session/windowed rows; A4 count/day + W1 running cum →
+    # gas_used_per_day, daily_cum_ibc_transfers; A5 min/max span →
+    # session_stats), and all four stay registered and green in
+    # tests/test_oracle.py every pytest run.
+    "lineitem_flag_status_key",
     "cum_txs_per_day",
     "txs_per_day",
     "user_activity_span",
