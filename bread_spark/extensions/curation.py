@@ -61,15 +61,20 @@ def paragraph_dedup(
     join back on chunk + ordinal equality (first occurrence wins) →
     groupBy(doc_id) ordered reassembly.
 
-    Scale: shuffles are keyed on chunk text / doc_id (hash-partitioned,
-    no hot key unless one chunk dominates the corpus — and a duplicated
-    chunk's group only carries ONE min aggregate, not a posting list, so
-    even a degenerate chunk costs O(1) state). The reassembly
-    sort_array+collect_list holds one document per aggregation buffer —
-    bounded by document length, the same bound the scan already needs.
-    The composite ordinal packs (doc_id, chunk_idx) into one long
-    (doc_id * 2^20 + idx) so the min-aggregate and the equality join move
-    8-byte keys; 2^20 chunks/doc ≫ any real document at 32 tokens/chunk.
+    Scale: the winner aggregate and the first-occurrence join are keyed on
+    the 16-byte md5 digest of the chunk, NOT the raw chunk text (the
+    dedup.py hashed-shingle trick applied to chunks) — at 32-token chunks
+    that's ~10× smaller shuffle keys, and text rides along exactly once as
+    the reassembly payload. 128-bit digests make collisions a non-issue at
+    any corpus size (≈ n²/2^129). No hot key unless one chunk dominates
+    the corpus — and a duplicated chunk's group only carries ONE min
+    aggregate, not a posting list, so even a degenerate chunk costs O(1)
+    state. The reassembly sort_array+collect_list holds one document per
+    aggregation buffer — bounded by document length, the same bound the
+    scan already needs. The composite ordinal packs (doc_id, chunk_idx)
+    into one long (doc_id * 2^20 + idx) so the min-aggregate moves 8-byte
+    values; inputs outside the packed range (doc_id ≥ 2^43 or chunk_idx ≥
+    2^20, i.e. a >33M-token document) raise instead of silently wrapping.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return paragraph_dedup_df(docs, chunk_tokens)
@@ -91,14 +96,31 @@ def paragraph_dedup_df(
             )
         ).alias("chunk_idx", "chunk"),
     )
-    ordinal = (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")).alias("ord")
-    with_ord = chunked.select("doc_id", "chunk_idx", "chunk", ordinal)
-    winners = with_ord.groupBy("chunk").agg(F.min("ord").alias("win_ord"))
-    winners = winners.select(F.col("chunk").alias("win_chunk"), "win_ord")
-    kept = with_ord.join(
-        winners,
-        (F.col("chunk") == F.col("win_chunk")) & (F.col("ord") == F.col("win_ord")),
-    ).select("doc_id", "chunk_idx", "chunk")
+    in_range = (
+        (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(1 << 43))
+        & (F.col("chunk_idx") < F.lit(1 << 20))
+    )
+    ordinal = (
+        F.when(in_range, F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "paragraph_dedup: (doc_id, chunk_idx) outside the packed-"
+                    "ordinal range (need 0 <= doc_id < 2^43, chunk_idx < 2^20)"
+                )
+            ).cast("long")
+        )
+        .alias("ord")
+    )
+    digest = F.unhex(F.md5(F.col("chunk").cast("binary"))).alias("chash")
+    with_ord = chunked.select("doc_id", "chunk_idx", "chunk", digest, ordinal)
+    winners = with_ord.groupBy("chash").agg(F.min("ord").alias("win_ord"))
+    kept = (
+        with_ord.join(winners, "chash")
+        .filter(F.col("ord") == F.col("win_ord"))
+        .select("doc_id", "chunk_idx", "chunk")
+    )
     sizes = chunked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     rebuilt = (
         kept.groupBy("doc_id")
@@ -177,16 +199,20 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for src, w_val in MIX_WEIGHTS.items():
         weight = F.when(F.col("source") == src, F.lit(w_val)).otherwise(weight)
     full = F.floor(weight).cast("int")
-    # fractional cutoff on the first two hex chars of the gate hash:
-    # keep epoch=floor(w) iff hex(md5) < 256 * (w - floor(w))
-    frac_cut = F.round((weight - F.floor(weight)) * 256).cast("int")
+    # fractional cutoff on the first FOUR hex chars of the gate hash
+    # (65536 buckets): keep epoch=floor(w) iff hex(md5) < 65536 *
+    # (w - floor(w)). Resolution is 1/65536, so any weight that is a
+    # multiple of 2^-16 is realized exactly; for multiples of 1/256 (the
+    # current MIX_WEIGHTS) the selection is bit-identical to the old
+    # 2-hex gate, since the first 2 hex chars are the high byte.
+    frac_cut = F.round((weight - F.floor(weight)) * 65536).cast("int")
     gate = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(":", F.lit(MIX_SEED), F.col("doc_id"), full).cast("binary")
             ),
             1,
-            2,
+            4,
         ),
         16,
         10,
@@ -294,8 +320,8 @@ ORACLE_SQL: dict[str, str] = {
                             ('0x' || substring(
                                 md5('{MIX_SEED}' || ':' || CAST(doc_id AS VARCHAR)
                                     || ':' || CAST(CAST(FLOOR(w) AS INT) AS VARCHAR)),
-                                1, 2)) AS INT)
-                          < CAST(ROUND((w - FLOOR(w)) * 256) AS INT)
+                                1, 4)) AS INT)
+                          < CAST(ROUND((w - FLOOR(w)) * 65536) AS INT)
                         THEN 1 ELSE 0 END AS extra
             FROM weighted
         )

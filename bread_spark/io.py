@@ -9,6 +9,7 @@ free), the pyarrow ``partition_cols=['year','month','day']`` sink becomes
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -88,6 +89,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# The legacy-conf window in _read_events is session-wide state; serialize
+# it so a concurrent read in another thread can neither observe the legacy
+# conf nor clobber the restore.
+_NANOS_CONF_LOCK = threading.Lock()
+
+
+def _is_nanos_type_error(e: Exception) -> bool:
+    """True when the AnalysisException is Spark rejecting TIMESTAMP(NANOS).
+    The error-class token varies across Spark versions ('PARQUET_TYPE_ILLEGAL'
+    on current builds, 'Illegal Parquet type: ...' on older ones), so match
+    both the class (via getErrorClass when available) and the legacy text."""
+    cls = None
+    get_cls = getattr(e, "getErrorClass", None)
+    if callable(get_cls):
+        try:
+            cls = get_cls()
+        except Exception:
+            cls = None
+    msg = str(e)
+    return (
+        (cls is not None and "PARQUET_TYPE_ILLEGAL" in cls)
+        or "PARQUET_TYPE_ILLEGAL" in msg
+        or "Illegal Parquet type" in msg
+    )
+
+
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events parquet, engaging the nanos-as-long legacy conf only
     when the file actually ships TIMESTAMP(NANOS) — and restoring the conf
@@ -98,18 +125,19 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+        if not _is_nanos_type_error(e):
             raise
     conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+    with _NANOS_CONF_LOCK:
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
