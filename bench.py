@@ -14,10 +14,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
 PARSE_N_BLOCKS = int(os.environ.get("SPARK_GRAFT_PARSE_BLOCKS", "30000"))
+WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
 
 
 def _ensure_parse_fixture(n_blocks: int) -> str:
@@ -129,6 +131,16 @@ def main() -> None:
         # end-to-end curation composite (quality → dedup → decontaminate
         # → stratify → shuffle key) — the flagship training-data pipeline
         "training_corpus",
+        # corpus-curation family (sub-document dedup, domain quotas,
+        # mixture weighting, LM scoring)
+        "paragraph_dedup",
+        "domain_quota_sample",
+        "domain_token_quota",
+        "corpus_mix",
+        "corpus_mix_tokens",
+        "unigram_logprob_scores",
+        "bigram_logprob_scores",
+        "decontaminate_bloom",
         # capped variant is the benched/production near-dup plan (bounded
         # hot-shingle fan-out); uncapped exists for the oracle gate
         "ngram_jaccard_pairs_capped",
@@ -142,11 +154,13 @@ def main() -> None:
         "lsh_bucket_topk",
     ]
 
-    # Two passes: pass 1 warms JVM JIT, parquet footers, shuffle machinery
-    # and the Python worker pool; pass 2 is the reported steady-state —
-    # the honest number for a long-lived cluster session, and stable
-    # run-to-run (cold numbers swing ±40% on JIT luck). The cold total is
-    # still reported alongside for transparency.
+    # One cold pass (JVM JIT, parquet footers, shuffle machinery, Python
+    # worker pool — reported for transparency), then WARM_PASSES full warm
+    # passes; each query reports its per-pass MEDIAN and the headline total
+    # is the sum of medians. Medians are the stall-robust steady-state
+    # number: a single host-load hiccup on a single-task stage once
+    # recorded a 0.65 s query as 4.92 s and nearly blew the 2× baseline
+    # gate — one bad pass out of three now cannot move any query's number.
     parse_fixture = _ensure_parse_fixture(PARSE_N_BLOCKS)  # untimed build
 
     cold_start = time.perf_counter()
@@ -155,17 +169,19 @@ def main() -> None:
     _parse_events_build(spark, parse_fixture)
     cold_total = round(time.perf_counter() - cold_start, 3)
 
-    timings: dict[str, float] = {}
-    total_start = time.perf_counter()
-    for name in bench_queries:
+    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
+    samples["parse_events_wide"] = []
+    parse_rows = 0
+    for _ in range(WARM_PASSES):
+        for name in bench_queries:
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - start)
         start = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - start, 3)
-    start = time.perf_counter()
-    parse_rows = _parse_events_build(spark, parse_fixture)
-    timings["parse_events_wide"] = round(time.perf_counter() - start, 3)
-    total = round(time.perf_counter() - total_start, 3)
+        parse_rows = _parse_events_build(spark, parse_fixture)
+        samples["parse_events_wide"].append(time.perf_counter() - start)
+    timings = {n: round(statistics.median(t), 3) for n, t in samples.items()}
+    total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -175,6 +191,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "cold_total": cold_total,
+                "warm_passes": WARM_PASSES,
                 "queries": timings,
                 "parse_events_rows": parse_rows,
                 "parse_input_blocks": PARSE_N_BLOCKS,

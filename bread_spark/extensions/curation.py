@@ -17,6 +17,14 @@ documents" and "mixture-weighted, deduplicated corpus":
                           the corpus's own unigram LM (the CCNet
                           perplexity-filter shape, with a unigram model
                           standing in for the KenLM n-gram model).
+- bigram_logprob_scores:  the same perplexity-filter shape with a real
+                          interpolated bigram LM (unigram backoff) — one
+                          step closer to CCNet's KenLM.
+- domain_token_quota:     per-source quota by cumulative TOKEN budget (real
+                          pre-training quotas bound tokens, not documents).
+- corpus_mix_tokens:      mixture weighting where the fractional epoch is
+                          filled to a per-source TOKEN target instead of a
+                          per-document coin flip.
 
 All deterministic (content/md5-derived randomness), all JVM-side — no
 Python in any hot path. Every operator has a DuckDB oracle.
@@ -31,7 +39,9 @@ from ..io import load_table
 
 CHUNK_TOKENS = 32  # "paragraph" size for sub-document dedup
 DOMAIN_QUOTA = 10  # max docs any one source may contribute
+TOKEN_QUOTA = 600  # max tokens any one source may contribute
 MIX_SEED = "mix42"
+LM_LAMBDA = 0.75  # bigram weight in the interpolated LM (unigram backoff)
 
 # Repetition factors per source: >1 upsamples (full epochs + fractional),
 # <1 downsamples (fractional epoch only). Unlisted sources get 1.0.
@@ -173,6 +183,46 @@ def domain_quota_sample(
     )
 
 
+def domain_token_quota(
+    spark: SparkSession, sf_dir: str, token_budget: int = TOKEN_QUOTA
+) -> DataFrame:
+    """Cap any one source's contribution at `token_budget` TOKENS — the
+    unit real pre-training quotas are written in (a source of few huge
+    documents and a source of many tiny ones get the same budget, which a
+    per-document cap like `domain_quota_sample` cannot express).
+
+    Docs are admitted in deterministic md5(text) order (doc_id tiebreak)
+    while the running token total BEFORE the doc is under budget, so the
+    boundary-crossing doc is included (every source contributes at least
+    one doc) and the realized total overshoots by < 1 document.
+
+    Plan: one pass — token count from the split the scan already does, a
+    per-source running-sum window, one filter. The window is a cumulative
+    sum (no rank-k pushdown), but it's one sort per source partition; on
+    real crawls sources number in the millions so the partitioning is
+    fine-grained, and the quota itself is what cuts any pathologically
+    hot source down.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    key = F.md5(F.col("text").cast("binary"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            F.sum(n_tokens).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < token_budget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition-factor corpus mixing
 # ---------------------------------------------------------------------------
@@ -227,6 +277,70 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "source", F.explode(epochs).alias("epoch"))
 
 
+def corpus_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture weighting: like `corpus_mix`, a source with
+    weight w contributes floor(w) full epochs of every document — but the
+    fractional epoch is filled to a per-source TOKEN target of
+    (w - floor(w)) × total_source_tokens, admitting docs in deterministic
+    md5-gate order until the running token total reaches the target.
+    Real pre-training mixes are specified in tokens, and the per-document
+    coin flip of `corpus_mix` only hits the token target in expectation;
+    this variant hits it deterministically (overshoot < 1 document).
+
+    Plan: per-source token totals are a tiny aggregate joined back
+    (broadcast — one row per source); the full epochs are a map-side
+    in-array explode exactly like `corpus_mix` (zero shuffle); the
+    fractional epoch is one running-sum window per source partition.
+
+    Output: (doc_id, source, epoch, n_tokens) — one row per kept copy.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+    weight = F.lit(DEFAULT_MIX_WEIGHT)
+    for src, w_val in MIX_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(w_val)).otherwise(weight)
+    docs = docs.withColumn("w", weight)
+    full = F.floor(F.col("w")).cast("int")
+
+    # floor(w) full epochs: in-array sequence + explode, map-side.
+    epochs = F.when(full > 0, F.sequence(F.lit(0), full - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    full_epochs = docs.select(
+        "doc_id", "source", F.explode(epochs).alias("epoch"), "n_tokens"
+    )
+
+    # Fractional epoch: fill each source to (w - floor(w)) * tot tokens in
+    # md5-gate order. totals is one row per source — broadcast.
+    totals = docs.groupBy("source").agg(F.sum("n_tokens").alias("tot"))
+    gate = F.md5(
+        F.concat_ws(":", F.lit(MIX_SEED), F.col("doc_id"), full).cast("binary")
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(gate.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frac = (
+        docs.filter(F.col("w") > F.floor(F.col("w")))
+        .join(F.broadcast(totals), "source")
+        .select(
+            "doc_id",
+            "source",
+            full.alias("epoch"),
+            "n_tokens",
+            F.sum("n_tokens").over(cum_w).alias("cum"),
+            ((F.col("w") - F.floor(F.col("w"))) * F.col("tot")).alias("target"),
+        )
+        .filter(F.col("cum") - F.col("n_tokens") < F.col("target"))
+        .select("doc_id", "source", "epoch", "n_tokens")
+    )
+    return full_epochs.unionByName(frac)
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM quality scoring
 # ---------------------------------------------------------------------------
@@ -236,7 +350,10 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean log10 unigram probability under the corpus's own
     unigram distribution — the perplexity-filter shape (CCNet trains a
     KenLM model; the unigram stand-in keeps the engine-side plumbing
-    identical: build LM → score every doc → threshold the tail).
+    identical: build LM → score every doc → threshold the tail). See
+    `bigram_logprob_scores` for the context-aware upgrade: an interpolated
+    bigram LM with unigram backoff, the same shape one interpolation order
+    below KenLM's 5-gram.
 
     Low (very negative) scores mean a document of rare tokens; high means
     common-token text. Plan: explode → token-count aggregate (the LM) →
@@ -259,6 +376,71 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("logp"), 6).alias("mean_logp"),
+        )
+    )
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log10 probability under an INTERPOLATED BIGRAM LM
+    trained on the corpus itself — the CCNet/KenLM perplexity-filter shape
+    with real context: the first token of a doc scores its unigram
+    probability; every later token w2 with predecessor w1 scores
+    λ·(n(w1,w2)/n(w1)) + (1−λ)·(n(w2)/N), λ = 0.75. Low (very negative)
+    mean log-prob = rare/incoherent token sequences → filter the tail.
+
+    Plan (all JVM): bigram pairs are built IN-ARRAY from the same split
+    the scan already does (transform over slice — map-side, no
+    self-join-on-position shuffle), then exploded; the unigram and bigram
+    count tables are one groupBy each; scoring joins the tiny LM tables
+    back (broadcast here — at real vocab sizes the bigram table outgrows
+    broadcast and these become ordinary shuffle joins keyed on the pair,
+    which is exactly how the plan degrades: no driver state either way).
+    The per-doc mean is one groupBy(doc_id) over the unioned first-token
+    and pair scores, so n_tokens = 1 + n_pairs = the doc's token count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    w = docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
+    toks = w.select("doc_id", F.explode("toks").alias("token"))
+    pairs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 2, size(toks) - 1), "
+                "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    first_lp = (
+        w.select("doc_id", F.col("toks")[0].alias("token"))
+        .join(F.broadcast(uni), "token")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
+    pair_lp = (
+        pairs.join(F.broadcast(big), ["w1", "w2"])
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log10(
+                F.lit(LM_LAMBDA) * (F.col("n12") / F.col("n1"))
+                + F.lit(1 - LM_LAMBDA) * (F.col("n2") / F.col("total"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        first_lp.unionByName(pair_lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logp"),
         )
     )
 
@@ -329,6 +511,99 @@ ORACLE_SQL: dict[str, str] = {
         FROM gated, LATERAL (
             SELECT unnest(range(full_epochs + extra)) AS e
         ) t
+    """,
+    "domain_token_quota": f"""
+        SELECT doc_id, source, n_tokens, cum_tokens FROM (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM (
+                SELECT doc_id, source, text,
+                       len(list_filter(string_split(text, ' '), t -> t <> ''))
+                           AS n_tokens
+                FROM documents
+            )
+        ) WHERE cum_tokens - n_tokens < {TOKEN_QUOTA}
+    """,
+    "corpus_mix_tokens": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tokens
+            FROM documents
+        ),
+        wtd AS (
+            SELECT *,
+                   CASE source
+                       {' '.join(f"WHEN '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items())}
+                       ELSE {DEFAULT_MIX_WEIGHT}
+                   END AS w
+            FROM d
+        ),
+        tot AS (SELECT source, SUM(n_tokens) AS tot FROM d GROUP BY source),
+        full_epochs AS (
+            SELECT doc_id, source, CAST(e AS INT) AS epoch, n_tokens
+            FROM wtd, LATERAL (
+                SELECT unnest(range(CAST(FLOOR(w) AS BIGINT))) AS e
+            ) t
+        ),
+        frac AS (
+            SELECT wtd.doc_id, wtd.source,
+                   CAST(FLOOR(wtd.w) AS INT) AS epoch, wtd.n_tokens,
+                   SUM(wtd.n_tokens) OVER (
+                       PARTITION BY wtd.source
+                       ORDER BY md5('{MIX_SEED}' || ':'
+                                    || CAST(wtd.doc_id AS VARCHAR) || ':'
+                                    || CAST(CAST(FLOOR(wtd.w) AS INT) AS VARCHAR))
+                                    ASC,
+                                wtd.doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   (wtd.w - FLOOR(wtd.w)) * t.tot AS target
+            FROM wtd JOIN tot t ON wtd.source = t.source
+            WHERE wtd.w > FLOOR(wtd.w)
+        )
+        SELECT doc_id, source, epoch, n_tokens FROM full_epochs
+        UNION ALL
+        SELECT doc_id, source, epoch, n_tokens FROM frac
+        WHERE cum - n_tokens < target
+    """,
+    "bigram_logprob_scores": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        w1 AS (SELECT * FROM w WHERE len(toks) >= 1),
+        toks AS (SELECT doc_id, unnest(toks) AS token FROM w1),
+        pairs AS (
+            SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+                   toks[CAST(i AS BIGINT) + 1] AS w2
+            FROM w1, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+        ),
+        uni AS (SELECT token, COUNT(1) AS n FROM toks GROUP BY token),
+        tot AS (SELECT SUM(n) AS total FROM uni),
+        first_lp AS (
+            SELECT f.doc_id, log10(u.n / t.total) AS lp
+            FROM (SELECT doc_id, toks[1] AS token FROM w1) f
+            JOIN uni u ON f.token = u.token CROSS JOIN tot t
+        ),
+        big AS (SELECT w1, w2, COUNT(1) AS n12 FROM pairs GROUP BY w1, w2),
+        pair_lp AS (
+            SELECT p.doc_id,
+                   log10({LM_LAMBDA} * (b.n12 / u1.n)
+                         + {1 - LM_LAMBDA} * (u2.n / t.total)) AS lp
+            FROM pairs p
+            JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+            JOIN uni u1 ON p.w1 = u1.token
+            JOIN uni u2 ON p.w2 = u2.token
+            CROSS JOIN tot t
+        )
+        SELECT doc_id, COUNT(1) AS n_tokens, ROUND(AVG(lp), 6) AS mean_logp
+        FROM (SELECT * FROM first_lp UNION ALL SELECT * FROM pair_lp)
+        GROUP BY doc_id
     """,
     "unigram_logprob_scores": """
         WITH toks AS (

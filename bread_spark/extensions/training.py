@@ -188,6 +188,92 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 17  # filter size m in bits (16 KB serialized)
+BLOOM_K = 5  # hash functions per element
+
+
+def decontaminate_bloom(
+    spark: SparkSession, sf_dir: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """`decontaminate` for probe sets too big to broadcast exactly: the
+    probe shingles are folded into a fixed-size Bloom filter, so the
+    broadcast payload is m/8 bytes REGARDLESS of probe count (the exact
+    path broadcasts 8 bytes per distinct probe shingle and stops scaling
+    when the probe set outgrows executor memory).
+
+    Built entirely from DataFrame ops (`bloom_filter_agg`/`might_contain`
+    are not registered SQL functions in this build): each probe shingle
+    sets k = 5 bit positions (`pmod(xxhash64(i, shingle), m)`), positions
+    fold into 64-bit words via a `bit_or` groupBy, and the whole filter
+    ships as ONE row holding a word-index→word map that the corpus side
+    cross-join-broadcasts and probes JVM-side (element_at + bitwise and —
+    no Python, no driver collect at any size).
+
+    One-sided error: a shingle in the probe set ALWAYS hits (recall 1.0 —
+    `contaminated` is a superset of the exact path's), a miss can
+    false-positive with p ≈ (1 - e^(-k·n/m))^k — at the default m = 2^17,
+    k = 5 that is < 1% up to n ≈ 15k probe shingles; size m ≈ 14 bits per
+    probe shingle to hold ~1% FPP (the standard Bloom sizing curve).
+    Overlap counts are therefore upper bounds; the exact path remains the
+    oracle-checked reference and this is the documented scale seam.
+    Rows-only by design (the bit geometry is engine-specific); pinned by
+    tests against the exact path: recall 1.0 always, and exact equality at
+    the default sizing on the test corpus.
+    """
+    from .dedup import _word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _word_shingles(docs)
+    probe_sh = (
+        sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID).select("shingle").distinct()
+    )
+    corpus_sh = sh.filter(F.col("doc_id") >= PROBE_MAX_DOC_ID)
+
+    # Build: k bit positions per probe shingle → word-indexed bit_or → one
+    # row carrying the filter as a wi→word map (≤ m/64 entries).
+    pos = probe_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(m_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.selectExpr("pos div 64 AS wi", "CAST(pmod(pos, 64) AS INT) AS bit")
+        .groupBy("wi")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("word"))
+    )
+    bloom = words.agg(
+        F.map_from_arrays(F.collect_list("wi"), F.collect_list("word")).alias("bf")
+    )
+
+    # Probe: member iff every one of the k bits is set.
+    member = " AND ".join(
+        f"(coalesce(element_at(bf, pmod(xxhash64({i}, shingle), {m_bits}) div 64), 0L)"
+        f" & shiftleft(1L, CAST(pmod(pmod(xxhash64({i}, shingle), {m_bits}), 64)"
+        f" AS INT))) != 0"
+        for i in range(k)
+    )
+    hits = corpus_sh.join(F.broadcast(bloom)).filter(F.expr(member))
+
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    frac = F.round(F.col("n_overlap") / F.col("n_shingles"), 4)
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= CONTAM_THRESHOLD)
+    )
+
+
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,

@@ -4,6 +4,7 @@ parametrized differential sweep)."""
 
 from __future__ import annotations
 
+from bread_spark.extensions import training
 from bread_spark.extensions.training import PACK_BUDGET, PROBE_MAX_DOC_ID
 from bread_spark.queries import QUERIES
 from tests.conftest import SF_DIR
@@ -244,3 +245,37 @@ def test_training_corpus_neardup_subsets_and_removes_neardups(spark):
         seen[c] = d
     # docs dropped relative to base are exactly the non-canonical members
     assert base - full == {d for d in base if cluster_of[d] != d}
+
+
+def test_decontaminate_bloom_recall_and_default_sizing(spark):
+    """Bloom-filter decontamination: recall 1.0 vs the exact path always
+    (no false negatives by construction), and at the default m = 2^17 the
+    test corpus has zero false positives — bit-identical output."""
+    exact = {r["doc_id"]: r for r in training.decontaminate(spark, SF_DIR).collect()}
+    bloom = {
+        r["doc_id"]: r for r in training.decontaminate_bloom(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d in exact:
+        assert bloom[d]["n_overlap"] >= exact[d]["n_overlap"]  # recall 1.0
+        assert bloom[d]["n_overlap"] == exact[d]["n_overlap"]  # default sizing
+        assert bloom[d]["contaminated"] == exact[d]["contaminated"]
+
+
+def test_decontaminate_bloom_undersized_is_superset_never_subset(spark):
+    """Starve the filter (m = 256 bits) to force false positives: overlap
+    counts may only grow, flags may only be added — the one-sided error
+    contract that makes the bloom path safe to over-filter with."""
+    exact = {r["doc_id"]: r for r in training.decontaminate(spark, SF_DIR).collect()}
+    bloom = {
+        r["doc_id"]: r
+        for r in training.decontaminate_bloom(spark, SF_DIR, m_bits=256).collect()
+    }
+    assert set(exact) == set(bloom)
+    fps = 0
+    for d in exact:
+        assert bloom[d]["n_overlap"] >= exact[d]["n_overlap"]
+        if exact[d]["contaminated"]:
+            assert bloom[d]["contaminated"]
+        fps += bloom[d]["n_overlap"] - exact[d]["n_overlap"]
+    assert fps > 0  # 256 bits for ~10k shingles MUST false-positive
