@@ -11,6 +11,7 @@ would be driver-bound for wide results; count forces the same computation).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import shutil
@@ -155,12 +156,18 @@ def main() -> None:
     ]
 
     # One cold pass (JVM JIT, parquet footers, shuffle machinery, Python
-    # worker pool — reported for transparency), then WARM_PASSES full warm
-    # passes; each query reports its per-pass MEDIAN and the headline total
-    # is the sum of medians. Medians are the stall-robust steady-state
-    # number: a single host-load hiccup on a single-task stage once
-    # recorded a 0.65 s query as 4.92 s and nearly blew the 2× baseline
-    # gate — one bad pass out of three now cannot move any query's number.
+    # worker pool — reported for transparency), then WARM_PASSES
+    # BACK-TO-BACK timed runs per query; each query reports its MEDIAN and
+    # the headline total is the sum of medians. Medians are the
+    # stall-robust steady-state number: a single host-load hiccup on a
+    # single-task stage once recorded a 0.65 s query as 4.92 s and nearly
+    # blew the 2× baseline gate — one bad sample out of three now cannot
+    # move any query's number. Before each query group an UNTIMED gc
+    # (Python + JVM) releases the prior queries' leftovers — checkpointed
+    # RDD blocks and shuffle state only free on driver GC via the
+    # ContextCleaner, and across a 53-query catalog that accumulation
+    # inflated late-running queries by ~30% (measured: isolated warm
+    # steady-state vs in-catalog-context numbers).
     parse_fixture = _ensure_parse_fixture(PARSE_N_BLOCKS)  # untimed build
 
     cold_start = time.perf_counter()
@@ -169,17 +176,27 @@ def main() -> None:
     _parse_events_build(spark, parse_fixture)
     cold_total = round(time.perf_counter() - cold_start, 3)
 
-    samples: dict[str, list[float]] = {n: [] for n in bench_queries}
-    samples["parse_events_wide"] = []
+    def _reclaim() -> None:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    samples: dict[str, list[float]] = {}
     parse_rows = 0
-    for _ in range(WARM_PASSES):
-        for name in bench_queries:
+    for name in bench_queries:
+        _reclaim()
+        runs = []
+        for _ in range(WARM_PASSES):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            samples[name].append(time.perf_counter() - start)
+            runs.append(time.perf_counter() - start)
+        samples[name] = runs
+    _reclaim()
+    runs = []
+    for _ in range(WARM_PASSES):
         start = time.perf_counter()
         parse_rows = _parse_events_build(spark, parse_fixture)
-        samples["parse_events_wide"].append(time.perf_counter() - start)
+        runs.append(time.perf_counter() - start)
+    samples["parse_events_wide"] = runs
     timings = {n: round(statistics.median(t), 3) for n, t in samples.items()}
     total = round(sum(timings.values()), 3)
 

@@ -96,15 +96,20 @@ def paragraph_dedup_df(
     """`paragraph_dedup` core over any (doc_id, text) frame — the seam
     synthetic-fixture tests drive directly."""
     n = chunk_tokens
-    chunked = docs.select(
+    arrs = docs.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {n}.0) "
-                f"as int) - 1), i -> array_join(slice(split(text, ' '), "
-                f"i * {n} + 1, {n}), ' '))"
-            )
-        ).alias("chunk_idx", "chunk"),
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {n}.0) "
+            f"as int) - 1), i -> array_join(slice(split(text, ' '), "
+            f"i * {n} + 1, {n}), ' '))"
+        ).alias("chunks"),
+    )
+    # n_chunks rides along from the scan — no separate per-doc size
+    # aggregate (and its shuffle + join) later.
+    chunked = arrs.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.posexplode("chunks").alias("chunk_idx", "chunk"),
     )
     in_range = (
         (F.col("doc_id") >= 0)
@@ -124,27 +129,23 @@ def paragraph_dedup_df(
         .alias("ord")
     )
     digest = F.unhex(F.md5(F.col("chunk").cast("binary"))).alias("chash")
-    with_ord = chunked.select("doc_id", "chunk_idx", "chunk", digest, ordinal)
+    with_ord = chunked.select(
+        "doc_id", "n_chunks", "chunk_idx", "chunk", digest, ordinal
+    )
     winners = with_ord.groupBy("chash").agg(F.min("ord").alias("win_ord"))
     kept = (
         with_ord.join(winners, "chash")
         .filter(F.col("ord") == F.col("win_ord"))
-        .select("doc_id", "chunk_idx", "chunk")
+        .select("doc_id", "n_chunks", "chunk_idx", "chunk")
     )
-    sizes = chunked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.expr("transform(sort_array(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
-                " ",
-            ).alias("text"),
-        )
-    )
-    return rebuilt.join(sizes, "doc_id").select(
-        "doc_id", "n_chunks", "n_kept", "text"
-    )
+    return kept.groupBy("doc_id").agg(
+        F.first("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
+            " ",
+        ).alias("text"),
+    ).select("doc_id", "n_chunks", "n_kept", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -420,21 +421,25 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(total))
         .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
     )
+    # Score each DISTINCT pair once on the small LM table (three cheap
+    # joins on |bigram vocab| rows), then hit the big exploded pair
+    # stream with a single broadcast join — not four.
     u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
-    pair_lp = (
-        pairs.join(F.broadcast(big), ["w1", "w2"])
-        .join(F.broadcast(u1), "w1")
+    lm_pair = (
+        big.join(F.broadcast(u1), "w1")
         .join(F.broadcast(u2), "w2")
         .join(F.broadcast(total))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             F.log10(
                 F.lit(LM_LAMBDA) * (F.col("n12") / F.col("n1"))
                 + F.lit(1 - LM_LAMBDA) * (F.col("n2") / F.col("total"))
             ).alias("lp"),
         )
     )
+    pair_lp = pairs.join(F.broadcast(lm_pair), ["w1", "w2"]).select("doc_id", "lp")
     return (
         first_lp.unionByName(pair_lp)
         .groupBy("doc_id")

@@ -152,3 +152,59 @@ def test_dedup_hash_shuffles_digest_not_body(plans):
     # the exchange key is the md5 digest, and the document body is pruned
     # away before the shuffle (projection contains md5, not text)
     assert "Exchange hashpartitioning(content_hash" in p
+
+
+def test_paragraph_dedup_shuffles_digest_not_chunk_text(plans):
+    """The winner aggregate and the first-occurrence join must be keyed on
+    the 16-byte chunk digest — raw chunk text may ride only as payload
+    into the doc_id-keyed reassembly (VERDICT r4 #3)."""
+    p = plans("paragraph_dedup")
+    assert "Exchange hashpartitioning(chash" in p
+    assert "Exchange hashpartitioning(chunk" not in p
+    # reassembly is the only doc_id-keyed exchange; no extra per-doc
+    # sizes aggregate + join (n_chunks rides from the scan)
+    assert p.count("Exchange hashpartitioning(doc_id") == 1
+
+
+def test_corpus_mix_full_epochs_are_shuffle_free(plans):
+    """Repetition-factor fan-out is an in-array sequence + explode — the
+    whole corpus_mix plan must contain NO exchange at all (pipelines with
+    the scan at any scale)."""
+    p = plans("corpus_mix")
+    assert "Exchange" not in p
+    assert "Generate explode" in p
+
+
+def test_domain_token_quota_single_window_exchange(plans):
+    """One per-source window pass: exactly one hash exchange (on source),
+    no join, no second aggregate."""
+    p = plans("domain_token_quota")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(source" in p
+    assert "Join" not in p
+
+
+def test_bigram_lm_joins_broadcast_and_pairs_join_once(plans):
+    """The exploded pair stream must meet exactly ONE broadcast join (the
+    pre-scored lm_pair table); the LM assembly joins happen on the small
+    aggregate side. No sort-merge join anywhere at LM-broadcastable
+    sizes."""
+    p = plans("bigram_logprob_scores")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontaminate_bloom_filter_broadcasts_as_one_row(plans):
+    """The filter ships as a single-row broadcast (BroadcastNestedLoopJoin
+    over IdentityBroadcastMode after a SinglePartition fold) and the
+    corpus and probe shingle sets NEVER meet in a keyed join — the
+    membership test is a map-side expression. The only shingle-keyed
+    exchanges are the per-doc distinct (shared with the exact path) and
+    the fixed-size filter build."""
+    p = plans("decontaminate_bloom")
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" in p
+    assert "Exchange SinglePartition" in p
+    assert "SortMergeJoin" not in p
+    # the corpus→probe membership must not be a join keyed on shingle
+    assert "BroadcastHashJoin [shingle" not in p
