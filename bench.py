@@ -149,6 +149,7 @@ def main() -> None:
         "simhash_fingerprints",
         "cosine_topk",
         "centroid_by_label",
+        "quantize_embeddings",
         # distributed near-dup is the benched/production plan; the
         # collect+broadcast brute force exists as oracle + re-rank kernel
         "lsh_bucket_pairs",

@@ -400,6 +400,12 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pair scores, so n_tokens = 1 + n_pairs = the doc's token count.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob_scores_df(docs)
+
+
+def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
+    """`bigram_logprob_scores` core over any (doc_id, text) frame — the
+    seam synthetic-fixture and scale tests drive directly."""
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     w = docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
     toks = w.select("doc_id", F.explode("toks").alias("token"))

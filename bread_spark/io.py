@@ -85,6 +85,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if cacheable:
+        # Entries from previous SparkSessions (stale applicationIds) are
+        # dead weight — their DataFrames are unusable anyway. Evict them
+        # so a long-lived process cycling sessions can't grow the cache
+        # beyond one application's worth of (bounded) testdata paths.
+        app_id = key[0]
+        for k in [k for k in _SOURCE_CACHE if k[0] != app_id]:
+            del _SOURCE_CACHE[k]
         _SOURCE_CACHE[key] = df
     return df
 

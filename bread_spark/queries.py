@@ -55,6 +55,7 @@ _register(
     {
         "cosine_topk": similarity.cosine_topk,
         "centroid_by_label": similarity.centroid_by_label,
+        "quantize_embeddings": similarity.quantize_embeddings,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
@@ -185,12 +186,14 @@ _SAMPLE_PRIORITY = (
     "events_near_errors",
     "media_features",
     "media_dedup",
-    # 3d — dedup / similarity keep-warm (7)
+    # 3d — dedup / similarity keep-warm (6) + the new r5 quantizer
+    # (centroid_by_label yielded its keep-warm slot to quantize_embeddings
+    # — r4-green, stays registered + test_oracle-green)
     "dedup_exact_hash",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "cosine_topk",
-    "centroid_by_label",
+    "quantize_embeddings",  # new r5
     "embedding_cosine_dups",
     "embedding_dedup_corpus",
     # 3e — flagship scan+agg (1)

@@ -232,3 +232,33 @@ def test_embedding_dedup_corpus_is_canonical_cover(spark):
     assert {r["vec_id"] for r in survivors} == canonical
     assert sum(r["cluster_size"] for r in survivors) == len(comp)
     assert all(r["n_dups_removed"] == r["cluster_size"] - 1 for r in survivors)
+
+
+def test_quantize_embeddings_range_and_reconstruction(spark):
+    """int8 quantization contract: |q| ≤ 127, the max-|x| element of every
+    dimension hits ±127 exactly, and dequantization error is bounded by
+    half a quantization step (scale/254) per element."""
+    from bread_spark.extensions.similarity import quantize_embeddings
+    from bread_spark.io import load_table
+
+    sf = SF_DIR
+    q = {r["vec_id"]: r["q"] for r in quantize_embeddings(spark, sf).collect()}
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf, "embeddings").collect()
+    }
+    dims = len(next(iter(emb.values())))
+    scales = [max(abs(v[d]) for v in emb.values()) for d in range(dims)]
+    hit_limit = [False] * dims
+    for vid, vec in emb.items():
+        for d in range(dims):
+            qv = q[vid][d]
+            assert -127 <= qv <= 127
+            if scales[d] == 0:
+                assert qv == 0
+                continue
+            step = scales[d] / 127.0
+            assert abs(vec[d] - qv * step) <= step / 2 + 1e-9, (vid, d)
+            if abs(qv) == 127:
+                hit_limit[d] = True
+    assert all(hit_limit)  # every dimension's extreme maps to the rail

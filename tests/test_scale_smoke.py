@@ -119,3 +119,46 @@ def test_minhash_scales(spark):
         minhash_signatures(_word_shingles(docs)).select("signature").distinct().count()
     )
     assert n_distinct == base_distinct
+
+
+def test_paragraph_dedup_scales(spark):
+    """Disjoint-text replicas → exactly linear output; identical-text
+    replicas → output INVARIANT (every later replica's chunks are dups of
+    rep 0's). Catches anything quadratic in the digest join and any
+    cross-replica ordinal leakage."""
+    from bread_spark.extensions.curation import paragraph_dedup_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    small = paragraph_dedup_df(docs).count()
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    rep_docs = docs.crossJoin(reps)
+    big_same = rep_docs.select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+    )
+    assert paragraph_dedup_df(big_same).count() == small
+    big_disjoint = rep_docs.select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), "
+            "t -> concat(t, '_', cast(rep AS string))), ' ')"
+        ).alias("text"),
+    )
+    assert paragraph_dedup_df(big_disjoint).count() == small * REPS
+
+
+def test_bigram_lm_scales(spark):
+    """Disjoint token spaces per replica → exactly linear scored-doc
+    count; catches the LM join degenerating into anything super-linear."""
+    from bread_spark.extensions.curation import bigram_logprob_scores_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    small = bigram_logprob_scores_df(docs).count()
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), "
+            "t -> concat(t, '_', cast(rep AS string))), ' ')"
+        ).alias("text"),
+    )
+    assert bigram_logprob_scores_df(big).count() == small * REPS
