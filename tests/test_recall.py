@@ -262,3 +262,41 @@ def test_quantize_embeddings_range_and_reconstruction(spark):
             if abs(qv) == 127:
                 hit_limit[d] = True
     assert all(hit_limit)  # every dimension's extreme maps to the rail
+
+
+def test_quantized_topk_preserves_float_topk(spark):
+    """The point of int8 quantization is that ANN over quantized vectors
+    ranks (almost) like ANN over floats. Synthetic near-uniform vectors
+    are the worst case (neighbor similarities are near-tied, so ±half-step
+    noise reorders the tail), so the pinned contract is the one real ANN
+    systems use — quantized over-fetch + float re-rank: the true float
+    top-10 must sit inside the quantized top-20 with ≥95% mean recall,
+    and each vector's true nearest neighbor inside its quantized top-5
+    ≥95% of the time."""
+    import numpy as np
+
+    from bread_spark.extensions.similarity import quantize_embeddings
+    from bread_spark.io import load_table
+
+    emb_rows = sorted(
+        load_table(spark, SF_DIR, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    q_rows = {r["vec_id"]: r["q"] for r in quantize_embeddings(spark, SF_DIR).collect()}
+    ids = [r["vec_id"] for r in emb_rows]
+    X = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    Q = np.array([q_rows[i] for i in ids], dtype=np.float64)
+
+    def sims(M):
+        n = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = n @ n.T
+        np.fill_diagonal(S, -np.inf)
+        return S
+
+    tf = np.argsort(-sims(X), axis=1)
+    tq = np.argsort(-sims(Q), axis=1)
+    overfetch = np.mean(
+        [len(set(a[:10]) & set(b[:20])) / 10 for a, b in zip(tf, tq)]
+    )
+    assert overfetch >= 0.95, overfetch
+    nn_hit = np.mean([a[0] in set(b[:5]) for a, b in zip(tf, tq)])
+    assert nn_hit >= 0.95, nn_hit
