@@ -141,6 +141,9 @@ def main() -> None:
         "corpus_mix_tokens",
         "unigram_logprob_scores",
         "bigram_logprob_scores",
+        # the 100 TB bucket-split plan (window twin shares its oracle;
+        # benching both would double-pay the bigram LM build it contains)
+        "perplexity_buckets_distributed",
         "decontaminate_bloom",
         # capped variant is the benched/production near-dup plan (bounded
         # hot-shingle fan-out); uncapped exists for the oracle gate

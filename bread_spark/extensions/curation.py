@@ -456,6 +456,94 @@ def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
     )
 
 
+PERPLEXITY_K = 3  # CCNet's head / middle / tail
+
+
+def perplexity_buckets(
+    spark: SparkSession, sf_dir: str, k: int = PERPLEXITY_K
+) -> DataFrame:
+    """CCNet's final step: split the corpus into head/middle/tail by LM
+    score — NTILE(k) over `bigram_logprob_scores` descending (bucket 1 =
+    most fluent). Head goes straight to training, middle gets sampled,
+    tail gets dropped or LM-filtered harder.
+
+    This catalog/oracle form uses a global NTILE window (single-reducer
+    sort — fine to ~100M scored docs, and the oracle gate needs the
+    exact ANSI NTILE semantics); `perplexity_buckets_distributed` is the
+    100 TB twin: identical assignment, no single-reducer stage.
+    """
+    scored = bigram_logprob_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "mean_logp", F.ntile(k).over(w).alias("bucket")
+    )
+
+
+def perplexity_buckets_distributed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = PERPLEXITY_K,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`perplexity_buckets` without the single-reducer window — the
+    `shuffle_order_distributed` two-pass-rank pattern applied to score
+    order: range-repartition by (mean_logp DESC, doc_id), sort within
+    partitions, global rank = per-partition offset (a #partitions-row
+    driver aggregate, bounded by contract) + local ordinal via Arrow
+    mapInPandas, then the exact ANSI NTILE arithmetic on the rank —
+    the first n % k buckets get ceil(n/k) rows, the rest floor(n/k).
+    Value-identical to the window form (shared oracle + equality test).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas batch type
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = bigram_logprob_scores(spark, sf_dir)
+    ranged = (
+        scored.repartitionByRange(
+            num_partitions, F.col("mean_logp").desc(), F.col("doc_id").asc()
+        )
+        .sortWithinPartitions(F.col("mean_logp").desc(), F.col("doc_id").asc())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    n = acc
+
+    def assign(iterator):
+        from pyspark import TaskContext
+
+        start = offsets[TaskContext.get().partitionId()]
+        seen = 0
+        for pdf in iterator:
+            out = pdf.copy()
+            out["rk"] = range(start + seen + 1, start + seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield out
+
+    ranked = ranged.mapInPandas(
+        assign, "doc_id long, n_tokens long, mean_logp double, rk long"
+    )
+    q, rem = divmod(n, k)
+    boundary = (q + 1) * rem
+    # exact ANSI NTILE arithmetic, integer `div` (no float in the path)
+    bucket = F.expr(
+        f"CASE WHEN rk <= {boundary} THEN (rk - 1) div {q + 1} + 1 "
+        f"ELSE {rem} + (rk - {boundary} - 1) div {max(q, 1)} + 1 END"
+    )
+    return ranked.select(
+        "doc_id", "mean_logp", bucket.cast("int").alias("bucket")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": f"""
         WITH w AS (
@@ -633,3 +721,16 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY t2.doc_id
     """,
 }
+
+# The bucket split shares one oracle for both plan forms: the window form
+# matches by construction, the distributed form by exact-NTILE-arithmetic
+# equivalence (plus the equality test in test_curation.py).
+_PERPLEXITY_ORACLE = f"""
+    SELECT doc_id, mean_logp,
+           NTILE({PERPLEXITY_K}) OVER (
+               ORDER BY mean_logp DESC, doc_id ASC
+           ) AS bucket
+    FROM ({ORACLE_SQL["bigram_logprob_scores"]})
+"""
+ORACLE_SQL["perplexity_buckets"] = _PERPLEXITY_ORACLE
+ORACLE_SQL["perplexity_buckets_distributed"] = _PERPLEXITY_ORACLE

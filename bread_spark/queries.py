@@ -98,6 +98,8 @@ _register(
         "corpus_mix_tokens": curation.corpus_mix_tokens,
         "unigram_logprob_scores": curation.unigram_logprob_scores,
         "bigram_logprob_scores": curation.bigram_logprob_scores,
+        "perplexity_buckets": curation.perplexity_buckets,
+        "perplexity_buckets_distributed": curation.perplexity_buckets_distributed,
     },
     curation.ORACLE_SQL,
 )
@@ -186,15 +188,18 @@ _SAMPLE_PRIORITY = (
     "events_near_errors",
     "media_features",
     "media_dedup",
-    # 3d — dedup / similarity keep-warm (6) + the new r5 quantizer
-    # (centroid_by_label yielded its keep-warm slot to quantize_embeddings
-    # — r4-green, stays registered + test_oracle-green)
+    # 3d — dedup / similarity keep-warm (5) + two new r5 entries
+    # (centroid_by_label and embedding_cosine_dups yielded their keep-warm
+    # slots to quantize_embeddings and perplexity_buckets — both r4-green,
+    # stay registered + test_oracle-green; embedding_cosine_dups is the
+    # documented small-corpus collect kernel, the least scale-
+    # representative entry in the set)
     "dedup_exact_hash",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "cosine_topk",
     "quantize_embeddings",  # new r5
-    "embedding_cosine_dups",
+    "perplexity_buckets",  # new r5 (distributed twin shares the oracle)
     "embedding_dedup_corpus",
     # 3e — flagship scan+agg (1)
     "pricing_summary",

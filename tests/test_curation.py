@@ -302,3 +302,38 @@ def test_bigram_repeated_phrase_beats_shuffled_tokens(spark):
     finally:
         cur.load_table = orig
     assert scored[0] > scored[1]
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_buckets_distributed_matches_window_variant(spark):
+    """The two-pass-rank distributed plan must assign every doc the exact
+    bucket the global NTILE window does."""
+    a = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in curation.perplexity_buckets(spark, SF_DIR).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in curation.perplexity_buckets_distributed(spark, SF_DIR).collect()
+    )
+    assert a == b
+
+
+def test_perplexity_buckets_sizes_and_ordering(spark):
+    """NTILE contract: bucket sizes differ by ≤1 with larger buckets
+    first, and every head doc scores ≥ every tail doc."""
+    rows = curation.perplexity_buckets(spark, SF_DIR).collect()
+    sizes = {}
+    by_bucket = {}
+    for r in rows:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_logp"])
+    assert sorted(sizes) == list(range(1, curation.PERPLEXITY_K + 1))
+    vals = [sizes[b] for b in sorted(sizes)]
+    assert max(vals) - min(vals) <= 1
+    assert vals == sorted(vals, reverse=True)
+    assert min(by_bucket[1]) >= max(by_bucket[curation.PERPLEXITY_K])
