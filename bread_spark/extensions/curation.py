@@ -498,7 +498,10 @@ def perplexity_buckets_distributed(
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    scored = bigram_logprob_scores(spark, sf_dir)
+    # Checkpoint the scored frame BEFORE the range repartition: the range
+    # partitioner samples its child to pick bounds, which would otherwise
+    # execute the whole bigram-LM plan a second time (measured ~2x cost).
+    scored = bigram_logprob_scores(spark, sf_dir).localCheckpoint()
     ranged = (
         scored.repartitionByRange(
             num_partitions, F.col("mean_logp").desc(), F.col("doc_id").asc()
