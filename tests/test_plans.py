@@ -208,3 +208,17 @@ def test_decontaminate_bloom_filter_broadcasts_as_one_row(plans):
     assert "SortMergeJoin" not in p
     # the corpus→probe membership must not be a join keyed on shingle
     assert "BroadcastHashJoin [shingle" not in p
+
+
+def test_corpus_mix_tokens_full_epochs_pipeline_with_scan(plans):
+    """Token-budgeted mixing: the full-epoch fan-out must stay a
+    shuffle-free explode over the scan; the fractional epoch pays exactly
+    one source-keyed exchange for its running-sum window (the per-source
+    totals broadcast — their build-side aggregate is the only other
+    exchange); and the totals join must broadcast, never sort-merge."""
+    p = plans("corpus_mix_tokens")
+    assert "Generate explode" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning(source") == 2  # window + totals build
+    assert "Exchange hashpartitioning(doc_id" not in p
