@@ -129,6 +129,7 @@ def main() -> None:
         "doc_chunks",
         "deterministic_sample",
         "dedup_exact_hash",
+        "cross_dedup",
         # end-to-end curation composite (quality → dedup → decontaminate
         # → stratify → shuffle key) — the flagship training-data pipeline
         "training_corpus",
@@ -157,6 +158,7 @@ def main() -> None:
         # collect+broadcast brute force exists as oracle + re-rank kernel
         "lsh_bucket_pairs",
         "lsh_bucket_topk",
+        "cluster_quota_sample",
     ]
 
     # One cold pass (JVM JIT, parquet footers, shuffle machinery, Python

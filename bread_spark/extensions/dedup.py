@@ -61,6 +61,41 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CROSS_DEDUP_BASE_MAX = 250  # doc_id < this plays the already-ingested base
+
+
+def cross_dedup(
+    spark: SparkSession, sf_dir: str, base_max_doc_id: int = CROSS_DEDUP_BASE_MAX
+) -> DataFrame:
+    """Incremental-corpus gate (cross-corpus exact dedup): drop any NEW
+    document whose exact content already exists in the BASE corpus — the
+    "don't re-train on what you already have" filter every recurring
+    crawl refresh runs before appending to the training set. Here base =
+    doc_id < `base_max_doc_id`, new = the rest.
+
+    Plan: both sides reduce to 16-byte md5 digests map-side, then one
+    LEFT ANTI join keyed on the digest — document text never shuffles.
+    At 100 TB the base digest set is a bucketed table maintained at
+    ingest, so each refresh's anti join co-partitions against it with no
+    base-side rescan of raw text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_dedup_df(
+        docs.filter(F.col("doc_id") < base_max_doc_id),
+        docs.filter(F.col("doc_id") >= base_max_doc_id),
+    )
+
+
+def cross_dedup_df(base: DataFrame, new: DataFrame) -> DataFrame:
+    """`cross_dedup` core over any two (doc_id, source, lang, text)
+    frames — the seam synthetic-fixture tests drive directly."""
+    digest = F.md5(F.col("text").cast("binary")).alias("content_hash")
+    base_h = base.select(digest).distinct()
+    return new.select("doc_id", "source", "lang", digest).join(
+        base_h, "content_hash", "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup (exact similarity, inverted-index join)
 # ---------------------------------------------------------------------------
@@ -606,3 +641,12 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         END"""
     )
     return agg.select("doc_id", fingerprint.alias("simhash"))
+
+ORACLE_SQL["cross_dedup"] = f"""
+    SELECT doc_id, source, lang, md5(text) AS content_hash
+    FROM documents
+    WHERE doc_id >= {CROSS_DEDUP_BASE_MAX}
+      AND md5(text) NOT IN (
+          SELECT md5(text) FROM documents WHERE doc_id < {CROSS_DEDUP_BASE_MAX}
+      )
+"""

@@ -604,6 +604,54 @@ def ivf_topk(
     )
 
 
+CLUSTER_QUOTA = 10  # max vectors any one learned cluster may contribute
+CLUSTER_QUOTA_SEED = "cq42"
+
+
+def cluster_quota_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = IVF_K,
+    quota: int = CLUSTER_QUOTA,
+) -> DataFrame:
+    """Diversity sampling over LEARNED topic clusters: run the IVF coarse
+    quantizer's k-means over the embedding corpus, then cap each
+    cluster's contribution at `quota` vectors chosen deterministically
+    (md5(seed:vec_id) order) — `domain_quota_sample` with the "domain"
+    learned from embedding space instead of read from metadata. This is
+    the embedding-space diversity bound (the SemDeDup/DCLM shape): no
+    single semantic neighborhood may dominate the curated set, whatever
+    its share of the crawl.
+
+    Plan: centroids via the existing deterministic Lloyd aggregate (only
+    the k×dim matrix touches the driver, by contract); assignment is a
+    broadcast-centroid Arrow map stage; the quota is one per-cluster
+    rank window with WindowGroupLimit pushdown, exactly like the domain
+    quota. Rows-only by design: float k-means geometry is engine-
+    specific (no DuckDB twin) — determinism, quota, and coverage are
+    pinned by tests instead.
+    """
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, emb, k, IVF_ITERS)
+    assigned = _assign_clusters(spark, emb, cents)
+    key = F.md5(
+        F.concat_ws(":", F.lit(CLUSTER_QUOTA_SEED), F.col("vec_id")).cast("binary")
+    )
+    w = W.partitionBy("cluster").orderBy(key.asc(), F.col("vec_id").asc())
+    return (
+        assigned.select(
+            "vec_id",
+            "cluster",
+            key.alias("sample_key"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= quota)
+        .select("vec_id", "cluster", "sample_key")
+    )
+
+
 def embedding_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup of the embedding corpus: connected components over
     the cosine near-dup pair graph, keeping each component's canonical

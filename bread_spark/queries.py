@@ -42,6 +42,7 @@ _register(
     {
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_hash": dedup.dedup_exact_hash,
+        "cross_dedup": dedup.cross_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # rows-only (prod cap)
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
@@ -60,6 +61,7 @@ _register(
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
         "ivf_topk": similarity.ivf_topk,  # rows-only (IVF ANN scale path)
+        "cluster_quota_sample": similarity.cluster_quota_sample,  # rows-only (learned clusters)
         "embedding_dedup_corpus": similarity.embedding_dedup_corpus,  # semantic dedup
     },
     similarity.ORACLE_SQL,
@@ -194,7 +196,8 @@ _SAMPLE_PRIORITY = (
     # stay registered + test_oracle-green; embedding_cosine_dups is the
     # documented small-corpus collect kernel, the least scale-
     # representative entry in the set)
-    "dedup_exact_hash",
+    "cross_dedup",  # new r5 (dedup_exact_hash yielded its keep-warm slot
+    # — same digest mechanism, r4-green, stays test_oracle-green)
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "cosine_topk",

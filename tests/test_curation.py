@@ -337,3 +337,31 @@ def test_perplexity_buckets_sizes_and_ordering(spark):
     assert max(vals) - min(vals) <= 1
     assert vals == sorted(vals, reverse=True)
     assert min(by_bucket[1]) >= max(by_bucket[curation.PERPLEXITY_K])
+
+
+# ---------------------------------------------------------------------------
+# cross_dedup (incremental-corpus gate)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_dedup_drops_exact_base_matches_only(spark):
+    """A new doc identical to any base doc is dropped; internal dups
+    within the new batch survive (they are `dedup_exact`'s job, not the
+    cross-corpus gate's); near-identical text survives."""
+    from bread_spark.extensions.dedup import cross_dedup_df
+
+    base = spark.createDataFrame(
+        [(0, "s", "en", "alpha beta gamma"), (1, "s", "en", "delta epsilon zeta")],
+        "doc_id long, source string, lang string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "s", "en", "alpha beta gamma"),   # exact dup of base 0 → drop
+            (11, "s", "en", "alpha beta gamma!"),  # near-identical → keep
+            (12, "s", "en", "fresh text"),         # novel → keep
+            (13, "s", "en", "fresh text"),         # internal dup → keep
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in cross_dedup_df(base, new).collect())
+    assert kept == [11, 12, 13]

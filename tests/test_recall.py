@@ -300,3 +300,26 @@ def test_quantized_topk_preserves_float_topk(spark):
     assert overfetch >= 0.95, overfetch
     nn_hit = np.mean([a[0] in set(b[:5]) for a, b in zip(tf, tq)])
     assert nn_hit >= 0.95, nn_hit
+
+
+def test_cluster_quota_sample_bounds_every_cluster(spark):
+    """Diversity sampling contract: ≤ quota vectors per learned cluster,
+    every non-empty cluster represented, assignment deterministic across
+    runs, and survivors are a subset of the corpus."""
+    from collections import Counter
+
+    from bread_spark.extensions.similarity import (
+        CLUSTER_QUOTA,
+        cluster_quota_sample,
+    )
+    from bread_spark.io import load_table
+
+    rows = cluster_quota_sample(spark, SF_DIR).collect()
+    again = cluster_quota_sample(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    per_cluster = Counter(r["cluster"] for r in rows)
+    assert max(per_cluster.values()) <= CLUSTER_QUOTA
+    all_ids = {r["vec_id"] for r in load_table(spark, SF_DIR, "embeddings").collect()}
+    assert {r["vec_id"] for r in rows} <= all_ids
+    # the cap actually binds on this corpus (500 vecs / 32 clusters)
+    assert any(v == CLUSTER_QUOTA for v in per_cluster.values())
