@@ -136,6 +136,7 @@ def main() -> None:
         # corpus-curation family (sub-document dedup, domain quotas,
         # mixture weighting, LM scoring)
         "paragraph_dedup",
+        "corpus_stats_by_source",
         "domain_quota_sample",
         "domain_token_quota",
         "corpus_mix",

@@ -456,6 +456,35 @@ def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard rollup: per source — document count, token
+    totals and mean, language spread, and distinct-content count (its
+    gap vs n_docs is the exact-dup rate). The first query anyone runs
+    before AND after every curation stage to see what the stage did.
+
+    Plan: one groupBy(source) with map-side partials; the distinct
+    counts expand to the standard two-phase distinct aggregate. All JVM.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.md5(F.col("text").cast("binary")).alias("content_hash"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("content_hash").alias("n_distinct_texts"),
+        )
+    )
+
+
 PERPLEXITY_K = 3  # CCNet's head / middle / tail
 
 
@@ -613,6 +642,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM gated, LATERAL (
             SELECT unnest(range(full_epochs + extra)) AS e
         ) t
+    """,
+    "corpus_stats_by_source": """
+        SELECT source, COUNT(1) AS n_docs,
+               SUM(n_tokens) AS total_tokens,
+               ROUND(AVG(n_tokens), 4) AS mean_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT content_hash) AS n_distinct_texts
+        FROM (
+            SELECT source, lang,
+                   len(list_filter(string_split(text, ' '), t -> t <> ''))
+                       AS n_tokens,
+                   md5(text) AS content_hash
+            FROM documents
+        )
+        GROUP BY source
     """,
     "domain_token_quota": f"""
         SELECT doc_id, source, n_tokens, cum_tokens FROM (

@@ -421,6 +421,30 @@ def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after APPROXIMATE near-dup removal — `deduped_corpus`
+    with the MinHash-LSH candidate graph in place of the exact jaccard
+    pair graph. This is the composition a 100 TB pipeline actually runs
+    (GPT-3/MassiveText style): banded LSH generates candidates with no
+    all-pairs stage, components group them transitively, each cluster
+    keeps its min-doc_id member. No exact-jaccard verification pass —
+    banding parameters ARE the precision/recall dial, so clusters can
+    over-merge relative to the exact graph (that one-sidedness and the
+    recall floor vs exact jaccard are pinned in tests; rows-only by
+    design, the hash family is engine-specific).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    survivors = clusters.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return docs.join(survivors, "doc_id").select(
+        "doc_id", "lang", "source", "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dups_removed"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
         SELECT text, MIN(doc_id) AS canonical_doc_id, COUNT(1) AS dup_count

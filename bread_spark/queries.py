@@ -49,6 +49,7 @@ _register(
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
         "dedup_clusters": dedup.dedup_clusters,  # connected components
         "deduped_corpus": dedup.deduped_corpus,  # surviving corpus post near-dup
+        "minhash_dedup_corpus": dedup.minhash_dedup_corpus,  # rows-only (LSH graph)
     },
     dedup.ORACLE_SQL,
 )
@@ -102,6 +103,7 @@ _register(
         "bigram_logprob_scores": curation.bigram_logprob_scores,
         "perplexity_buckets": curation.perplexity_buckets,
         "perplexity_buckets_distributed": curation.perplexity_buckets_distributed,
+        "corpus_stats_by_source": curation.corpus_stats_by_source,
     },
     curation.ORACLE_SQL,
 )
@@ -188,7 +190,10 @@ _SAMPLE_PRIORITY = (
     "windowed_value_by_type",
     "last_purchase_asof",
     "events_near_errors",
-    "media_features",
+    # (media_features yielded its keep-warm slot to the new r5
+    # corpus_stats_by_source — r4-green, media family stays warm via
+    # media_dedup, and it remains registered + test_oracle-green)
+    "corpus_stats_by_source",  # new r5
     "media_dedup",
     # 3d — dedup / similarity keep-warm (5) + two new r5 entries
     # (centroid_by_label and embedding_cosine_dups yielded their keep-warm

@@ -323,3 +323,23 @@ def test_cluster_quota_sample_bounds_every_cluster(spark):
     assert {r["vec_id"] for r in rows} <= all_ids
     # the cap actually binds on this corpus (500 vecs / 32 clusters)
     assert any(v == CLUSTER_QUOTA for v in per_cluster.values())
+
+
+def test_minhash_dedup_corpus_partition_cover_and_exact_agreement(spark):
+    """The LSH-graph deduped corpus must be a partition cover (every doc
+    absorbed into exactly one surviving cluster), deterministic, and in
+    ≥95% survivor-set agreement with the exact-jaccard corpus — banding
+    can merge a few extra (or miss a few) clusters, never restructure
+    the corpus wholesale."""
+    from bread_spark.extensions.dedup import deduped_corpus, minhash_dedup_corpus
+    from bread_spark.io import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    rows = minhash_dedup_corpus(spark, SF_DIR).collect()
+    assert sum(r["cluster_size"] for r in rows) == n_docs
+    again = {r["doc_id"] for r in minhash_dedup_corpus(spark, SF_DIR).collect()}
+    approx = {r["doc_id"] for r in rows}
+    assert approx == again
+    exact = {r["doc_id"] for r in deduped_corpus(spark, SF_DIR).collect()}
+    jac = len(approx & exact) / len(approx | exact)
+    assert jac >= 0.95, jac
