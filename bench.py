@@ -162,6 +162,19 @@ def main() -> None:
         "cluster_quota_sample",
     ]
 
+    # Queries first benched in round 5 (13 of the 58). The headline
+    # `value` covers the WHOLE set — but the baseline it's compared to is
+    # a single fixed reference workload, so growing the bench set raises
+    # the total without anything getting slower. `subtotals` decomposes
+    # it: `r4_comparable` is the same 45-query set BENCH_r04 timed.
+    R5_ADDITIONS = {
+        "paragraph_dedup", "corpus_stats_by_source", "domain_quota_sample",
+        "domain_token_quota", "corpus_mix", "corpus_mix_tokens",
+        "unigram_logprob_scores", "bigram_logprob_scores",
+        "perplexity_buckets_distributed", "decontaminate_bloom",
+        "quantize_embeddings", "cross_dedup", "cluster_quota_sample",
+    }
+
     # One cold pass (JVM JIT, parquet footers, shuffle machinery, Python
     # worker pool — reported for transparency), then WARM_PASSES
     # BACK-TO-BACK timed runs per query; each query reports its MEDIAN and
@@ -216,6 +229,14 @@ def main() -> None:
                 "unit": "sec",
                 "cold_total": cold_total,
                 "warm_passes": WARM_PASSES,
+                "subtotals": {
+                    "r4_comparable": round(
+                        sum(v for k, v in timings.items() if k not in R5_ADDITIONS), 3
+                    ),
+                    "r5_additions": round(
+                        sum(v for k, v in timings.items() if k in R5_ADDITIONS), 3
+                    ),
+                },
                 "queries": timings,
                 "parse_events_rows": parse_rows,
                 "parse_input_blocks": PARSE_N_BLOCKS,
