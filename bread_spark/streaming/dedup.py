@@ -46,3 +46,28 @@ def dedup_stream_by_digest(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+def dedup_stream_against_base(
+    stream: DataFrame, base: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """The streaming twin of `extensions.dedup.cross_dedup`: drop any
+    incoming row whose content digest already exists in a STATIC base
+    corpus — a stream-static LEFT ANTI join, which Spark executes by
+    re-resolving only the static side per micro-batch (no streaming
+    state at all, unlike the within-watermark variants above).
+
+    `base` must be a static frame with a `text` column (the already-
+    ingested corpus). At 100 TB the base is its bucketed digest table,
+    so each micro-batch's anti join co-partitions against it without
+    rescanning raw text. Combine with `dedup_stream_by_digest` upstream
+    to also bound duplicate bursts WITHIN the stream — this operator
+    only gates against history.
+    """
+    base_h = base.select(
+        F.md5(F.col("text").cast("binary")).alias("__digest")
+    ).distinct()
+    with_digest = stream.withColumn(
+        "__digest", F.md5(F.col(payload_col).cast("binary"))
+    )
+    return with_digest.join(base_h, "__digest", "left_anti").drop("__digest")

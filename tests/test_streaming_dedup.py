@@ -60,3 +60,27 @@ def test_digest_dedup_ignores_identity(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert len(rows) == 2
     assert {r["payload"] for r in rows} == {"same", "other"}
+
+
+def test_stream_static_anti_join_gates_against_base_corpus(spark, tmp_path):
+    """Incremental cross-corpus gate in streaming form: rows whose content
+    already exists in the static base corpus never reach the sink, across
+    restarts; novel content flows through. Stateless — no watermark."""
+    from bread_spark.streaming.dedup import dedup_stream_against_base
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    m = datetime.timedelta(minutes=1)
+    base = spark.createDataFrame(
+        [(100, "known content"), (101, "other known")], "doc_id long, text string"
+    )
+
+    fn = lambda s: dedup_stream_against_base(s, base)
+    _write(src, "b1.json", [(1, BASE, "known content"), (2, BASE + m, "fresh one")])
+    _run(spark, src, ckpt, sink, fn)
+    _write(src, "b2.json", [(3, BASE + 2 * m, "other known"), (4, BASE + 3 * m, "fresh two")])
+    _run(spark, src, ckpt, sink, fn)
+
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["event_id"] for r in rows) == [2, 4]
+    assert {r["payload"] for r in rows} == {"fresh one", "fresh two"}
