@@ -96,6 +96,53 @@ def cross_dedup_df(base: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def cross_dedup_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    base_max_doc_id: int = CROSS_DEDUP_BASE_MAX,
+    num_bands: int | None = None,  # defaults to NUM_BANDS (defined below)
+) -> DataFrame:
+    """The FUZZY incremental-corpus gate: drop any new document whose
+    MinHash-LSH bands collide with ANY base document's — near-duplicates
+    of already-ingested content never enter the training set, not just
+    byte-identical copies (`cross_dedup`). Banding parameters set the
+    similarity threshold exactly as in `minhash_lsh_candidates`.
+
+    Plan: both corpora reduce to (band, bucket) rows; one LEFT SEMI join
+    marks colliding new docs (bands are 8-byte keys — text never
+    shuffles), one LEFT ANTI join keeps the rest. At 100 TB the base
+    band table is maintained incrementally at ingest (append-only —
+    band rows of accepted docs), so each refresh joins against it
+    without recomputing base signatures. Rows-only by design (hash
+    family is engine-specific); pinned by tests: exact dups always
+    dropped (minhash of identical text is identical), survivors ⊆
+    `cross_dedup` survivors, deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_dedup_neardup_df(
+        docs.filter(F.col("doc_id") < base_max_doc_id),
+        docs.filter(F.col("doc_id") >= base_max_doc_id),
+        num_bands,
+    )
+
+
+def cross_dedup_neardup_df(
+    base: DataFrame, new: DataFrame, num_bands: int | None = None
+) -> DataFrame:
+    """`cross_dedup_neardup` core over any two (doc_id, source, lang,
+    text) frames."""
+    if num_bands is None:
+        num_bands = NUM_BANDS
+    base_bands = _lsh_bands(base, num_bands).select("band", "bucket").distinct()
+    new_bands = _lsh_bands(new, num_bands)
+    hits = (
+        new_bands.join(base_bands, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new.join(hits, "doc_id", "left_anti").select("doc_id", "source", "lang")
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard near-dup (exact similarity, inverted-index join)
 # ---------------------------------------------------------------------------
@@ -552,6 +599,24 @@ def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -
     )
 
 
+def _lsh_bands(docs: DataFrame, num_bands: int = NUM_BANDS) -> DataFrame:
+    """doc_id → (band, bucket) — one row per band, bucket = xxhash64 of
+    the band's signature slice. The shared candidate-generation front end
+    of `minhash_lsh_candidates` (self-join) and `cross_dedup_neardup`
+    (two-corpus semi join)."""
+    sigs = minhash_signatures(_word_shingles_with_dups(docs))
+    rows_per_band = NUM_HASHES // num_bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bands - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(signature, b * {rows_per_band} + 1, {rows_per_band}))))"
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     spark: SparkSession, sf_dir: str, num_bands: int = NUM_BANDS
 ) -> DataFrame:
@@ -564,20 +629,9 @@ def minhash_lsh_candidates(
     Rows-only correctness check (hash family is engine-specific).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(_word_shingles_with_dups(docs))
-    rows_per_band = NUM_HASHES // num_bands
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {num_bands - 1}), "
-                f"b -> xxhash64(concat_ws(',', slice(signature, b * {rows_per_band} + 1, {rows_per_band}))))"
-            )
-        ).alias("band", "bucket"),
-    )
     # both self-join sides read the signature pipeline (3 shuffles deep) —
     # materialize once instead of recomputing it per side
-    bands = bands.localCheckpoint()
+    bands = _lsh_bands(docs, num_bands).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -43,6 +43,7 @@ _register(
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_hash": dedup.dedup_exact_hash,
         "cross_dedup": dedup.cross_dedup,
+        "cross_dedup_neardup": dedup.cross_dedup_neardup,  # rows-only (LSH gate)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # rows-only (prod cap)
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only

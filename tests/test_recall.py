@@ -343,3 +343,35 @@ def test_minhash_dedup_corpus_partition_cover_and_exact_agreement(spark):
     exact = {r["doc_id"] for r in deduped_corpus(spark, SF_DIR).collect()}
     jac = len(approx & exact) / len(approx | exact)
     assert jac >= 0.95, jac
+
+
+def test_cross_dedup_neardup_gates_fuzzy_and_exact(spark):
+    """The fuzzy incremental gate: exact dups of base content always
+    dropped (identical text → identical signature → every band collides),
+    near-identical content dropped, unrelated content survives; on the
+    real corpus its survivors are a subset of the exact gate's and the
+    assignment is deterministic."""
+    from bread_spark.extensions.dedup import (
+        cross_dedup,
+        cross_dedup_neardup,
+        cross_dedup_neardup_df,
+    )
+
+    base_text = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 7 else f"w{i}") for i in range(40))
+    novel = " ".join(f"z{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(0, "s", "en", base_text)], "doc_id long, source string, lang string, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "s", "en", base_text), (11, "s", "en", near), (12, "s", "en", novel)],
+        "doc_id long, source string, lang string, text string",
+    )
+    kept = sorted(r["doc_id"] for r in cross_dedup_neardup_df(base, new).collect())
+    assert kept == [12]  # exact AND near dup gated; novel survives
+
+    fuzzy = {r["doc_id"] for r in cross_dedup_neardup(spark, SF_DIR).collect()}
+    again = {r["doc_id"] for r in cross_dedup_neardup(spark, SF_DIR).collect()}
+    assert fuzzy == again
+    exact = {r["doc_id"] for r in cross_dedup(spark, SF_DIR).collect()}
+    assert fuzzy <= exact  # the fuzzy gate can only drop MORE
