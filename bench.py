@@ -136,6 +136,7 @@ def main() -> None:
         # corpus-curation family (sub-document dedup, domain quotas,
         # mixture weighting, LM scoring)
         "paragraph_dedup",
+        "curated_corpus",
         "corpus_stats_by_source",
         "domain_quota_sample",
         "domain_token_quota",
@@ -168,7 +169,7 @@ def main() -> None:
     # the total without anything getting slower. `subtotals` decomposes
     # it: `r4_comparable` is the same 45-query set BENCH_r04 timed.
     R5_ADDITIONS = {
-        "paragraph_dedup", "corpus_stats_by_source", "domain_quota_sample",
+        "paragraph_dedup", "curated_corpus", "corpus_stats_by_source", "domain_quota_sample",
         "domain_token_quota", "corpus_mix", "corpus_mix_tokens",
         "unigram_logprob_scores", "bigram_logprob_scores",
         "perplexity_buckets_distributed", "decontaminate_bloom",

@@ -576,6 +576,47 @@ def perplexity_buckets_distributed(
     )
 
 
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composite of the round's curation stages — the
+    `training_corpus` pattern applied to sub-document hygiene: paragraph-
+    dedup every document (chunk-level first-occurrence-wins, rebuilt
+    text), rejoin source/lang, then admit rebuilt docs under the
+    per-source TOKEN budget in md5 order. What remains is the corpus a
+    downstream tokenizer actually consumes: no repeated chunk anywhere,
+    no source over budget.
+
+    Each stage is the already-certified operator (`paragraph_dedup_df`,
+    the `domain_token_quota` window) composed as DataFrames; the oracle
+    composes the same stages as CTEs from their own SQL fragments — so a
+    green hash certifies the PIPELINE, not just its members. Token
+    counts are recomputed on the REBUILT text (dedup changes lengths),
+    which is the point of running quota after dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rebuilt = paragraph_dedup_df(docs.select("doc_id", "text")).select(
+        "doc_id", "text"
+    )
+    docs2 = rebuilt.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    key = F.md5(F.col("text").cast("binary"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs2.select(
+            "doc_id",
+            "source",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.sum(n_tokens).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < TOKEN_QUOTA)
+        .select("doc_id", "source", "lang", "n_tokens", "cum_tokens")
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": f"""
         WITH w AS (
@@ -781,3 +822,27 @@ _PERPLEXITY_ORACLE = f"""
 """
 ORACLE_SQL["perplexity_buckets"] = _PERPLEXITY_ORACLE
 ORACLE_SQL["perplexity_buckets_distributed"] = _PERPLEXITY_ORACLE
+
+# Composite oracle: the member stages' own SQL fragments chained as CTEs
+# (the training_corpus pattern) — a green hash certifies the pipeline.
+ORACLE_SQL["curated_corpus"] = f"""
+    WITH pd AS ({ORACLE_SQL["paragraph_dedup"]}),
+    docs2 AS (
+        SELECT p.doc_id, d.source, d.lang, p.text
+        FROM pd p JOIN documents d ON p.doc_id = d.doc_id
+    ),
+    sized AS (
+        SELECT doc_id, source, lang, text,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM docs2
+    )
+    SELECT doc_id, source, lang, n_tokens, cum_tokens FROM (
+        SELECT doc_id, source, lang, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM sized
+    ) WHERE cum_tokens - n_tokens < {TOKEN_QUOTA}
+"""

@@ -105,6 +105,7 @@ _register(
         "perplexity_buckets": curation.perplexity_buckets,
         "perplexity_buckets_distributed": curation.perplexity_buckets_distributed,
         "corpus_stats_by_source": curation.corpus_stats_by_source,
+        "curated_corpus": curation.curated_corpus,  # composed-oracle pipeline
     },
     curation.ORACLE_SQL,
 )
@@ -181,11 +182,14 @@ _SAMPLE_PRIORITY = (
     "daily_cum_ibc_transfers",
     "hourly_cum_ibc_transfers",
     "gas_used_per_day",
-    # 3b — training/curation keep-warm (4)
+    # 3b — training/curation keep-warm (3) + the new r5 composite
+    # (quality_filter yielded its keep-warm slot to curated_corpus — its
+    # adaptive-threshold mechanism stays driver-covered inside
+    # training_corpus, and it remains registered + test_oracle-green)
     "decontaminate",
     "pack_sequences",
     "training_corpus",
-    "quality_filter",
+    "curated_corpus",  # new r5 (paragraph dedup → token quota, composed oracle)
     # 3c — streaming twins / asof / interval / media keep-warm (6)
     "session_stats",
     "windowed_value_by_type",
