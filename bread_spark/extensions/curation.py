@@ -686,7 +686,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "corpus_stats_by_source": """
         SELECT source, COUNT(1) AS n_docs,
-               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                ROUND(AVG(n_tokens), 4) AS mean_tokens,
                COUNT(DISTINCT lang) AS n_langs,
                COUNT(DISTINCT content_hash) AS n_distinct_texts
@@ -702,10 +702,10 @@ ORACLE_SQL: dict[str, str] = {
     "domain_token_quota": f"""
         SELECT doc_id, source, n_tokens, cum_tokens FROM (
             SELECT doc_id, source, n_tokens,
-                   SUM(n_tokens) OVER (
+                   CAST(SUM(n_tokens) OVER (
                        PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_tokens
+                   ) AS BIGINT) AS cum_tokens
             FROM (
                 SELECT doc_id, source, text,
                        len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -839,10 +839,10 @@ ORACLE_SQL["curated_corpus"] = f"""
     )
     SELECT doc_id, source, lang, n_tokens, cum_tokens FROM (
         SELECT doc_id, source, lang, n_tokens,
-               SUM(n_tokens) OVER (
+               CAST(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY md5(text) ASC, doc_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS cum_tokens
+               ) AS BIGINT) AS cum_tokens
         FROM sized
     ) WHERE cum_tokens - n_tokens < {TOKEN_QUOTA}
 """

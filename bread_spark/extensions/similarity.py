@@ -135,6 +135,24 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_embeddings_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of `quantize_embeddings`: posexplode the int8 vector to
+    scalar rows (vec_id, dim, q) so every value is hashable by the driver's
+    pandas-level comparator (array cells raise `unhashable type: 'list'` in
+    pandas factorize). Certifies exactly the same values — one row per
+    (vector, dimension) instead of one array per vector. The array form
+    remains the engine API consumed by the quantized-ANN path.
+    """
+    return quantize_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.posexplode("q").alias("dim", "q"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("q").cast("long").alias("q"),
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.35  # synthetic corpus: pairwise cosine tops out ~0.6
 
 
@@ -191,20 +209,19 @@ def embedding_cosine_dups(
 
 ORACLE_SQL: dict[str, str] = {
     "quantize_embeddings": """
-        WITH dims AS (
-            SELECT d.dim, MAX(ABS(CAST(e.embedding[d.dim + 1] AS DOUBLE))) AS scale
+        WITH flat AS (
+            SELECT e.vec_id, d.dim,
+                   CAST(e.embedding[d.dim + 1] AS DOUBLE) AS val
             FROM embeddings e, LATERAL (
                 SELECT unnest(range(len(e.embedding))) AS dim
             ) d
-            GROUP BY d.dim
         ),
-        svec AS (SELECT list(scale ORDER BY dim) AS scales FROM dims)
-        SELECT e.vec_id,
-               [CASE WHEN s.scales[CAST(d AS BIGINT) + 1] = 0 THEN 0
-                     ELSE CAST(ROUND(127.0 * CAST(e.embedding[CAST(d AS BIGINT) + 1] AS DOUBLE)
-                                     / s.scales[CAST(d AS BIGINT) + 1]) AS INT) END
-                FOR d IN range(len(e.embedding))] AS q
-        FROM embeddings e CROSS JOIN svec s
+        dims AS (SELECT dim, MAX(ABS(val)) AS scale FROM flat GROUP BY dim)
+        SELECT f.vec_id, f.dim,
+               CASE WHEN s.scale = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(127.0 * f.val / s.scale) AS BIGINT)
+               END AS q
+        FROM flat f JOIN dims s ON f.dim = s.dim
     """,
     "embedding_cosine_dups": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

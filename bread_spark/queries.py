@@ -58,7 +58,7 @@ _register(
     {
         "cosine_topk": similarity.cosine_topk,
         "centroid_by_label": similarity.centroid_by_label,
-        "quantize_embeddings": similarity.quantize_embeddings,
+        "quantize_embeddings": similarity.quantize_embeddings_rows,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)

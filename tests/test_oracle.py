@@ -35,6 +35,47 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_driver_protocol_distinguishes_float_from_int():
+    """r5 regression class: DuckDB HUGEINT/DECIMAL materializes as float64,
+    so an uncast oracle SUM renders `4950.0` against Spark's `4950` — the
+    canon must treat those as different even though the typed values agree."""
+    import pandas as pd
+
+    from tests.oracle_utils import driver_canon
+
+    assert driver_canon(pd.DataFrame({"x": [4950]})) != driver_canon(
+        pd.DataFrame({"x": [4950.0]})
+    )
+
+
+def test_driver_protocol_errs_on_array_cells():
+    """r5 regression class: array-typed result columns break the driver's
+    row sort (pandas factorize: unhashable type) — the canon must raise, not
+    silently pass, so array-shaped catalog outputs get caught locally."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.oracle_utils import driver_canon
+
+    pdf = pd.DataFrame({"a": [np.array([1]), np.array([2])], "b": [2, 1]})
+    with pytest.raises(TypeError):
+        driver_canon(pdf)
+
+
+def test_driver_protocol_end_to_end_hugeint(spark, con):
+    """An uncast SUM(BIGINT) oracle must fail `compare` against an int64
+    Spark result; the CAST(... AS BIGINT) form must pass."""
+    from tests.oracle_utils import compare
+
+    sdf = spark.createDataFrame([(4950,)], "cum: long")
+    ok, msg = compare(sdf, con, "SELECT SUM(x) AS cum FROM (SELECT CAST(4950 AS BIGINT) AS x)")
+    assert not ok and "differ" in msg
+    ok, _ = compare(
+        sdf, con, "SELECT CAST(SUM(x) AS BIGINT) AS cum FROM (SELECT CAST(4950 AS BIGINT) AS x)"
+    )
+    assert ok
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
