@@ -163,7 +163,7 @@ def main() -> None:
         "cluster_quota_sample",
     ]
 
-    # Queries first benched in round 5 (13 of the 58). The headline
+    # Queries first benched in round 5 (14 of the 58). The headline
     # `value` covers the WHOLE set — but the baseline it's compared to is
     # a single fixed reference workload, so growing the bench set raises
     # the total without anything getting slower. `subtotals` decomposes
@@ -175,6 +175,44 @@ def main() -> None:
         "perplexity_buckets_distributed", "decontaminate_bloom",
         "quantize_embeddings", "cross_dedup", "cluster_quota_sample",
     }
+
+    # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
+    # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
+    # of r5 + parse_events_wide) are the official perf denominator from
+    # now on. Every round reports `subtotals.frozen_r5_set` over exactly
+    # these names; coverage added in later rounds lands in the headline
+    # `value` but can never move the frozen-set number, so "more queries"
+    # can no longer read as "got slower". Target: frozen_r5_set ≤ 2.0× the
+    # reference's 14 s single-workload baseline (BASELINE.md). Spelled out
+    # literally (not derived from bench_queries) so additions can't leak in.
+    FROZEN_R5_SET = frozenset({
+        "pricing_summary", "revenue_by_segment", "orders_by_nation",
+        "customers_without_orders", "orders_with_returns",
+        "top_parts_by_revenue", "nation_revenue_rollup",
+        "regional_supplier_revenue", "returned_items_topk", "txs_per_day",
+        "cum_txs_per_day", "hourly_value_by_type", "cum_value_by_type",
+        "distinct_users_per_day", "events_pivot_by_type",
+        "props_json_extract", "brand_number_extract", "event_flows_union",
+        "value_cube_by_type_day", "value_percentiles_by_type",
+        "day_over_day_txs", "session_stats", "windowed_value_by_type",
+        "last_purchase_asof", "events_near_errors", "media_features",
+        "media_dedup", "doc_word_counts", "token_stats", "quality_scores",
+        "lang_id_scores", "doc_fingerprints", "redact_pii", "doc_chunks",
+        "deterministic_sample", "dedup_exact_hash", "cross_dedup",
+        "training_corpus", "paragraph_dedup", "curated_corpus",
+        "corpus_stats_by_source", "domain_quota_sample",
+        "domain_token_quota", "corpus_mix", "corpus_mix_tokens",
+        "unigram_logprob_scores", "bigram_logprob_scores",
+        "perplexity_buckets_distributed", "decontaminate_bloom",
+        "ngram_jaccard_pairs_capped", "minhash_lsh_candidates",
+        "simhash_fingerprints", "cosine_topk", "centroid_by_label",
+        "quantize_embeddings", "lsh_bucket_pairs", "lsh_bucket_topk",
+        "cluster_quota_sample", "parse_events_wide",
+    })
+    missing_frozen = FROZEN_R5_SET - set(bench_queries) - {"parse_events_wide"}
+    assert not missing_frozen, (
+        f"frozen r5 gate queries dropped from the bench set: {sorted(missing_frozen)}"
+    )
 
     # One cold pass (JVM JIT, parquet footers, shuffle machinery, Python
     # worker pool — reported for transparency), then WARM_PASSES
@@ -236,6 +274,9 @@ def main() -> None:
                     ),
                     "r5_additions": round(
                         sum(v for k, v in timings.items() if k in R5_ADDITIONS), 3
+                    ),
+                    "frozen_r5_set": round(
+                        sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3
                     ),
                 },
                 "queries": timings,

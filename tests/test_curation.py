@@ -291,16 +291,15 @@ def test_bigram_repeated_phrase_beats_shuffled_tokens(spark):
     frame = spark.createDataFrame(
         [(0, coherent), (1, scrambled)] + filler, "doc_id long, text string"
     )
-    frame.createOrReplaceTempView("bigram_probe_docs")
-    # drive the operator core over the probe frame via a monkeypatched load
-    from bread_spark.extensions import curation as cur
+    # drive the operator core over the probe frame directly (the catalog
+    # entry rides the shared scored-frame cache keyed on sf_dir, so a
+    # load_table monkeypatch would be shadowed by a prior test's build)
+    from bread_spark.extensions.curation import bigram_logprob_scores_df
 
-    orig = cur.load_table
-    try:
-        cur.load_table = lambda spark_, sf_, name_: frame
-        scored = {r["doc_id"]: r["mean_logp"] for r in cur.bigram_logprob_scores(spark, SF_DIR).collect()}
-    finally:
-        cur.load_table = orig
+    scored = {
+        r["doc_id"]: r["mean_logp"]
+        for r in bigram_logprob_scores_df(frame).collect()
+    }
     assert scored[0] > scored[1]
 
 
