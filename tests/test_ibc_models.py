@@ -13,7 +13,12 @@ import pandas as pd
 import pytest
 
 from bread_spark import models_ibc as M
-from tests.oracle_utils import compare
+# Typed comparison on purpose: these fixtures exercise >int64 amounts as
+# DECIMAL(38,0), which the driver's pandas-level protocol would coerce to
+# lossy float64. The driver never sees these models — its IBC entries go
+# through the models_ibc_catalog BIGINT boundary and the driver-faithful
+# gate in test_oracle.py.
+from tests.oracle_utils import compare_typed as compare
 
 
 def _make_legacy_tables():

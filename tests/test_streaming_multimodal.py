@@ -82,8 +82,9 @@ def test_sessionize_batch_vs_oracle(spark):
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sessioned AS (
             SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id, COUNT(1) AS n_events,
