@@ -86,8 +86,21 @@ def paragraph_dedup(
     values; inputs outside the packed range (doc_id ≥ 2^43 or chunk_idx ≥
     2^20, i.e. a >33M-token document) raise instead of silently wrapping.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return paragraph_dedup_df(docs, chunk_tokens)
+    from ..plans.materialize import materialized_frame
+
+    # Compute-once seam: `curated_corpus` consumes the identical rebuilt
+    # frame — one chunk-dedup build per catalog pass serves both (cache
+    # contract in plans/materialize.py).
+    return materialized_frame(
+        spark,
+        "paragraph_dedup",
+        sf_dir,
+        lambda: paragraph_dedup_df(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            chunk_tokens,
+        ),
+        (chunk_tokens,),
+    )
 
 
 def paragraph_dedup_df(
@@ -416,38 +429,28 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the persisted frame is the SAME DataFrame every consumer would have
 # computed (equality is pinned by the shared oracle + the window-vs-
 # distributed equality test in test_curation.py).
-_LM_SCORED_CACHE: dict[tuple[str, str, float], DataFrame] = {}
-
-
 def lm_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from ..plans.materialize import materialized_frame
 
-    from pyspark import StorageLevel
-
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.realpath(sf_dir),
-        LM_LAMBDA,
+    # Eager materialization (inside the seam) matters here: downstream
+    # repartitionByRange samples its child for bounds, which must hit the
+    # cache, not re-run the LM.
+    return materialized_frame(
+        spark,
+        "lm_scored",
+        sf_dir,
+        lambda: bigram_logprob_scores_df(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+        (LM_LAMBDA,),
     )
-    df = _LM_SCORED_CACHE.get(key)
-    if df is None:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        df = bigram_logprob_scores_df(docs).persist(StorageLevel.MEMORY_AND_DISK)
-        # Materialize eagerly: downstream repartitionByRange samples its
-        # child for bounds, which must hit the cache, not re-run the LM.
-        df.count()
-        _LM_SCORED_CACHE[key] = df
-    return df
 
 
 def clear_lm_cache() -> None:
-    """Unpersist and drop all cached scored frames (test isolation hook)."""
-    for df in _LM_SCORED_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _LM_SCORED_CACHE.clear()
+    """Unpersist and drop all cached seam frames (test isolation hook)."""
+    from ..plans.materialize import clear_materialized_frames
+
+    clear_materialized_frames()
 
 
 def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
@@ -641,9 +644,8 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the point of running quota after dedup.
     """
     docs = load_table(spark, sf_dir, "documents")
-    rebuilt = paragraph_dedup_df(docs.select("doc_id", "text")).select(
-        "doc_id", "text"
-    )
+    # rides the shared chunk-dedup seam — same frame `paragraph_dedup` serves
+    rebuilt = paragraph_dedup(spark, sf_dir).select("doc_id", "text")
     docs2 = rebuilt.join(docs.select("doc_id", "source", "lang"), "doc_id")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     key = F.md5(F.col("text").cast("binary"))

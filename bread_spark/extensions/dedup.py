@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..plans.materialize import materialized_frame
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -200,6 +201,24 @@ def _word_shingles_with_dups(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def shingle_frame(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataFrame:
+    """Compute-once distinct word-shingle index for the canonical
+    `documents` table — the shared front end of jaccard near-dup and both
+    decontamination paths. Four catalog entries (plus `training_corpus`,
+    which composes decontamination) were each rebuilding the identical
+    scan→shingle→distinct subtree; the seam builds it once per
+    (application, sf_dir, n) and persists it (see plans/materialize.py
+    for the cache contract). At 100 TB this is the staged shingle-index
+    table every downstream near-dup/decontamination job reads."""
+    return materialized_frame(
+        spark,
+        "word_shingles",
+        sf_dir,
+        lambda: _word_shingles(load_table(spark, sf_dir, "documents"), n),
+        (n,),
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -215,17 +234,18 @@ def ngram_jaccard_pairs(
     any residual hot shingle. Shuffles: shingle distinct, the join, the
     pair groupBy — all keyed, no cartesian anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _word_shingles(docs)
+    # The shingle set feeds three subtrees (both join sides + sizes);
+    # unmaterialized, Spark would recompute scan+shingle+distinct 3×. The
+    # shared seam (`shingle_frame`) persists it once per catalog pass —
+    # the staging-table form of the localCheckpoint this used per call.
+    sh = shingle_frame(spark, sf_dir)
     if max_df is not None:
-        # Materialize the index BEFORE the df-count pass — otherwise the
-        # scan→shingle→distinct subtree runs twice (once under the hot
-        # aggregate, once under the capped index the second checkpoint
-        # materializes below).
-        sh = sh.localCheckpoint()
         # The HOT set (df > cap) is tiny by construction — broadcast it and
         # anti-join map-side, instead of shuffling the full shingle index
-        # through an inner join against the (huge) kept set.
+        # through an inner join against the (huge) kept set. The anti-join
+        # replays per subtree over the cached index — map-side cheap; a
+        # second materialization costs more than the three replays
+        # (measured at sf0.1).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -233,16 +253,6 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    else:
-        # The shingle set feeds three subtrees (both join sides + sizes);
-        # without materialization Spark recomputes scan+shingle+distinct 3×.
-        # localCheckpoint is the single-job fix; a multi-step 100 TB
-        # pipeline would write the shingle index to a staging table. On
-        # the capped path the set was already checkpointed above — the
-        # residual broadcast anti-join is map-side-cheap to replay per
-        # subtree, and a second materialization costs more than the three
-        # replays (measured at sf0.1).
-        sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
@@ -617,6 +627,24 @@ def _lsh_bands(docs: DataFrame, num_bands: int = NUM_BANDS) -> DataFrame:
     )
 
 
+def lsh_band_frame(
+    spark: SparkSession, sf_dir: str, num_bands: int = NUM_BANDS
+) -> DataFrame:
+    """Compute-once (doc_id, band, bucket) table for the canonical
+    `documents` table — the signature pipeline is 3 shuffles deep and is
+    the shared front end of `minhash_lsh_candidates` and every corpus
+    built on its pairs. Built once per (application, sf_dir, bands) and
+    persisted (plans/materialize.py); at 100 TB this is the append-only
+    band table the incremental gate (`cross_dedup_neardup`) also probes."""
+    return materialized_frame(
+        spark,
+        "lsh_bands",
+        sf_dir,
+        lambda: _lsh_bands(load_table(spark, sf_dir, "documents"), num_bands),
+        (num_bands,),
+    )
+
+
 def minhash_lsh_candidates(
     spark: SparkSession, sf_dir: str, num_bands: int = NUM_BANDS
 ) -> DataFrame:
@@ -628,10 +656,10 @@ def minhash_lsh_candidates(
     true duplicates (in which case the output is genuinely large).
     Rows-only correctness check (hash family is engine-specific).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # both self-join sides read the signature pipeline (3 shuffles deep) —
-    # materialize once instead of recomputing it per side
-    bands = _lsh_bands(docs, num_bands).localCheckpoint()
+    # Both self-join sides read the signature pipeline (3 shuffles deep) —
+    # the shared seam materializes it once per catalog pass instead of
+    # recomputing it per side (and per consumer).
+    bands = lsh_band_frame(spark, sf_dir, num_bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -161,10 +161,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with fewer than 3 words have no shingles and are out of scope (both
     engines agree).
     """
-    from .dedup import _word_shingles
+    from .dedup import shingle_frame
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _word_shingles(docs)
+    # shared compute-once shingle index (plans/materialize.py seam)
+    sh = shingle_frame(spark, sf_dir)
     probe_sh = (
         sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID).select("shingle").distinct()
     )
@@ -220,10 +220,10 @@ def decontaminate_bloom(
     tests against the exact path: recall 1.0 always, and exact equality at
     the default sizing on the test corpus.
     """
-    from .dedup import _word_shingles
+    from .dedup import shingle_frame
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _word_shingles(docs)
+    # shared compute-once shingle index (plans/materialize.py seam)
+    sh = shingle_frame(spark, sf_dir)
     probe_sh = (
         sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID).select("shingle").distinct()
     )

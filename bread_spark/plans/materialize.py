@@ -1,0 +1,65 @@
+"""Compute-once materialized intermediates shared across catalog entries.
+
+Several catalog queries consume the same expensive intermediate frame —
+the distinct word-shingle index (jaccard, decontamination), the LSH band
+table (minhash candidates and every corpus built on them), the
+paragraph-dedup rebuilt text (paragraph_dedup, curated_corpus), the
+bigram-LM scored frame (scores + both perplexity-bucket forms). Run as a
+catalog/bench pass, each consumer was re-executing the identical build —
+the shingle index alone was built 4× per pass.
+
+This is the materialized-intermediate pattern (dbt: a model downstream
+models `ref()`; at 100 TB: a staging table each stage reads instead of
+re-deriving). The cache contract:
+
+- KEY = (Spark applicationId, seam name, realpath(sf_dir), *params).
+  A new session, a different dataset, or a different parameterization
+  always rebuilds — nothing persists across processes.
+- VALUE = the exact DataFrame every consumer would have computed itself
+  (equality stays pinned by each consumer's own oracle/tests), eagerly
+  materialized via localCheckpoint so downstream plan sampling (e.g.
+  repartitionByRange bound estimation) hits materialized partitions
+  instead of re-executing the build. localCheckpoint (deserialized RDD
+  blocks) over persist(MEMORY_AND_DISK): the columnar cache pays a
+  decompression tax on every read — measured ~0.5 s/pass slower on the
+  1M-row shingle index at sf0.1 — and the seam frames are read many
+  times but never benefit from columnar pruning (consumers read every
+  column). The blocks stay pinned while the cache holds the reference
+  (ContextCleaner only frees them once the object is collected).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def materialized_frame(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+    params: tuple = (),
+) -> DataFrame:
+    """Return the cached frame for (app, name, sf_dir, params), building,
+    persisting and eagerly materializing it on first use."""
+    key = (
+        spark.sparkContext.applicationId,
+        name,
+        os.path.realpath(sf_dir),
+        *params,
+    )
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().localCheckpoint()  # eager: materializes here
+        _CACHE[key] = df
+    return df
+
+
+def clear_materialized_frames() -> None:
+    """Drop every cached seam frame (test isolation hook). The checkpoint
+    blocks are freed by the ContextCleaner once the references go."""
+    _CACHE.clear()

@@ -154,11 +154,23 @@ def test_dedup_hash_shuffles_digest_not_body(plans):
     assert "Exchange hashpartitioning(content_hash" in p
 
 
-def test_paragraph_dedup_shuffles_digest_not_chunk_text(plans):
+def test_paragraph_dedup_shuffles_digest_not_chunk_text(spark, sf_dir):
     """The winner aggregate and the first-occurrence join must be keyed on
     the 16-byte chunk digest — raw chunk text may ride only as payload
-    into the doc_id-keyed reassembly (VERDICT r4 #3)."""
-    p = plans("paragraph_dedup")
+    into the doc_id-keyed reassembly (VERDICT r4 #3).
+
+    Audited on the `paragraph_dedup_df` builder: the catalog entry now
+    serves the compute-once seam frame (plans/materialize.py), whose
+    localCheckpoint cuts lineage — the builder IS the plan the seam
+    materializes."""
+    from bread_spark.extensions.curation import paragraph_dedup_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(
+        paragraph_dedup_df(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
     assert "Exchange hashpartitioning(chash" in p
     assert "Exchange hashpartitioning(chunk" not in p
     # reassembly is the only doc_id-keyed exchange; no extra per-doc
@@ -184,12 +196,22 @@ def test_domain_token_quota_single_window_exchange(plans):
     assert "Join" not in p
 
 
-def test_bigram_lm_joins_broadcast_and_pairs_join_once(plans):
+def test_bigram_lm_joins_broadcast_and_pairs_join_once(spark, sf_dir):
     """The exploded pair stream must meet exactly ONE broadcast join (the
     pre-scored lm_pair table); the LM assembly joins happen on the small
     aggregate side. No sort-merge join anywhere at LM-broadcastable
-    sizes."""
-    p = plans("bigram_logprob_scores")
+    sizes.
+
+    Audited on the `bigram_logprob_scores_df` builder — the catalog entry
+    serves the compute-once seam frame (lineage cut by localCheckpoint)."""
+    from bread_spark.extensions.curation import bigram_logprob_scores_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(
+        bigram_logprob_scores_df(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
