@@ -393,20 +393,31 @@ def lsh_bucket_pairs(
 
     Rows-only check: bucket membership is plane-constant-specific.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return lsh_bucket_pairs_df(emb, threshold=threshold, max_bucket=max_bucket)
+    from ..plans.materialize import materialized_frame
+
+    # Compute-once signature/bucket table (plans/materialize.py seam):
+    # at 100 TB the N·L signature table is built once and stored next to
+    # the embeddings; re-scoring passes (new thresholds, re-ranks) read
+    # it instead of re-signing the corpus.
+    sig = materialized_frame(
+        spark,
+        "hyperplane_sig",
+        sf_dir,
+        lambda: _signature_rows(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        ),
+    )
+    return _bucket_pair_scores(sig, threshold=threshold, max_bucket=max_bucket)
 
 
 BUCKET_SCORE_TILE = 1024  # rows per in-bucket scoring block (bounds task memory)
 
 
-def lsh_bucket_pairs_df(
-    emb: DataFrame,
-    threshold: float = COSINE_DUP_THRESHOLD,
-    max_bucket: int | None = 10_000,
-) -> DataFrame:
-    """Core of `lsh_bucket_pairs` over any (vec_id, embedding) frame —
-    also the seam the adversarial-skew test drives directly."""
+def _signature_rows(emb: DataFrame) -> DataFrame:
+    """(table, bucket, vec_id, emb) — one row per (vector, hash table):
+    unit-normalize + L×b sign-of-projection signatures in one Arrow map
+    stage. The vector rides in its STORED float32 form (64 × 4 B = 256 B
+    — half the float64 unit vector an earlier revision shipped)."""
     import numpy as np
     import pandas as pd
 
@@ -428,14 +439,36 @@ def lsh_bucket_pairs_df(
                     "table": np.tile(np.arange(N_TABLES, dtype=np.int32), n),
                     "bucket": sigs.reshape(-1),
                     "vec_id": np.repeat(ids, N_TABLES),
-                    # stored float32 form — half the bytes of float64 units
                     "emb": np.repeat(pdf["embedding"].to_numpy(), N_TABLES),
                 }
             )
 
-    sig = emb.mapInPandas(
+    return emb.mapInPandas(
         sig_rows, "table int, bucket long, vec_id long, emb array<float>"
     )
+
+
+def lsh_bucket_pairs_df(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Core of `lsh_bucket_pairs` over any (vec_id, embedding) frame —
+    also the seam the adversarial-skew test drives directly."""
+    return _bucket_pair_scores(
+        _signature_rows(emb), threshold=threshold, max_bucket=max_bucket
+    )
+
+
+def _bucket_pair_scores(
+    sig: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """In-bucket exact scoring over a signature table: groupBy(table,
+    bucket) → upper-triangle BLAS per bucket → distinct pair set."""
+    import numpy as np
+    import pandas as pd
 
     def bucket_pairs(key, pdf):
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
@@ -479,6 +512,56 @@ def lsh_bucket_pairs_df(
 IVF_K = 32  # coarse centroids
 IVF_NPROBE = 8  # clusters probed per query
 IVF_ITERS = 2  # Lloyd refinement rounds
+
+
+# Compute-once caches for the IVF front end, same contract as
+# plans/materialize.py: keyed on (applicationId, realpath(sf_dir), k,
+# iters), process-local, deterministic rebuild on any key change. The
+# k-means build (iters × [whole-corpus assign + mean aggregate]) is the
+# dominant cost of BOTH `ivf_topk` and `cluster_quota_sample`; run as a
+# catalog pass each was training the identical quantizer from scratch.
+# At 100 TB the quantizer is trained once and stored — these caches are
+# that stored-model seam. The centroid value is a k×dim numpy matrix
+# (~16 KB), not a DataFrame, hence a local dict instead of
+# materialized_frame.
+_IVF_CENTROID_CACHE: dict[tuple, object] = {}
+
+
+def ivf_centroid_matrix(
+    spark: SparkSession, sf_dir: str, k: int = IVF_K, iters: int = IVF_ITERS
+):
+    """Compute-once k-means centroids for the canonical embeddings table."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), k, iters)
+    cents = _IVF_CENTROID_CACHE.get(key)
+    if cents is None:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _ivf_centroids(spark, emb, k, iters)
+        _IVF_CENTROID_CACHE[key] = cents
+    return cents
+
+
+def ivf_assignment_frame(
+    spark: SparkSession, sf_dir: str, k: int = IVF_K, iters: int = IVF_ITERS
+) -> DataFrame:
+    """Compute-once (vec_id, cluster) assignment under the cached
+    quantizer — the inverted-list membership table both IVF consumers
+    probe (stored alongside the index at scale)."""
+    from ..plans.materialize import materialized_frame
+
+    cents = ivf_centroid_matrix(spark, sf_dir, k, iters)
+    return materialized_frame(
+        spark,
+        "ivf_assignment",
+        sf_dir,
+        lambda: _assign_clusters(
+            spark,
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            cents,
+        ),
+        (k, iters),
+    )
 
 
 def _ivf_centroids(spark: SparkSession, emb: DataFrame, k: int, iters: int):
@@ -566,8 +649,9 @@ def ivf_topk(
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = _ivf_centroids(spark, emb, n_centroids, IVF_ITERS)
-    assigned = _assign_clusters(spark, emb, cents)
+    # cached quantizer + assignment table (see the seam note above)
+    cents = ivf_centroid_matrix(spark, sf_dir, n_centroids, IVF_ITERS)
+    assigned = ivf_assignment_frame(spark, sf_dir, n_centroids, IVF_ITERS)
 
     q_rows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
@@ -650,9 +734,8 @@ def cluster_quota_sample(
     """
     from pyspark.sql.window import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(spark, emb, k, IVF_ITERS)
-    assigned = _assign_clusters(spark, emb, cents)
+    # cached quantizer + assignment table (see the seam note above)
+    assigned = ivf_assignment_frame(spark, sf_dir, k, IVF_ITERS)
     key = F.md5(
         F.concat_ws(":", F.lit(CLUSTER_QUOTA_SEED), F.col("vec_id")).cast("binary")
     )
