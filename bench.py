@@ -144,6 +144,11 @@ def main() -> None:
         "corpus_mix_tokens",
         "unigram_logprob_scores",
         "bigram_logprob_scores",
+        # round-6 additions (outside the frozen r5 gate set): trigram LM
+        # with backoff, BM25 relevance search, Gopher fixed-rule gate
+        "trigram_logprob_scores",
+        "bm25_search",
+        "gopher_quality_gate",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -174,6 +179,15 @@ def main() -> None:
         "unigram_logprob_scores", "bigram_logprob_scores",
         "perplexity_buckets_distributed", "decontaminate_bloom",
         "quantize_embeddings", "cross_dedup", "cluster_quota_sample",
+    }
+
+    # Queries first benched in round 6 — excluded from BOTH legacy
+    # subtotals (r4_comparable is computed by exclusion) and from the
+    # frozen gate set below.
+    R6_ADDITIONS = {
+        "trigram_logprob_scores",
+        "bm25_search",
+        "gopher_quality_gate",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
@@ -270,10 +284,18 @@ def main() -> None:
                 "warm_passes": WARM_PASSES,
                 "subtotals": {
                     "r4_comparable": round(
-                        sum(v for k, v in timings.items() if k not in R5_ADDITIONS), 3
+                        sum(
+                            v
+                            for k, v in timings.items()
+                            if k not in R5_ADDITIONS and k not in R6_ADDITIONS
+                        ),
+                        3,
                     ),
                     "r5_additions": round(
                         sum(v for k, v in timings.items() if k in R5_ADDITIONS), 3
+                    ),
+                    "r6_additions": round(
+                        sum(v for k, v in timings.items() if k in R6_ADDITIONS), 3
                     ),
                     "frozen_r5_set": round(
                         sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3

@@ -506,6 +506,138 @@ def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
     )
 
 
+LM_LAMBDA3 = 0.6  # trigram weight in the deleted-interpolation chain
+
+
+def trigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log10 probability under an interpolated TRIGRAM
+    LM with bigram/unigram backoff — one interpolation order closer to
+    CCNet's KenLM 5-gram than `bigram_logprob_scores`:
+
+        token 1            : n(w1)/N
+        token 2            : λ2·n(w1,w2)/n(w1) + (1−λ2)·n(w2)/N
+        token t ≥ 3        : λ3·n(w1,w2,w3)/n(w1,w2)
+                             + (1−λ3)·[λ2·n(w2,w3)/n(w2) + (1−λ2)·n(w3)/N]
+
+    (deleted interpolation, λ3 = 0.6, λ2 = 0.75 — every term is a count
+    ratio from the corpus itself, so the whole model is engine-agnostic
+    and DuckDB-oracle-checkable, unlike a smoothed KenLM binary.)
+
+    Plan (all JVM, the `bigram_logprob_scores` shape one order up):
+    pairs and triples are built IN-ARRAY from the same split the scan
+    already does, then exploded; count tables are one groupBy each;
+    each DISTINCT triple is scored once against the small LM tables
+    (broadcast here — at real vocab sizes these become shuffle joins
+    keyed on the n-gram, no driver state either way) and the big
+    exploded triple stream takes a single broadcast join. n_tokens =
+    1 + 1 + n_triples = the doc's token count.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_logprob_scores_df(docs)
+
+
+def trigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
+    """`trigram_logprob_scores` core over any (doc_id, text) frame."""
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    w = docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
+    toks = w.select("doc_id", F.explode("toks").alias("token"))
+    pairs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 2, size(toks) - 1), "
+                "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    # greatest(…, 0): a 1-token doc would make the slice length -1, which
+    # THROWS under ANSI mode (the bigram slice bottoms out at 0 naturally)
+    triples = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 3, greatest(size(toks) - 2, 0)), "
+                "(t, i) -> struct(toks[i] AS w1, toks[i + 1] AS w2, t AS w3))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2", "p.w3")
+
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    tri = triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+
+    # token 1: unigram
+    first_lp = (
+        w.select("doc_id", F.col("toks")[0].alias("token"))
+        .join(F.broadcast(uni), "token")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
+    )
+    # token 2: the bigram interpolation, on the doc's first pair only
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
+    lm_pair = (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.log10(
+                F.lit(LM_LAMBDA) * (F.col("n12") / F.col("n1"))
+                + F.lit(1 - LM_LAMBDA) * (F.col("n2") / F.col("total"))
+            ).alias("lp"),
+        )
+    )
+    second_lp = (
+        w.filter(F.size("toks") >= 2)
+        .select("doc_id", F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w2"))
+        .join(F.broadcast(lm_pair), ["w1", "w2"])
+        .select("doc_id", "lp")
+    )
+    # tokens ≥ 3: trigram with the bigram/unigram backoff chain — score
+    # each distinct triple once, then one broadcast join onto the stream
+    big12 = big.select("w1", "w2", "n12")
+    big23 = big.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("n12").alias("n23")
+    )
+    u2c = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
+    u3 = uni.select(F.col("token").alias("w3"), F.col("n").alias("n3"))
+    lm_tri = (
+        tri.join(F.broadcast(big12), ["w1", "w2"])
+        .join(F.broadcast(big23), ["w2", "w3"])
+        .join(F.broadcast(u2c), "w2")
+        .join(F.broadcast(u3), "w3")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.log10(
+                F.lit(LM_LAMBDA3) * (F.col("n123") / F.col("n12"))
+                + F.lit(1 - LM_LAMBDA3)
+                * (
+                    F.lit(LM_LAMBDA) * (F.col("n23") / F.col("n2"))
+                    + F.lit(1 - LM_LAMBDA) * (F.col("n3") / F.col("total"))
+                )
+            ).alias("lp"),
+        )
+    )
+    tri_lp = triples.join(F.broadcast(lm_tri), ["w1", "w2", "w3"]).select(
+        "doc_id", "lp"
+    )
+    return (
+        first_lp.unionByName(second_lp)
+        .unionByName(tri_lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logp"),
+        )
+    )
+
+
 def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation dashboard rollup: per source — document count, token
     totals and mean, language spread, and distinct-content count (its
@@ -870,6 +1002,65 @@ _PERPLEXITY_ORACLE = f"""
            ) AS bucket
     FROM ({ORACLE_SQL["bigram_logprob_scores"]})
 """
+ORACLE_SQL["trigram_logprob_scores"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    w1 AS (SELECT * FROM w WHERE len(toks) >= 1),
+    toks AS (SELECT doc_id, unnest(toks) AS token FROM w1),
+    pairs AS (
+        SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+               toks[CAST(i AS BIGINT) + 1] AS w2
+        FROM w1, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+    ),
+    triples AS (
+        SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+               toks[CAST(i AS BIGINT) + 1] AS w2,
+               toks[CAST(i AS BIGINT) + 2] AS w3
+        FROM w1, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) t
+    ),
+    uni AS (SELECT token, COUNT(1) AS n FROM toks GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM uni),
+    big AS (SELECT w1, w2, COUNT(1) AS n12 FROM pairs GROUP BY w1, w2),
+    tri AS (SELECT w1, w2, w3, COUNT(1) AS n123 FROM triples GROUP BY w1, w2, w3),
+    first_lp AS (
+        SELECT f.doc_id, log10(u.n / t.total) AS lp
+        FROM (SELECT doc_id, toks[1] AS token FROM w1) f
+        JOIN uni u ON f.token = u.token CROSS JOIN tot t
+    ),
+    second_lp AS (
+        SELECT s.doc_id,
+               log10({LM_LAMBDA} * (b.n12 / u1.n)
+                     + {1 - LM_LAMBDA} * (u2.n / t.total)) AS lp
+        FROM (SELECT doc_id, toks[1] AS w1, toks[2] AS w2
+              FROM w1 WHERE len(toks) >= 2) s
+        JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+        JOIN uni u1 ON s.w1 = u1.token
+        JOIN uni u2 ON s.w2 = u2.token
+        CROSS JOIN tot t
+    ),
+    tri_lp AS (
+        SELECT p.doc_id,
+               log10({LM_LAMBDA3} * (tr.n123 / b12.n12)
+                     + {1 - LM_LAMBDA3}
+                       * ({LM_LAMBDA} * (b23.n12 / u2.n)
+                          + {1 - LM_LAMBDA} * (u3.n / t.total))) AS lp
+        FROM triples p
+        JOIN tri tr ON p.w1 = tr.w1 AND p.w2 = tr.w2 AND p.w3 = tr.w3
+        JOIN big b12 ON p.w1 = b12.w1 AND p.w2 = b12.w2
+        JOIN big b23 ON p.w2 = b23.w1 AND p.w3 = b23.w2
+        JOIN uni u2 ON p.w2 = u2.token
+        JOIN uni u3 ON p.w3 = u3.token
+        CROSS JOIN tot t
+    )
+    SELECT doc_id, COUNT(1) AS n_tokens, ROUND(AVG(lp), 6) AS mean_logp
+    FROM (SELECT * FROM first_lp UNION ALL SELECT * FROM second_lp
+          UNION ALL SELECT * FROM tri_lp)
+    GROUP BY doc_id
+"""
+
 ORACLE_SQL["perplexity_buckets"] = _PERPLEXITY_ORACLE
 ORACLE_SQL["perplexity_buckets_distributed"] = _PERPLEXITY_ORACLE
 

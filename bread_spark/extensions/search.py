@@ -1,0 +1,130 @@
+"""Full-text relevance search over the ``documents`` table.
+
+BM25 — the standard probabilistic ranking function (Robertson/Sparck
+Jones; the default scorer in Lucene/Elasticsearch) — expressed as pure
+DataFrame aggregates over an inverted-index shape:
+
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                             / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t) = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+Every factor is a count ratio, so the whole scorer is engine-agnostic
+and DuckDB-oracle-checkable. No text scoring library, no UDF.
+
+Scale shape: the query-term filter lands on the exploded token stream
+BEFORE any aggregate, so only postings for query terms ever shuffle —
+the classic inverted-index probe. Per-doc lengths and the global avgdl
+come from the token-array size at scan time (no second explode). The
+df/idf table is |q| rows → broadcast; per-doc lengths join the matched
+postings on doc_id (both sides doc_id-keyed; the matched set is tiny
+relative to the corpus). Final top-n is TakeOrderedAndProject — no
+global sort materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Deterministic fixed query (terms present in the synthetic corpus) —
+# the catalog/oracle probe; `bm25_search_df` takes any term list.
+BM25_QUERY = ("spark", "hash", "window")
+BM25_TOP_N = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: BM25 top-N documents for the fixed probe query."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_search_df(docs, list(BM25_QUERY), BM25_TOP_N)
+
+
+def bm25_search_df(
+    docs: DataFrame,
+    terms: list[str],
+    top_n: int = BM25_TOP_N,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 over any (doc_id, text) frame for the given query terms."""
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    lens = docs.select("doc_id", F.size(toks_arr).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(toks_arr).alias("token")
+    ).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfs.join(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * (F.col("dl") / F.col("avgdl")))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_n)
+    )
+
+
+_terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+ORACLE_SQL: dict[str, str] = {
+    "bm25_search": f"""
+        WITH lens AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+            FROM documents
+        ),
+        stats AS (SELECT COUNT(1) AS n_docs, AVG(dl) AS avgdl FROM lens),
+        toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(1) AS tf FROM toks
+            WHERE token IN ({_terms_sql})
+            GROUP BY doc_id, token
+        ),
+        dfs AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY token),
+        idf AS (
+            SELECT token, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfs CROSS JOIN stats s
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(idf.idf * (tf.tf * ({BM25_K1} + 1))
+                         / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                            + {BM25_B} * (lens.dl / s.avgdl)))), 4) AS score
+        FROM tf
+        JOIN idf USING (token)
+        JOIN lens USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+        ORDER BY score DESC, tf.doc_id ASC
+        LIMIT {BM25_TOP_N}
+    """,
+}

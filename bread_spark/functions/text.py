@@ -298,6 +298,72 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-rule fixed thresholds (Rae et al. 2021, §A1.1 shape — bounds
+# tuned to the synthetic corpus so the gate discriminates at test scale)
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MAX_DUP_FRAC = 0.2
+
+
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style FIXED-RULE quality gate — the complement of the
+    adaptive `quality_filter`: every document is scored against absolute
+    bounds (token-count window, mean-word-length window, ≥2 stopwords,
+    alpha-character ratio, word-3-gram repetition cap) and keeps a
+    per-rule verdict plus the conjunction. Emitting the verdict VECTOR
+    (not just survivors) is the curation-dashboard form: rule-level drop
+    rates are what you tune before committing a corpus build.
+
+    Plan: every signal is a JVM higher-order expression over the token
+    array — one projection over the scan, NO shuffle anywhere (the
+    repetition ratio reuses the `repetition_scores` in-array distinct).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
+    alpha_ratio = F.round(
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text"), 4
+    )
+    mean_wl = F.round(
+        (F.length("text") - F.size(tokens) + 1) / F.size(tokens), 4
+    )
+    grams = F.expr(
+        f"CASE WHEN size(filter(split(text, ' '), t -> t != '')) >= {REP_N} "
+        f"THEN transform(sequence(0, size(filter(split(text, ' '), t -> t != '')) - {REP_N}), "
+        f"i -> concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), i + 1, {REP_N}))) "
+        f"ELSE array() END"
+    )
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0,
+        F.round((n_grams - F.size(F.array_distinct(grams))) / n_grams, 4),
+    ).otherwise(0.0)
+    ok_len = (F.size(tokens) >= GOPHER_MIN_TOKENS) & (
+        F.size(tokens) <= GOPHER_MAX_TOKENS
+    )
+    ok_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_RATIO
+    ok_rep = dup_frac <= GOPHER_MAX_DUP_FRAC
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        ok_len.alias("ok_token_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_wl & ok_stop & ok_alpha & ok_rep).alias("passes"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "token_stats": f"""
         SELECT doc_id,
@@ -422,6 +488,50 @@ ORACLE_SQL: dict[str, str] = {
 
 
 # Composed from the quality_scores oracle so the two can never drift.
+ORACLE_SQL["gopher_quality_gate"] = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND((length(text) - len(toks) + 1) / len(toks), 4) AS mean_wl,
+               len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS n_stop,
+               ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                     / length(text), 4) AS alpha_ratio,
+               CASE WHEN len(toks) >= {REP_N} THEN
+                   (SELECT list(array_to_string(toks[CAST(i AS BIGINT):CAST(i AS BIGINT) + {REP_N} - 1], ' '))
+                    FROM unnest(range(1, len(toks) - {REP_N} + 2)) AS u(i))
+               ELSE [] END AS grams
+        FROM t
+    ),
+    sig2 AS (
+        SELECT doc_id, n_tokens, mean_wl, n_stop, alpha_ratio,
+               CASE WHEN len(grams) > 0
+                    THEN ROUND((len(grams) - len(list_distinct(grams)))
+                               / CAST(len(grams) AS DOUBLE), 4)
+                    ELSE 0.0 END AS dup_frac
+        FROM sig
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+               AS ok_token_count,
+           mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN}
+               AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN} AS ok_mean_word_len,
+           n_stop >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+           alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_ratio,
+           dup_frac <= {GOPHER_MAX_DUP_FRAC} AS ok_repetition,
+           (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS})
+               AND (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN}
+                    AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN})
+               AND n_stop >= {GOPHER_MIN_STOPWORDS}
+               AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+               AND dup_frac <= {GOPHER_MAX_DUP_FRAC} AS passes
+    FROM sig2
+"""
+
 ORACLE_SQL["quality_filter"] = f"""
     WITH scored AS ({ORACLE_SQL["quality_scores"]}),
     th AS (

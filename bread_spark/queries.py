@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import models, models_ibc_catalog
-from .extensions import curation, dedup, multimodal, similarity, training
+from .extensions import curation, dedup, multimodal, search, similarity, training
 from .functions import text
 from .operators import asof, interval
 from .streaming import sessions, windows
@@ -68,6 +68,7 @@ _register(
     },
     similarity.ORACLE_SQL,
 )
+_register({"bm25_search": search.bm25_search}, search.ORACLE_SQL)
 _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
 _register({"windowed_value_by_type": windows.windowed_value_query}, windows.ORACLE_SQL)
 _register({"last_purchase_asof": asof.last_purchase_asof}, asof.ORACLE_SQL)
@@ -102,6 +103,7 @@ _register(
         "corpus_mix_tokens": curation.corpus_mix_tokens,
         "unigram_logprob_scores": curation.unigram_logprob_scores,
         "bigram_logprob_scores": curation.bigram_logprob_scores,
+        "trigram_logprob_scores": curation.trigram_logprob_scores,
         "perplexity_buckets": curation.perplexity_buckets,
         "perplexity_buckets_distributed": curation.perplexity_buckets_distributed,
         "corpus_stats_by_source": curation.corpus_stats_by_source,
@@ -121,6 +123,7 @@ _register(
         "doc_chunks": text.doc_chunks,
         "deterministic_sample": text.deterministic_sample,
         "quality_filter": text.quality_filter,  # adaptive percentile curation
+        "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
     },
     text.ORACLE_SQL,
 )
@@ -155,8 +158,11 @@ _SAMPLE_PRIORITY = (
     "curated_corpus",  # oracle cum_tokens now CAST AS BIGINT
     "corpus_stats_by_source",  # oracle total_tokens now CAST AS BIGINT
     "quantize_embeddings",  # reshaped to scalar (vec_id, dim, q) rows
-    # 2 — no driver evidence yet / r2-stale (4)
+    # 2 — no driver evidence yet / r2-stale (7)
     "perplexity_buckets_distributed",  # oracle-backed, never sampled
+    "trigram_logprob_scores",  # new r6 — needs its first driver row
+    "bm25_search",  # new r6 — needs its first driver row
+    "gopher_quality_gate",  # new r6 — needs its first driver row
     "daily_value_by_type",  # last green r2
     "distinct_users_per_day",  # last green r2
     "value_per_day",  # last green r2
@@ -193,12 +199,11 @@ _SAMPLE_PRIORITY = (
     "daily_ibc_transfers",
     "gas_used_per_day",
     "pricing_summary",
-    # 4b — one keep-warm per family (5)
+    # 4b — keep-warm (2; session_stats/cosine_topk/media_dedup rotated
+    # out to make room for the three new r6 entries — all green r5, so
+    # they stay ≤2 rounds old through r7)
     "training_corpus",
     "paragraph_dedup",
-    "session_stats",
-    "cosine_topk",
-    "media_dedup",
     # 4c — rows-only driver evidence for the 100 TB-representative
     # entries (6): recall/property-pinned in-repo; the driver records the
     # weaker rows-only check, which the judge sees as such

@@ -1,0 +1,124 @@
+"""Property tests for the BM25 search operator, the trigram LM, and the
+Gopher fixed-rule quality gate (their oracle differentials run in
+test_oracle.py; these pin the semantics on controlled inputs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bread_spark.extensions.search import (
+    BM25_B,
+    BM25_K1,
+    bm25_search_df,
+)
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed_score(spark):
+    """Two docs, one query term — the score must equal the textbook
+    formula evaluated by hand."""
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "spark spark spark other other"),  # tf=3, dl=5
+            (2, "spark other other other other other other"),  # tf=1, dl=7
+        ],
+    )
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search_df(docs, ["spark"], top_n=10).collect()
+    }
+    n_docs, avgdl = 2, 6.0
+    df_t = 2
+    idf = math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return round(
+            idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)),
+            4,
+        )
+
+    assert out[1] == pytest.approx(s(3, 5))
+    assert out[2] == pytest.approx(s(1, 7))
+    assert out[1] > out[2]  # higher tf, shorter doc → higher score
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    """A doc matching only the rare term must outrank a doc matching only
+    the ubiquitous term (idf discrimination)."""
+    rows = [(i, "common filler filler") for i in range(1, 9)]
+    rows += [(9, "rare filler filler")]
+    docs = _mkdocs(spark, rows)
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search_df(docs, ["common", "rare"], top_n=20).collect()
+    }
+    assert out[9] > out[1]
+
+
+def test_bm25_only_matching_docs_and_top_n(spark):
+    docs = _mkdocs(
+        spark,
+        [(i, "spark hit" if i % 2 == 0 else "miss miss") for i in range(20)],
+    )
+    rows = bm25_search_df(docs, ["spark"], top_n=5).collect()
+    assert len(rows) == 5
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_trigram_repeated_text_scores_higher(spark):
+    """A document whose trigrams dominate the corpus must out-score a
+    document of corpus-rare sequences, and n_tokens must equal the true
+    token count."""
+    from bread_spark.extensions.curation import trigram_logprob_scores_df
+
+    rows = [(i, "a b c a b c a b c") for i in range(5)]
+    rows += [(100, "x y z q w e r t u")]
+    out = {
+        r["doc_id"]: r
+        for r in trigram_logprob_scores_df(
+            _mkdocs(spark, rows)
+        ).collect()
+    }
+    assert out[1]["n_tokens"] == 9
+    assert out[100]["n_tokens"] == 9
+    assert out[1]["mean_logp"] > out[100]["mean_logp"]
+
+
+def test_trigram_short_docs_degrade_to_lower_orders(spark):
+    """1- and 2-token docs must still score (unigram / bigram backoff) —
+    the n-token accounting holds at the boundary."""
+    from bread_spark.extensions.curation import trigram_logprob_scores_df
+
+    rows = [(1, "a"), (2, "a b"), (3, "a b a")]
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in trigram_logprob_scores_df(_mkdocs(spark, rows)).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_gopher_gate_verdict_consistency(spark, sf_dir):
+    """`passes` must be exactly the conjunction of the rule columns, and
+    the gate must discriminate on the test corpus (both verdicts occur)."""
+    from bread_spark.functions.text import gopher_quality_gate
+
+    rows = gopher_quality_gate(spark, sf_dir).collect()
+    assert all(
+        r["passes"]
+        == (
+            r["ok_token_count"]
+            and r["ok_mean_word_len"]
+            and r["ok_stopwords"]
+            and r["ok_alpha_ratio"]
+            and r["ok_repetition"]
+        )
+        for r in rows
+    )
+    verdicts = {r["passes"] for r in rows}
+    assert verdicts == {True, False}
