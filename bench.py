@@ -145,10 +145,13 @@ def main() -> None:
         "unigram_logprob_scores",
         "bigram_logprob_scores",
         # round-6 additions (outside the frozen r5 gate set): trigram LM
-        # with backoff, BM25 relevance search, Gopher fixed-rule gate
+        # with backoff, BM25 relevance search, Gopher fixed-rule gate,
+        # per-doc TF-IDF keywords, per-source KL drift
         "trigram_logprob_scores",
         "bm25_search",
         "gopher_quality_gate",
+        "tfidf_keywords",
+        "source_kl_divergence",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -188,6 +191,8 @@ def main() -> None:
         "trigram_logprob_scores",
         "bm25_search",
         "gopher_quality_gate",
+        "tfidf_keywords",
+        "source_kl_divergence",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -667,6 +667,61 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-drift metric: KL(P_source ‖ P_corpus) over the
+    unigram token distributions, plus the token mass behind it. High KL
+    marks a source whose vocabulary departs from the corpus mix — the
+    number a curation dashboard watches when a new crawl lands (and the
+    quantitative form of "this source changed under us").
+
+        KL(s) = Σ_t p(t|s) · ln(p(t|s) / q(t)),
+        p(t|s) = n(t,s)/n(s),  q(t) = n(t)/N
+
+    Every source's support is a subset of the corpus support by
+    construction (q(t) = 0 ⇒ p(t|s) = 0), so the sum is always finite.
+
+    Plan: ONE groupBy(source, token) over the exploded stream; the
+    corpus distribution reduces that same table (token-keyed, counts
+    only — no second pass over text); per-source totals are a tiny
+    aggregate broadcast back; the KL sum is one groupBy(source). All
+    JVM, all count ratios → full DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return source_kl_divergence_df(docs)
+
+
+def source_kl_divergence_df(docs: DataFrame) -> DataFrame:
+    """`source_kl_divergence` core over any (source, text) frame."""
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    totals = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    grand = corpus.agg(F.sum("n_t").alias("n"))
+    return (
+        st.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(totals), "source")
+        .join(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n_st") / F.col("n_s"))
+                    * F.log(
+                        (F.col("n_st") / F.col("n_s"))
+                        / (F.col("n_t") / F.col("n"))
+                    )
+                ),
+                6,
+            ).alias("kl_divergence"),
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        )
+    )
+
+
 PERPLEXITY_K = 3  # CCNet's head / middle / tail
 
 
@@ -1002,6 +1057,28 @@ _PERPLEXITY_ORACLE = f"""
            ) AS bucket
     FROM ({ORACLE_SQL["bigram_logprob_scores"]})
 """
+ORACLE_SQL["source_kl_divergence"] = """
+    WITH toks AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS token
+        FROM documents
+    ),
+    st AS (SELECT source, token, COUNT(1) AS n_st FROM toks GROUP BY source, token),
+    corpus AS (SELECT token, SUM(n_st) AS n_t FROM st GROUP BY token),
+    totals AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source),
+    grand AS (SELECT SUM(n_t) AS n FROM corpus)
+    SELECT st.source,
+           ROUND(SUM((st.n_st / t.n_s)
+                     * ln((st.n_st / t.n_s) / (c.n_t / g.n))), 6) AS kl_divergence,
+           CAST(MAX(t.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(1) AS BIGINT) AS n_distinct_tokens
+    FROM st
+    JOIN corpus c USING (token)
+    JOIN totals t USING (source)
+    CROSS JOIN grand g
+    GROUP BY st.source
+"""
+
 ORACLE_SQL["trigram_logprob_scores"] = f"""
     WITH w AS (
         SELECT doc_id,

