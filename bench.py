@@ -146,12 +146,15 @@ def main() -> None:
         "bigram_logprob_scores",
         # round-6 additions (outside the frozen r5 gate set): trigram LM
         # with backoff, BM25 relevance search, Gopher fixed-rule gate,
-        # per-doc TF-IDF keywords, per-source KL drift
+        # per-doc TF-IDF keywords, per-source KL drift, Heaps-law vocab
+        # growth, per-source quality rollup
         "trigram_logprob_scores",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
         "source_kl_divergence",
+        "vocab_growth",
+        "quality_by_source",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -193,6 +196,8 @@ def main() -> None:
         "gopher_quality_gate",
         "tfidf_keywords",
         "source_kl_divergence",
+        "vocab_growth",
+        "quality_by_source",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

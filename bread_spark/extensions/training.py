@@ -94,6 +94,57 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
     )
 
 
+VOCAB_CHECKPOINT = 1000  # Heaps-law curve sampled every N tokens
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-growth (Heaps-law) curve: distinct tokens
+    seen after every `VOCAB_CHECKPOINT` tokens of the source, reading
+    tokens in deterministic (doc_id, position) order. A flattening curve
+    says the source's vocabulary is saturating — more of it adds tokens
+    but not words; a curve that keeps climbing marks open-vocabulary
+    content (code, IDs, noise). The curve a data-mix owner reads next to
+    `source_kl_divergence`.
+
+    Plan: one per-source position window (sources partition the window —
+    parallel across sources; within a source this is the same sequential
+    cumulative shape the IBC running sums use), one groupBy(source,
+    token) for first occurrences, then first-positions BUCKET by
+    checkpoint and a cumulative sum over the (tiny) bucket counts — the
+    inequality "first_pos ≤ checkpoint" becomes an equi-keyed aggregate
+    plus a window over n_checkpoints rows, never a range join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "pos", "token"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id", "pos")
+    positioned = toks.select(
+        "source", "token", F.row_number().over(w).alias("gpos")
+    )
+    first = positioned.groupBy("source", "token").agg(
+        F.min("gpos").alias("first_pos")
+    )
+    buckets = first.groupBy(
+        "source",
+        F.ceil(F.col("first_pos") / VOCAB_CHECKPOINT).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    cum = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return buckets.select(
+        "source",
+        (F.col("bucket") * VOCAB_CHECKPOINT).cast("long").alias("checkpoint"),
+        F.sum("new_tokens").over(cum).cast("long").alias("vocab_size"),
+    )
+
+
 def _shuffle_key() -> F.Column:
     return F.md5(
         F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")).cast("binary")
@@ -615,3 +666,37 @@ def _training_corpus_neardup_oracle() -> str:
 
 
 ORACLE_SQL["training_corpus_neardup"] = _training_corpus_neardup_oracle()
+
+ORACLE_SQL["vocab_growth"] = f"""
+    WITH w AS (
+        SELECT source, doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT source, doc_id, toks[CAST(i AS BIGINT)] AS token,
+               CAST(i AS BIGINT) AS pos
+        FROM w, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) t
+    ),
+    positioned AS (
+        SELECT source, token,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id, pos) AS gpos
+        FROM toks
+    ),
+    first AS (
+        SELECT source, token, MIN(gpos) AS first_pos
+        FROM positioned GROUP BY source, token
+    ),
+    buckets AS (
+        SELECT source, CAST(ceil(first_pos / {VOCAB_CHECKPOINT}.0) AS BIGINT) AS bucket,
+               COUNT(1) AS new_tokens
+        FROM first GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(bucket * {VOCAB_CHECKPOINT} AS BIGINT) AS checkpoint,
+           CAST(SUM(new_tokens) OVER (PARTITION BY source ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vocab_size
+    FROM buckets
+"""

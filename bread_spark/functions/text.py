@@ -298,6 +298,40 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup: document counts, token medians, mean
+    quality signals, and the Gopher-gate pass rate — the table a
+    curation dashboard shows per crawl/source before deciding its
+    mixture weight. Composes `quality_scores` + `gopher_quality_gate`
+    (both map-side) with ONE groupBy(source).
+
+    `percentile` is exact here because token counts are integers with a
+    bounded domain; an unbounded signal would use `approx_percentile`
+    (same plan shape).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "stopword_ratio", "alpha_ratio"
+    )
+    gate = gopher_quality_gate(spark, sf_dir).select("doc_id", "passes")
+    return (
+        docs.join(scored, "doc_id")
+        .join(gate, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(percentile(n_tokens, 0.5) AS DOUBLE)").alias(
+                "median_tokens"
+            ),
+            F.round(F.avg("stopword_ratio"), 4).alias("mean_stopword_ratio"),
+            F.round(F.avg("alpha_ratio"), 4).alias("mean_alpha_ratio"),
+            F.round(
+                F.avg(F.when(F.col("passes"), 1.0).otherwise(0.0)), 4
+            ).alias("gate_pass_rate"),
+        )
+    )
+
+
 # Gopher-rule fixed thresholds (Rae et al. 2021, §A1.1 shape — bounds
 # tuned to the synthetic corpus so the gate discriminates at test scale)
 GOPHER_MIN_TOKENS = 30
@@ -530,6 +564,22 @@ ORACLE_SQL["gopher_quality_gate"] = f"""
                AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
                AND dup_frac <= {GOPHER_MAX_DUP_FRAC} AS passes
     FROM sig2
+"""
+
+ORACLE_SQL["quality_by_source"] = f"""
+    WITH scored AS ({ORACLE_SQL["quality_scores"]}),
+    gate AS ({ORACLE_SQL["gopher_quality_gate"]})
+    SELECT d.source,
+           COUNT(1) AS n_docs,
+           CAST(quantile_cont(s.n_tokens, 0.5) AS DOUBLE) AS median_tokens,
+           ROUND(AVG(s.stopword_ratio), 4) AS mean_stopword_ratio,
+           ROUND(AVG(s.alpha_ratio), 4) AS mean_alpha_ratio,
+           ROUND(AVG(CASE WHEN g.passes THEN 1.0 ELSE 0.0 END), 4)
+               AS gate_pass_rate
+    FROM documents d
+    JOIN scored s USING (doc_id)
+    JOIN gate g USING (doc_id)
+    GROUP BY d.source
 """
 
 ORACLE_SQL["quality_filter"] = f"""

@@ -92,6 +92,7 @@ _register(
         "shuffle_order": training.shuffle_order,
         "shuffle_order_distributed": training.shuffle_order_distributed,
         "vocab_topk": training.vocab_topk,
+        "vocab_growth": training.vocab_growth,
         "decontaminate": training.decontaminate,
         "decontaminate_bloom": training.decontaminate_bloom,  # rows-only (bloom ⊇ exact)
         "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
@@ -131,6 +132,7 @@ _register(
         "deterministic_sample": text.deterministic_sample,
         "quality_filter": text.quality_filter,  # adaptive percentile curation
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
+        "quality_by_source": text.quality_by_source,  # per-source rollup
     },
     text.ORACLE_SQL,
 )
@@ -172,6 +174,8 @@ _SAMPLE_PRIORITY = (
     "gopher_quality_gate",  # new r6 — needs its first driver row
     "tfidf_keywords",  # new r6 — needs its first driver row
     "source_kl_divergence",  # new r6 — needs its first driver row
+    "vocab_growth",  # new r6 — needs its first driver row
+    "quality_by_source",  # new r6 — needs its first driver row
     "daily_value_by_type",  # last green r2
     "distinct_users_per_day",  # last green r2
     "value_per_day",  # last green r2
@@ -203,11 +207,11 @@ _SAMPLE_PRIORITY = (
     "media_features",
     "centroid_by_label",
     "embedding_cosine_dups",
-    # 4a — reference gold DAG + flagship keep-warm (4)
+    # 4a — reference gold DAG keep-warm (2; daily_ibc_transfers and
+    # pricing_summary rotate out for the two extra r6 entries — both
+    # green r5, ≤2 rounds old through r7)
     "ibc_transfers",
-    "daily_ibc_transfers",
     "gas_used_per_day",
-    "pricing_summary",
     # 4b — keep-warm (0; session_stats/cosine_topk/media_dedup/
     # training_corpus/paragraph_dedup rotated out to make room for the
     # five new r6 entries — all green r5, so they stay ≤2 rounds old

@@ -147,6 +147,47 @@ def test_source_kl_zero_for_identical_distributions(spark):
     assert all(r["kl_divergence"] == 0.0 for r in rows)
 
 
+def test_vocab_growth_monotone_and_converges_to_true_vocab(spark, sf_dir):
+    """Per source: the curve never decreases and its last point equals
+    the source's true distinct-token count."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.training import vocab_growth
+    from bread_spark.io import load_table
+
+    rows = vocab_growth(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    truth = {
+        r["source"]: r["v"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("v"))
+        .collect()
+    }
+    for src, pts in by_source.items():
+        pts.sort(key=lambda r: r["checkpoint"])
+        sizes = [p["vocab_size"] for p in pts]
+        assert sizes == sorted(sizes)
+        assert sizes[-1] == truth[src]
+
+
+def test_quality_by_source_covers_every_source(spark, sf_dir):
+    from bread_spark.functions.text import quality_by_source
+    from bread_spark.io import load_table
+
+    rows = quality_by_source(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(0.0 <= r["gate_pass_rate"] <= 1.0 for r in rows)
+
+
 def test_gopher_gate_verdict_consistency(spark, sf_dir):
     """`passes` must be exactly the conjunction of the rule columns, and
     the gate must discriminate on the test corpus (both verdicts occur)."""
