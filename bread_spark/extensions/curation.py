@@ -680,11 +680,13 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every source's support is a subset of the corpus support by
     construction (q(t) = 0 ⇒ p(t|s) = 0), so the sum is always finite.
 
-    Plan: ONE groupBy(source, token) over the exploded stream; the
-    corpus distribution reduces that same table (token-keyed, counts
-    only — no second pass over text); per-source totals are a tiny
-    aggregate broadcast back; the KL sum is one groupBy(source). All
-    JVM, all count ratios → full DuckDB oracle.
+    Plan: ONE groupBy(source, token) over the exploded stream,
+    MATERIALIZED (localCheckpoint) because three derived aggregates read
+    it — the corpus distribution (token-keyed), per-source totals, and
+    the grand total; unmaterialized, Spark re-executes scan→explode→agg
+    under each (the exchanges differ in key, so ReusedExchange never
+    fires — caught by the plan audit in test_plans.py). The KL sum is
+    one groupBy(source). All JVM, all count ratios → full DuckDB oracle.
     """
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return source_kl_divergence_df(docs)
@@ -696,7 +698,11 @@ def source_kl_divergence_df(docs: DataFrame) -> DataFrame:
         "source",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
     )
-    st = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n_st"))
+    st = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+        .localCheckpoint()
+    )
     corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
     totals = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     grand = corpus.agg(F.sum("n_t").alias("n"))

@@ -49,16 +49,30 @@ def bm25_search_df(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """BM25 over any (doc_id, text) frame for the given query terms."""
+    """BM25 over any (doc_id, text) frame for the given query terms.
+
+    The per-doc frame (doc_id, length, query-term matches) is built in
+    ONE pass over the text and materialized (localCheckpoint) — the
+    corpus stats, the tf/df tables, and the scoring join all derive from
+    it, and without materialization each derivation re-scans the text
+    (their exchange keys differ, so ReusedExchange never fires; same
+    defect class the test_plans.py audit caught on the KL metric). At
+    100 TB this frame is the stored per-document index row.
+    """
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
-    lens = docs.select("doc_id", F.size(toks_arr).alias("dl"))
-    stats = lens.agg(
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks_arr).alias("dl"),
+        F.filter(toks_arr, lambda t: t.isin(list(terms))).alias("matches"),
+    ).localCheckpoint()
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    toks = docs.select(
-        "doc_id", F.explode(toks_arr).alias("token")
-    ).filter(F.col("token").isin(terms))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        per_doc.select("doc_id", F.explode("matches").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = dfs.join(F.broadcast(stats)).select(
         "token",
@@ -68,7 +82,7 @@ def bm25_search_df(
     )
     scored = (
         tf.join(F.broadcast(idf), "token")
-        .join(lens, "doc_id")
+        .join(per_doc.select("doc_id", "dl"), "doc_id")
         .join(F.broadcast(stats))
         .select(
             "doc_id",
@@ -113,7 +127,15 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K) -> Da
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df reduction and the scoring join — materialize
+    # it so the scan→explode→aggregate subtree runs once (the derived
+    # exchange keys differ, so ReusedExchange never fires; the stored tf
+    # table is exactly what a deployed index keeps anyway)
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = dfs.join(F.broadcast(n_docs)).select(

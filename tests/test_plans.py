@@ -244,3 +244,61 @@ def test_corpus_mix_tokens_full_epochs_pipeline_with_scan(plans):
     assert "SortMergeJoin" not in p
     assert p.count("Exchange hashpartitioning(source") == 2  # window + totals build
     assert "Exchange hashpartitioning(doc_id" not in p
+
+
+def test_gopher_gate_is_shuffle_free(plans):
+    """Every Gopher-rule signal is a JVM higher-order expression over the
+    token array — the whole plan must pipeline with the scan (no exchange
+    of any kind)."""
+    p = plans("gopher_quality_gate")
+    assert "Exchange" not in p
+
+
+def test_tfidf_window_group_limit_and_broadcast_idf(plans):
+    """Top-k keywords must prune via WindowGroupLimit before any sort
+    materializes the full term list; idf joins back as a broadcast; no
+    sort-merge join at broadcastable vocab sizes. The tf table is
+    materialized, so the only parquet scan left in the final plan is the
+    count-star for n_docs — the text column is read exactly once."""
+    p = plans("tfidf_keywords")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") <= 1
+
+
+def test_bm25_top_n_is_take_ordered(plans):
+    """The final top-n must be TakeOrderedAndProject (distributed
+    per-partition top-k), never a global sort; scoring joins broadcast.
+    Stats, tf/df, and the scoring join all derive from the materialized
+    per-doc frame — zero parquet scans in the final plan (one text pass
+    total, paid at materialization)."""
+    p = plans("bm25_search")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("Scan parquet") == 0
+
+
+def test_source_kl_single_token_pass(plans):
+    """The (source, token) aggregate is materialized once and the three
+    derived aggregates (corpus / per-source / grand totals) read it — so
+    the plan must contain ZERO Generate nodes (the exploded text stream
+    lives entirely upstream of the checkpoint; without it Spark
+    re-executed scan+explode+agg four times, since the derived exchanges
+    differ in key and ReusedExchange never fires)."""
+    p = plans("source_kl_divergence")
+    assert p.count("Generate explode") == 0
+    assert "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_vocab_growth_single_hash_exchange(plans):
+    """The position window, first-occurrence aggregate, and checkpoint
+    cumsum all ride source-keyed partitioning — the plan needs only ONE
+    hash exchange and no join at all."""
+    p = plans("vocab_growth")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
