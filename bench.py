@@ -155,6 +155,7 @@ def main() -> None:
         "source_kl_divergence",
         "vocab_growth",
         "quality_by_source",
+        "contamination_report",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -198,6 +199,7 @@ def main() -> None:
         "source_kl_divergence",
         "vocab_growth",
         "quality_by_source",
+        "contamination_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

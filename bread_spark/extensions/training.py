@@ -239,6 +239,52 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transpose of `decontaminate`: per PROBE (benchmark) document,
+    how exposed it is in the training corpus — the report an eval owner
+    reads ("which of MY benchmark items leak, and how widely") while
+    `decontaminate` answers the corpus owner's question ("which training
+    docs must go"). One row per probe doc: its distinct shingle count,
+    how many of those shingles appear anywhere in the corpus, the leaked
+    fraction, and how many distinct corpus docs share ≥1 shingle.
+
+    Plan: both sides come from the shared shingle seam; the probe side
+    is tiny → broadcast into the join, so the corpus index is probed
+    map-side and only (probe_doc, corpus_doc, shingle) hits shuffle into
+    the per-probe aggregate. distinct-counts expand to the standard
+    two-phase distinct aggregate.
+    """
+    from .dedup import shingle_frame
+
+    sh = shingle_frame(spark, sf_dir)
+    probe = sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID).select(
+        F.col("doc_id").alias("probe_doc_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= PROBE_MAX_DOC_ID).select(
+        F.col("doc_id").alias("corpus_doc_id"), "shingle"
+    )
+    sizes = probe.groupBy("probe_doc_id").agg(
+        F.count(F.lit(1)).alias("n_probe_shingles")
+    )
+    hits = corpus.join(F.broadcast(probe), "shingle").groupBy("probe_doc_id").agg(
+        F.countDistinct("shingle").alias("n_leaked_shingles"),
+        F.countDistinct("corpus_doc_id").alias("n_corpus_docs"),
+    )
+    return (
+        sizes.join(hits, "probe_doc_id", "left")
+        .select(
+            "probe_doc_id",
+            "n_probe_shingles",
+            F.coalesce("n_leaked_shingles", F.lit(0)).alias("n_leaked_shingles"),
+            F.coalesce(
+                F.round(F.col("n_leaked_shingles") / F.col("n_probe_shingles"), 4),
+                F.lit(0.0),
+            ).alias("leak_frac"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+        )
+    )
+
+
 BLOOM_BITS = 1 << 17  # filter size m in bits (16 KB serialized)
 BLOOM_K = 5  # hash functions per element
 
@@ -699,4 +745,41 @@ ORACLE_SQL["vocab_growth"] = f"""
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS vocab_size
     FROM buckets
+"""
+
+ORACLE_SQL["contamination_report"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= 3
+    ),
+    probe AS (
+        SELECT doc_id AS probe_doc_id, shingle FROM sh
+        WHERE doc_id < {PROBE_MAX_DOC_ID}
+    ),
+    corpus AS (
+        SELECT doc_id AS corpus_doc_id, shingle FROM sh
+        WHERE doc_id >= {PROBE_MAX_DOC_ID}
+    ),
+    sizes AS (
+        SELECT probe_doc_id, COUNT(1) AS n_probe_shingles
+        FROM probe GROUP BY probe_doc_id
+    ),
+    hits AS (
+        SELECT p.probe_doc_id,
+               COUNT(DISTINCT p.shingle) AS n_leaked_shingles,
+               COUNT(DISTINCT c.corpus_doc_id) AS n_corpus_docs
+        FROM corpus c JOIN probe p ON c.shingle = p.shingle
+        GROUP BY p.probe_doc_id
+    )
+    SELECT s.probe_doc_id, s.n_probe_shingles,
+           COALESCE(h.n_leaked_shingles, 0) AS n_leaked_shingles,
+           COALESCE(ROUND(h.n_leaked_shingles / s.n_probe_shingles, 4), 0.0)
+               AS leak_frac,
+           COALESCE(h.n_corpus_docs, 0) AS n_corpus_docs
+    FROM sizes s LEFT JOIN hits h USING (probe_doc_id)
 """

@@ -94,6 +94,7 @@ _register(
         "vocab_topk": training.vocab_topk,
         "vocab_growth": training.vocab_growth,
         "decontaminate": training.decontaminate,
+        "contamination_report": training.contamination_report,
         "decontaminate_bloom": training.decontaminate_bloom,  # rows-only (bloom ⊇ exact)
         "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
         "training_corpus": training.training_corpus,  # end-to-end curation composite
@@ -176,6 +177,7 @@ _SAMPLE_PRIORITY = (
     "source_kl_divergence",  # new r6 — needs its first driver row
     "vocab_growth",  # new r6 — needs its first driver row
     "quality_by_source",  # new r6 — needs its first driver row
+    "contamination_report",  # new r6 — needs its first driver row
     "daily_value_by_type",  # last green r2
     "distinct_users_per_day",  # last green r2
     "value_per_day",  # last green r2
@@ -207,11 +209,10 @@ _SAMPLE_PRIORITY = (
     "media_features",
     "centroid_by_label",
     "embedding_cosine_dups",
-    # 4a — reference gold DAG keep-warm (2; daily_ibc_transfers and
-    # pricing_summary rotate out for the two extra r6 entries — both
-    # green r5, ≤2 rounds old through r7)
+    # 4a — reference gold DAG keep-warm (1; daily_ibc_transfers,
+    # pricing_summary, gas_used_per_day rotate out for the extra r6
+    # entries — all green r5, ≤2 rounds old through r7)
     "ibc_transfers",
-    "gas_used_per_day",
     # 4b — keep-warm (0; session_stats/cosine_topk/media_dedup/
     # training_corpus/paragraph_dedup rotated out to make room for the
     # five new r6 entries — all green r5, so they stay ≤2 rounds old

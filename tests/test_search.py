@@ -207,3 +207,34 @@ def test_gopher_gate_verdict_consistency(spark, sf_dir):
     )
     verdicts = {r["passes"] for r in rows}
     assert verdicts == {True, False}
+
+
+def test_contamination_report_complete_and_bounded(spark, sf_dir):
+    """One row per probe doc (with ≥3 words); leak_frac in [0,1]; leaked
+    shingles never exceed the probe's shingle count; and the report
+    agrees with `decontaminate` about whether ANY leakage exists."""
+    from bread_spark.extensions.training import (
+        PROBE_MAX_DOC_ID,
+        contamination_report,
+        decontaminate,
+    )
+    from bread_spark.extensions.dedup import shingle_frame
+
+    rows = contamination_report(spark, sf_dir).collect()
+    n_probe_docs = (
+        shingle_frame(spark, sf_dir)
+        .filter(f"doc_id < {PROBE_MAX_DOC_ID}")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_probe_docs
+    for r in rows:
+        assert 0.0 <= r["leak_frac"] <= 1.0
+        assert r["n_leaked_shingles"] <= r["n_probe_shingles"]
+        assert (r["n_corpus_docs"] == 0) == (r["n_leaked_shingles"] == 0)
+    any_leak_probe_side = any(r["n_leaked_shingles"] > 0 for r in rows)
+    any_leak_corpus_side = (
+        decontaminate(spark, sf_dir).filter("n_overlap > 0").count() > 0
+    )
+    assert any_leak_probe_side == any_leak_corpus_side
