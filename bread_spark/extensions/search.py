@@ -120,9 +120,14 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = TFIDF_TOP_K) -> Da
     by WindowGroupLimit before any sort materializes the full term list.
     Deterministic: score rounded to 4dp, ties broken by token asc.
     """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords_df(docs, k)
+
+
+def tfidf_keywords_df(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """`tfidf_keywords` core over any (doc_id, text) frame."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),

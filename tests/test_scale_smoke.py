@@ -162,3 +162,76 @@ def test_bigram_lm_scales(spark):
         ).alias("text"),
     )
     assert bigram_logprob_scores_df(big).count() == small * REPS
+
+
+@pytest.fixture(scope="module")
+def big_docs_r6(spark):
+    """documents replicated with disjoint doc_id spaces (same texts →
+    term statistics scale by exactly REPS)."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "text",
+        "source",
+        "lang",
+    )
+    return big.localCheckpoint()
+
+
+def test_bm25_scales(spark, big_docs_r6):
+    """Replicating every doc REPS× multiplies tf and df by REPS and
+    scales N and total length together, so avgdl and the tf-normalization
+    are unchanged while idf shifts identically for every term — the
+    top-n remains fully populated and every score stays positive and
+    finite. Catches a quadratic blow-up in the postings join (the count
+    and score sanity would explode or hang)."""
+    from bread_spark.extensions.search import BM25_QUERY, BM25_TOP_N, bm25_search_df
+
+    rows = bm25_search_df(big_docs_r6, list(BM25_QUERY), top_n=BM25_TOP_N).collect()
+    assert len(rows) == BM25_TOP_N
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_tfidf_scales_exactly(spark, big_docs_r6):
+    """Same replication: tf(t,d) is unchanged per replica doc and
+    N/df both scale by REPS, so idf — and therefore every tfidf score
+    and each doc's keyword ranking — is IDENTICAL to the base corpus."""
+    from bread_spark.extensions.search import tfidf_keywords_df
+    from bread_spark.io import load_table as lt
+
+    base = lt(spark, SF_DIR, "documents").select("doc_id", "text")
+    base_rows = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in tfidf_keywords_df(base).collect()
+    }
+    rep0 = {
+        (r["doc_id"], r["token"]): r["tfidf"]
+        for r in tfidf_keywords_df(big_docs_r6.select("doc_id", "text"))
+        .filter(F.col("doc_id") < 10_000_000)
+        .collect()
+    }
+    assert rep0 == base_rows
+
+
+def test_source_kl_invariant_under_replication(spark, big_docs_r6):
+    """Replicating every doc scales n_st, n_s, n_t, N together — every
+    ratio, and so every KL value, is identical to the base corpus."""
+    from bread_spark.extensions.curation import source_kl_divergence_df
+    from bread_spark.io import load_table as lt
+
+    base = {
+        r["source"]: r["kl_divergence"]
+        for r in source_kl_divergence_df(
+            lt(spark, SF_DIR, "documents").select("source", "text")
+        ).collect()
+    }
+    big = {
+        r["source"]: r["kl_divergence"]
+        for r in source_kl_divergence_df(
+            big_docs_r6.select("source", "text")
+        ).collect()
+    }
+    assert big == base
