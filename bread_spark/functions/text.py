@@ -357,6 +357,14 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition ratio reuses the `repetition_scores` in-array distinct).
     """
     docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_gate_df(docs)
+
+
+def gopher_quality_gate_df(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """`gopher_quality_gate` core over any frame with a `text` column —
+    shuffle-free, so it applies unchanged to STREAMING frames (the
+    streaming quality monitor composes it). `keep` names extra input
+    columns to carry through (e.g. `source` for per-source rollups)."""
     tokens = F.filter(F.split("text", " "), lambda t: t != "")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop_arr, t)))
@@ -388,6 +396,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_rep = dup_frac <= GOPHER_MAX_DUP_FRAC
     return docs.select(
         "doc_id",
+        *keep,
         F.size(tokens).cast("long").alias("n_tokens"),
         ok_len.alias("ok_token_count"),
         ok_wl.alias("ok_mean_word_len"),

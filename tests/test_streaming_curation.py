@@ -1,0 +1,113 @@
+"""Streaming curation monitors: running per-source stats and Gopher-gate
+pass rates over a document stream must agree exactly with the batch
+rollups over the same data, and keep updating as new batches land."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from bread_spark.streaming.curation import corpus_stats_stream, quality_monitor_stream
+
+DOCS_SCHEMA = "doc_id long, source string, text string"
+
+
+def _write(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for doc_id, source, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "source": source, "text": text}) + "\n")
+
+
+def _run_complete(spark, src, ckpt, table, fn):
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["source"]: r.asDict() for r in spark.sql(f"SELECT * FROM {table}").collect()}
+
+
+def _varied(prefix: str, n: int = 60) -> str:
+    """n distinct alphabetic words laced with stopwords — passes every
+    Gopher rule (long enough, non-repetitive, alpha-only, stopworded)."""
+    words = []
+    for i in range(n):
+        words.append("the" if i % 7 == 0 else f"{prefix}{chr(97 + i % 26)}word{i}x")
+    return " ".join(words).replace("0", "o").replace("1", "l").replace(
+        "2", "t"
+    ).replace("3", "e").replace("4", "f").replace("5", "s").replace(
+        "6", "x"
+    ).replace("7", "v").replace("8", "g").replace("9", "n")
+
+
+BATCH1 = [
+    (1, "s1", _varied("qm")),
+    (2, "s1", "zz qq ww"),  # short, no stopwords → fails the gate
+    (3, "s2", _varied("sun")),
+]
+BATCH2 = [
+    (4, "s2", "xx yy"),  # fails
+    (5, "s3", _varied("new")),
+]
+
+
+def test_corpus_stats_stream_matches_batch(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck1")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    out = _run_complete(spark, src, ckpt, "css_t1", corpus_stats_stream)
+
+    batch = {
+        r["source"]: r.asDict()
+        for r in corpus_stats_stream(
+            spark.createDataFrame(BATCH1, DOCS_SCHEMA)
+        ).collect()
+    }
+    assert out == batch
+
+    # a second batch lands → the running stats absorb it (complete mode
+    # over the same checkpoint reprocesses only the new file)
+    _write(src, "b2.json", BATCH2)
+    out2 = _run_complete(spark, src, ckpt, "css_t2", corpus_stats_stream)
+    batch2 = {
+        r["source"]: r.asDict()
+        for r in corpus_stats_stream(
+            spark.createDataFrame(BATCH1 + BATCH2, DOCS_SCHEMA)
+        ).collect()
+    }
+    assert out2 == batch2
+    assert out2["s1"]["n_docs"] == 2 and "s3" in out2
+
+
+def test_quality_monitor_stream_matches_batch_gate(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck2")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    _write(src, "b2.json", BATCH2)
+    out = _run_complete(spark, src, ckpt, "qms_t1", quality_monitor_stream)
+
+    from bread_spark.functions.text import gopher_quality_gate_df
+
+    batch_docs = spark.createDataFrame(BATCH1 + BATCH2, DOCS_SCHEMA)
+    batch = {
+        r["source"]: (r["n"], r["p"])
+        for r in gopher_quality_gate_df(batch_docs, keep=("source",))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0)).alias("p"),
+        )
+        .collect()
+    }
+    assert {s: (d["n_docs"], d["n_passing"]) for s, d in out.items()} == batch
+    # the short gibberish docs fail, the long stopword-rich docs pass
+    assert out["s1"]["n_passing"] == 1 and out["s1"]["n_docs"] == 2
+    assert out["s3"]["pass_rate"] == 1.0
