@@ -440,7 +440,9 @@ def lm_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lm_scored",
         sf_dir,
         lambda: bigram_logprob_scores_df(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            uni=lm_unigram_frame(spark, sf_dir),
+            big=lm_bigram_frame(spark, sf_dir),
         ),
         (LM_LAMBDA,),
     )
@@ -453,9 +455,59 @@ def clear_lm_cache() -> None:
     clear_materialized_frames()
 
 
-def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
+def lm_unigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once unigram count table (token, n) for the canonical
+    documents table — shared by the bigram AND trigram LM builds (the
+    trigram was re-counting the identical tables its lower orders
+    already built). Cache contract: plans/materialize.py."""
+    from ..plans.materialize import materialized_frame
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+        w = docs.select(toks_arr.alias("toks")).filter(F.size("toks") >= 1)
+        return (
+            w.select(F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return materialized_frame(spark, "lm_uni", sf_dir, build)
+
+
+def lm_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once bigram count table (w1, w2, n12) — see
+    `lm_unigram_frame`."""
+    from ..plans.materialize import materialized_frame
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+        w = docs.select(toks_arr.alias("toks")).filter(F.size("toks") >= 1)
+        return (
+            w.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(toks, 2, size(toks) - 1), "
+                        "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                    )
+                ).alias("p")
+            )
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n12"))
+        )
+
+    return materialized_frame(spark, "lm_big", sf_dir, build)
+
+
+def bigram_logprob_scores_df(
+    docs: DataFrame, uni: DataFrame | None = None, big: DataFrame | None = None
+) -> DataFrame:
     """`bigram_logprob_scores` core over any (doc_id, text) frame — the
-    seam synthetic-fixture and scale tests drive directly."""
+    seam synthetic-fixture and scale tests drive directly. `uni`/`big`
+    accept pre-built count tables (the shared LM seams) and must hold
+    exactly the counts the inline build would produce."""
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     w = docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
     toks = w.select("doc_id", F.explode("toks").alias("token"))
@@ -468,9 +520,11 @@ def bigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if uni is None:
+        uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = uni.agg(F.sum("n").alias("total"))
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    if big is None:
+        big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     first_lp = (
         w.select("doc_id", F.col("toks")[0].alias("token"))
         .join(F.broadcast(uni), "token")
@@ -533,11 +587,19 @@ def trigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 + 1 + n_triples = the doc's token count.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return trigram_logprob_scores_df(docs)
+    return trigram_logprob_scores_df(
+        docs,
+        uni=lm_unigram_frame(spark, sf_dir),
+        big=lm_bigram_frame(spark, sf_dir),
+    )
 
 
-def trigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
-    """`trigram_logprob_scores` core over any (doc_id, text) frame."""
+def trigram_logprob_scores_df(
+    docs: DataFrame, uni: DataFrame | None = None, big: DataFrame | None = None
+) -> DataFrame:
+    """`trigram_logprob_scores` core over any (doc_id, text) frame.
+    `uni`/`big` accept the shared LM count seams (the lower-order tables
+    are identical to the bigram build's)."""
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     w = docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
     toks = w.select("doc_id", F.explode("toks").alias("token"))
@@ -562,9 +624,11 @@ def trigram_logprob_scores_df(docs: DataFrame) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2", "p.w3")
 
-    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if uni is None:
+        uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = uni.agg(F.sum("n").alias("total"))
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    if big is None:
+        big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     tri = triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
 
     # token 1: unigram
