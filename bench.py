@@ -156,6 +156,8 @@ def main() -> None:
         "vocab_growth",
         "quality_by_source",
         "contamination_report",
+        "label_mix_by_source",
+        "topic_mix_by_source",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -200,6 +202,8 @@ def main() -> None:
         "vocab_growth",
         "quality_by_source",
         "contamination_report",
+        "label_mix_by_source",
+        "topic_mix_by_source",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -806,3 +806,75 @@ ORACLE_SQL["embedding_dedup_corpus"] = f"""
            CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_removed
     FROM embeddings e JOIN survivors s USING (vec_id)
 """
+
+
+def label_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal topic-mix dashboard: join the embedding corpus's
+    ground-truth cluster labels onto the documents table (vec_id aligns
+    with doc_id in the synthetic corpus — in production the embedding
+    row carries the doc key it was computed from) and report each
+    source's label distribution. The question this answers: "is source X
+    all one topic?" — the metadata-side complement of
+    `source_kl_divergence`'s vocabulary drift.
+
+    Plan: doc_id-keyed equi-join of two O(docs) projections (both sides
+    pruned to 2-3 columns at the scan), one groupBy(source, label), and
+    a broadcast of the tiny per-source totals for the share. Fully
+    deterministic → DuckDB oracle. `topic_mix_by_source` is the
+    learned-cluster twin (k-means geometry → rows-only).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = docs.join(emb, "doc_id")
+    counts = joined.groupBy("source", "label").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    return counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "label",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_source"), 4).alias("share"),
+    )
+
+
+def topic_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`label_mix_by_source` with LEARNED topics: the IVF coarse
+    quantizer's k-means clusters stand in for labels — the view you get
+    on an unlabeled crawl (SemDeDup/DCLM-style cluster diagnostics).
+    Rides the cached assignment seam; rows-only (float k-means geometry
+    is engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = ivf_assignment_frame(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    joined = docs.join(assigned, "doc_id")
+    counts = joined.groupBy("source", "cluster").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    return counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "cluster",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_source"), 4).alias("share"),
+    )
+
+
+ORACLE_SQL["label_mix_by_source"] = """
+    WITH j AS (
+        SELECT d.source, e.label
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    counts AS (
+        SELECT source, label, COUNT(1) AS n_docs FROM j GROUP BY source, label
+    ),
+    totals AS (
+        SELECT source, SUM(n_docs) AS n_source FROM counts GROUP BY source
+    )
+    SELECT c.source, c.label, c.n_docs,
+           ROUND(c.n_docs / t.n_source, 4) AS share
+    FROM counts c JOIN totals t USING (source)
+"""

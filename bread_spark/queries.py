@@ -65,6 +65,8 @@ _register(
         "ivf_topk": similarity.ivf_topk,  # rows-only (IVF ANN scale path)
         "cluster_quota_sample": similarity.cluster_quota_sample,  # rows-only (learned clusters)
         "embedding_dedup_corpus": similarity.embedding_dedup_corpus,  # semantic dedup
+        "label_mix_by_source": similarity.label_mix_by_source,  # cross-modal mix
+        "topic_mix_by_source": similarity.topic_mix_by_source,  # rows-only (learned)
     },
     similarity.ORACLE_SQL,
 )
@@ -209,10 +211,9 @@ _SAMPLE_PRIORITY = (
     "media_features",
     "centroid_by_label",
     "embedding_cosine_dups",
-    # 4a — reference gold DAG keep-warm (1; daily_ibc_transfers,
-    # pricing_summary, gas_used_per_day rotate out for the extra r6
-    # entries — all green r5, ≤2 rounds old through r7)
-    "ibc_transfers",
+    # new r6 cross-modal entry (takes the last keep-warm slot; the whole
+    # gold DAG was green r5 and stays ≤2 rounds old through r7)
+    "label_mix_by_source",
     # 4b — keep-warm (0; session_stats/cosine_topk/media_dedup/
     # training_corpus/paragraph_dedup rotated out to make room for the
     # five new r6 entries — all green r5, so they stay ≤2 rounds old

