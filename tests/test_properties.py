@@ -298,3 +298,51 @@ def test_minhash_signatures_duplicate_insensitive(spark, sf_dir):
     a = {r["doc_id"]: r["signature"] for r in minhash_signatures(_word_shingles(docs)).collect()}
     b = {r["doc_id"]: r["signature"] for r in minhash_signatures(_word_shingles_with_dups(docs)).collect()}
     assert a == b
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_trigram_lm_is_a_probability_model(spark, texts):
+    """On any corpus: every per-token probability is in (0, 1] — so every
+    mean log10-prob is ≤ 0 — and n_tokens equals the doc's true token
+    count; docs with zero tokens are out of scope (both engines agree)."""
+    from bread_spark.extensions.curation import trigram_logprob_scores_df
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in trigram_logprob_scores_df(df).collect()}
+    for i, t in rows:
+        n = len([w for w in t.split(" ") if w])
+        if n == 0:
+            assert i not in out
+        else:
+            assert out[i]["n_tokens"] == n
+            assert out[i]["mean_logp"] <= 1e-9
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="xyz ", min_size=1, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bm25_scores_only_matching_docs_positively(spark, texts):
+    """On any corpus: exactly the docs containing a query term are
+    scored, and every score is strictly positive (the +1 inside the idf
+    log keeps idf > 0 even for a term in every doc)."""
+    from bread_spark.extensions.search import bm25_search_df
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["score"] for r in bm25_search_df(df, ["x", "xy"], top_n=100).collect()}
+    expect = {i for i, t in rows if {"x", "xy"} & set(t.split(" "))}
+    assert set(out) == expect
+    assert all(s > 0 for s in out.values())
