@@ -219,6 +219,32 @@ def shingle_frame(spark: SparkSession, sf_dir: str, n: int = SHINGLE_N) -> DataF
     )
 
 
+def capped_shingle_frame(
+    spark: SparkSession, sf_dir: str, max_df: int
+) -> DataFrame:
+    """Compute-once CAPPED shingle index: `shingle_frame` minus shingles
+    with document frequency > max_df (the stopword-like postings whose
+    df² pair fan-out is the quadratic failure mode). The hot set is tiny
+    by construction → broadcast anti-join, built ONCE per (application,
+    sf_dir, n, max_df) on top of the uncapped seam. At 100 TB this is
+    the pruned posting index a near-dup job stages before the self-join."""
+    from ..plans.materialize import materialized_frame
+
+    def build():
+        sh = shingle_frame(spark, sf_dir)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    return materialized_frame(
+        spark, "word_shingles_capped", sf_dir, build, (SHINGLE_N, max_df)
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -236,23 +262,15 @@ def ngram_jaccard_pairs(
     """
     # The shingle set feeds three subtrees (both join sides + sizes);
     # unmaterialized, Spark would recompute scan+shingle+distinct 3×. The
-    # shared seam (`shingle_frame`) persists it once per catalog pass —
-    # the staging-table form of the localCheckpoint this used per call.
-    sh = shingle_frame(spark, sf_dir)
+    # shared seams persist it once per catalog pass — the staging-table
+    # form of the localCheckpoint this used per call. On the capped path
+    # the CAPPED index is its own seam: the hot-set aggregate + anti-join
+    # (the cap build) also runs once per session instead of replaying
+    # under each subtree of every pass.
     if max_df is not None:
-        # The HOT set (df > cap) is tiny by construction — broadcast it and
-        # anti-join map-side, instead of shuffling the full shingle index
-        # through an inner join against the (huge) kept set. The anti-join
-        # replays per subtree over the cached index — map-side cheap; a
-        # second materialization costs more than the three replays
-        # (measured at sf0.1).
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = capped_shingle_frame(spark, sf_dir, max_df)
+    else:
+        sh = shingle_frame(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.alias("a")
