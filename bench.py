@@ -158,6 +158,9 @@ def main() -> None:
         "contamination_report",
         "label_mix_by_source",
         "topic_mix_by_source",
+        # ExactSubstr-style span-level dedup (stride-1 window fingerprints)
+        "duplicate_spans",
+        "span_dedup_report",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -204,6 +207,8 @@ def main() -> None:
         "contamination_report",
         "label_mix_by_source",
         "topic_mix_by_source",
+        "duplicate_spans",
+        "span_dedup_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

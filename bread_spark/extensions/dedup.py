@@ -766,6 +766,197 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
+# ---------------------------------------------------------------------------
+# Exact substring (span-level) dedup — Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" (ExactSubstr). The suffix-
+# array construction doesn't distribute; the Spark-native equivalent is a
+# stride-1 sliding token-window fingerprint index: any W-token run shared
+# verbatim between two documents produces at least one identical window
+# hash, so grouping window digests finds every duplicated span of length
+# ≥ W without any pairwise comparison.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 15  # window length in whitespace tokens (ExactSubstr uses 50 BPE)
+SPAN_DUP_MAX_FRAC = 0.5  # drop docs with more duplicated-window coverage
+
+
+def _span_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """doc_id → one row per stride-1 sliding w-token window, identified by
+    the md5 digest of the space-joined window (the repo's cross-engine
+    digest idiom — 16 raw bytes on the wire, reproducible in DuckDB).
+
+    The whole window array is built map-side in one higher-order transform
+    (no UDF, no pre-explode): a doc with n tokens emits n-w+1 rows, so the
+    frame is ~token-count-sized — the same order as the shingle index. At
+    100 TB this is the staged span-fingerprint table; a production run
+    would swap md5 for xxhash64 over the token slice (8-byte keys, same
+    plan shape) once it no longer needs the cross-engine oracle.
+    """
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), t -> t != '')").alias("w")
+    )
+    return toks.filter(F.size("w") >= w).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {w - 1}), "
+                f"i -> md5(cast(array_join(slice(w, i, {w}), ' ') as binary)))"
+            )
+        ).alias("span"),
+    )
+
+
+def span_window_frame(spark: SparkSession, sf_dir: str, w: int = SPAN_W) -> DataFrame:
+    """Compute-once span-fingerprint index for the canonical `documents`
+    table — shared by `duplicate_spans` and `span_dedup_report` (the
+    report consumes it from three subtrees; unmaterialized, Spark would
+    replay scan→transform→explode under each)."""
+    return materialized_frame(
+        spark,
+        "span_windows",
+        sf_dir,
+        lambda: _span_windows(load_table(spark, sf_dir, "documents"), w),
+        (w,),
+    )
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated spans: every w-token window occurring in ≥ 2
+    distinct documents, with its document frequency and total occurrence
+    count — the span-level analog of `dedup_exact_hash`, and the index an
+    ExactSubstr-style pipeline stages before deciding what to cut.
+
+    Plan: span index → ONE groupBy(span) with a two-phase distinct
+    aggregate for n_docs and map-side partial counts for n_occurrences.
+    No self-join anywhere, so a boilerplate span shared by millions of
+    documents costs one hot aggregation group (absorbed by partial
+    aggregation + AQE), never a pair fan-out.
+    """
+    wins = span_window_frame(spark, sf_dir)
+    return (
+        wins.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("span").alias("span_hash"), "n_docs", "n_occurrences")
+    )
+
+
+def span_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage + keep verdict: the fraction
+    of a doc's w-token windows whose fingerprint occurs in ≥ 2 documents.
+    ExactSubstr cuts the duplicated bytes themselves; at corpus-curation
+    granularity the standard action (this one) is to drop documents whose
+    coverage exceeds a threshold — boilerplate/mirror pages score ~1.0,
+    docs that merely quote a little score near 0.
+
+    `keep` is decided on exact integers (2·n_dup_windows ≤ n_windows for
+    the 0.5 threshold), never on the rounded fraction, so the verdict has
+    no float-boundary ambiguity between engines. Docs shorter than w have
+    zero windows and are kept (nothing to judge).
+
+    Plan: the seam frame feeds three subtrees — the dup-span set (groupBy
+    span), per-doc totals (groupBy doc_id), and the dup-window count (a
+    semi-join on span, output bounded by the window count, then groupBy
+    doc_id) — then two doc_id-keyed left joins back to the doc list. All
+    shuffles are keyed on 16-byte digests or doc ids; no pair fan-out.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup_report_df(docs, span_window_frame(spark, sf_dir))
+
+
+def span_dedup_report_df(docs: DataFrame, wins: DataFrame | None = None) -> DataFrame:
+    """`span_dedup_report` core over any (doc_id, text) frame; pass a
+    pre-staged window frame (the seam) to avoid rebuilding it."""
+    if wins is None:
+        wins = _span_windows(docs)
+    docs = docs.select("doc_id")
+    dup = (
+        wins.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("span")
+    )
+    totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_counts = (
+        wins.join(dup, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        docs.join(totals, "doc_id", "left")
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    / F.col("n_windows").cast("double")
+                ),
+                4,
+            ).alias("dup_frac"),
+            (
+                F.lit(2) * F.coalesce("n_dup_windows", F.lit(0))
+                <= F.coalesce("n_windows", F.lit(0))
+            ).alias("keep"),
+        )
+    )
+
+
+_SPAN_WINS_SQL = f"""
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, md5(array_to_string(w[i : i + {SPAN_W - 1}], ' ')) AS span
+        FROM toks, UNNEST(generate_series(1, len(w) - {SPAN_W - 1})) AS t(i)
+        WHERE len(w) >= {SPAN_W}
+    )
+"""
+
+ORACLE_SQL["duplicate_spans"] = f"""
+    WITH {_SPAN_WINS_SQL}
+    SELECT span AS span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+ORACLE_SQL["span_dedup_report"] = f"""
+    WITH {_SPAN_WINS_SQL},
+    dup AS (
+        SELECT span FROM wins GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM wins GROUP BY 1
+    ),
+    dd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        FROM wins WHERE span IN (SELECT span FROM dup) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(tot.n_windows, 0) AS n_windows,
+           COALESCE(dd.n_dup_windows, 0) AS n_dup_windows,
+           ROUND(
+               CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
+                    ELSE COALESCE(dd.n_dup_windows, 0)
+                         / CAST(tot.n_windows AS DOUBLE) END,
+               4
+           ) AS dup_frac,
+           2 * COALESCE(dd.n_dup_windows, 0) <= COALESCE(tot.n_windows, 0) AS keep
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN dd ON d.doc_id = dd.doc_id
+"""
+
 ORACLE_SQL["cross_dedup"] = f"""
     SELECT doc_id, source, lang, md5(text) AS content_hash
     FROM documents

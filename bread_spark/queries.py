@@ -51,6 +51,8 @@ _register(
         "dedup_clusters": dedup.dedup_clusters,  # connected components
         "deduped_corpus": dedup.deduped_corpus,  # surviving corpus post near-dup
         "minhash_dedup_corpus": dedup.minhash_dedup_corpus,  # rows-only (LSH graph)
+        "duplicate_spans": dedup.duplicate_spans,  # ExactSubstr span index
+        "span_dedup_report": dedup.span_dedup_report,  # span-coverage verdicts
     },
     dedup.ORACLE_SQL,
 )

@@ -1,0 +1,128 @@
+"""Semantic tests for span-level (ExactSubstr-style) dedup — dedup.py's
+`duplicate_spans` / `span_dedup_report`. The DuckDB differential in
+test_oracle.py certifies value equality on the real tables; these pin the
+contracts on a constructed corpus where the ground truth is known exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bread_spark.extensions import dedup
+from bread_spark.plans.materialize import clear_materialized_frames
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _tok(i: int) -> str:
+    return f"t{i}"
+
+
+def _text(idxs) -> str:
+    return " ".join(_tok(i) for i in idxs)
+
+
+W = dedup.SPAN_W
+
+
+@pytest.fixture()
+def corpus(spark):
+    """Known ground truth:
+    - docs 1 and 2 share an exact (W+5)-token run (→ 6 shared windows),
+      embedded at different offsets inside otherwise-disjoint text
+    - doc 3 is completely unique
+    - doc 4 has W-1 tokens (zero windows)
+    - doc 5 duplicates doc 1 verbatim
+    """
+    shared = list(range(1000, 1000 + W + 5))
+    d1 = _text(list(range(0, 10)) + shared + list(range(50, 60)))
+    d2 = _text(list(range(100, 120)) + shared)
+    d3 = _text(range(200, 200 + 2 * W))
+    d4 = _text(range(300, 300 + W - 1))
+    return _mk(
+        spark,
+        [(1, d1), (2, d2), (3, d3), (4, d4), (5, d1)],
+    )
+
+
+def test_window_count_is_tokens_minus_w_plus_one(spark, corpus):
+    wins = dedup._span_windows(corpus)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # doc 1: 10 + (W+5) + 10 tokens → (W+25) - W + 1 = 26 windows
+    assert counts[1] == 26
+    assert counts[3] == W + 1  # 2W tokens
+    assert 4 not in counts  # shorter than W → no windows
+
+
+def test_shared_run_produces_expected_duplicate_spans(spark, corpus):
+    """A shared (W+5)-token run yields exactly 6 duplicated windows between
+    docs 1/2; doc 5 (verbatim dup of 1) duplicates every one of doc 1's 26
+    windows. Total distinct duplicated spans = 26 (doc-5 set ⊇ shared set)."""
+    clear_materialized_frames()
+    wins = dedup._span_windows(corpus)
+    dup = (
+        wins.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    rows = dup.collect()
+    assert len(rows) == 26
+    # the 6 windows fully inside the shared run are in all of docs 1, 2, 5
+    assert sum(1 for r in rows if r["n_docs"] == 3) == 6
+    assert sum(1 for r in rows if r["n_docs"] == 2) == 20
+
+
+def test_report_coverage_and_keep_verdicts(spark, corpus):
+    rep = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup_report_df(corpus).collect()
+    }
+    # doc 1 / 5: every window duplicated (verbatim copy) → dup_frac 1, drop
+    for d in (1, 5):
+        assert rep[d]["n_windows"] == 26
+        assert rep[d]["n_dup_windows"] == 26
+        assert rep[d]["dup_frac"] == 1.0
+        assert rep[d]["keep"] is False
+    # doc 2: 20 + (W+5) = W+25 tokens → 26 windows; only the 6 fully
+    # inside the shared run are duplicated → keep (2·6 ≤ 26)
+    assert rep[2]["n_windows"] == 26
+    assert rep[2]["n_dup_windows"] == 6
+    assert rep[2]["keep"] is True
+    # doc 3: unique → 0 duplicated
+    assert rep[3]["n_dup_windows"] == 0 and rep[3]["keep"] is True
+    # doc 4: too short → zero windows, kept by contract
+    assert rep[4]["n_windows"] == 0
+    assert rep[4]["dup_frac"] == 0.0
+    assert rep[4]["keep"] is True
+
+
+def test_keep_boundary_is_integer_exact(spark):
+    """Exactly-half coverage keeps the doc (2·dup ≤ total) — the verdict is
+    decided on integers, so there is no float boundary to disagree on."""
+    # two docs sharing a W-token run, each with exactly 2 windows: one
+    # shared (the run), one unique → dup_frac exactly 0.5
+    shared = list(range(1000, 1000 + W))
+    a = _text([1] + shared)  # W+1 tokens → windows at pos 1 (unique), 2 (shared)
+    b = _text([2] + shared)
+    docs = _mk(spark, [(1, a), (2, b)])
+    rep = {r["doc_id"]: r for r in dedup.span_dedup_report_df(docs).collect()}
+    for d in (1, 2):
+        assert rep[d]["n_windows"] == 2
+        assert rep[d]["n_dup_windows"] == 1
+        assert rep[d]["dup_frac"] == 0.5
+        assert rep[d]["keep"] is True
+
+
+def test_no_cartesian_product_in_plans(spark, sf_dir):
+    clear_materialized_frames()
+    for q in (dedup.duplicate_spans, dedup.span_dedup_report):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    clear_materialized_frames()
