@@ -161,6 +161,7 @@ def main() -> None:
         # ExactSubstr-style span-level dedup (stride-1 window fingerprints)
         "duplicate_spans",
         "span_dedup_report",
+        "cross_dedup_spans",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -209,6 +210,7 @@ def main() -> None:
         "topic_mix_by_source",
         "duplicate_spans",
         "span_dedup_report",
+        "cross_dedup_spans",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

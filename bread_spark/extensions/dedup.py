@@ -909,6 +909,77 @@ def span_dedup_report_df(docs: DataFrame, wins: DataFrame | None = None) -> Data
     )
 
 
+def cross_dedup_spans(
+    spark: SparkSession, sf_dir: str, base_max_doc_id: int = CROSS_DEDUP_BASE_MAX
+) -> DataFrame:
+    """The SPAN-level incremental-corpus gate: score each NEW document by
+    the fraction of its w-token windows already present anywhere in the
+    BASE corpus, and keep it only while that coverage stays ≤ 1/2 — the
+    ExactSubstr transpose of `cross_dedup` (byte-identical) and
+    `cross_dedup_neardup` (LSH-fuzzy). Catches the refresh-crawl failure
+    mode the other two miss: a "new" page that is mostly old content
+    stitched with a fresh header — not byte-identical, and possibly under
+    the LSH similarity threshold, but plagiarized span by span.
+
+    Plan: the base side reduces to its DISTINCT span digests (at 100 TB
+    an append-only table maintained at ingest, exactly like the base
+    digest/band tables); one LEFT SEMI join marks the new windows already
+    known, then two doc_id-keyed aggregates and left joins. Text never
+    shuffles; every key is a 16-byte digest or a doc id. The verdict is
+    integer-exact (2·hits ≤ windows), same as `span_dedup_report`.
+    """
+    wins = span_window_frame(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return _cross_dedup_spans_core(
+        docs.filter(F.col("doc_id") >= base_max_doc_id).select("doc_id"),
+        wins.filter(F.col("doc_id") < base_max_doc_id),
+        wins.filter(F.col("doc_id") >= base_max_doc_id),
+    )
+
+
+def cross_dedup_spans_df(
+    base: DataFrame, new: DataFrame, w: int = SPAN_W
+) -> DataFrame:
+    """`cross_dedup_spans` core over any two (doc_id, text) frames."""
+    return _cross_dedup_spans_core(
+        new.select("doc_id"), _span_windows(base, w), _span_windows(new, w)
+    )
+
+
+def _cross_dedup_spans_core(
+    new_docs: DataFrame, base_wins: DataFrame, new_wins: DataFrame
+) -> DataFrame:
+    base_spans = base_wins.select("span").distinct()
+    totals = new_wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    hits = (
+        new_wins.join(base_spans, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_base_windows"))
+    )
+    return (
+        new_docs.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_base_windows", F.lit(0)).alias("n_base_windows"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_base_windows", F.lit(0))
+                    / F.col("n_windows").cast("double")
+                ),
+                4,
+            ).alias("base_frac"),
+            (
+                F.lit(2) * F.coalesce("n_base_windows", F.lit(0))
+                <= F.coalesce("n_windows", F.lit(0))
+            ).alias("keep"),
+        )
+    )
+
+
 _SPAN_WINS_SQL = f"""
     toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
@@ -955,6 +1026,38 @@ ORACLE_SQL["span_dedup_report"] = f"""
     FROM documents d
     LEFT JOIN tot ON d.doc_id = tot.doc_id
     LEFT JOIN dd ON d.doc_id = dd.doc_id
+"""
+
+ORACLE_SQL["cross_dedup_spans"] = f"""
+    WITH {_SPAN_WINS_SQL},
+    base AS (
+        SELECT DISTINCT span FROM wins WHERE doc_id < {CROSS_DEDUP_BASE_MAX}
+    ),
+    nw AS (
+        SELECT doc_id, span FROM wins WHERE doc_id >= {CROSS_DEDUP_BASE_MAX}
+    ),
+    tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM nw GROUP BY 1
+    ),
+    hit AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_base_windows
+        FROM nw WHERE span IN (SELECT span FROM base) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(tot.n_windows, 0) AS n_windows,
+           COALESCE(hit.n_base_windows, 0) AS n_base_windows,
+           ROUND(
+               CASE WHEN COALESCE(tot.n_windows, 0) = 0 THEN 0.0
+                    ELSE COALESCE(hit.n_base_windows, 0)
+                         / CAST(tot.n_windows AS DOUBLE) END,
+               4
+           ) AS base_frac,
+           2 * COALESCE(hit.n_base_windows, 0) <= COALESCE(tot.n_windows, 0) AS keep
+    FROM documents d
+    LEFT JOIN tot ON d.doc_id = tot.doc_id
+    LEFT JOIN hit ON d.doc_id = hit.doc_id
+    WHERE d.doc_id >= {CROSS_DEDUP_BASE_MAX}
 """
 
 ORACLE_SQL["cross_dedup"] = f"""

@@ -53,6 +53,7 @@ _register(
         "minhash_dedup_corpus": dedup.minhash_dedup_corpus,  # rows-only (LSH graph)
         "duplicate_spans": dedup.duplicate_spans,  # ExactSubstr span index
         "span_dedup_report": dedup.span_dedup_report,  # span-coverage verdicts
+        "cross_dedup_spans": dedup.cross_dedup_spans,  # incremental span gate
     },
     dedup.ORACLE_SQL,
 )

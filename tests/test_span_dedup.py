@@ -119,9 +119,60 @@ def test_keep_boundary_is_integer_exact(spark):
         assert rep[d]["keep"] is True
 
 
+def test_cross_dedup_spans_flags_recycled_content(spark):
+    """Base corpus holds one doc; the refresh batch holds a verbatim copy
+    (drop), a doc that is mostly base content with a fresh prefix (drop),
+    a light quoter (keep), and fresh content (keep)."""
+    base_run = list(range(1000, 1000 + 3 * W))
+    base = _mk(spark, [(1, _text(base_run))])
+    copy = _text(base_run)  # 3W tokens, every window known
+    # 2W base tokens + 5 fresh: W+6 of 2W+6-W+1=W+6 windows... mostly known
+    stitched = _text(list(range(2000, 2005)) + base_run[: 2 * W])
+    quoter = _text(list(range(3000, 3000 + 3 * W)) + base_run[:W])
+    fresh = _text(range(4000, 4000 + 2 * W))
+    new = _mk(spark, [(10, copy), (11, stitched), (12, quoter), (13, fresh)])
+    rep = {r["doc_id"]: r for r in dedup.cross_dedup_spans_df(base, new).collect()}
+    assert rep[10]["base_frac"] == 1.0 and rep[10]["keep"] is False
+    # stitched: 2W+5 tokens → W+6 windows; the W+1 windows fully inside
+    # the copied 2W-token run are known → frac (W+1)/(W+6) > 1/2 → drop
+    assert rep[11]["n_windows"] == W + 6
+    assert rep[11]["n_base_windows"] == W + 1
+    assert rep[11]["keep"] is False
+    # quoter: 4W tokens → 3W+1 windows, only 1 window (the quoted W-run)
+    # fully inside base content → keep
+    assert rep[12]["n_base_windows"] == 1
+    assert rep[12]["keep"] is True
+    assert rep[13]["n_base_windows"] == 0 and rep[13]["keep"] is True
+
+
+def test_cross_dedup_spans_agrees_with_exact_gate(spark, sf_dir):
+    """Any ≥W-token doc dropped by the EXACT gate (byte-identical to a
+    base doc) must also be dropped by the span gate — verbatim copies have
+    base_frac 1.0 by construction."""
+    from bread_spark.io import load_table
+
+    clear_materialized_frames()
+    docs = load_table(spark, sf_dir, "documents")
+    base_max = dedup.CROSS_DEDUP_BASE_MAX
+    exact_survivor_ids = {
+        r["doc_id"] for r in dedup.cross_dedup(spark, sf_dir).collect()
+    }
+    exact_dropped = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") >= base_max).select("doc_id").collect()
+    } - exact_survivor_ids
+    span_rep = {
+        r["doc_id"]: r for r in dedup.cross_dedup_spans(spark, sf_dir).collect()
+    }
+    for d in exact_dropped:
+        if span_rep[d]["n_windows"] > 0:
+            assert span_rep[d]["base_frac"] == 1.0
+            assert span_rep[d]["keep"] is False
+
+
 def test_no_cartesian_product_in_plans(spark, sf_dir):
     clear_materialized_frames()
-    for q in (dedup.duplicate_spans, dedup.span_dedup_report):
+    for q in (dedup.duplicate_spans, dedup.span_dedup_report, dedup.cross_dedup_spans):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
