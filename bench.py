@@ -162,6 +162,7 @@ def main() -> None:
         "duplicate_spans",
         "span_dedup_report",
         "cross_dedup_spans",
+        "temperature_mix_weights",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -211,6 +212,7 @@ def main() -> None:
         "duplicate_spans",
         "span_dedup_report",
         "cross_dedup_spans",
+        "temperature_mix_weights",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -355,6 +355,47 @@ def corpus_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full_epochs.unionByName(frac)
 
 
+MIX_TEMPERATURE_ALPHA = 0.3  # the mT5/XLM-R multilingual smoothing exponent
+
+
+def temperature_mix_weights(
+    spark: SparkSession, sf_dir: str, alpha: float = MIX_TEMPERATURE_ALPHA
+) -> DataFrame:
+    """Temperature-smoothed mixture shares: p(s) ∝ n_tokens(s)^α — the
+    standard way (mT5/XLM-R, α≈0.3) to derive the per-source sampling
+    distribution instead of hand-picking `MIX_WEIGHTS`: raw token shares
+    over-sample huge sources and starve small ones; exponentiating by
+    α < 1 flattens the distribution, boosting the tail. `boost` =
+    smoothed/raw share is exactly the repetition factor to feed
+    `corpus_mix`/`corpus_mix_tokens` for each source.
+
+    Plan: one groupBy(source) with map-side partials → a one-row grand
+    total broadcast back — the `source_kl_divergence` shape. Output is
+    one row per source (tiny at any corpus scale).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    grand = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot"),
+        F.sum(F.pow("n_tokens", F.lit(alpha))).alias("ptot"),
+    )
+    smoothed = F.pow("n_tokens", F.lit(alpha)) / F.col("ptot")
+    raw = F.col("n_tokens") / F.col("tot")
+    return per.join(F.broadcast(grand)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(smoothed, 6).alias("temp_share"),
+        F.round(smoothed / raw, 4).alias("boost"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM quality scoring
 # ---------------------------------------------------------------------------
@@ -1127,6 +1168,27 @@ _PERPLEXITY_ORACLE = f"""
            ) AS bucket
     FROM ({ORACLE_SQL["bigram_logprob_scores"]})
 """
+ORACLE_SQL["temperature_mix_weights"] = f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot,
+               SUM(POWER(n_tokens, {MIX_TEMPERATURE_ALPHA})) AS ptot
+        FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens / tot, 6) AS raw_share,
+           ROUND(POWER(n_tokens, {MIX_TEMPERATURE_ALPHA}) / ptot, 6) AS temp_share,
+           ROUND((POWER(n_tokens, {MIX_TEMPERATURE_ALPHA}) / ptot)
+                 / (n_tokens / tot), 4) AS boost
+    FROM per, g
+"""
+
 ORACLE_SQL["source_kl_divergence"] = """
     WITH toks AS (
         SELECT source, unnest(list_filter(string_split(text, ' '),

@@ -114,6 +114,7 @@ _register(
         "domain_token_quota": curation.domain_token_quota,
         "corpus_mix": curation.corpus_mix,
         "corpus_mix_tokens": curation.corpus_mix_tokens,
+        "temperature_mix_weights": curation.temperature_mix_weights,
         "unigram_logprob_scores": curation.unigram_logprob_scores,
         "bigram_logprob_scores": curation.bigram_logprob_scores,
         "trigram_logprob_scores": curation.trigram_logprob_scores,

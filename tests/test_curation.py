@@ -364,3 +364,36 @@ def test_cross_dedup_drops_exact_base_matches_only(spark):
     )
     kept = sorted(r["doc_id"] for r in cross_dedup_df(base, new).collect())
     assert kept == [11, 12, 13]
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix_weights
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_weights_invariants(spark):
+    """Shares each sum to 1; α<1 smoothing flattens: every below-average
+    source is boosted (>1), every above-average source damped (<1), and
+    token-mass ordering is preserved in the smoothed shares."""
+    rows = curation.temperature_mix_weights(spark, SF_DIR).collect()
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    mean_tokens = sum(r["n_tokens"] for r in rows) / len(rows)
+    for r in rows:
+        if r["n_tokens"] < mean_tokens * 0.95:
+            assert r["boost"] > 1.0, r
+        if r["n_tokens"] > mean_tokens * 1.05:
+            assert r["boost"] < 1.0, r
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    shares = [r["temp_share"] for r in by_tokens]
+    assert shares == sorted(shares)
+
+
+def test_temperature_alpha_one_is_raw_alpha_zero_is_uniform(spark):
+    """α=1 reproduces the raw shares exactly; α=0 is the uniform mix."""
+    one = curation.temperature_mix_weights(spark, SF_DIR, alpha=1.0).collect()
+    for r in one:
+        assert abs(r["temp_share"] - r["raw_share"]) <= 2e-6, r
+    zero = curation.temperature_mix_weights(spark, SF_DIR, alpha=0.0).collect()
+    for r in zero:
+        assert abs(r["temp_share"] - 1.0 / len(zero)) <= 2e-6, r
