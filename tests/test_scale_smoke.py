@@ -235,3 +235,59 @@ def test_source_kl_invariant_under_replication(spark, big_docs_r6):
         ).collect()
     }
     assert big == base
+
+
+def test_span_windows_scale_exactly_linearly(spark, big_docs_r6):
+    """The window frame is a map-side transform: REPS× docs (disjoint ids,
+    same texts) must yield exactly REPS× window rows — any deviation means
+    the explode fan-out depends on something besides the document."""
+    from bread_spark.extensions.dedup import _span_windows
+    from bread_spark.io import load_table as lt
+
+    base_n = _span_windows(lt(spark, SF_DIR, "documents")).count()
+    big_n = _span_windows(big_docs_r6).count()
+    assert big_n == base_n * REPS
+
+
+def test_duplicate_spans_under_replication(spark, big_docs_r6):
+    """With every doc replicated REPS≥2 times, EVERY span is duplicated
+    (each replica twin shares all windows): the duplicated-span set equals
+    the full distinct-span set of the base corpus, and per-span doc
+    frequency scales by exactly REPS."""
+    from bread_spark.extensions.dedup import _span_windows
+
+    base_wins = _span_windows(
+        load_table(spark, SF_DIR, "documents")
+    )
+    base_distinct = base_wins.select("span").distinct().count()
+    base_docfreq = {
+        r["span"]: r["nd"]
+        for r in base_wins.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .collect()
+    }
+    big = (
+        _span_windows(big_docs_r6)
+        .groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .collect()
+    )
+    assert len(big) == base_distinct
+    for r in big:
+        assert r["n_docs"] == base_docfreq[r["span"]] * REPS
+
+
+def test_span_report_drops_all_replicated_docs(spark, big_docs_r6):
+    """On the replicated corpus every windowed doc has dup_frac exactly
+    1.0 (its replica twin shares every window) → keep is False for all of
+    them; zero-window (short) docs stay kept."""
+    from bread_spark.extensions.dedup import span_dedup_report_df
+
+    rows = span_dedup_report_df(big_docs_r6).collect()
+    assert len(rows) == big_docs_r6.count()
+    for r in rows:
+        if r["n_windows"] > 0:
+            assert r["dup_frac"] == 1.0 and r["keep"] is False
+        else:
+            assert r["keep"] is True
