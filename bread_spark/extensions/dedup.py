@@ -797,12 +797,20 @@ def _span_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
     return toks.filter(F.size("w") >= w).select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(w) - {w - 1}), "
-                f"i -> md5(cast(array_join(slice(w, i, {w}), ' ') as binary)))"
-            )
-        ).alias("span"),
+        F.explode(span_array("w", w)).alias("span"),
+    )
+
+
+def span_array(tokens_col: str, w: int = SPAN_W):
+    """Column expression: the md5 digests of every stride-1 w-token window
+    of an ALREADY-TOKENIZED array column — empty array for rows shorter
+    than w (Spark's sequence(1, n) counts DOWN for n ≤ 0, so the short
+    case must be explicit). Shared by the batch span family and the
+    streaming gate."""
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) < {w} THEN cast(array() as array<string>) "
+        f"ELSE transform(sequence(1, size({tokens_col}) - {w - 1}), "
+        f"i -> md5(cast(array_join(slice({tokens_col}, i, {w}), ' ') as binary))) END"
     )
 
 

@@ -71,3 +71,70 @@ def dedup_stream_against_base(
         "__digest", F.md5(F.col(payload_col).cast("binary"))
     )
     return with_digest.join(base_h, "__digest", "left_anti").drop("__digest")
+
+
+def span_gate_stream_against_base(
+    stream: DataFrame,
+    base: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    lateness: str = DEFAULT_HORIZON,
+) -> DataFrame:
+    """The streaming twin of `extensions.dedup.cross_dedup_spans`: score
+    each incoming document's token windows against the STATIC base
+    corpus's distinct-span table and emit a per-document coverage verdict
+    — the online form of the refresh-crawl span gate (catches "new" pages
+    that are mostly recycled old content, which the exact-digest gate
+    above misses).
+
+    Plan: the span array is built map-side per row (`span_array`), then
+    exploded into a stream-static LEFT join against the base span digests
+    (Spark re-resolves the static side per micro-batch — at 100 TB the
+    base span table is bucketed on the digest, so the join co-partitions
+    without rescan); the per-document hit count is a watermarked tumbling-
+    window aggregation keyed on (window, doc), so state evicts once event
+    time passes — O(docs per horizon), not O(stream history). Verdicts
+    emit in append mode when their window finalizes. Same integer-exact
+    keep rule as the batch gate. Documents shorter than the span width
+    have nothing to match and pass through un-scored (gate them upstream
+    if zero-window docs need rows here).
+    """
+    from ..extensions.dedup import SPAN_W, span_array
+
+    base_spans = (
+        base.select(
+            F.expr("filter(split(text, ' '), t -> t != '')").alias("__base_toks")
+        )
+        .select(F.explode(span_array("__base_toks", SPAN_W)).alias("span"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = (
+        stream.withColumn(
+            "__toks", F.expr(f"filter(split({payload_col}, ' '), t -> t != '')")
+        )
+        .withColumn("__wins", span_array("__toks", SPAN_W))
+        .filter(F.size("__wins") > 0)
+        .select(id_col, ts_col, F.explode("__wins").alias("span"))
+    )
+    scored = (
+        exploded.join(base_spans, "span", "left")
+        .withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_base_windows"),
+        )
+    )
+    return scored.select(
+        F.col("win").getField("start").alias("window_start"),
+        id_col,
+        "n_windows",
+        "n_base_windows",
+        F.round(
+            F.col("n_base_windows") / F.col("n_windows").cast("double"), 4
+        ).alias("base_frac"),
+        (F.lit(2) * F.col("n_base_windows") <= F.col("n_windows")).alias("keep"),
+    )

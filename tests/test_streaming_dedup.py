@@ -84,3 +84,48 @@ def test_stream_static_anti_join_gates_against_base_corpus(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["event_id"] for r in rows) == [2, 4]
     assert {r["payload"] for r in rows} == {"fresh one", "fresh two"}
+
+
+def test_stream_span_gate_scores_recycled_content(spark, tmp_path):
+    """Span-coverage gate in streaming form: a verbatim copy of base
+    content and a mostly-recycled stitch are flagged (keep=False), light
+    quoting and fresh content pass — verdicts emit once the event-time
+    watermark finalizes their window. Mirrors the batch
+    `cross_dedup_spans` ground-truth test."""
+    from bread_spark.extensions.dedup import SPAN_W as W
+    from bread_spark.streaming.dedup import span_gate_stream_against_base
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+
+    tok = lambda idxs: " ".join(f"t{i}" for i in idxs)
+    base_run = list(range(1000, 1000 + 3 * W))
+    base = spark.createDataFrame([(1, tok(base_run))], "doc_id long, text string")
+
+    copy = tok(base_run)
+    stitched = tok(list(range(2000, 2005)) + base_run[: 2 * W])
+    quoter = tok(list(range(3000, 3000 + 3 * W)) + base_run[:W])
+    fresh = tok(range(4000, 4000 + 2 * W))
+
+    fn = lambda s: span_gate_stream_against_base(
+        s, base, window="10 minutes", lateness="1 hour"
+    )
+    _write(src, "b1.json", [
+        (10, BASE, copy), (11, BASE + m, stitched),
+        (12, BASE + 2 * m, quoter), (13, BASE + 3 * m, fresh),
+    ])
+    _run(spark, src, ckpt, sink, fn)
+    # advance event time far past the lateness horizon so window finalizes
+    _write(src, "b2.json", [(99, BASE + 3 * h, fresh)])
+    _run(spark, src, ckpt, sink, fn)
+
+    rows = {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert set(rows) >= {10, 11, 12, 13}
+    assert rows[10]["base_frac"] == 1.0 and rows[10]["keep"] is False
+    assert rows[11]["n_windows"] == W + 6
+    assert rows[11]["n_base_windows"] == W + 1
+    assert rows[11]["keep"] is False
+    assert rows[12]["n_base_windows"] == 1 and rows[12]["keep"] is True
+    assert rows[13]["n_base_windows"] == 0 and rows[13]["keep"] is True
