@@ -162,7 +162,9 @@ def main() -> None:
         "duplicate_spans",
         "span_dedup_report",
         "cross_dedup_spans",
+        "span_dedup_corpus",
         "temperature_mix_weights",
+        "dataset_splits",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -212,7 +214,9 @@ def main() -> None:
         "duplicate_spans",
         "span_dedup_report",
         "cross_dedup_spans",
+        "span_dedup_corpus",
         "temperature_mix_weights",
+        "dataset_splits",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

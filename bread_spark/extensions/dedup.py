@@ -917,6 +917,18 @@ def span_dedup_report_df(docs: DataFrame, wins: DataFrame | None = None) -> Data
     )
 
 
+def span_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus surviving the span-coverage gate — `span_dedup_report`'s
+    keepers joined back to their metadata, the family's counterpart to
+    `deduped_corpus`/`minhash_dedup_corpus` (what actually flows to the
+    next curation stage). One doc_id-keyed join; text never moves."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    keepers = span_dedup_report(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id", "dup_frac"
+    )
+    return docs.join(keepers, "doc_id")
+
+
 def cross_dedup_spans(
     spark: SparkSession, sf_dir: str, base_max_doc_id: int = CROSS_DEDUP_BASE_MAX
 ) -> DataFrame:
@@ -1034,6 +1046,13 @@ ORACLE_SQL["span_dedup_report"] = f"""
     FROM documents d
     LEFT JOIN tot ON d.doc_id = tot.doc_id
     LEFT JOIN dd ON d.doc_id = dd.doc_id
+"""
+
+ORACLE_SQL["span_dedup_corpus"] = f"""
+    WITH rep AS ({ORACLE_SQL["span_dedup_report"]})
+    SELECT d.doc_id, d.source, d.lang, rep.dup_frac
+    FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+    WHERE rep.keep
 """
 
 ORACLE_SQL["cross_dedup_spans"] = f"""

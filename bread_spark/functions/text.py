@@ -130,6 +130,34 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 4-hex-char (65536-bucket) split cutoffs: 0xe666/0x10000 ≈ 0.8999 train,
+# then ≈ 0.0500 val, remainder test. Exact hex constants, not computed
+# floats, so the boundary is identical in every engine.
+SPLIT_TRAIN_CUTOFF = "e666"
+SPLIT_VAL_CUTOFF = "f333"
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5): bucket each
+    document by the first 4 hex chars of its content md5 and cut at fixed
+    hex thresholds. Stable across runs, engines, partitionings, and
+    cluster sizes — and keyed on CONTENT, not doc_id, so byte-identical
+    duplicates always land in the same split: an exact dup can never sit
+    in train while its twin sits in test (the subtle leakage a
+    row-id-keyed split allows). Map-side projection, zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_CUTOFF, F.lit("train"))
+        .when(bucket < SPLIT_VAL_CUTOFF, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "source", "lang", bucket.alias("split_bucket"), split.alias("split")
+    )
+
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
@@ -453,6 +481,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang, source, substring(md5(text), 1, 2) AS sample_bucket
         FROM documents
         WHERE substring(md5(text), 1, 2) < '{SAMPLE_HEX_CUTOFF}'
+    """,
+    "dataset_splits": f"""
+        SELECT doc_id, source, lang,
+               substring(md5(text), 1, 4) AS split_bucket,
+               CASE WHEN substring(md5(text), 1, 4) < '{SPLIT_TRAIN_CUTOFF}' THEN 'train'
+                    WHEN substring(md5(text), 1, 4) < '{SPLIT_VAL_CUTOFF}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """,
     "redact_pii": f"""
         WITH r AS (

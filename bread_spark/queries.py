@@ -54,6 +54,7 @@ _register(
         "duplicate_spans": dedup.duplicate_spans,  # ExactSubstr span index
         "span_dedup_report": dedup.span_dedup_report,  # span-coverage verdicts
         "cross_dedup_spans": dedup.cross_dedup_spans,  # incremental span gate
+        "span_dedup_corpus": dedup.span_dedup_corpus,  # surviving corpus
     },
     dedup.ORACLE_SQL,
 )
@@ -138,6 +139,7 @@ _register(
         "doc_chunks": text.doc_chunks,
         "deterministic_sample": text.deterministic_sample,
         "quality_filter": text.quality_filter,  # adaptive percentile curation
+        "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
         "quality_by_source": text.quality_by_source,  # per-source rollup
     },

@@ -177,3 +177,14 @@ def test_no_cartesian_product_in_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
     clear_materialized_frames()
+
+
+def test_span_dedup_corpus_is_exactly_the_keepers(spark, sf_dir):
+    clear_materialized_frames()
+    keep_ids = {
+        r["doc_id"]
+        for r in dedup.span_dedup_report(spark, sf_dir).filter(F.col("keep")).collect()
+    }
+    corpus_ids = {r["doc_id"] for r in dedup.span_dedup_corpus(spark, sf_dir).collect()}
+    assert corpus_ids == keep_ids
+    clear_materialized_frames()

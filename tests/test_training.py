@@ -279,3 +279,43 @@ def test_decontaminate_bloom_undersized_is_superset_never_subset(spark):
             assert bloom[d]["contaminated"]
         fps += bloom[d]["n_overlap"] - exact[d]["n_overlap"]
     assert fps > 0  # 256 bits for ~10k shingles MUST false-positive
+
+
+# ---------------------------------------------------------------------------
+# dataset_splits
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_splits_partition_and_leakage(spark, sf_dir):
+    """Every document lands in exactly one split; byte-identical texts
+    always share a split (content-keyed → no exact-dup leakage across
+    train/test); fractions approximate 90/5/5."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.functions.text import dataset_splits
+    from bread_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dataset_splits(spark, sf_dir)
+    assert out.count() == docs.count()
+    assert set(r["split"] for r in out.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # identical texts → identical buckets → identical split
+    leaks = (
+        docs.select("doc_id", "text")
+        .join(out.select("doc_id", "split"), "doc_id")
+        .groupBy("text")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # ~90/5/5 with generous slack for small corpora (500 docs at sf0.001)
+    frac = {
+        r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert frac.get("train", 0) / total > 0.8
+    assert frac.get("val", 0) / total < 0.12
+    assert frac.get("test", 0) / total < 0.12
