@@ -22,6 +22,8 @@ the exact oracle) and ON in the production entry points.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -228,7 +230,6 @@ def capped_shingle_frame(
     by construction → broadcast anti-join, built ONCE per (application,
     sf_dir, n, max_df) on top of the uncapped seam. At 100 TB this is
     the pruned posting index a near-dup job stages before the self-join."""
-    from ..plans.materialize import materialized_frame
 
     def build():
         sh = shingle_frame(spark, sf_dir)
@@ -777,7 +778,27 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SPAN_W = 15  # window length in whitespace tokens (ExactSubstr uses 50 BPE)
-SPAN_DUP_MAX_FRAC = 0.5  # drop docs with more duplicated-window coverage
+# Drop docs whose duplicated-window coverage exceeds this. A Fraction so the
+# keep rule can be evaluated on exact integers (den·dup ≤ num·total) in both
+# engines — every verdict site derives from this one constant.
+SPAN_DUP_MAX_FRAC = Fraction(1, 2)
+
+
+def span_keep_expr(dup_col, total_col):
+    """keep iff dup/total ≤ SPAN_DUP_MAX_FRAC, on exact integers — the single
+    source of the verdict used by the batch report, the incremental gate, and
+    the streaming twin."""
+    return F.lit(SPAN_DUP_MAX_FRAC.denominator) * dup_col <= F.lit(
+        SPAN_DUP_MAX_FRAC.numerator
+    ) * total_col
+
+
+def span_keep_sql(dup: str, total: str) -> str:
+    """The oracle-SQL form of `span_keep_expr` (same integers, same rule)."""
+    return (
+        f"{SPAN_DUP_MAX_FRAC.denominator} * {dup} "
+        f"<= {SPAN_DUP_MAX_FRAC.numerator} * {total}"
+    )
 
 
 def _span_windows(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
@@ -909,9 +930,9 @@ def span_dedup_report_df(docs: DataFrame, wins: DataFrame | None = None) -> Data
                 ),
                 4,
             ).alias("dup_frac"),
-            (
-                F.lit(2) * F.coalesce("n_dup_windows", F.lit(0))
-                <= F.coalesce("n_windows", F.lit(0))
+            span_keep_expr(
+                F.coalesce("n_dup_windows", F.lit(0)),
+                F.coalesce("n_windows", F.lit(0)),
             ).alias("keep"),
         )
     )
@@ -992,9 +1013,9 @@ def _cross_dedup_spans_core(
                 ),
                 4,
             ).alias("base_frac"),
-            (
-                F.lit(2) * F.coalesce("n_base_windows", F.lit(0))
-                <= F.coalesce("n_windows", F.lit(0))
+            span_keep_expr(
+                F.coalesce("n_base_windows", F.lit(0)),
+                F.coalesce("n_windows", F.lit(0)),
             ).alias("keep"),
         )
     )
@@ -1042,7 +1063,7 @@ ORACLE_SQL["span_dedup_report"] = f"""
                          / CAST(tot.n_windows AS DOUBLE) END,
                4
            ) AS dup_frac,
-           2 * COALESCE(dd.n_dup_windows, 0) <= COALESCE(tot.n_windows, 0) AS keep
+           {span_keep_sql("COALESCE(dd.n_dup_windows, 0)", "COALESCE(tot.n_windows, 0)")} AS keep
     FROM documents d
     LEFT JOIN tot ON d.doc_id = tot.doc_id
     LEFT JOIN dd ON d.doc_id = dd.doc_id
@@ -1080,7 +1101,7 @@ ORACLE_SQL["cross_dedup_spans"] = f"""
                          / CAST(tot.n_windows AS DOUBLE) END,
                4
            ) AS base_frac,
-           2 * COALESCE(hit.n_base_windows, 0) <= COALESCE(tot.n_windows, 0) AS keep
+           {span_keep_sql("COALESCE(hit.n_base_windows, 0)", "COALESCE(tot.n_windows, 0)")} AS keep
     FROM documents d
     LEFT JOIN tot ON d.doc_id = tot.doc_id
     LEFT JOIN hit ON d.doc_id = hit.doc_id

@@ -73,14 +73,36 @@ def dedup_stream_against_base(
     return with_digest.join(base_h, "__digest", "left_anti").drop("__digest")
 
 
+def base_span_table(base: DataFrame, text_col: str = "text") -> DataFrame:
+    """The distinct w-token span digests of a static corpus — the frame
+    `span_gate_stream_against_base` joins every micro-batch against.
+    Build it ONCE per stream (and `localCheckpoint(eager=True)` or stage
+    it as a bucketed table keyed on `span`) and pass it via `base_spans`;
+    otherwise Spark re-resolves the static side per micro-batch and this
+    explode+distinct re-runs over the whole base corpus each batch."""
+    from ..extensions.dedup import SPAN_W, span_array
+
+    return (
+        base.select(
+            F.expr(f"filter(split({text_col}, ' '), t -> t != '')").alias(
+                "__base_toks"
+            )
+        )
+        .select(F.explode(span_array("__base_toks", SPAN_W)).alias("span"))
+        .distinct()
+    )
+
+
 def span_gate_stream_against_base(
     stream: DataFrame,
-    base: DataFrame,
+    base: DataFrame | None = None,
     payload_col: str = "payload",
     id_col: str = "event_id",
     ts_col: str = "ts",
     window: str = "10 minutes",
     lateness: str = DEFAULT_HORIZON,
+    base_spans: DataFrame | None = None,
+    base_text_col: str = "text",
 ) -> DataFrame:
     """The streaming twin of `extensions.dedup.cross_dedup_spans`: score
     each incoming document's token windows against the STATIC base
@@ -90,10 +112,13 @@ def span_gate_stream_against_base(
     above misses).
 
     Plan: the span array is built map-side per row (`span_array`), then
-    exploded into a stream-static LEFT join against the base span digests
-    (Spark re-resolves the static side per micro-batch — at 100 TB the
-    base span table is bucketed on the digest, so the join co-partitions
-    without rescan); the per-document hit count is a watermarked tumbling-
+    exploded into a stream-static LEFT join against the base span digests.
+    Spark re-resolves the static side per micro-batch, so for anything
+    long-running pass `base_spans` — `base_span_table(base)` staged once
+    (localCheckpoint, or at 100 TB a bucketed table keyed on the digest so
+    the join co-partitions without rescan); the raw-`base` form here
+    re-runs the explode+distinct per batch and is for tests/small bases.
+    The per-document hit count is a watermarked tumbling-
     window aggregation keyed on (window, doc), so state evicts once event
     time passes — O(docs per horizon), not O(stream history). Verdicts
     emit in append mode when their window finalizes. Same integer-exact
@@ -101,16 +126,13 @@ def span_gate_stream_against_base(
     have nothing to match and pass through un-scored (gate them upstream
     if zero-window docs need rows here).
     """
-    from ..extensions.dedup import SPAN_W, span_array
+    from ..extensions.dedup import SPAN_W, span_array, span_keep_expr
 
-    base_spans = (
-        base.select(
-            F.expr("filter(split(text, ' '), t -> t != '')").alias("__base_toks")
-        )
-        .select(F.explode(span_array("__base_toks", SPAN_W)).alias("span"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
-    )
+    if base_spans is None:
+        if base is None:
+            raise ValueError("pass either `base` (raw corpus) or `base_spans`")
+        base_spans = base_span_table(base, base_text_col)
+    hits = base_spans.select("span").withColumn("__hit", F.lit(1))
     exploded = (
         stream.withColumn(
             "__toks", F.expr(f"filter(split({payload_col}, ' '), t -> t != '')")
@@ -120,7 +142,7 @@ def span_gate_stream_against_base(
         .select(id_col, ts_col, F.explode("__wins").alias("span"))
     )
     scored = (
-        exploded.join(base_spans, "span", "left")
+        exploded.join(hits, "span", "left")
         .withWatermark(ts_col, lateness)
         .groupBy(F.window(ts_col, window).alias("win"), F.col(id_col))
         .agg(
@@ -136,5 +158,5 @@ def span_gate_stream_against_base(
         F.round(
             F.col("n_base_windows") / F.col("n_windows").cast("double"), 4
         ).alias("base_frac"),
-        (F.lit(2) * F.col("n_base_windows") <= F.col("n_windows")).alias("keep"),
+        span_keep_expr(F.col("n_base_windows"), F.col("n_windows")).alias("keep"),
     )

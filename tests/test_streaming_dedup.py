@@ -129,3 +129,40 @@ def test_stream_span_gate_scores_recycled_content(spark, tmp_path):
     assert rows[11]["keep"] is False
     assert rows[12]["n_base_windows"] == 1 and rows[12]["keep"] is True
     assert rows[13]["n_base_windows"] == 0 and rows[13]["keep"] is True
+
+
+def test_stream_span_gate_prestaged_base_spans(spark, tmp_path):
+    """The production form: the base span table is built once
+    (`base_span_table` + localCheckpoint) and passed via `base_spans`, so
+    micro-batches pay only the join — verdicts must match the raw-base
+    path exactly."""
+    from bread_spark.extensions.dedup import SPAN_W as W
+    from bread_spark.streaming.dedup import (
+        base_span_table,
+        span_gate_stream_against_base,
+    )
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+
+    tok = lambda idxs: " ".join(f"t{i}" for i in idxs)
+    base_run = list(range(1000, 1000 + 3 * W))
+    base = spark.createDataFrame([(1, tok(base_run))], "doc_id long, text string")
+    staged = base_span_table(base).localCheckpoint(eager=True)
+    assert staged.columns == ["span"]
+    assert staged.count() == 2 * W + 1  # 3W tokens → 3W-W+1 stride-1 windows
+
+    copy, fresh = tok(base_run), tok(range(4000, 4000 + 2 * W))
+    fn = lambda s: span_gate_stream_against_base(
+        s, base_spans=staged, window="10 minutes", lateness="1 hour"
+    )
+    _write(src, "b1.json", [(10, BASE, copy), (13, BASE + m, fresh)])
+    _run(spark, src, ckpt, sink, fn)
+    _write(src, "b2.json", [(99, BASE + 3 * h, fresh)])
+    _run(spark, src, ckpt, sink, fn)
+
+    rows = {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert rows[10]["base_frac"] == 1.0 and rows[10]["keep"] is False
+    assert rows[13]["n_base_windows"] == 0 and rows[13]["keep"] is True
