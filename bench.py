@@ -165,6 +165,10 @@ def main() -> None:
         "span_dedup_corpus",
         "temperature_mix_weights",
         "dataset_splits",
+        # statistical QC + JL dimension reduction (r6, second wave)
+        "value_zscore_outliers",
+        "daily_value_moving_avg",
+        "project_embeddings",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -217,6 +221,9 @@ def main() -> None:
         "span_dedup_corpus",
         "temperature_mix_weights",
         "dataset_splits",
+        "value_zscore_outliers",
+        "daily_value_moving_avg",
+        "project_embeddings",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

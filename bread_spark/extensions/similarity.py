@@ -153,6 +153,67 @@ def quantize_embeddings_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROJ_IN_DIMS = 64
+PROJ_OUT_DIMS = 16  # perfect square → 1/sqrt(k) = 0.25, exact in FP
+
+
+def _projection_sign(i: int, j: int) -> float:
+    """Deterministic ±1 entry of the sparse-random-projection matrix
+    (Achlioptas 2003: a Rademacher matrix satisfies the JL lemma): the
+    parity of md5(\"i:j\")'s first hex digit. Hash-derived so DuckDB can
+    regenerate the identical matrix from SQL — no RNG, no state."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0] in "02468ace" else -1.0
+
+
+def projection_sign_arrays(
+    in_dims: int = PROJ_IN_DIMS, out_dims: int = PROJ_OUT_DIMS
+) -> list[list[float]]:
+    """Column-major sign matrix: one length-`in_dims` list per output dim."""
+    return [
+        [_projection_sign(i, j) for i in range(in_dims)] for j in range(out_dims)
+    ]
+
+
+def project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: 64-dim float
+    embeddings → 16-dim via a deterministic Rademacher (±1) projection,
+    scaled 1/sqrt(k) so expected squared distances are preserved. The
+    standard pre-ANN cost cut at 100 TB — a 4× smaller vector rides every
+    downstream bucket/top-k plan, and the JL bound keeps neighbor
+    structure (distortion ~sqrt(log n / k)).
+
+    Plan: the sign matrix is a COMPILE-TIME literal (1024 doubles folded
+    into the expression tree) — the projection is a pure map-side
+    `aggregate(zip_with(...))` fold per output dim, zero shuffle, no
+    broadcast, whole-stage codegen. Each fold runs left-to-right, the
+    same order as DuckDB's list_dot_product, so cross-engine values agree
+    to the last ulp before the final ROUND. Output is scalar rows
+    (vec_id, out_dim, proj_val) — driver-hashable, same posture as
+    `quantize_embeddings_rows`.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    inv_sqrt_k = 1.0 / (PROJ_OUT_DIMS**0.5)  # 0.25 — exact
+    projs = []
+    for signs in projection_sign_arrays():
+        arr = "array(" + ", ".join(f"{s:.1f}D" for s in signs) + ")"
+        # + 0.0 folds IEEE -0.0 to +0.0 (engines disagree on the sign of a
+        # rounded-away-to-zero negative; the sum is exact either way)
+        projs.append(
+            F.round(_dot("embedding", arr) * F.lit(inv_sqrt_k), 4) + F.lit(0.0)
+        )
+    return (
+        emb.select("vec_id", F.array(*projs).alias("p"))
+        .select("vec_id", F.posexplode("p").alias("out_dim", "proj_val"))
+        .select(
+            "vec_id",
+            F.col("out_dim").cast("long").alias("out_dim"),
+            "proj_val",
+        )
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.35  # synthetic corpus: pairwise cosine tops out ~0.6
 
 
@@ -265,6 +326,26 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY label, i - 1
     """,
 }
+
+# Rebuilds the identical Rademacher matrix from md5 parity (the same
+# "first hex digit of md5('i:j') even ⇒ +1" rule as `_projection_sign`),
+# then takes the same sequential list_dot_product fold Spark's
+# aggregate(zip_with) runs — ulp-identical before the shared ROUND.
+ORACLE_SQL["project_embeddings"] = f"""
+    WITH signs AS (
+        SELECT j, list(CASE WHEN strpos('02468ace',
+                                 substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                            CAST(j AS VARCHAR)), 1, 1)) > 0
+                            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE)
+                       END ORDER BY i) AS svec
+        FROM range({PROJ_IN_DIMS}) t1(i) CROSS JOIN range({PROJ_OUT_DIMS}) t2(j)
+        GROUP BY j
+    )
+    SELECT e.vec_id, CAST(s.j AS BIGINT) AS out_dim,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], s.svec)
+                 * {1.0 / PROJ_OUT_DIMS**0.5}, 4) + 0.0 AS proj_val
+    FROM embeddings e CROSS JOIN signs s
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -525,6 +525,58 @@ def day_over_day_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical QC over the event stream: events whose value sits more
+    than 3 sample standard deviations from their type's mean — the
+    data-quality monitor that catches unit regressions and log corruption
+    before a corrupted batch trains anything.
+
+    Plan: per-type mean/stddev is a tiny hash aggregate (map-side
+    partials, one row per type) broadcast back onto the scan — the big
+    side never shuffles. The verdict is decided on the ROUNDED z (the
+    certified value), so both engines cut at the identical boundary.
+    Scale: identical shape at 100 TB — the stats side stays one row per
+    type regardless of input size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
+
+
+def daily_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily value per event type — the bounded
+    sliding window frame (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+    the one frame shape the running-cumulative family doesn't cover.
+
+    Window runs over the tiny day×type aggregate, not raw events, and the
+    frame input is the ROUNDED daily total so both engines average
+    identical operands (their sliding-frame summation orders differ —
+    Spark re-folds the frame, DuckDB uses a segment tree)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("daily_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "daily_value",
+        F.round(F.avg("daily_value").over(w), 4).alias("ma7"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect) — one entry per model above, identical aliases
 # ---------------------------------------------------------------------------
@@ -738,6 +790,29 @@ ORACLE_SQL: dict[str, str] = {
                tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
         FROM daily
     """,
+    "value_zscore_outliers": """
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND((e.value - s.mu) / s.sigma, 4) AS z
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 3
+    """,
+    "daily_value_moving_avg": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   ROUND(SUM(value), 4) AS daily_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, daily_value,
+               ROUND(AVG(daily_value) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 4) AS ma7
+        FROM daily
+    """,
 }
 
 MODELS = {
@@ -765,6 +840,8 @@ MODELS = {
     "value_cube_by_type_day": value_cube_by_type_day,
     "value_percentiles_by_type": value_percentiles_by_type,
     "day_over_day_txs": day_over_day_txs,
+    "value_zscore_outliers": value_zscore_outliers,
+    "daily_value_moving_avg": daily_value_moving_avg,
     "regional_supplier_revenue": regional_supplier_revenue,
     "returned_items_topk": returned_items_topk,
     "approx_distinct_users_per_day": approx_distinct_users_per_day,  # rows-only (HLL)

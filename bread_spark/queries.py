@@ -71,6 +71,7 @@ _register(
         "embedding_dedup_corpus": similarity.embedding_dedup_corpus,  # semantic dedup
         "label_mix_by_source": similarity.label_mix_by_source,  # cross-modal mix
         "topic_mix_by_source": similarity.topic_mix_by_source,  # rows-only (learned)
+        "project_embeddings": similarity.project_embeddings,  # JL ±1 projection
     },
     similarity.ORACLE_SQL,
 )

@@ -302,3 +302,23 @@ def test_vocab_growth_single_hash_exchange(plans):
     p = plans("vocab_growth")
     assert p.count("Exchange hashpartitioning") == 1
     assert "Join" not in p
+
+
+def test_zscore_outliers_broadcast_stats_no_big_shuffle(plans):
+    """The per-type stats side is one row per type → must broadcast; the
+    raw event scan must never hit a shuffle exchange (the whole point of
+    the shape at 100 TB)."""
+    p = plans("value_zscore_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_project_embeddings_is_pure_map_side(plans):
+    """The JL sign matrix is a compile-time literal: the projection plan
+    must contain no exchange, no join, no aggregate — scan → project →
+    explode only."""
+    p = plans("project_embeddings")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert "Generate" in p  # the posexplode to driver-hashable rows

@@ -375,3 +375,54 @@ def test_cross_dedup_neardup_gates_fuzzy_and_exact(spark):
     assert fuzzy == again
     exact = {r["doc_id"] for r in cross_dedup(spark, SF_DIR).collect()}
     assert fuzzy <= exact  # the fuzzy gate can only drop MORE
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL contract of `project_embeddings`: the ±1/sqrt(k) Rademacher
+    projection is unbiased for squared distances — E‖P(a−b)‖² = ‖a−b‖².
+    Over 100 deterministic pairs the per-pair ratio concentrates with
+    std ≈ sqrt(2/k) ≈ 0.35, so the mean over pairs must land well inside
+    [0.8, 1.2] (±5σ of the pair-mean) and no ratio may collapse to 0."""
+    import math
+
+    from bread_spark.extensions.similarity import (
+        PROJ_OUT_DIMS,
+        project_embeddings,
+    )
+    from bread_spark.io import load_table
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    proj_rows = project_embeddings(spark, SF_DIR).collect()
+    proj: dict[int, list[float]] = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], [0.0] * PROJ_OUT_DIMS)[r["out_dim"]] = r[
+            "proj_val"
+        ]
+
+    ids = sorted(emb)
+    pairs = [(ids[i], ids[(i * 37 + 11) % len(ids)]) for i in range(100)]
+    ratios = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        d2 = sum((x - y) ** 2 for x, y in zip(emb[a], emb[b]))
+        p2 = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        assert d2 > 0
+        ratios.append(p2 / d2)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 <= mean <= 1.2, mean
+    assert min(ratios) > 0.05  # no pair collapses to (near-)zero
+
+
+def test_jl_projection_sign_matrix_is_balanced(spark):
+    """The md5-parity sign matrix should be ~half +1 per output column
+    (a grossly unbalanced column would bias that projection toward the
+    input sum); with 64 Bernoulli(1/2) draws, [16, 48] is a ±4σ band."""
+    from bread_spark.extensions.similarity import projection_sign_arrays
+
+    for col in projection_sign_arrays():
+        plus = sum(1 for s in col if s > 0)
+        assert 16 <= plus <= 48, plus
