@@ -169,6 +169,7 @@ def main() -> None:
         "value_zscore_outliers",
         "daily_value_moving_avg",
         "project_embeddings",
+        "conversion_funnel",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -224,6 +225,7 @@ def main() -> None:
         "value_zscore_outliers",
         "daily_value_moving_avg",
         "project_embeddings",
+        "conversion_funnel",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -525,6 +525,73 @@ def day_over_day_txs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel over the event stream: per user, the first
+    view, the first click within 24 hours AT OR AFTER that view, and the
+    first purchase within 24 hours of that click; rolled up by the day of
+    the first view into stage counts (the MATCH_RECOGNIZE-ish analytics
+    op, expressed as cumulative conditional mins instead of a per-row
+    pattern engine — the horizon is what makes stages discriminate).
+
+    Plan: ONE shuffle on user_id — both cumulative windows and the
+    per-user aggregate share the partitioning, so the groupBy that
+    follows the window adds no exchange; the day rollup is a tiny final
+    aggregate. Windows use the RANGE frame (peers included) so same-
+    timestamp view+click pairs resolve identically in both engines.
+    Scale: the only big exchange is keyed on user_id — the natural,
+    high-cardinality key; no self-joins, no per-row pattern state.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seen_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn(
+        "click_ts",
+        F.when(
+            (F.col("event_type") == "click")
+            & seen_view.isNotNull()
+            & (F.col("ts") <= seen_view + F.expr("INTERVAL 24 HOUR")),
+            F.col("ts"),
+        ),
+    )
+    seen_click = F.min("click_ts").over(w)
+    staged = staged.withColumn(
+        "purchase_ts",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & seen_click.isNotNull()
+            & (F.col("ts") <= seen_click + F.expr("INTERVAL 24 HOUR")),
+            F.col("ts"),
+        ),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min("click_ts").alias("t_click"),
+        F.min("purchase_ts").alias("t_purchase"),
+    )
+    return (
+        per_user.filter(F.col("t_view").isNotNull())
+        .groupBy(F.col("t_view").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+        )
+    )
+
+
+def event_type_stats(ev: DataFrame) -> DataFrame:
+    """Per-type (mu, sigma) reference stats — the tiny frame both the
+    batch z-score QC and its streaming monitor broadcast. One row per
+    event type regardless of input size."""
+    return ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+
+
 def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical QC over the event stream: events whose value sits more
     than 3 sample standard deviations from their type's mean — the
@@ -539,9 +606,7 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     type regardless of input size.
     """
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
-    )
+    stats = event_type_stats(ev)
     z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
     return (
         ev.select("event_id", "event_type", "value")
@@ -790,6 +855,41 @@ ORACLE_SQL: dict[str, str] = {
                tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
         FROM daily
     """,
+    "conversion_funnel": """
+        WITH staged AS (
+            SELECT user_id, event_type, ts,
+                   CASE WHEN event_type = 'click'
+                        AND ts <= MIN(CASE WHEN event_type = 'view' THEN ts END)
+                            OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) + INTERVAL 24 HOUR
+                        THEN ts END AS click_ts
+            FROM events
+        ),
+        staged2 AS (
+            SELECT user_id, event_type, ts, click_ts,
+                   CASE WHEN event_type = 'purchase'
+                        AND ts <= MIN(click_ts)
+                            OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) + INTERVAL 24 HOUR
+                        THEN ts END AS purchase_ts
+            FROM staged
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(click_ts) AS t_click,
+                   MIN(purchase_ts) AS t_purchase
+            FROM staged2 GROUP BY user_id
+        )
+        SELECT CAST(t_view AS DATE) AS day,
+               COUNT(1) AS n_viewed,
+               COUNT(t_click) AS n_clicked,
+               COUNT(t_purchase) AS n_purchased
+        FROM per_user WHERE t_view IS NOT NULL
+        GROUP BY 1
+    """,
     "value_zscore_outliers": """
         WITH stats AS (
             SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
@@ -840,6 +940,7 @@ MODELS = {
     "value_cube_by_type_day": value_cube_by_type_day,
     "value_percentiles_by_type": value_percentiles_by_type,
     "day_over_day_txs": day_over_day_txs,
+    "conversion_funnel": conversion_funnel,
     "value_zscore_outliers": value_zscore_outliers,
     "daily_value_moving_avg": daily_value_moving_avg,
     "regional_supplier_revenue": regional_supplier_revenue,

@@ -50,3 +50,51 @@ def test_moving_avg_frame_shrinks_at_partition_start(spark, tmp_path):
     for d in range(10):
         window = [v + 1 for v in range(max(0, d - 6), d + 1)]
         assert abs(got[d + 1] - round(sum(window) / len(window), 4)) < 1e-9
+
+
+def test_conversion_funnel_stage_semantics(spark, tmp_path):
+    """Hand-built user journeys pin the ordered-sequence rules:
+    a click BEFORE the first view doesn't count, a click outside the
+    24 h horizon doesn't count, a purchase before the qualifying click
+    doesn't count, and a same-timestamp view+click pair does count
+    (RANGE frame includes peers)."""
+    from bread_spark.models import conversion_funnel
+
+    t0 = datetime.datetime(2024, 5, 1, 12, 0)
+    h = datetime.timedelta(hours=1)
+    rows = []
+
+    def ev(eid, user, typ, ts):
+        rows.append((eid, ts, user, typ, 1.0, "{}"))
+
+    # u1: full conversion inside both horizons
+    ev(1, 1, "view", t0)
+    ev(2, 1, "click", t0 + 2 * h)
+    ev(3, 1, "purchase", t0 + 3 * h)
+    # u2: click precedes the first view → no click stage
+    ev(4, 2, "click", t0 - h)
+    ev(5, 2, "view", t0)
+    ev(6, 2, "purchase", t0 + h)
+    # u3: click outside the 24 h view horizon → view only
+    ev(7, 3, "view", t0)
+    ev(8, 3, "click", t0 + 30 * h)
+    # u4: purchase before the qualifying click → click only
+    ev(9, 4, "view", t0)
+    ev(10, 4, "purchase", t0 + h)
+    ev(11, 4, "click", t0 + 2 * h)
+    # u5: same-timestamp view+click, purchase within 24 h of the click
+    ev(12, 5, "view", t0)
+    ev(13, 5, "click", t0)
+    ev(14, 5, "purchase", t0 + 20 * h)
+    # u6: never views (purchase+click only) → not in the funnel at all
+    ev(15, 6, "click", t0)
+    ev(16, 6, "purchase", t0 + h)
+
+    sf = _write_events(spark, tmp_path, rows)
+    out = conversion_funnel(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["day"] == datetime.date(2024, 5, 1)
+    assert r["n_viewed"] == 5  # u1-u5
+    assert r["n_clicked"] == 3  # u1, u4, u5
+    assert r["n_purchased"] == 2  # u1, u5

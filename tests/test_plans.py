@@ -322,3 +322,13 @@ def test_project_embeddings_is_pure_map_side(plans):
     assert "Join" not in p
     assert "HashAggregate" not in p
     assert "Generate" in p  # the posexplode to driver-hashable rows
+
+
+def test_conversion_funnel_single_user_shuffle_no_joins(plans):
+    """The funnel is cumulative windows + a same-key aggregate: exactly
+    one exchange on user_id (shared by both Window operators and the
+    per-user HashAggregate) plus the tiny day rollup — and never a
+    self-join or pattern-match blowup."""
+    p = plans("conversion_funnel")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning(user_id") == 1
