@@ -170,6 +170,9 @@ def main() -> None:
         "daily_value_moving_avg",
         "project_embeddings",
         "conversion_funnel",
+        "txs_per_day_gapfilled",
+        "retention_cohorts",
+        "approx_value_percentiles_by_type",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -226,6 +229,9 @@ def main() -> None:
         "daily_value_moving_avg",
         "project_embeddings",
         "conversion_funnel",
+        "txs_per_day_gapfilled",
+        "retention_cohorts",
+        "approx_value_percentiles_by_type",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

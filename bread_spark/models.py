@@ -583,6 +583,75 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txs_per_day_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`txs_per_day` joined onto a generated calendar spine so days with
+    ZERO events still appear (tx_count = 0) — the date-spine pattern every
+    dashboard needs before charting a time series (a silent gap reads as
+    a rendering artifact; an explicit zero reads as an outage).
+
+    Plan: the spine is one aggregate row (min/max day) exploded via
+    `sequence()` — O(days) rows regardless of input size — LEFT-joined to
+    the day-grain aggregate; both sides are tiny, the join broadcasts.
+    The heavy work is the same day-grain pre-aggregation `txs_per_day`
+    already does."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = txs_per_day(spark, sf_dir)
+    spine = (
+        ev.agg(
+            F.min(F.col("ts").cast("date")).alias("lo"),
+            F.max(F.col("ts").cast("date")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("tx_count", F.lit(0)).alias("tx_count")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, with
+    active-user counts at each day offset since that first activity — the
+    standard growth-analytics triangle.
+
+    Plan: distinct (user, day) pairs (one shuffle keyed on both), the
+    per-user first day as a partition-only window (second shuffle keyed
+    on user_id — the high-cardinality key), then a tiny
+    (cohort_day, offset) aggregate. No self-joins; nothing holds more
+    than a user's distinct days at once.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        ud.withColumn("cohort_day", F.min("day").over(w))
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def approx_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: `percentile_approx` (mergeable sketch,
+    bounded memory per group) for the same p50/p90/p99 surface as the
+    exact `value_percentiles_by_type`. Rows-only by design — the sketch
+    is engine-specific — with the rank-error contract pinned against the
+    exact operator in tests (each approx quantile must land between the
+    exact quantiles at p±rank_error)."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = 10_000  # rank error ≤ 1/acc
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, acc), 4).alias("p50"),
+        F.round(F.percentile_approx("value", 0.9, acc), 4).alias("p90"),
+        F.round(F.percentile_approx("value", 0.99, acc), 4).alias("p99"),
+    )
+
+
 def event_type_stats(ev: DataFrame) -> DataFrame:
     """Per-type (mu, sigma) reference stats — the tiny frame both the
     batch z-score QC and its streaming monitor broadcast. One row per
@@ -855,6 +924,36 @@ ORACLE_SQL: dict[str, str] = {
                tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
         FROM daily
     """,
+    "txs_per_day_gapfilled": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(1) AS tx_count
+            FROM events GROUP BY 1
+        ),
+        bounds AS (
+            SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+            FROM bounds
+        )
+        SELECT s.day, COALESCE(d.tx_count, 0) AS tx_count
+        FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    "retention_cohorts": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        fc AS (
+            SELECT user_id, day,
+                   MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+            FROM ud
+        )
+        SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+               COUNT(1) AS n_active
+        FROM fc GROUP BY 1, 2
+    """,
     "conversion_funnel": """
         WITH staged AS (
             SELECT user_id, event_type, ts,
@@ -941,6 +1040,9 @@ MODELS = {
     "value_percentiles_by_type": value_percentiles_by_type,
     "day_over_day_txs": day_over_day_txs,
     "conversion_funnel": conversion_funnel,
+    "txs_per_day_gapfilled": txs_per_day_gapfilled,
+    "retention_cohorts": retention_cohorts,
+    "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "value_zscore_outliers": value_zscore_outliers,
     "daily_value_moving_avg": daily_value_moving_avg,
     "regional_supplier_revenue": regional_supplier_revenue,

@@ -98,3 +98,84 @@ def test_conversion_funnel_stage_semantics(spark, tmp_path):
     assert r["n_viewed"] == 5  # u1-u5
     assert r["n_clicked"] == 3  # u1, u4, u5
     assert r["n_purchased"] == 2  # u1, u5
+
+
+def test_gapfill_inserts_zero_days(spark, tmp_path):
+    """A corpus with activity on days 1, 2 and 5 must yield a 5-day spine
+    with explicit zeros on days 3-4."""
+    from bread_spark.models import txs_per_day_gapfilled
+
+    t0 = datetime.datetime(2024, 6, 1, 9, 0)
+    d = datetime.timedelta(days=1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0, 2, "click", 1.0, "{}"),
+        (3, t0 + d, 1, "view", 1.0, "{}"),
+        (4, t0 + 4 * d, 3, "click", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["day"].day: r["tx_count"]
+        for r in txs_per_day_gapfilled(spark, sf).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0, 5: 1}
+
+
+def test_retention_cohorts_triangle(spark, tmp_path):
+    """Two cohorts with hand-known comebacks: counts per (cohort, offset)
+    and the invariant that offset 0 counts every cohort member."""
+    from bread_spark.models import retention_cohorts
+
+    t0 = datetime.datetime(2024, 6, 1, 9, 0)
+    d = datetime.timedelta(days=1)
+    rows = []
+    eid = 0
+
+    def ev(user, day_idx):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, t0 + day_idx * d, user, "click", 1.0, "{}"))
+
+    # cohort day 0: users 1, 2; user 1 returns day 1 and 2, user 2 day 2
+    ev(1, 0); ev(1, 1); ev(1, 2); ev(1, 2)  # same-day dup must not double-count
+    ev(2, 0); ev(2, 2)
+    # cohort day 1: user 3, never returns
+    ev(3, 1)
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        (r["cohort_day"].day, r["day_offset"]): r["n_active"]
+        for r in retention_cohorts(spark, sf).collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 2, (2, 0): 1}
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """percentile_approx contract vs the exact operator: each approx
+    quantile must land between the exact quantiles at p ∓ 0.01 (rank
+    error 1/accuracy = 1e-4, asserted with 100× slack)."""
+    from bread_spark.models import (
+        approx_value_percentiles_by_type,
+        value_percentiles_by_type,
+    )
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["event_type"]: r
+        for r in approx_value_percentiles_by_type(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        bounds = {
+            r["event_type"]: (r["lo"], r["hi"])
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.expr(f"percentile(value, {max(p - 0.01, 0.0)})").alias("lo"),
+                F.expr(f"percentile(value, {min(p + 0.01, 1.0)})").alias("hi"),
+            )
+            .collect()
+        }
+        for typ, (lo, hi) in bounds.items():
+            v = approx[typ][col]
+            assert lo - 1e-4 <= v <= hi + 1e-4, (typ, col, v, lo, hi)

@@ -426,3 +426,51 @@ def test_jl_projection_sign_matrix_is_balanced(spark):
     for col in projection_sign_arrays():
         plus = sum(1 for s in col if s > 0)
         assert 16 <= plus <= 48, plus
+
+
+def test_jl_projected_retrieval_beats_chance(spark):
+    """Retrieval utility of `project_embeddings`: rank the corpus by
+    distance in the 16-dim projected space, keep the top-100 candidates,
+    exact-re-rank to 5 — recall vs the exact cosine top-5 must be ≥ 0.5
+    on this corpus (observed 0.64) and well above the ≈0.2 chance rate of
+    a random 100-of-500 candidate set. Uniform-random embeddings are the
+    JL worst case (all pairs nearly equidistant) — real clustered
+    embeddings separate far better; same caveat as the LSH/IVF recall
+    tests. Deterministic end to end: fixed matrix, fixed corpus."""
+    import numpy as np
+
+    from bread_spark.extensions.similarity import (
+        PROJ_OUT_DIMS,
+        project_embeddings,
+    )
+    from bread_spark.io import load_table
+
+    rows = sorted(
+        load_table(spark, SF_DIR, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mu = M / np.linalg.norm(M, axis=1, keepdims=True)
+
+    proj: dict[int, list[float]] = {}
+    for r in project_embeddings(spark, SF_DIR).collect():
+        proj.setdefault(r["vec_id"], [0.0] * PROJ_OUT_DIMS)[r["out_dim"]] = r[
+            "proj_val"
+        ]
+    P = np.array([proj[int(v)] for v in ids])
+
+    overfetch, k = 100, 5
+    recalls = []
+    for q in range(10):
+        sims = Mu[q] @ Mu.T
+        sims[q] = -np.inf
+        exact = set(ids[np.argsort(-sims)[:k]])
+        d = np.linalg.norm(P - P[q], axis=1)
+        d[q] = np.inf
+        cand = np.argsort(d)[:overfetch]
+        rer = cand[np.argsort(-(Mu[q] @ Mu[cand].T))[:k]]
+        recalls.append(len(exact & set(ids[rer])) / k)
+    mean = sum(recalls) / len(recalls)
+    chance = overfetch / len(ids)
+    assert mean >= 0.5, mean
+    assert mean > 2 * chance, (mean, chance)
