@@ -173,6 +173,8 @@ def main() -> None:
         "txs_per_day_gapfilled",
         "retention_cohorts",
         "approx_value_percentiles_by_type",
+        "winsorize_values",
+        "centroid_drift_by_label",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -232,6 +234,8 @@ def main() -> None:
         "txs_per_day_gapfilled",
         "retention_cohorts",
         "approx_value_percentiles_by_type",
+        "winsorize_values",
+        "centroid_drift_by_label",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

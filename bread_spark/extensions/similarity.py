@@ -100,6 +100,44 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def centroid_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: the L2 distance between each
+    label's centroid and the corpus centroid, with the label's vector
+    count — the dashboard number that says "this source/topic moved"
+    before any downstream model notices (the embedding-space analog of
+    `source_kl_divergence` on tokens).
+
+    Plan: both centroids come from ONE posexplode pass — per-(label,pos)
+    avg plus a grand per-pos avg over that tiny frame — then a broadcast
+    join on pos and a 64-row-per-label sum. Everything after the first
+    aggregate is dashboard-sized. Centroids are rounded (the repo's
+    cross-engine double policy) BEFORE the distance so both engines
+    square identical operands."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    grand = (
+        per.groupBy("pos")
+        .agg(F.round(F.sum(F.col("c") * F.col("n")) / F.sum("n"), 6).alias("g"))
+    )
+    return (
+        per.join(F.broadcast(grand), "pos")
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.pow(F.col("c") - F.col("g"), 2))), 6).alias(
+                "l2_drift"
+            ),
+            F.max("n").alias("n_vectors"),
+        )
+    )
+
+
 def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-dimension int8 quantization of the embedding column:
     scale_d = max(|x_d|) over the corpus, q = round(127·x/scale_d) ∈
@@ -326,6 +364,27 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY label, i - 1
     """,
 }
+
+ORACLE_SQL["centroid_drift_by_label"] = """
+    WITH flat AS (
+        SELECT e.label, d.pos, CAST(e.embedding[d.pos + 1] AS DOUBLE) AS v
+        FROM embeddings e, LATERAL (
+            SELECT unnest(range(len(e.embedding))) AS pos
+        ) d
+    ),
+    per AS (
+        SELECT label, pos, ROUND(AVG(v), 6) AS c, COUNT(*) AS n
+        FROM flat GROUP BY 1, 2
+    ),
+    grand AS (
+        SELECT pos, ROUND(SUM(c * n) / SUM(n), 6) AS g FROM per GROUP BY 1
+    )
+    SELECT per.label,
+           ROUND(SQRT(SUM(POW(per.c - grand.g, 2))), 6) AS l2_drift,
+           MAX(per.n) AS n_vectors
+    FROM per JOIN grand USING (pos)
+    GROUP BY per.label
+"""
 
 # Rebuilds the identical Rademacher matrix from md5 parity (the same
 # "first hex digit of md5('i:j') even ⇒ +1" rule as `_projection_sign`),

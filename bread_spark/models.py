@@ -652,6 +652,38 @@ def approx_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization: clip value to the [p01, p99] band — the
+    standard robust-preprocessing step before means/regressions so a few
+    corrupt readings can't drag an aggregate (the complement of
+    `value_zscore_outliers`, which FLAGS instead of clipping).
+
+    Plan: per-type exact percentiles are a tiny aggregate (one row per
+    type) broadcast back onto the scan; the clip is map-side
+    least/greatest. At 100 TB swap the boundary computation to
+    `percentile_approx` (same call site, mergeable sketch) — the clip
+    side is already scale-free. The clipped output is rounded so a
+    last-ulp boundary difference between engines can't leak into the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    return (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.least(F.greatest("value", F.col("lo")), F.col("hi")), 4).alias(
+                "value_winsorized"
+            ),
+        )
+    )
+
+
 def event_type_stats(ev: DataFrame) -> DataFrame:
     """Per-type (mu, sigma) reference stats — the tiny frame both the
     batch z-score QC and its streaming monitor broadcast. One row per
@@ -924,6 +956,18 @@ ORACLE_SQL: dict[str, str] = {
                tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
         FROM daily
     """,
+    "winsorize_values": """
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS lo,
+                   quantile_cont(value, 0.99) AS hi
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 4)
+                   AS value_winsorized
+        FROM events e JOIN b USING (event_type)
+    """,
     "txs_per_day_gapfilled": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day, COUNT(1) AS tx_count
@@ -1042,6 +1086,7 @@ MODELS = {
     "conversion_funnel": conversion_funnel,
     "txs_per_day_gapfilled": txs_per_day_gapfilled,
     "retention_cohorts": retention_cohorts,
+    "winsorize_values": winsorize_values,
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "value_zscore_outliers": value_zscore_outliers,
     "daily_value_moving_avg": daily_value_moving_avg,

