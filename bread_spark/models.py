@@ -541,7 +541,27 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only big exchange is keyed on user_id — the natural,
     high-cardinality key; no self-joins, no per-row pattern state.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = funnel_stages(
+        load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    )
+    return (
+        per_user.filter(F.col("t_view").isNotNull())
+        .groupBy(F.col("t_view").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+        )
+    )
+
+
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Per-user funnel stages (user_id, t_view, t_click, t_purchase) — the
+    intermediate `conversion_funnel` rolls up, exposed so the streaming
+    twin can pin exact agreement. The closed form the cumulative windows
+    compute: t_view = min view ts; t_click = min click ts in
+    [t_view, t_view + 24 h]; t_purchase = min purchase ts in
+    [t_click, t_click + 24 h]."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts")
@@ -567,19 +587,10 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts"),
         ),
     )
-    per_user = staged.groupBy("user_id").agg(
+    return staged.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
         F.min("click_ts").alias("t_click"),
         F.min("purchase_ts").alias("t_purchase"),
-    )
-    return (
-        per_user.filter(F.col("t_view").isNotNull())
-        .groupBy(F.col("t_view").cast("date").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_viewed"),
-            F.count("t_click").alias("n_clicked"),
-            F.count("t_purchase").alias("n_purchased"),
-        )
     )
 
 

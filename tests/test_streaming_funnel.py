@@ -1,0 +1,97 @@
+"""Streaming funnel: buffered per-user state finalized at the event-time
+watermark must agree EXACTLY with the batch funnel_stages closed form —
+including out-of-order delivery WITHIN the lateness bound, which a greedy
+running-state design would get wrong (it would have already discarded the
+click that precedes its late-arriving qualifying view)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+BASE = datetime.datetime(2024, 8, 1, 12, 0)
+H = datetime.timedelta(hours=1)
+D = datetime.timedelta(days=1)
+LATENESS = "3 hours"
+
+
+def _write(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for user, typ, ts in rows:
+            f.write(
+                json.dumps({"user_id": user, "event_type": typ, "ts": ts.isoformat()})
+                + "\n"
+            )
+
+
+def _run(spark, src, ckpt, sink):
+    from bread_spark.streaming.funnel import funnel_stream
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).json(src)
+    q = (
+        funnel_stream(stream, lateness=LATENESS)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
+    from bread_spark.models import funnel_stages
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+
+    batch1 = [
+        # u1: full conversion, in order
+        (1, "view", BASE),
+        (1, "click", BASE + 2 * H),
+        (1, "purchase", BASE + 3 * H),
+        # u2: click+purchase arrive BEFORE the qualifying view (next batch)
+        (2, "click", BASE + 2 * H),
+        (2, "purchase", BASE + 3 * H),
+        # u4: no view at all → no funnel row
+        (4, "click", BASE),
+        (4, "purchase", BASE + H),
+    ]
+    # watermark after batch1 = BASE+3h − 3h lateness = BASE, so u2's view
+    # at BASE+1h is out-of-order but NOT late — it must still be counted
+    batch2 = [(2, "view", BASE + 1 * H)]
+    # u3 (click outside the 24 h horizon) + watermark pushers; two runs so
+    # every finalization point (≤ first_view + 48 h) passes the watermark
+    batch3 = [(3, "view", BASE + 2 * D), (3, "click", BASE + 2 * D + 30 * H)]
+    batch4 = [(99, "view", BASE + 10 * D)]
+    batch5 = [(98, "view", BASE + 30 * D)]
+
+    for i, b in enumerate((batch1, batch2, batch3, batch4, batch5), 1):
+        _write(src, f"b{i}.json", b)
+        _run(spark, src, ckpt, sink)
+
+    got = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] <= 4
+    }
+
+    all_rows = batch1 + batch2 + batch3
+    bdf = spark.createDataFrame(
+        [(u, ty, ts) for u, ty, ts in all_rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    want = {
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
+        for r in funnel_stages(bdf).filter("t_view IS NOT NULL").collect()
+        if r["user_id"] <= 4
+    }
+    assert got == want
+    # the interesting cases explicitly:
+    assert got[2] == (BASE + H, BASE + 2 * H, BASE + 3 * H)  # late-view credit
+    assert got[3][1] is None  # click outside horizon never qualifies
+    assert 4 not in got  # view-less users emit nothing
