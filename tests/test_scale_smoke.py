@@ -291,3 +291,45 @@ def test_span_report_drops_all_replicated_docs(spark, big_docs_r6):
             assert r["dup_frac"] == 1.0 and r["keep"] is False
         else:
             assert r["keep"] is True
+
+
+def test_funnel_scales(spark, big_events):
+    """Replicas have disjoint user spaces → per-user funnel stages (and
+    hence every day-grain stage count) scale exactly linearly; any
+    accidental cross-user interaction or self-join blowup breaks the
+    exact multiple."""
+    from bread_spark.models import funnel_stages
+
+    base = load_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    small = funnel_stages(base).filter("t_view IS NOT NULL").count()
+    big = (
+        funnel_stages(big_events.select("user_id", "event_type", "ts"))
+        .filter("t_view IS NOT NULL")
+        .count()
+    )
+    assert big == small * REPS
+
+
+def test_retention_cohorts_scale_exactly(spark, big_events):
+    """Disjoint replicated users → every (cohort_day, day_offset) cell's
+    active count is exactly REPS× the base corpus's."""
+    from pyspark.sql import Window
+
+    ud = big_events.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    big_cells = {
+        (r["cohort_day"], r["day_offset"]): r["n_active"]
+        for r in ud.withColumn("cohort_day", F.min("day").over(w))
+        .select("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .collect()
+    }
+    from bread_spark.models import retention_cohorts
+
+    small_cells = {
+        (r["cohort_day"], r["day_offset"]): r["n_active"]
+        for r in retention_cohorts(spark, SF_DIR).collect()
+    }
+    assert set(big_cells) == set(small_cells)
+    assert all(big_cells[k] == v * REPS for k, v in small_cells.items())
