@@ -600,18 +600,14 @@ def txs_per_day_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard needs before charting a time series (a silent gap reads as
     a rendering artifact; an explicit zero reads as an outage).
 
-    Plan: the spine is one aggregate row (min/max day) exploded via
-    `sequence()` — O(days) rows regardless of input size — LEFT-joined to
-    the day-grain aggregate; both sides are tiny, the join broadcasts.
-    The heavy work is the same day-grain pre-aggregation `txs_per_day`
-    already does."""
-    ev = load_table(spark, sf_dir, "events")
+    Plan: the bounds come from the O(days)-row day-grain aggregate — NOT
+    a second scan of the raw events — then one row explodes to the spine
+    via `sequence()` and LEFT-joins back; both sides are tiny, the join
+    broadcasts. The only heavy work is the same day-grain
+    pre-aggregation `txs_per_day` already does."""
     daily = txs_per_day(spark, sf_dir)
     spine = (
-        ev.agg(
-            F.min(F.col("ts").cast("date")).alias("lo"),
-            F.max(F.col("ts").cast("date")).alias("hi"),
-        )
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
         .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
     )
     return spine.join(daily, "day", "left").select(

@@ -73,7 +73,6 @@ _register(
         "topic_mix_by_source": similarity.topic_mix_by_source,  # rows-only (learned)
         "project_embeddings": similarity.project_embeddings,  # JL ±1 projection
         "centroid_drift_by_label": similarity.centroid_drift_by_label,  # drift monitor
-        "conversion_funnel": models.MODELS["conversion_funnel"],  # staged sequence match
     },
     similarity.ORACLE_SQL,
 )

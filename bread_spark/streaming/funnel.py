@@ -17,11 +17,25 @@ silently invalidate its click decisions; the buffered form re-derives
 everything from the user's full event set at finalization (pinned by a
 test that delivers the first view in the SECOND micro-batch).
 
+All arithmetic is on epoch MICROseconds — Spark timestamps are µs
+precision, so the closed form compares exactly the instants the batch
+operator compares (second-truncation would move sub-second orderings
+and horizon boundaries).
+
+After finalization the state collapses to a TOMBSTONE (done flag, no
+buffer): events arriving later for the same user are ignored instead of
+re-opening the funnel, preserving the one-row-per-user contract the
+batch operator has. The tombstone self-evicts one `FUNNEL_TOMBSTONE_S`
+after finalization — an event older than that horizon arriving for a
+finalized user would double-count, so size it to how long a user id can
+plausibly stay active past their funnel (state cost: one boolean per
+finalized user within the TTL).
+
 State size: a user's buffered events until finalization — bounded by
 the watermark horizon past `first_view + 2·horizon` (and in a real
 deployment by pre-filtering to the attribution/campaign window before
-the groupBy; views/clicks outside it can't change any verdict). State
-is O(active users × their in-window events), evicted at finalization.
+the groupBy; views/clicks outside it can't change any verdict) — then
+one tombstone row until the TTL passes.
 """
 
 from __future__ import annotations
@@ -32,15 +46,19 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-FUNNEL_HORIZON_S = 24 * 3600
-FUNNEL_STATE_SCHEMA = "tss array<long>, types array<string>"
+US = 1_000_000
+FUNNEL_HORIZON_US = 24 * 3600 * US
+FUNNEL_TOMBSTONE_S = 30 * 24 * 3600  # keep the done-flag 30 days of event time
+FUNNEL_STATE_SCHEMA = "tss array<long>, types array<string>, done boolean"
 FUNNEL_OUTPUT_SCHEMA = (
     "user_id long, t_view timestamp, t_click timestamp, t_purchase timestamp"
 )
 
 
-def _evaluate(tss: list[int], types: list[str]) -> tuple[int | None, int | None, int | None]:
-    """The closed form, on epoch seconds. Returns (t_view, t_click,
+def _evaluate(
+    tss: list[int], types: list[str]
+) -> tuple[int | None, int | None, int | None]:
+    """The closed form, on epoch microseconds. Returns (t_view, t_click,
     t_purchase) with None for unreached stages."""
     views = [t for t, y in zip(tss, types) if y == "view"]
     if not views:
@@ -49,7 +67,7 @@ def _evaluate(tss: list[int], types: list[str]) -> tuple[int | None, int | None,
     clicks = [
         t
         for t, y in zip(tss, types)
-        if y == "click" and tv <= t <= tv + FUNNEL_HORIZON_S
+        if y == "click" and tv <= t <= tv + FUNNEL_HORIZON_US
     ]
     if not clicks:
         return tv, None, None
@@ -57,7 +75,7 @@ def _evaluate(tss: list[int], types: list[str]) -> tuple[int | None, int | None,
     purchases = [
         t
         for t, y in zip(tss, types)
-        if y == "purchase" and tc <= t <= tc + FUNNEL_HORIZON_S
+        if y == "purchase" and tc <= t <= tc + FUNNEL_HORIZON_US
     ]
     return tv, tc, (min(purchases) if purchases else None)
 
@@ -66,16 +84,27 @@ def _funnel_func(
     key: tuple, pdf_iter: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+    empty = pd.DataFrame(columns=["user_id", "t_view", "t_click", "t_purchase"])
 
     def finalized(tss: list[int], types: list[str]) -> pd.DataFrame:
         tv, tc, tp = _evaluate(tss, types)
         if tv is None:
-            return pd.DataFrame(columns=["user_id", "t_view", "t_click", "t_purchase"])
-        to_ts = lambda v: pd.Timestamp(v, unit="s") if v is not None else pd.NaT
+            return empty
+        to_ts = lambda v: pd.Timestamp(v, unit="us") if v is not None else pd.NaT
         return pd.DataFrame(
             [(user_id, to_ts(tv), to_ts(tc), to_ts(tp))],
             columns=["user_id", "t_view", "t_click", "t_purchase"],
         )
+
+    if state.exists and state.get[2]:
+        # tombstone: the funnel already emitted — swallow stragglers until
+        # the TTL timer (set at finalization) removes the flag
+        for _ in pdf_iter:
+            pass
+        if state.hasTimedOut:
+            state.remove()
+        yield empty
+        return
 
     # ONE path for data and timeout: drain whatever the iterator holds,
     # recompute the finalization point, then either finalize (it's behind
@@ -88,7 +117,7 @@ def _funnel_func(
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        tss.extend(int(t.value // 1_000_000_000) for t in pdf["ts"])
+        tss.extend(int(t.value // 1_000) for t in pdf["ts"])  # ns → µs, exact
         types.extend(str(y) for y in pdf["event_type"])
     # Finalization point: nothing can change a stage once the watermark
     # passes first_view + 2·horizon (clicks ≤ view+h, purchases ≤
@@ -96,15 +125,18 @@ def _funnel_func(
     # earlier). No view yet → one horizon past the user's latest event,
     # then conclude view-less.
     views = [t for t, y in zip(tss, types) if y == "view"]
-    anchor = min(views) + 2 * FUNNEL_HORIZON_S if views else max(tss) + FUNNEL_HORIZON_S
-    target_ms = (anchor + 1) * 1000
+    anchor = (
+        min(views) + 2 * FUNNEL_HORIZON_US if views else max(tss) + FUNNEL_HORIZON_US
+    )
+    target_ms = anchor // 1000 + 1000  # µs → ms, one tick past the bound
     if target_ms <= state.getCurrentWatermarkMs():
-        state.remove()
+        state.update(([], [], True))
+        state.setTimeoutTimestamp(target_ms + FUNNEL_TOMBSTONE_S * 1000)
         yield finalized(tss, types)
         return
-    state.update((tss, types))
+    state.update((tss, types, False))
     state.setTimeoutTimestamp(target_ms)
-    yield pd.DataFrame(columns=["user_id", "t_view", "t_click", "t_purchase"])
+    yield empty
 
 
 def funnel_stream(events_stream: DataFrame, lateness: str = "1 hour") -> DataFrame:

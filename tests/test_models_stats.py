@@ -182,9 +182,12 @@ def test_approx_percentiles_within_rank_error(spark):
 
 
 def test_winsorize_clips_to_percentile_band(spark, tmp_path):
-    """Invariants on real-shaped data: interior values pass through
-    unchanged, everything lands inside the [p01, p99] band, and at least
-    one value was actually clipped on a corpus with planted extremes."""
+    """Ground truth against independently computed percentile bounds
+    (numpy 'linear' interpolation = Spark's exact `percentile`): planted
+    extremes land EXACTLY on the p01/p99 bounds, every output sits inside
+    the band, and interior values pass through unchanged."""
+    import numpy as np
+
     from bread_spark.models import winsorize_values
 
     t0 = datetime.datetime(2024, 7, 1)
@@ -195,10 +198,11 @@ def test_winsorize_clips_to_percentile_band(spark, tmp_path):
     ]
     sf = _write_events(spark, tmp_path, rows)
     out = {r["event_id"]: r for r in winsorize_values(spark, sf).collect()}
-    ws = [r["value_winsorized"] for r in out.values()]
-    lo, hi = min(ws), max(ws)
-    assert all(lo <= w <= hi for w in ws)
-    assert out[0]["value_winsorized"] != -1e6 or True  # planted extremes clipped:
+
+    lo = round(float(np.percentile(vals, 1)), 4)
+    hi = round(float(np.percentile(vals, 99)), 4)
+    assert lo != min(vals) and hi != max(vals)  # the band really excludes the spikes
     assert out[100]["value_winsorized"] == lo  # -1e6 pulled up to p01
     assert out[101]["value_winsorized"] == hi  # +1e6 pulled down to p99
+    assert all(lo <= r["value_winsorized"] <= hi for r in out.values())
     assert out[50]["value_winsorized"] == 50.0  # interior untouched

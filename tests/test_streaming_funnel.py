@@ -49,6 +49,7 @@ def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
     src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
     os.makedirs(src)
 
+    us = datetime.timedelta(microseconds=1)
     batch1 = [
         # u1: full conversion, in order
         (1, "view", BASE),
@@ -60,6 +61,11 @@ def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
         # u4: no view at all → no funnel row
         (4, "click", BASE),
         (4, "purchase", BASE + H),
+        # u5: click 1 µs BEFORE the first view — batch excludes it; a
+        # second-truncating stream would wrongly credit it
+        (5, "click", BASE + H - us),
+        (5, "view", BASE + H),
+        (5, "click", BASE + 2 * H + us),
     ]
     # watermark after batch1 = BASE+3h − 3h lateness = BASE, so u2's view
     # at BASE+1h is out-of-order but NOT late — it must still be counted
@@ -69,15 +75,20 @@ def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
     batch3 = [(3, "view", BASE + 2 * D), (3, "click", BASE + 2 * D + 30 * H)]
     batch4 = [(99, "view", BASE + 10 * D)]
     batch5 = [(98, "view", BASE + 30 * D)]
+    # u1 was finalized (tombstoned) long before this on-time view arrives;
+    # the one-row-per-user contract means it must NOT re-open the funnel
+    batch6 = [(1, "view", BASE + 40 * D)]
+    batch7 = [(97, "view", BASE + 100 * D)]
 
-    for i, b in enumerate((batch1, batch2, batch3, batch4, batch5), 1):
+    batches = (batch1, batch2, batch3, batch4, batch5, batch6, batch7)
+    for i, b in enumerate(batches, 1):
         _write(src, f"b{i}.json", b)
         _run(spark, src, ckpt, sink)
 
+    rows = [r for r in spark.read.parquet(sink).collect() if r["user_id"] <= 5]
+    assert len(rows) == len({r["user_id"] for r in rows})  # one row per user
     got = {
-        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
-        for r in spark.read.parquet(sink).collect()
-        if r["user_id"] <= 4
+        r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"]) for r in rows
     }
 
     all_rows = batch1 + batch2 + batch3
@@ -88,10 +99,14 @@ def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
     want = {
         r["user_id"]: (r["t_view"], r["t_click"], r["t_purchase"])
         for r in funnel_stages(bdf).filter("t_view IS NOT NULL").collect()
-        if r["user_id"] <= 4
+        if r["user_id"] <= 5
     }
     assert got == want
     # the interesting cases explicitly:
     assert got[2] == (BASE + H, BASE + 2 * H, BASE + 3 * H)  # late-view credit
     assert got[3][1] is None  # click outside horizon never qualifies
     assert 4 not in got  # view-less users emit nothing
+    # sub-second ordering: the pre-view click is excluded, the +1 µs one wins
+    assert got[5] == (BASE + H, BASE + 2 * H + us, None)
+    # tombstone: u1's post-finalization view did not produce a second row
+    assert got[1] == (BASE, BASE + 2 * H, BASE + 3 * H)
