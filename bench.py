@@ -175,6 +175,8 @@ def main() -> None:
         "approx_value_percentiles_by_type",
         "winsorize_values",
         "centroid_drift_by_label",
+        "hourly_ohlc_by_type",
+        "daily_twap_by_type",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -236,6 +238,8 @@ def main() -> None:
         "approx_value_percentiles_by_type",
         "winsorize_values",
         "centroid_drift_by_label",
+        "hourly_ohlc_by_type",
+        "daily_twap_by_type",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -659,6 +659,65 @@ def approx_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def hourly_ohlc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per (hour, event_type): first/last value by event time
+    plus min/max — the first/last-by-ordering aggregation family
+    (min_by/max_by), which groupBy covers in ONE hash aggregate with
+    map-side partials (no window sort). Determinism on ANY data: ties on
+    ts break on event_id via a zero-padded epoch-µs‖event_id string key
+    (DuckDB's arg_min/arg_max take only scalar keys, so the composite is
+    encoded order-preservingly). Values pass through unchanged — no
+    arithmetic, no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def daily_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — each reading
+    weighted by the µs until the NEXT event of that type that day (the
+    day's last reading carries no weight), the standard TWAP/IoT
+    irregular-sampling average where a plain mean over-weights bursts.
+
+    Plan: one lead() window partitioned on (event_type, day) — the day
+    grain keeps partitions bounded and parallel (types × days keys, no
+    single-type megapartition) — then a hash aggregate on the same keys.
+    Weights are exact integers (µs); only the final ratio rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "event_type", F.col("ts").cast("date")
+    ).orderBy("ts", "event_id")
+    dt = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            dt.alias("dt_us"),
+        )
+        .filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(
+            F.when(
+                F.sum("dt_us") > 0,
+                F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4),
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
 def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization: clip value to the [p01, p99] band — the
     standard robust-preprocessing step before means/regressions so a few
@@ -963,6 +1022,33 @@ ORACLE_SQL: dict[str, str] = {
                tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
         FROM daily
     """,
+    "hourly_ohlc_by_type": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                              || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+               COUNT(1) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "daily_twap_by_type": """
+        WITH t AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, value,
+                   epoch_us(lead(ts) OVER (
+                       PARTITION BY event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id
+                   )) - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT event_type, day,
+               CASE WHEN SUM(dt_us) > 0
+                    THEN ROUND(SUM(value * dt_us) / SUM(dt_us), 4) END AS twap,
+               COUNT(1) AS n_intervals
+        FROM t WHERE dt_us IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "winsorize_values": """
         WITH b AS (
             SELECT event_type,
@@ -1094,6 +1180,8 @@ MODELS = {
     "txs_per_day_gapfilled": txs_per_day_gapfilled,
     "retention_cohorts": retention_cohorts,
     "winsorize_values": winsorize_values,
+    "hourly_ohlc_by_type": hourly_ohlc_by_type,
+    "daily_twap_by_type": daily_twap_by_type,
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,
     "value_zscore_outliers": value_zscore_outliers,
     "daily_value_moving_avg": daily_value_moving_avg,

@@ -206,3 +206,44 @@ def test_winsorize_clips_to_percentile_band(spark, tmp_path):
     assert out[101]["value_winsorized"] == hi  # +1e6 pulled down to p99
     assert all(lo <= r["value_winsorized"] <= hi for r in out.values())
     assert out[50]["value_winsorized"] == 50.0  # interior untouched
+
+
+def test_ohlc_tie_break_and_bounds(spark, tmp_path):
+    """Same-timestamp open tie breaks on event_id (padded-key contract);
+    high/low are plain extremes; close is the latest reading."""
+    from bread_spark.models import hourly_ohlc_by_type
+
+    t0 = datetime.datetime(2024, 9, 1, 10, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (7, t0, 1, "click", 5.0, "{}"),   # tied ts, higher id
+        (3, t0, 1, "click", 9.0, "{}"),   # tied ts, LOWER id → open
+        (8, t0 + m, 1, "click", 1.0, "{}"),
+        (9, t0 + 2 * m, 1, "click", 4.0, "{}"),  # close
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = hourly_ohlc_by_type(spark, sf).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
+        9.0, 9.0, 1.0, 4.0, 4,
+    )
+
+
+def test_twap_weights_by_interval(spark, tmp_path):
+    """Hand-computed: values 10 (held 1 min), 20 (held 3 min); the final
+    reading carries no weight → twap = (10·60 + 20·180) / 240 = 17.5,
+    while the naive mean of [10, 20, 99] would be 43."""
+    from bread_spark.models import daily_twap_by_type
+
+    t0 = datetime.datetime(2024, 9, 1, 10, 0)
+    m = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "click", 10.0, "{}"),
+        (2, t0 + m, 1, "click", 20.0, "{}"),
+        (3, t0 + 4 * m, 1, "click", 99.0, "{}"),
+        (4, t0, 1, "view", 7.0, "{}"),  # single event that day → no row
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["event_type"]: r for r in daily_twap_by_type(spark, sf).collect()}
+    assert got["click"]["twap"] == 17.5
+    assert got["click"]["n_intervals"] == 2
+    assert "view" not in got
