@@ -177,6 +177,7 @@ def main() -> None:
         "centroid_drift_by_label",
         "hourly_ohlc_by_type",
         "daily_twap_by_type",
+        "dedup_normalized",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -240,6 +241,7 @@ def main() -> None:
         "centroid_drift_by_label",
         "hourly_ohlc_by_type",
         "daily_twap_by_type",
+        "dedup_normalized",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

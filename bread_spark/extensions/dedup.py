@@ -64,6 +64,37 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def normalize_text_expr(col: str):
+    """The canonicalization every normalized-dedup consumer shares:
+    casefold, collapse whitespace runs to one space, trim. Pure JVM
+    expressions — applied map-side before the digest."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: digest over casefolded,
+    whitespace-collapsed, trimmed text, so trivially-reformatted copies
+    ("Hello  World\\n" vs "hello world") land in one group — the standard
+    step between byte-exact and fuzzy dedup in a curation pipeline
+    (catches boilerplate re-renders that byte-exact misses at zero
+    near-dup cost).
+
+    Same plan shape as `dedup_exact_hash`: normalization + md5 are
+    map-side; the single shuffle is keyed on the 32-hex digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(normalize_text_expr("text").cast("binary")).alias("norm_hash"),
+            "doc_id",
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
 CROSS_DEDUP_BASE_MAX = 250  # doc_id < this plays the already-ingested base
 
 
@@ -528,6 +559,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_exact_hash": """
         SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS canonical_doc_id,
+               COUNT(1) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "dedup_normalized": r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS norm_hash,
                MIN(doc_id) AS canonical_doc_id,
                COUNT(1) AS dup_count
         FROM documents GROUP BY 1

@@ -397,3 +397,26 @@ def test_temperature_alpha_one_is_raw_alpha_zero_is_uniform(spark):
     zero = curation.temperature_mix_weights(spark, SF_DIR, alpha=0.0).collect()
     for r in zero:
         assert abs(r["temp_share"] - 1.0 / len(zero)) <= 2e-6, r
+
+
+def test_dedup_normalized_collapses_reformatted_copies(spark, tmp_path):
+    """Casefold + whitespace-collapse + trim: trivially reformatted copies
+    land in ONE group with the minimum doc_id canonical; genuinely
+    different text stays separate; byte-exact dedup would keep all four."""
+    from bread_spark.extensions.dedup import dedup_exact_hash, dedup_normalized
+
+    rows = [
+        (1, "Hello  World\n", "en", "web", 13),
+        (2, "hello world", "en", "web", 11),
+        (3, "  HELLO\tWORLD  ", "en", "web", 15),
+        (4, "goodbye world", "en", "web", 13),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    sf = str(tmp_path)
+    norm = {r["canonical_doc_id"]: r["dup_count"] for r in dedup_normalized(spark, sf).collect()}
+    assert norm == {1: 3, 4: 1}
+    exact = dedup_exact_hash(spark, sf).count()
+    assert exact == 4  # byte-exact sees four distinct documents
