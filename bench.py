@@ -178,6 +178,7 @@ def main() -> None:
         "hourly_ohlc_by_type",
         "daily_twap_by_type",
         "dedup_normalized",
+        "snapshot_diff",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -242,6 +243,7 @@ def main() -> None:
         "hourly_ohlc_by_type",
         "daily_twap_by_type",
         "dedup_normalized",
+        "snapshot_diff",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

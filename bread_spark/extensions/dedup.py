@@ -64,6 +64,46 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIFF_REMOVED_BELOW = 50  # docs only in the old snapshot
+DIFF_EDITED_LO, DIFF_EDITED_HI = 100, 150  # docs edited between snapshots
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two corpus snapshots: every doc_id
+    classified `added` / `removed` / `changed` by content digest
+    (unchanged rows are excluded — the compact changeset a downstream
+    incremental job consumes). The deterministic snapshot simulation on
+    the static test corpus: the OLD snapshot is doc_id < CROSS_DEDUP_
+    BASE_MAX; the NEW one drops ids < 50, keeps the rest, and edits ids
+    in [100, 150) by appending a token.
+
+    Plan: both sides reduce to (doc_id, 16-byte digest) MAP-SIDE, then
+    one full-outer join keyed on doc_id — the canonical snapshot-diff
+    shape at 100 TB (text never shuffles; co-partition or bucket both
+    snapshots on the key and the join is exchange-free)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < CROSS_DEDUP_BASE_MAX).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h_old")
+    )
+    edited = F.when(
+        (F.col("doc_id") >= DIFF_EDITED_LO) & (F.col("doc_id") < DIFF_EDITED_HI),
+        F.concat(F.col("text"), F.lit(" v2")),
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") >= DIFF_REMOVED_BELOW).select(
+        "doc_id", F.md5(edited.cast("binary")).alias("h_new")
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+    )
+    return (
+        joined.select("doc_id", change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
 def normalize_text_expr(col: str):
     """The canonicalization every normalized-dedup consumer shares:
     casefold, collapse whitespace runs to one space, trim. Pure JVM
@@ -562,6 +602,27 @@ ORACLE_SQL: dict[str, str] = {
                MIN(doc_id) AS canonical_doc_id,
                COUNT(1) AS dup_count
         FROM documents GROUP BY 1
+    """,
+    "snapshot_diff": f"""
+        WITH old AS (
+            SELECT doc_id, md5(text) AS h_old FROM documents
+            WHERE doc_id < {CROSS_DEDUP_BASE_MAX}
+        ),
+        new AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id >= {DIFF_EDITED_LO}
+                             AND doc_id < {DIFF_EDITED_HI}
+                            THEN text || ' v2' ELSE text END) AS h_new
+            FROM documents WHERE doc_id >= {DIFF_REMOVED_BELOW}
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.h_old IS NULL THEN 'added'
+                    WHEN n.h_new IS NULL THEN 'removed'
+                    WHEN o.h_old != n.h_new THEN 'changed' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE (CASE WHEN o.h_old IS NULL THEN 'added'
+                    WHEN n.h_new IS NULL THEN 'removed'
+                    WHEN o.h_old != n.h_new THEN 'changed' END) IS NOT NULL
     """,
     "dedup_normalized": r"""
         SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))

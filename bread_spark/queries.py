@@ -43,6 +43,7 @@ _register(
         "dedup_exact": dedup.dedup_exact,
         "dedup_exact_hash": dedup.dedup_exact_hash,
         "dedup_normalized": dedup.dedup_normalized,  # casefold/ws-canonical digest
+        "snapshot_diff": dedup.snapshot_diff,  # CDC added/removed/changed
         "cross_dedup": dedup.cross_dedup,
         "cross_dedup_neardup": dedup.cross_dedup_neardup,  # rows-only (LSH gate)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,

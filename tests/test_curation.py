@@ -420,3 +420,30 @@ def test_dedup_normalized_collapses_reformatted_copies(spark, tmp_path):
     assert norm == {1: 3, 4: 1}
     exact = dedup_exact_hash(spark, sf).count()
     assert exact == 4  # byte-exact sees four distinct documents
+
+
+def test_snapshot_diff_matches_construction(spark):
+    """The simulated snapshot pair has a fully known changeset: ids
+    ≥ CROSS_DEDUP_BASE_MAX are added, ids < DIFF_REMOVED_BELOW removed,
+    the [DIFF_EDITED_LO, DIFF_EDITED_HI) band changed — and nothing
+    else appears (unchanged rows are excluded)."""
+    from bread_spark.extensions.dedup import (
+        CROSS_DEDUP_BASE_MAX,
+        DIFF_EDITED_HI,
+        DIFF_EDITED_LO,
+        DIFF_REMOVED_BELOW,
+        snapshot_diff,
+    )
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    got = {r["doc_id"]: r["change_type"] for r in snapshot_diff(spark, SF_DIR).collect()}
+    for d, c in got.items():
+        if c == "added":
+            assert d >= CROSS_DEDUP_BASE_MAX
+        elif c == "removed":
+            assert d < DIFF_REMOVED_BELOW
+        else:
+            assert DIFF_EDITED_LO <= d < DIFF_EDITED_HI
+    assert sum(1 for c in got.values() if c == "added") == n_docs - CROSS_DEDUP_BASE_MAX
+    assert sum(1 for c in got.values() if c == "removed") == DIFF_REMOVED_BELOW
+    assert sum(1 for c in got.values() if c == "changed") == DIFF_EDITED_HI - DIFF_EDITED_LO
