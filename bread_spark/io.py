@@ -276,6 +276,64 @@ def compact_partitioned(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    version_col: str | None = None,
+    delete_col: str | None = None,
+) -> int:
+    """Latest-wins MERGE of an updates batch into a plain-parquet table —
+    the `MERGE INTO` of a table format, expressed as one key-partitioned
+    window over base ∪ updates plus the compaction module's staged swap:
+
+      - an updates row whose key exists REPLACES the base row
+      - a new key is inserted
+      - with `delete_col`, an updates row with that flag true TOMBSTONES
+        its key (the applied form of a `snapshot_diff` 'removed' entry)
+      - with `version_col`, the highest version wins among multiple
+        updates per key (updates always beat base at equal footing)
+
+    Plan: ONE shuffle keyed on `key_cols` (row_number window); this is
+    copy-on-write — the whole table rewrites, which is exactly what
+    Delta/Iceberg MERGE does per touched file, generalized to the whole
+    table because plain parquet has no file-level transaction log (see
+    `compact_partitioned`'s atomicity note; neither format is
+    installable offline here). Same staging/backup suffixes as
+    compaction, so `recover_compaction` heals a crash mid-swap
+    identically. Returns the resulting row count.
+    """
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    recover_compaction(path)
+    base = spark.read.parquet(path).withColumn("__src", F.lit(0))
+    up = updates.withColumn("__src", F.lit(1))
+    allr = base.unionByName(up, allowMissingColumns=True)
+    order = [F.col("__src").desc()]
+    if version_col:
+        order.insert(0, F.col(version_col).desc_nulls_last())
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    merged = (
+        allr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    if delete_col:
+        merged = merged.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    staging = path.rstrip("/") + "__compacting"
+    backup = path.rstrip("/") + "__precompact"
+    merged.write.mode("overwrite").parquet(staging)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return spark.read.parquet(path).count()
+
+
 def recover_compaction(path: str) -> str:
     """Repair a compaction interrupted anywhere in its swap sequence.
 

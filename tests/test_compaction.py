@@ -228,3 +228,47 @@ def test_compaction_of_batch_pipeline_silver(spark, tmp_path):
     extra = P.parse_blocks(raw)
     extra.write.mode("append").partitionBy("year", "month", "day").parquet(path)
     assert spark.read.parquet(path).count() == n1 * 2
+
+
+def test_merge_upsert_insert_update_delete_version(spark, tmp_path):
+    """MERGE semantics on a plain-parquet table: update-in-place by key,
+    insert of new keys, tombstone deletes, and version ordering among
+    multiple updates for the same key."""
+    from bread_spark.io import merge_upsert
+
+    path = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)],
+        "id long, name string, score int",
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [
+            # two updates for id 2 — version 7 must win over 5
+            (2, "bob-v5", 25, 5, False),
+            (2, "bob-v7", 27, 7, False),
+            (3, None, None, 9, True),  # tombstone carol
+            (4, "dave", 40, 1, False),  # brand-new key
+        ],
+        "id long, name string, score int, v int, deleted boolean",
+    )
+    n = merge_upsert(
+        spark, path, updates, ("id",), version_col="v", delete_col="deleted"
+    )
+    assert n == 3
+    rows = {r["id"]: r for r in spark.read.parquet(path).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["name"] == "alice"  # untouched base row survives
+    assert rows[2]["name"] == "bob-v7" and rows[2]["score"] == 27
+    assert rows[4]["name"] == "dave"
+    assert "deleted" not in spark.read.parquet(path).columns
+
+
+def test_merge_upsert_updates_beat_base_without_version(spark, tmp_path):
+    from bread_spark.io import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, "old")], "id long, val string").write.parquet(path)
+    up = spark.createDataFrame([(1, "new")], "id long, val string")
+    merge_upsert(spark, path, up, ("id",))
+    assert spark.read.parquet(path).collect()[0]["val"] == "new"
