@@ -662,8 +662,11 @@ def approx_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFr
 def hourly_ohlc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars per (hour, event_type): first/last value by event time
     plus min/max — the first/last-by-ordering aggregation family
-    (min_by/max_by), which groupBy covers in ONE hash aggregate with
-    map-side partials (no window sort). Determinism on ANY data: ties on
+    (min_by/max_by) as ONE aggregate with map-side partials and a single
+    exchange — no per-row window sort over the raw stream. (Spark plans
+    ordered-buffer aggregates as SortAggregate — struct-min buffers hit
+    the same fallback — but the partial/final split and the single
+    shuffle are what matter at scale.) Determinism on ANY data: ties on
     ts break on event_id via a zero-padded epoch-µs‖event_id string key
     (DuckDB's arg_min/arg_max take only scalar keys, so the composite is
     encoded order-preservingly). Values pass through unchanged — no

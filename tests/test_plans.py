@@ -332,3 +332,14 @@ def test_conversion_funnel_single_user_shuffle_no_joins(plans):
     p = plans("conversion_funnel")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_ohlc_single_exchange_with_partials(plans):
+    """min_by/max_by OHLC: map-side partial aggregation and exactly one
+    exchange — never a per-row window sort over the raw events. (Spark
+    plans ordered-buffer aggregates as SortAggregate; the partial/final
+    split and single shuffle are the scale contract.)"""
+    p = plans("hourly_ohlc_by_type")
+    assert "partial_" in p
+    assert p.count("Exchange") == 1
+    assert "Window" not in p
