@@ -179,6 +179,7 @@ def main() -> None:
         "daily_twap_by_type",
         "dedup_normalized",
         "snapshot_diff",
+        "importance_sample",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -244,6 +245,7 @@ def main() -> None:
         "daily_twap_by_type",
         "dedup_normalized",
         "snapshot_diff",
+        "importance_sample",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

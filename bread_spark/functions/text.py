@@ -130,6 +130,34 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMPORTANCE_RATE = 0.5  # keep probability = RATE · weight (weight ∈ [0,1])
+
+
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document's keep
+    probability is IMPORTANCE_RATE · weight, with weight = its alpha
+    ratio (alphabetic-character fraction, the repo's quality signal in
+    [0, 1]) — the "sample good documents more" curation primitive, vs
+    `deterministic_sample`'s uniform cutoff.
+
+    Mechanism: the content-keyed uniform u = first-4-hex-chars of the
+    md5 digest (an exact k/65536 lattice) compared against 65536·rate·
+    weight. Join-free, partitioning-independent, reproducible across
+    engines and cluster sizes; the weight is the 4-decimal ROUNDED ratio
+    so both engines compare identical operands. Scale: pure map-side —
+    a filter on expressions over each row alone."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.round(
+        F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")) / F.length("text"), 4
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 4), 16, 10
+    ).cast("long")
+    return docs.filter(
+        u < F.lit(IMPORTANCE_RATE * 65536) * weight
+    ).select("doc_id", "source", weight.alias("weight"))
+
+
 # 4-hex-char (65536-bucket) split cutoffs: 0xe666/0x10000 ≈ 0.8999 train,
 # then ≈ 0.0500 val, remainder test. Exact hex constants, not computed
 # floats, so the boundary is identical in every engine.
@@ -481,6 +509,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, lang, source, substring(md5(text), 1, 2) AS sample_bucket
         FROM documents
         WHERE substring(md5(text), 1, 2) < '{SAMPLE_HEX_CUTOFF}'
+    """,
+    "importance_sample": f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / length(text), 4) AS weight,
+                   CAST('0x' || substring(md5(text), 1, 4) AS INTEGER) AS u
+            FROM documents
+        )
+        SELECT doc_id, source, weight FROM t
+        WHERE u < {IMPORTANCE_RATE * 65536} * weight
     """,
     "dataset_splits": f"""
         SELECT doc_id, source, lang,

@@ -142,6 +142,7 @@ _register(
         "redact_pii": text.redact_pii,
         "doc_chunks": text.doc_chunks,
         "deterministic_sample": text.deterministic_sample,
+        "importance_sample": text.importance_sample,  # quality-weighted keep
         "quality_filter": text.quality_filter,  # adaptive percentile curation
         "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts

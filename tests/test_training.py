@@ -319,3 +319,27 @@ def test_dataset_splits_partition_and_leakage(spark, sf_dir):
     assert frac.get("train", 0) / total > 0.8
     assert frac.get("val", 0) / total < 0.12
     assert frac.get("test", 0) / total < 0.12
+
+
+def test_importance_sample_weighted_keep(spark):
+    """Quality-weighted sampling contract: deterministic across runs, a
+    subset of the corpus, and the keep RATE rises with the weight — the
+    top weight tercile must keep a strictly higher fraction than the
+    bottom tercile (probabilities are proportional to weight)."""
+    from bread_spark.functions.text import importance_sample, quality_scores
+
+    kept1 = {r["doc_id"] for r in importance_sample(spark, SF_DIR).collect()}
+    kept2 = {r["doc_id"] for r in importance_sample(spark, SF_DIR).collect()}
+    assert kept1 == kept2
+
+    weights = {
+        r["doc_id"]: r["alpha_ratio"]
+        for r in quality_scores(spark, SF_DIR).collect()
+    }
+    assert kept1 <= set(weights)
+    ranked = sorted(weights, key=weights.get)
+    third = len(ranked) // 3
+    lo, hi = ranked[:third], ranked[-third:]
+    lo_rate = len(kept1 & set(lo)) / len(lo)
+    hi_rate = len(kept1 & set(hi)) / len(hi)
+    assert hi_rate > lo_rate
