@@ -54,6 +54,45 @@ def windowed_value_by_type(
     )
 
 
+def windowed_ohlc(
+    events: DataFrame,
+    window: str = DEFAULT_WINDOW,
+    lateness: str = DEFAULT_LATENESS,
+) -> DataFrame:
+    """Tumbling-window OHLC bars per event type — the streaming form of
+    `models.hourly_ohlc_by_type` (min_by/max_by are declarative
+    aggregates, so they run in streaming state like sum/count; the
+    partial buffers merge across micro-batches and the window finalizes
+    at the watermark). Same padded epoch-µs‖event_id tie-break key as
+    the batch operator, so batch and stream agree exactly per window —
+    pinned in test_streaming_windows.py. Works on a static frame too
+    (watermark is a no-op in batch)."""
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def windowed_value_query(spark, sf_dir: str) -> DataFrame:
     """Catalog entry: the batch run of the streaming definition."""
     from ..io import load_table
