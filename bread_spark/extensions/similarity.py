@@ -100,39 +100,55 @@ def centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_SCALE = 1_000_000  # per-dimension micro-units (6 decimals)
+
+
 def centroid_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space drift monitor: the L2 distance between each
-    label's centroid and the corpus centroid, with the label's vector
-    count — the dashboard number that says "this source/topic moved"
-    before any downstream model notices (the embedding-space analog of
-    `source_kl_divergence` on tokens).
+    label's centroid and the corpus centroid (inputs micro-quantized to
+    6 decimals), with the label's vector count — the dashboard number
+    that says "this source/topic moved" before any downstream model
+    notices (the embedding-space analog of `source_kl_divergence`).
 
-    Plan: both centroids come from ONE posexplode pass — per-(label,pos)
-    avg plus a grand per-pos avg over that tiny frame — then a broadcast
-    join on pos and a 64-row-per-label sum. Everything after the first
-    aggregate is dashboard-sized. Centroids are rounded (the repo's
-    cross-engine double policy) BEFORE the distance so both engines
-    square identical operands."""
+    Determinism: EVERY aggregate is an exact integer sum — each value is
+    quantized to micro-units map-side, so partial-aggregation merge
+    order can't move any result (a first cut used round(avg, 6), whose
+    float sum order occasionally flipped a rounding boundary between
+    suite runs). The per-dimension deviation delta = m·N − g·n is exact
+    DECIMAL(38,0) arithmetic; only the final sqrt/divide/round touch
+    doubles, each a single deterministic operation on exact operands.
+
+    Plan: one posexplode pass → (label, pos) integer sums → per-pos
+    totals over that tiny frame → broadcast join back and a 64-row
+    per-label aggregate. Everything after the first aggregate is
+    dashboard-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
     per = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+            F.sum(
+                F.round(F.col("v").cast("double") * DRIFT_SCALE).cast("long")
+            ).alias("m"),
             F.count(F.lit(1)).alias("n"),
         )
     )
-    grand = (
-        per.groupBy("pos")
-        .agg(F.round(F.sum(F.col("c") * F.col("n")) / F.sum("n"), 6).alias("g"))
+    grand = per.groupBy("pos").agg(
+        F.sum("m").alias("g"), F.sum("n").alias("total_n")
     )
+    dec = "decimal(38,0)"
+    delta = F.col("m").cast(dec) * F.col("total_n") - F.col("g").cast(dec) * F.col("n")
     return (
         per.join(F.broadcast(grand), "pos")
         .groupBy("label")
         .agg(
-            F.round(F.sqrt(F.sum(F.pow(F.col("c") - F.col("g"), 2))), 6).alias(
-                "l2_drift"
-            ),
+            F.round(
+                F.sqrt(F.sum((delta * delta).cast(dec)).cast("double"))
+                / (
+                    F.max("n") * F.max("total_n") * F.lit(float(DRIFT_SCALE))
+                ),
+                6,
+            ).alias("l2_drift"),
             F.max("n").alias("n_vectors"),
         )
     )
@@ -365,7 +381,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
-ORACLE_SQL["centroid_drift_by_label"] = """
+ORACLE_SQL["centroid_drift_by_label"] = f"""
     WITH flat AS (
         SELECT e.label, d.pos, CAST(e.embedding[d.pos + 1] AS DOUBLE) AS v
         FROM embeddings e, LATERAL (
@@ -373,17 +389,25 @@ ORACLE_SQL["centroid_drift_by_label"] = """
         ) d
     ),
     per AS (
-        SELECT label, pos, ROUND(AVG(v), 6) AS c, COUNT(*) AS n
+        SELECT label, pos,
+               SUM(CAST(ROUND(v * {DRIFT_SCALE}) AS BIGINT)) AS m,
+               COUNT(*) AS n
         FROM flat GROUP BY 1, 2
     ),
     grand AS (
-        SELECT pos, ROUND(SUM(c * n) / SUM(n), 6) AS g FROM per GROUP BY 1
+        SELECT pos, SUM(m) AS g, SUM(n) AS total_n FROM per GROUP BY 1
+    ),
+    dev AS (
+        SELECT per.label, per.n, grand.total_n,
+               CAST(per.m AS HUGEINT) * grand.total_n
+                 - CAST(grand.g AS HUGEINT) * per.n AS delta
+        FROM per JOIN grand USING (pos)
     )
-    SELECT per.label,
-           ROUND(SQRT(SUM(POW(per.c - grand.g, 2))), 6) AS l2_drift,
-           MAX(per.n) AS n_vectors
-    FROM per JOIN grand USING (pos)
-    GROUP BY per.label
+    SELECT label,
+           ROUND(SQRT(CAST(SUM(delta * delta) AS DOUBLE))
+                 / (MAX(n) * MAX(total_n) * {DRIFT_SCALE}.0), 6) AS l2_drift,
+           MAX(n) AS n_vectors
+    FROM dev GROUP BY label
 """
 
 # Rebuilds the identical Rademacher matrix from md5 parity (the same
