@@ -104,11 +104,18 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit character class, NOT \s: Java's \s includes \x0B while RE2's
+# (DuckDB's) does not — the class below means the same bytes in both
+# engines. ASCII whitespace only; Unicode spaces (NBSP etc.) are out of
+# scope for this normalization level.
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
+
 def normalize_text_expr(col: str):
     """The canonicalization every normalized-dedup consumer shares:
-    casefold, collapse whitespace runs to one space, trim. Pure JVM
-    expressions — applied map-side before the digest."""
-    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+    casefold, collapse ASCII-whitespace runs to one space, trim. Pure
+    JVM expressions — applied map-side before the digest."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), _WS_CLASS, " "))
 
 
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,7 +632,8 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN o.h_old != n.h_new THEN 'changed' END) IS NOT NULL
     """,
     "dedup_normalized": r"""
-        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        SELECT md5(trim(regexp_replace(lower(text),
+                                       '[ \t\n\r\f\x0B]+', ' ', 'g')))
                    AS norm_hash,
                MIN(doc_id) AS canonical_doc_id,
                COUNT(1) AS dup_count

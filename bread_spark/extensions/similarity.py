@@ -110,13 +110,16 @@ def centroid_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     that says "this source/topic moved" before any downstream model
     notices (the embedding-space analog of `source_kl_divergence`).
 
-    Determinism: EVERY aggregate is an exact integer sum — each value is
-    quantized to micro-units map-side, so partial-aggregation merge
-    order can't move any result (a first cut used round(avg, 6), whose
-    float sum order occasionally flipped a rounding boundary between
-    suite runs). The per-dimension deviation delta = m·N − g·n is exact
-    DECIMAL(38,0) arithmetic; only the final sqrt/divide/round touch
-    doubles, each a single deterministic operation on exact operands.
+    Determinism: every SUM over data rows is an exact integer sum — each
+    value is quantized to micro-units map-side, so partial-aggregation
+    merge order can't move any result (a first cut used round(avg, 6),
+    whose float sum order occasionally flipped a rounding boundary
+    between suite runs). The per-dimension deviation delta = m·N − g·n
+    is exact DECIMAL(38,0); it is then normalized to a double per
+    dimension (single cast + divide on exact operands — no squared-
+    integer overflow at any scale) and the 64 squared deviations sum via
+    the repo's sequential fold, the same left-to-right order as DuckDB's
+    list_dot_product, so even that float sum is order-deterministic.
 
     Plan: one posexplode pass → (label, pos) integer sums → per-pos
     totals over that tiny frame → broadcast join back and a 64-row
@@ -138,18 +141,33 @@ def centroid_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,0)"
     delta = F.col("m").cast(dec) * F.col("total_n") - F.col("g").cast(dec) * F.col("n")
+    dev = delta.cast("double") / (
+        F.col("n").cast("double")
+        * F.col("total_n").cast("double")
+        * F.lit(float(DRIFT_SCALE))
+    )
     return (
         per.join(F.broadcast(grand), "pos")
+        .select("label", "pos", "n", dev.alias("dev"))
         .groupBy("label")
         .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, dev))), s -> s.dev)"
+            ).alias("devs"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
             F.round(
-                F.sqrt(F.sum((delta * delta).cast(dec)).cast("double"))
-                / (
-                    F.max("n") * F.max("total_n") * F.lit(float(DRIFT_SCALE))
+                F.sqrt(
+                    F.expr(
+                        "aggregate(zip_with(devs, devs, (x, y) -> x * y), "
+                        "cast(0.0 as double), (acc, v) -> acc + v)"
+                    )
                 ),
                 6,
             ).alias("l2_drift"),
-            F.max("n").alias("n_vectors"),
+            "n_vectors",
         )
     )
 
@@ -398,14 +416,16 @@ ORACLE_SQL["centroid_drift_by_label"] = f"""
         SELECT pos, SUM(m) AS g, SUM(n) AS total_n FROM per GROUP BY 1
     ),
     dev AS (
-        SELECT per.label, per.n, grand.total_n,
-               CAST(per.m AS HUGEINT) * grand.total_n
-                 - CAST(grand.g AS HUGEINT) * per.n AS delta
+        SELECT per.label, per.n, per.pos,
+               CAST(CAST(per.m AS HUGEINT) * grand.total_n
+                    - CAST(grand.g AS HUGEINT) * per.n AS DOUBLE)
+                 / (CAST(per.n AS DOUBLE) * CAST(grand.total_n AS DOUBLE)
+                    * {DRIFT_SCALE}.0) AS dev
         FROM per JOIN grand USING (pos)
     )
     SELECT label,
-           ROUND(SQRT(CAST(SUM(delta * delta) AS DOUBLE))
-                 / (MAX(n) * MAX(total_n) * {DRIFT_SCALE}.0), 6) AS l2_drift,
+           ROUND(SQRT(list_dot_product(list(dev ORDER BY pos),
+                                       list(dev ORDER BY pos))), 6) AS l2_drift,
            MAX(n) AS n_vectors
     FROM dev GROUP BY label
 """

@@ -309,12 +309,24 @@ def merge_upsert(
     from pyspark.sql.window import Window
 
     recover_compaction(path)
+    if os.path.isdir(os.path.join(path, "_spark_metadata")):
+        raise ValueError(
+            f"{path} is a streaming file sink (_spark_metadata present); "
+            "merging it would break the sink log — same constraint as "
+            "compact_partitioned."
+        )
     base = spark.read.parquet(path).withColumn("__src", F.lit(0))
     up = updates.withColumn("__src", F.lit(1))
     allr = base.unionByName(up, allowMissingColumns=True)
     order = [F.col("__src").desc()]
     if version_col:
         order.insert(0, F.col(version_col).desc_nulls_last())
+    # final tie-break: content hash over the non-marker columns, so two
+    # updates sharing key AND version pick the same winner on every run
+    # (row_number over a tied orderBy is otherwise partition-order luck;
+    # fully identical rows hash equal, where any winner is the same row)
+    data_cols = [c for c in allr.columns if c != "__src"]
+    order.append(F.xxhash64(*data_cols).asc())
     w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
     merged = (
         allr.withColumn("__rn", F.row_number().over(w))
@@ -328,10 +340,26 @@ def merge_upsert(
     staging = path.rstrip("/") + "__compacting"
     backup = path.rstrip("/") + "__precompact"
     merged.write.mode("overwrite").parquet(staging)
+    # carry foreachBatch idempotency markers across the swap, exactly as
+    # compact_partitioned does — losing them would let a restarted stream
+    # replay its last committed batch into the merged table
+    markers = os.path.join(path, "_batch_markers")
+    if os.path.isdir(markers):
+        shutil.copytree(markers, os.path.join(staging, "_batch_markers"))
+    # row count from the staged parquet footers (driver-side metadata
+    # read) — not a second full Spark job over the rewritten table
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(staging, "*.parquet"))
+    )
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
-    return spark.read.parquet(path).count()
+    return n
 
 
 def recover_compaction(path: str) -> str:

@@ -659,6 +659,35 @@ def approx_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# Bias keeps every representable Spark timestamp (years 1–9999, epoch µs
+# ∈ [−6.3e16, 2.53e17]) positive and exactly 18 digits wide, so the
+# lexicographic order of the padded string equals numeric order. lpad
+# TRUNCATES beyond its width — the id pad covers the full 20-digit int64
+# range; negative event ids are out of contract.
+_ORDER_KEY_BIAS = 100_000_000_000_000_000
+
+
+def event_order_key():
+    """Zero-padded biased-epoch-µs ‖ event_id string: the deterministic
+    (ts, event_id) ordering key every min_by/max_by consumer shares
+    (batch OHLC here, streaming OHLC in streaming/windows.py — the
+    pinned batch/stream agreement depends on the two staying
+    byte-identical, hence ONE definition)."""
+    return F.concat(
+        F.lpad(
+            (F.unix_micros("ts") + F.lit(_ORDER_KEY_BIAS)).cast("string"), 18, "0"
+        ),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+
+# The oracle-SQL form of `event_order_key` (same bias, same widths).
+ORDER_KEY_SQL = (
+    f"lpad(CAST(epoch_us(ts) + {_ORDER_KEY_BIAS} AS VARCHAR), 18, '0')"
+    " || lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
+
 def hourly_ohlc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars per (hour, event_type): first/last value by event time
     plus min/max — the first/last-by-ordering aggregation family
@@ -666,16 +695,14 @@ def hourly_ohlc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — no per-row window sort over the raw stream. (Spark plans
     ordered-buffer aggregates as SortAggregate — struct-min buffers hit
     the same fallback — but the partial/final split and the single
-    shuffle are what matter at scale.) Determinism on ANY data: ties on
-    ts break on event_id via a zero-padded epoch-µs‖event_id string key
-    (DuckDB's arg_min/arg_max take only scalar keys, so the composite is
-    encoded order-preservingly). Values pass through unchanged — no
+    shuffle are what matter at scale.) Ties on ts break on event_id via
+    the shared `event_order_key` string (DuckDB's arg_min/arg_max take
+    only scalar keys, so the composite is encoded order-preservingly —
+    biased epoch so pre-1970 timestamps order correctly, full-width id
+    pad so nothing truncates). Values pass through unchanged — no
     arithmetic, no rounding needed."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    key = event_order_key()
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
@@ -1025,14 +1052,12 @@ ORACLE_SQL: dict[str, str] = {
                tx_count - lag(tx_count) OVER (ORDER BY day) AS dod_change
         FROM daily
     """,
-    "hourly_ohlc_by_type": """
+    "hourly_ohlc_by_type": f"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+               arg_min(value, {ORDER_KEY_SQL}) AS open,
                MAX(value) AS high,
                MIN(value) AS low,
-               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                              || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+               arg_max(value, {ORDER_KEY_SQL}) AS close,
                COUNT(1) AS n_events
         FROM events GROUP BY 1, 2
     """,

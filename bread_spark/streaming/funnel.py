@@ -130,8 +130,17 @@ def _funnel_func(
     )
     target_ms = anchor // 1000 + 1000  # µs → ms, one tick past the bound
     if target_ms <= state.getCurrentWatermarkMs():
-        state.update(([], [], True))
-        state.setTimeoutTimestamp(target_ms + FUNNEL_TOMBSTONE_S * 1000)
+        if views:
+            # emitted a real row → tombstone so stragglers can't re-open
+            state.update(([], [], True))
+            state.setTimeoutTimestamp(target_ms + FUNNEL_TOMBSTONE_S * 1000)
+        else:
+            # nothing emitted → just drop the state. A future admitted
+            # view has ts ≥ watermark > every buffered event here, so the
+            # discarded clicks/purchases could never qualify against it
+            # (they precede t_view) — batch agreement survives without a
+            # tombstone, and the funnel CAN still open for this user.
+            state.remove()
         yield finalized(tss, types)
         return
     state.update((tss, types, False))
@@ -143,8 +152,21 @@ def funnel_stream(events_stream: DataFrame, lateness: str = "1 hour") -> DataFra
     """Per-user funnel stages over a stream of (user_id, event_type, ts);
     one finalized row per user who VIEWED, emitted when the event-time
     watermark passes their finalization point. Roll up downstream by
-    `CAST(t_view AS DATE)` for the batch operator's day-grain output."""
+    `CAST(t_view AS DATE)` for the batch operator's day-grain output.
+
+    Requires a UTC session timezone (the repo default): the state
+    function compares pandas-materialized event times — which Arrow
+    localizes to `spark.sql.session.timeZone` — against the UTC
+    watermark, so a non-UTC zone would skew finalization by the offset.
+    Guarded here instead of silently mis-finalizing."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"funnel_stream requires spark.sql.session.timeZone=UTC (got {tz}): "
+            "state-internal epoch math would be offset by the zone"
+        )
 
     return (
         events_stream.withWatermark("ts", lateness)

@@ -63,14 +63,13 @@ def windowed_ohlc(
     `models.hourly_ohlc_by_type` (min_by/max_by are declarative
     aggregates, so they run in streaming state like sum/count; the
     partial buffers merge across micro-batches and the window finalizes
-    at the watermark). Same padded epoch-µs‖event_id tie-break key as
-    the batch operator, so batch and stream agree exactly per window —
-    pinned in test_streaming_windows.py. Works on a static frame too
-    (watermark is a no-op in batch)."""
-    key = F.concat(
-        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    at the watermark). The SAME `models.event_order_key` tie-break as
+    the batch operator — one definition, so batch and stream agree
+    exactly per window, pinned in test_streaming_windows.py. Works on a
+    static frame too (watermark is a no-op in batch)."""
+    from ..models import event_order_key
+
+    key = event_order_key()
     return (
         events.withWatermark("ts", lateness)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
