@@ -180,6 +180,7 @@ def main() -> None:
         "dedup_normalized",
         "snapshot_diff",
         "importance_sample",
+        "value_histogram_by_type",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -246,6 +247,7 @@ def main() -> None:
         "dedup_normalized",
         "snapshot_diff",
         "importance_sample",
+        "value_histogram_by_type",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -748,6 +748,33 @@ def daily_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 25.0  # zero-anchored fixed-width bins
+
+
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    panel every monitoring dashboard draws. Zero-anchored bins of width
+    HIST_BIN_WIDTH; bin index = floor(value / width), deterministic in
+    both engines (one double divide + floor on identical inputs).
+
+    Plan: pure map-side bin assignment + one hash aggregate on
+    (type, bin) — output is O(types × occupied bins) regardless of input
+    size; the at-scale shape needs nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long")
+    return (
+        ev.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("bin") * HIST_BIN_WIDTH, 4).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
 def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization: clip value to the [p01, p99] band — the
     standard robust-preprocessing step before means/regressions so a few
@@ -1077,6 +1104,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM t WHERE dt_us IS NOT NULL
         GROUP BY 1, 2
     """,
+    "value_histogram_by_type": f"""
+        SELECT event_type,
+               CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+               ROUND(CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT)
+                     * {HIST_BIN_WIDTH}, 4) AS bin_lo,
+               COUNT(1) AS n
+        FROM events GROUP BY 1, 2, 3
+    """,
     "winsorize_values": """
         WITH b AS (
             SELECT event_type,
@@ -1208,6 +1243,7 @@ MODELS = {
     "txs_per_day_gapfilled": txs_per_day_gapfilled,
     "retention_cohorts": retention_cohorts,
     "winsorize_values": winsorize_values,
+    "value_histogram_by_type": value_histogram_by_type,
     "hourly_ohlc_by_type": hourly_ohlc_by_type,
     "daily_twap_by_type": daily_twap_by_type,
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,

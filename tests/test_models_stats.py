@@ -247,3 +247,20 @@ def test_twap_weights_by_interval(spark, tmp_path):
     assert got["click"]["twap"] == 17.5
     assert got["click"]["n_intervals"] == 2
     assert "view" not in got
+
+
+def test_histogram_bins_partition_the_corpus(spark, tmp_path):
+    """Bin totals must sum to the event count, bins are zero-anchored
+    width-25 (hand-checked boundaries: 24.99→bin 0, 25.0→bin 1), and
+    negatives floor downward (-0.5→bin -1)."""
+    from bread_spark.models import value_histogram_by_type
+
+    t0 = datetime.datetime(2024, 10, 1)
+    vals = [0.0, 24.99, 25.0, 49.9, 50.0, -0.5]
+    rows = [
+        (i, t0, 1, "click", v, "{}") for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r["bin"]: r["n"] for r in value_histogram_by_type(spark, sf).collect()}
+    assert got == {-1: 1, 0: 2, 1: 2, 2: 1}
+    assert sum(got.values()) == len(vals)
