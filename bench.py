@@ -181,6 +181,7 @@ def main() -> None:
         "snapshot_diff",
         "importance_sample",
         "value_histogram_by_type",
+        "bpe_merges",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -248,6 +249,7 @@ def main() -> None:
         "snapshot_diff",
         "importance_sample",
         "value_histogram_by_type",
+        "bpe_merges",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

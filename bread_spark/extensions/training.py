@@ -371,6 +371,92 @@ def decontaminate_bloom(
     )
 
 
+BPE_N_MERGES = 10
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Tokenizer training: learn the first `n_merges` BPE merges over the
+    corpus (Sennrich et al. 2016) — the missing piece between curation
+    and training: the tokenizer itself is fit on the corpus this engine
+    curates.
+
+    Distributed form: training runs on the WORD-FREQUENCY table, not the
+    raw corpus — one pass builds (word → count) (vocabulary-sized, the
+    classic BPE trainer state), then each of the n iterations is (a) an
+    adjacent-symbol-pair count weighted by word frequency (map-side
+    explode + one small aggregate), (b) a bounded driver argmax (ONE row
+    — max count, lexicographic pair as the deterministic tie-break), and
+    (c) a map-side regexp merge of the chosen pair in every word's
+    symbol string (left-to-right non-overlapping, the reference BPE
+    convention). The frame is localCheckpointed per iteration so lineage
+    doesn't grow with merges — the repo's iterative-algorithm idiom
+    (`dedup_clusters` does the same for label propagation).
+
+    Scale: the iteration state is O(vocabulary), independent of corpus
+    size — 100 TB of text still reduces to one word-count table; pair
+    counting and merging never touch raw documents again.
+
+    Rows-only by design (iterative, not SQL-expressible); pinned against
+    a reference single-process BPE implementation in test_training.py.
+    Returns (merge_rank, left, right, merged, pair_count).
+    """
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # symbol string: characters separated by spaces (the classic
+        # trainer representation; merges join adjacent symbols)
+        .select(
+            F.concat_ws(" ", F.split("w", "")).alias("syms"), "cnt"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(n_merges):
+        toks = F.split("syms", " ")
+        pairs = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        toks,
+                        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            # zip_with pads the shorter side with null → concat_ws drops
+            # it, leaving a pairless trailing token; filter those
+            .filter(F.col("pair").contains(" "))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("pair")).first()
+        if best is None or best["n"] < 2:
+            break
+        left, right = best["pair"].split(" ")
+        merged = left + right
+        merges.append((rank, left, right, merged, int(best["n"])))
+        pat = f"(?<=^|\\s){re.escape(left)} {re.escape(right)}(?=$|\\s)"
+        # Java replacement-string escaping: backslash and $ are special
+        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
+        old = words
+        words = words.select(
+            F.regexp_replace("syms", pat, repl).alias("syms"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+        old.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, merged string, pair_count long"
+    )
+
+
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,

@@ -108,6 +108,7 @@ _register(
         "decontaminate_bloom": training.decontaminate_bloom,  # rows-only (bloom ⊇ exact)
         "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
         "training_corpus": training.training_corpus,  # end-to-end curation composite
+        "bpe_merges": training.bpe_merges,  # rows-only (iterative tokenizer training)
         "training_corpus_neardup": training.training_corpus_neardup,  # + near-dup stage
     },
     training.ORACLE_SQL,

@@ -343,3 +343,89 @@ def test_importance_sample_weighted_keep(spark):
     lo_rate = len(kept1 & set(lo)) / len(lo)
     hi_rate = len(kept1 & set(hi)) / len(hi)
     assert hi_rate > lo_rate
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Single-process reference BPE trainer (Sennrich et al. 2016 shape):
+    greedy most-frequent adjacent pair, lexicographic (a, b) tie-break,
+    left-to-right non-overlapping merge application."""
+
+    def merge_word(t, a, b):
+        out, i = [], 0
+        while i < len(t):
+            if i < len(t) - 1 and t[i] == a and t[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(t[i])
+                i += 1
+        return out
+
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for t, c in vocab.items():
+            for a, b in zip(t, t[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        # Spark side orders by the "a b" joined string — match that
+        best = min((p for p, n in pairs.items() if n == top),
+                   key=lambda p: f"{p[0]} {p[1]}")
+        if pairs[best] < 2:
+            break
+        a, b = best
+        merges.append((rank, a, b, a + b, pairs[best]))
+        agg = {}
+        for t, c in vocab.items():
+            m = tuple(merge_word(list(t), a, b))
+            agg[m] = agg.get(m, 0) + c
+        vocab = agg
+    return merges
+
+
+def test_bpe_merges_match_reference(spark, tmp_path):
+    """The distributed BPE trainer must learn the exact merge sequence
+    the single-process reference learns on a hand-built corpus with
+    known structure (including an overlap case: 'aaaa' merges leftmost
+    first) and on frequency ties broken lexicographically."""
+    from bread_spark.extensions.training import bpe_merges
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest newest aaaa aaaa",
+    ]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(spark, str(tmp_path), n_merges=8).collect()
+    ]
+
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want = _reference_bpe(wc, 8)
+    assert got == want
+    # sanity on the known corpus: 'e s' / 'es t' chain from newest/widest
+    # dominates and the aaaa doubling merges leftmost-first
+    assert any(m[3] == "es" or m[3] == "st" for m in want)
+
+
+def test_bpe_merges_runs_on_corpus(spark):
+    """Smoke at SF_DIR: ranks are contiguous, counts non-increasing is
+    NOT required (a merge can create a more frequent pair), but every
+    count ≥ 2 and merged == left+right."""
+    from bread_spark.extensions.training import bpe_merges
+
+    rows = bpe_merges(spark, SF_DIR, n_merges=5).collect()
+    assert [r["merge_rank"] for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+        assert r["pair_count"] >= 2
