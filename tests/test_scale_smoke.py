@@ -333,3 +333,32 @@ def test_retention_cohorts_scale_exactly(spark, big_events):
     }
     assert set(big_cells) == set(small_cells)
     assert all(big_cells[k] == v * REPS for k, v in small_cells.items())
+
+
+def test_bpe_merges_invariant_under_corpus_replication(spark, tmp_path):
+    """Doubling the corpus doubles every pair count but must not change
+    the learned merge SEQUENCE — the trainer's decisions depend on
+    relative frequencies only (the property that makes the word-table
+    reduction scale-safe)."""
+    from bread_spark.extensions.training import bpe_merges
+
+    texts = ["low lower lowest", "new newer newest", "wide wider widest"]
+    for reps, sub in ((1, "a"), (2, "b")):
+        rows = []
+        for rep in range(reps):
+            for i, t in enumerate(texts):
+                rows.append((rep * 100 + i, t, "en", "web", len(t)))
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(str(tmp_path / sub / "documents.parquet"))
+
+    one = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(spark, str(tmp_path / "a"), n_merges=6).collect()
+    ]
+    two = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(spark, str(tmp_path / "b"), n_merges=6).collect()
+    ]
+    assert [(m[0], m[1], m[2]) for m in one] == [(m[0], m[1], m[2]) for m in two]
+    assert all(t[3] == 2 * o[3] for o, t in zip(one, two))
