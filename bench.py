@@ -182,6 +182,7 @@ def main() -> None:
         "importance_sample",
         "value_histogram_by_type",
         "bpe_merges",
+        "bpe_token_counts",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -250,6 +251,7 @@ def main() -> None:
         "importance_sample",
         "value_histogram_by_type",
         "bpe_merges",
+        "bpe_token_counts",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -457,6 +457,56 @@ def bpe_merges(
     )
 
 
+def apply_bpe_expr(col, merges: list[tuple[str, str]]):
+    """Column expression applying a learned merge list to a word's
+    space-joined symbol string — the same left-to-right regexp semantics
+    the trainer used, chained in merge order. Map-side only; the merge
+    list is a compile-time literal (tokenizers ship with the job)."""
+    import re
+
+    out = col
+    for left, right in merges:
+        pat = f"(?<=^|\\s){re.escape(left)} {re.escape(right)}(?=$|\\s)"
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def bpe_token_counts(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """The trainer's output CONSUMED: learn the first `n_merges` BPE
+    merges (`bpe_merges`), apply them to the corpus, and count the
+    resulting subword tokens — the train→tokenize loop end to end, and
+    the frequency table a sampler or packing job would read.
+
+    The merge list is collected once (n rows, bounded by construction)
+    and applied as chained map-side regexp replaces over the word-
+    frequency table; corpus-level counts are word-count-weighted, so raw
+    text is touched exactly once in the whole pipeline. Rows-only
+    (inherits the trainer's iterative provenance); application semantics
+    are pinned against the reference implementation via the trainer's
+    own test corpus."""
+    merge_rows = bpe_merges(spark, sf_dir, n_merges).collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.concat_ws(" ", F.split("w", "")).alias("syms"), "cnt")
+    )
+    applied = words.select(
+        apply_bpe_expr(F.col("syms"), merges).alias("syms"), "cnt"
+    )
+    return (
+        applied.select(F.explode(F.split("syms", " ")).alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
 def pack_sequences(
     spark: SparkSession,
     sf_dir: str,

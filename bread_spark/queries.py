@@ -109,6 +109,7 @@ _register(
         "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
         "training_corpus": training.training_corpus,  # end-to-end curation composite
         "bpe_merges": training.bpe_merges,  # rows-only (iterative tokenizer training)
+        "bpe_token_counts": training.bpe_token_counts,  # rows-only (train→apply loop)
         "training_corpus_neardup": training.training_corpus_neardup,  # + near-dup stage
     },
     training.ORACLE_SQL,

@@ -429,3 +429,48 @@ def test_bpe_merges_runs_on_corpus(spark):
     for r in rows:
         assert r["merged"] == r["left"] + r["right"]
         assert r["pair_count"] >= 2
+
+
+def test_bpe_token_counts_conserve_mass_and_merge(spark, tmp_path):
+    """Applying the learned merges must conserve character mass (every
+    subword token's chars × its count sums to the corpus character count
+    of non-space text) and actually produce multi-char tokens; totals
+    match a reference application of the same merges."""
+    from bread_spark.extensions.training import bpe_merges, bpe_token_counts
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "widest widest newest aaaa aaaa",
+    ]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    counts = {r["token"]: r["n"] for r in bpe_token_counts(spark, sf, n_merges=8).collect()}
+    assert any(len(t) > 1 for t in counts)  # merges actually applied
+
+    total_chars = sum(len(w) for t in texts for w in t.split(" ") if w)
+    assert sum(len(t) * n for t, n in counts.items()) == total_chars
+
+    # reference: re-learn with the reference trainer, apply by list walk
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    merges = [(m[1], m[2]) for m in _reference_bpe(wc, 8)]
+    ref = {}
+    for w, c in wc.items():
+        t = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(t):
+                if i < len(t) - 1 and t[i] == a and t[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(t[i]); i += 1
+            t = out
+        for tok in t:
+            ref[tok] = ref.get(tok, 0) + c
+    assert counts == ref
