@@ -374,54 +374,56 @@ def decontaminate_bloom(
 BPE_N_MERGES = 10
 
 
-def bpe_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
-) -> DataFrame:
-    """Tokenizer training: learn the first `n_merges` BPE merges over the
-    corpus (Sennrich et al. 2016) — the missing piece between curation
-    and training: the tokenizer itself is fit on the corpus this engine
-    curates.
+def apply_bpe_expr(col, merges: list[tuple[str, str]]):
+    """Column expression applying a merge list to a word's space-joined
+    symbol string, chained in merge order — THE single definition of
+    merge semantics: the trainer's per-iteration step and the applier
+    both call it, so train and apply can never diverge. Boundaries are
+    LITERAL single spaces (the symbol delimiter), not \\s — a symbol may
+    itself contain a tab/newline (words are split on ' ' alone), and a
+    \\s boundary would falsely split such symbols and merge across token
+    boundaries. Left-to-right non-overlapping, the reference BPE
+    convention. Map-side only; the merge list is a compile-time literal
+    (tokenizers ship with the job)."""
+    import re as _re
 
-    Distributed form: training runs on the WORD-FREQUENCY table, not the
-    raw corpus — one pass builds (word → count) (vocabulary-sized, the
-    classic BPE trainer state), then each of the n iterations is (a) an
-    adjacent-symbol-pair count weighted by word frequency (map-side
-    explode + one small aggregate), (b) a bounded driver argmax (ONE row
-    — max count, lexicographic pair as the deterministic tie-break), and
-    (c) a map-side regexp merge of the chosen pair in every word's
-    symbol string (left-to-right non-overlapping, the reference BPE
-    convention). The frame is localCheckpointed per iteration so lineage
-    doesn't grow with merges — the repo's iterative-algorithm idiom
-    (`dedup_clusters` does the same for label propagation).
+    out = col
+    for left, right in merges:
+        pat = f"(?<=^| ){_re.escape(left)} {_re.escape(right)}(?= |$)"
+        # Java replacement-string escaping: backslash and $ are special
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        out = F.regexp_replace(out, pat, repl)
+    return out
 
-    Scale: the iteration state is O(vocabulary), independent of corpus
-    size — 100 TB of text still reduces to one word-count table; pair
-    counting and merging never touch raw documents again.
 
-    Rows-only by design (iterative, not SQL-expressible); pinned against
-    a reference single-process BPE implementation in test_training.py.
-    Returns (merge_rank, left, right, merged, pair_count).
-    """
-    import re
-
+def _word_symbol_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer state: (space-joined character symbols, word
+    count) — vocabulary-sized, built in the pipeline's ONE pass over raw
+    text, eagerly checkpointed so the trainer's iterations and the
+    applier reuse it without rescanning documents."""
     docs = load_table(spark, sf_dir, "documents")
-    words = (
+    return (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # symbol string: characters separated by spaces (the classic
-        # trainer representation; merges join adjacent symbols)
-        .select(
-            F.concat_ws(" ", F.split("w", "")).alias("syms"), "cnt"
-        )
+        .select(F.concat_ws(" ", F.split("w", "")).alias("syms"), "cnt")
         .localCheckpoint(eager=True)
     )
-    merges = []
+
+
+def _bpe_merges_core(
+    words: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The greedy merge loop over a prepared word-symbol frame. Leaves
+    the caller's `words` frame persisted (callers may keep using it) and
+    unpersists every intermediate iteration frame, including the last."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = words
     for rank in range(n_merges):
         toks = F.split("syms", " ")
         pairs = (
-            words.select(
+            cur.select(
                 F.explode(
                     F.zip_with(
                         toks,
@@ -431,7 +433,7 @@ def bpe_merges(
                 ).alias("pair"),
                 "cnt",
             )
-            # zip_with pads the shorter side with null → concat_ws drops
+            # zip_with pads the shorter side with null -> concat_ws drops
             # it, leaving a pairless trailing token; filter those
             .filter(F.col("pair").contains(" "))
             .groupBy("pair")
@@ -441,62 +443,73 @@ def bpe_merges(
         if best is None or best["n"] < 2:
             break
         left, right = best["pair"].split(" ")
-        merged = left + right
-        merges.append((rank, left, right, merged, int(best["n"])))
-        pat = f"(?<=^|\\s){re.escape(left)} {re.escape(right)}(?=$|\\s)"
-        # Java replacement-string escaping: backslash and $ are special
-        repl = merged.replace("\\", "\\\\").replace("$", "\\$")
-        old = words
-        words = words.select(
-            F.regexp_replace("syms", pat, repl).alias("syms"),
-            "cnt",
+        merges.append((rank, left, right, left + right, int(best["n"])))
+        nxt = cur.select(
+            apply_bpe_expr(F.col("syms"), [(left, right)]).alias("syms"), "cnt"
         ).localCheckpoint(eager=True)
-        old.unpersist()
+        if cur is not words:
+            cur.unpersist()
+        cur = nxt
+    if cur is not words:
+        cur.unpersist()
+    return merges
+
+
+def bpe_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Tokenizer training: learn the first `n_merges` BPE merges over the
+    corpus (Sennrich et al. 2016) — the missing piece between curation
+    and training: the tokenizer itself is fit on the corpus this engine
+    curates.
+
+    Distributed form: training runs on the WORD-FREQUENCY table, not the
+    raw corpus — one pass builds (word -> count) (vocabulary-sized, the
+    classic BPE trainer state), then each of the n iterations is (a) an
+    adjacent-symbol-pair count weighted by word frequency (map-side
+    explode + one small aggregate), (b) a bounded driver argmax (ONE row
+    — max count, lexicographic pair as the deterministic tie-break), and
+    (c) a map-side merge of the chosen pair via `apply_bpe_expr` (the
+    shared merge-semantics definition). The frame is localCheckpointed
+    per iteration so lineage doesn't grow with merges — the repo's
+    iterative-algorithm idiom (`dedup_clusters` does the same for label
+    propagation) — and every iteration frame is unpersisted once
+    superseded.
+
+    Scale: the iteration state is O(vocabulary), independent of corpus
+    size — 100 TB of text still reduces to one word-count table; pair
+    counting and merging never touch raw documents again.
+
+    Rows-only by design (iterative, not SQL-expressible); pinned against
+    a reference single-process BPE implementation in test_training.py.
+    Returns (merge_rank, left, right, merged, pair_count).
+    """
+    words = _word_symbol_frame(spark, sf_dir)
+    merges = _bpe_merges_core(words, n_merges)
+    words.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, merged string, pair_count long"
     )
-
-
-def apply_bpe_expr(col, merges: list[tuple[str, str]]):
-    """Column expression applying a learned merge list to a word's
-    space-joined symbol string — the same left-to-right regexp semantics
-    the trainer used, chained in merge order. Map-side only; the merge
-    list is a compile-time literal (tokenizers ship with the job)."""
-    import re
-
-    out = col
-    for left, right in merges:
-        pat = f"(?<=^|\\s){re.escape(left)} {re.escape(right)}(?=$|\\s)"
-        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
-        out = F.regexp_replace(out, pat, repl)
-    return out
 
 
 def bpe_token_counts(
     spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
 ) -> DataFrame:
     """The trainer's output CONSUMED: learn the first `n_merges` BPE
-    merges (`bpe_merges`), apply them to the corpus, and count the
-    resulting subword tokens — the train→tokenize loop end to end, and
-    the frequency table a sampler or packing job would read.
+    merges, apply them to the corpus, and count the resulting subword
+    tokens — the train->tokenize loop end to end, and the frequency table
+    a sampler or packing job would read.
 
-    The merge list is collected once (n rows, bounded by construction)
-    and applied as chained map-side regexp replaces over the word-
-    frequency table; corpus-level counts are word-count-weighted, so raw
-    text is touched exactly once in the whole pipeline. Rows-only
-    (inherits the trainer's iterative provenance); application semantics
-    are pinned against the reference implementation via the trainer's
-    own test corpus."""
-    merge_rows = bpe_merges(spark, sf_dir, n_merges).collect()
-    merges = [(r["left"], r["right"]) for r in merge_rows]
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.concat_ws(" ", F.split("w", "")).alias("syms"), "cnt")
-    )
+    The word-symbol frame is built ONCE and shared by the trainer's
+    iterations and the application pass (raw text really is touched
+    exactly once across train+apply); the merge list is collected once
+    (n rows, bounded by construction) and applied as chained map-side
+    regexp replaces. The shared frame stays checkpointed because the
+    returned plan reads it lazily. Rows-only (inherits the trainer's
+    iterative provenance); application semantics are pinned against the
+    reference implementation via the trainer's own test corpus."""
+    words = _word_symbol_frame(spark, sf_dir)
+    merges = [(m[1], m[2]) for m in _bpe_merges_core(words, n_merges)]
     applied = words.select(
         apply_bpe_expr(F.col("syms"), merges).alias("syms"), "cnt"
     )

@@ -131,9 +131,18 @@ def _funnel_func(
     target_ms = anchor // 1000 + 1000  # µs → ms, one tick past the bound
     if target_ms <= state.getCurrentWatermarkMs():
         if views:
-            # emitted a real row → tombstone so stragglers can't re-open
+            # emitted a real row → tombstone so stragglers can't re-open.
+            # Clamp the TTL timer above the watermark: after a backfill
+            # replay the finalization point (and even point + TTL) can
+            # already be far behind it, and setTimeoutTimestamp REJECTS
+            # timestamps below the watermark (query-crashing error).
             state.update(([], [], True))
-            state.setTimeoutTimestamp(target_ms + FUNNEL_TOMBSTONE_S * 1000)
+            state.setTimeoutTimestamp(
+                max(
+                    target_ms + FUNNEL_TOMBSTONE_S * 1000,
+                    state.getCurrentWatermarkMs() + 1000,
+                )
+            )
         else:
             # nothing emitted → just drop the state. A future admitted
             # view has ts ≥ watermark > every buffered event here, so the

@@ -474,3 +474,32 @@ def test_bpe_token_counts_conserve_mass_and_merge(spark, tmp_path):
         for tok in t:
             ref[tok] = ref.get(tok, 0) + c
     assert counts == ref
+
+
+def test_bpe_merges_literal_space_boundary_with_tab_symbols(spark, tmp_path):
+    """Regression: symbols may contain tabs/newlines (words split on ' '
+    only), so merge boundaries must be LITERAL spaces — a \\s boundary
+    falsely splits a tab-containing symbol and merges across token
+    boundaries. Corpus reproduces the reviewed divergence: after merging
+    ('\\t','a'), the word 'c\\tab' holds symbol '\\ta'; merging ('a','b')
+    must NOT fire inside it."""
+    from bread_spark.extensions.training import bpe_merges
+
+    texts = ["\ta \ta \ta \ta \ta ab ab ab ab", "c\tab c\tab c\tab"]
+    rows = [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(spark, str(tmp_path), n_merges=4).collect()
+    ]
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want = [(m[0], m[1], m[2], m[4]) for m in _reference_bpe(wc, 4)]
+    assert got == want
+    assert ("\ta", "b") in {(m[1], m[2]) for m in got}  # the case \s gets wrong
