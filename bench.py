@@ -183,6 +183,7 @@ def main() -> None:
         "value_histogram_by_type",
         "bpe_merges",
         "bpe_token_counts",
+        "key_skew_report",
         # the 100 TB bucket-split plan (window twin shares its oracle;
         # benching both would double-pay the bigram LM build it contains)
         "perplexity_buckets_distributed",
@@ -252,6 +253,7 @@ def main() -> None:
         "value_histogram_by_type",
         "bpe_merges",
         "bpe_token_counts",
+        "key_skew_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

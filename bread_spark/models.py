@@ -748,6 +748,42 @@ def daily_twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOP_K = 10
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the events stream keyed on user_id:
+    the top-k heaviest keys with their share of all rows, plus the
+    corpus-wide skew ratio (max key count / mean key count) on every row
+    — the report an operator reads before sizing a shuffle join (a ratio
+    near 1 means hash partitioning is fine; a hot ratio says salt or
+    broadcast; see plans/skew.py for the remedies).
+
+    Plan: one count-per-key aggregate, a one-row global summary
+    broadcast back, TakeOrderedAndProject for the top-k. All doubles are
+    exact-integer ratios rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("row_share"),
+            F.round(
+                F.col("max_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(SKEW_TOP_K)
+    )
+
+
 HIST_BIN_WIDTH = 25.0  # zero-anchored fixed-width bins
 
 
@@ -1104,6 +1140,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM t WHERE dt_us IS NOT NULL
         GROUP BY 1, 2
     """,
+    "key_skew_report": f"""
+        WITH per_key AS (
+            SELECT user_id, COUNT(1) AS n_rows FROM events GROUP BY 1
+        ),
+        t AS (
+            SELECT SUM(n_rows) AS total_rows, COUNT(1) AS n_keys,
+                   MAX(n_rows) AS max_rows
+            FROM per_key
+        )
+        SELECT p.user_id, p.n_rows,
+               ROUND(p.n_rows / CAST(t.total_rows AS DOUBLE), 6) AS row_share,
+               ROUND(t.max_rows * t.n_keys / CAST(t.total_rows AS DOUBLE), 4)
+                   AS skew_ratio
+        FROM per_key p CROSS JOIN t
+        ORDER BY p.n_rows DESC, p.user_id ASC
+        LIMIT {SKEW_TOP_K}
+    """,
     "value_histogram_by_type": f"""
         SELECT event_type,
                CAST(FLOOR(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
@@ -1244,6 +1297,7 @@ MODELS = {
     "retention_cohorts": retention_cohorts,
     "winsorize_values": winsorize_values,
     "value_histogram_by_type": value_histogram_by_type,
+    "key_skew_report": key_skew_report,
     "hourly_ohlc_by_type": hourly_ohlc_by_type,
     "daily_twap_by_type": daily_twap_by_type,
     "approx_value_percentiles_by_type": approx_value_percentiles_by_type,

@@ -264,3 +264,23 @@ def test_histogram_bins_partition_the_corpus(spark, tmp_path):
     got = {r["bin"]: r["n"] for r in value_histogram_by_type(spark, sf).collect()}
     assert got == {-1: 1, 0: 2, 1: 2, 2: 1}
     assert sum(got.values()) == len(vals)
+
+
+def test_key_skew_report_flags_planted_hot_key(spark, tmp_path):
+    """A planted hot key (80% of rows) must rank first with the right
+    share, and skew_ratio = max·keys/total is hand-checkable."""
+    from bread_spark.models import key_skew_report
+
+    t0 = datetime.datetime(2024, 11, 1)
+    rows = []
+    for i in range(80):
+        rows.append((i, t0, 7, "click", 1.0, "{}"))  # hot user 7
+    for i in range(20):
+        rows.append((100 + i, t0, i % 5, "click", 1.0, "{}"))  # 5 cold users
+    sf = _write_events(spark, tmp_path, rows)
+    out = key_skew_report(spark, sf).collect()
+    top = out[0]
+    assert top["user_id"] == 7 and top["n_rows"] == 80
+    assert top["row_share"] == 0.8
+    assert top["skew_ratio"] == round(80 * 6 / 100, 4)  # 4.8
+    assert all(r["skew_ratio"] == top["skew_ratio"] for r in out)
