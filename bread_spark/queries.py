@@ -177,6 +177,21 @@ _register(
 # Rotated OUT this round: everything last green in r5 that isn't named
 # below (bigram_logprob_scores, corpus_mix*, the IBC hourly/cum family,
 # asof/interval/windows, etc.) — all ≤1 round old and test_oracle-green.
+#
+# ROUND-7 ROTATION NOTE (for the next window planner): the round-6
+# THIRD-WAVE entries were registered after this window was frozen and so
+# have no driver evidence yet — oracle-backed: project_embeddings,
+# conversion_funnel, value_zscore_outliers, daily_value_moving_avg,
+# txs_per_day_gapfilled, retention_cohorts, winsorize_values,
+# centroid_drift_by_label, hourly_ohlc_by_type, daily_twap_by_type,
+# dedup_normalized, snapshot_diff, importance_sample,
+# value_histogram_by_type, key_skew_report, span_dedup_corpus,
+# label_mix_by_source, trigram/bm25/tfidf/kl/vocab_growth/
+# quality_by_source/contamination_report cohort (window slots permitting);
+# rows-only: bpe_merges, bpe_token_counts, approx_value_percentiles_by_
+# type, cluster_quota_sample refresh. All are green in this round's
+# in-repo driver-faithful differential — prioritize them first in r7,
+# then re-warm whatever the r6 CORRECTNESS leaves ≥2 rounds stale.
 _SAMPLE_PRIORITY = (
     # 1 — the four r5 reds, fixed this round (4)
     "domain_token_quota",  # oracle cum_tokens now CAST AS BIGINT
