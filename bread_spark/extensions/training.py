@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..plans.materialize import register_side_cache
 
 # Per-language keep rates as first-md5-byte hex cutoffs: en is dominant
 # in the corpus → 25%; the rest keep 75%. ("ff" would be ~100%.)
@@ -420,9 +421,11 @@ def _word_symbol_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Learned merge lists per (applicationId, realpath(sf_dir), n_merges) —
 # the driver-side twin of the frame seam above: training is deterministic
 # for a fixed corpus, so `bpe_merges` and `bpe_token_counts` in one
-# session share one training run instead of re-learning. A new session or
-# corpus always retrains (same key contract as plans/materialize.py).
-_MERGE_CACHE: dict[tuple, list] = {}
+# session share one training run instead of re-learning. Registered with
+# the seam registry so `clear_materialized_frames()` invalidates the
+# merges TOGETHER with the word frame — a rebuilt frame must never pair
+# with stale merges.
+_MERGE_CACHE: dict[tuple, list] = register_side_cache({})
 
 
 def _learned_merges(

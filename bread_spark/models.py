@@ -775,8 +775,12 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_rows",
             F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("row_share"),
+            # divide-first: max·keys as an integer product wraps int64 in
+            # exactly the hot-key-at-scale regime this report exists for
             F.round(
-                F.col("max_rows") * F.col("n_keys") / F.col("total_rows"), 4
+                F.col("max_rows")
+                / (F.col("total_rows") / F.col("n_keys").cast("double")),
+                4,
             ).alias("skew_ratio"),
         )
         .orderBy(F.desc("n_rows"), F.asc("user_id"))
@@ -1151,7 +1155,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT p.user_id, p.n_rows,
                ROUND(p.n_rows / CAST(t.total_rows AS DOUBLE), 6) AS row_share,
-               ROUND(t.max_rows * t.n_keys / CAST(t.total_rows AS DOUBLE), 4)
+               ROUND(t.max_rows / (t.total_rows / CAST(t.n_keys AS DOUBLE)), 4)
                    AS skew_ratio
         FROM per_key p CROSS JOIN t
         ORDER BY p.n_rows DESC, p.user_id ASC

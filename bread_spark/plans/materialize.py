@@ -59,7 +59,25 @@ def materialized_frame(
     return df
 
 
+# Driver-side value caches that live beside the frame seams (e.g. the
+# BPE learned-merge lists): modules register theirs so ONE clear hook
+# invalidates every seam-scoped cache together — a frame rebuilt after
+# clearing must never pair with a stale sibling value.
+_SIDE_CACHES: list[dict] = []
+
+
+def register_side_cache(cache: dict) -> dict:
+    """Register a module-level dict whose entries share the seam cache's
+    key contract (applicationId + inputs); it will be emptied by
+    `clear_materialized_frames`. Returns the dict for inline use."""
+    _SIDE_CACHES.append(cache)
+    return cache
+
+
 def clear_materialized_frames() -> None:
-    """Drop every cached seam frame (test isolation hook). The checkpoint
-    blocks are freed by the ContextCleaner once the references go."""
+    """Drop every cached seam frame AND registered side cache (test
+    isolation hook). The checkpoint blocks are freed by the
+    ContextCleaner once the references go."""
     _CACHE.clear()
+    for c in _SIDE_CACHES:
+        c.clear()
