@@ -1,9 +1,11 @@
 """Benchmark runner — the driver executes this per-round at sf0.1.
 
 Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints the full
+per-query detail JSON line first, then ONE compact summary JSON line
+LAST: {"metric": ..., "value": total_sec, "unit": "sec", "subtotals":
+{...}, "queries": {slowest 8}, "sf": ...}. The summary is last and
+<1.8 kB because the driver records only the final ~2000 chars of stdout.
 
 Each query is fully materialized via a count over the final plan (collect
 would be driver-bound for wide results; count forces the same computation).
@@ -340,40 +342,61 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    subtotals = {
+        "r4_comparable": round(
+            sum(
+                v
+                for k, v in timings.items()
+                if k not in R5_ADDITIONS and k not in R6_ADDITIONS
+            ),
+            3,
+        ),
+        "r5_additions": round(
+            sum(v for k, v in timings.items() if k in R5_ADDITIONS), 3
+        ),
+        "r6_additions": round(
+            sum(v for k, v in timings.items() if k in R6_ADDITIONS), 3
+        ),
+        "frozen_r5_set": round(
+            sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3
+        ),
+    }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail FIRST (humans / PERF_NOTES). The driver keeps
+    # only the last ~2000 chars of stdout and json-parses what it finds
+    # there; at 90+ queries this detail line alone is >3 kB (BENCH_r06
+    # shipped parsed:null because of it), so it must NOT be last.
     print(
         json.dumps(
             {
-                "metric": "bread_spark_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "cold_total": cold_total,
-                "warm_passes": WARM_PASSES,
-                "subtotals": {
-                    "r4_comparable": round(
-                        sum(
-                            v
-                            for k, v in timings.items()
-                            if k not in R5_ADDITIONS and k not in R6_ADDITIONS
-                        ),
-                        3,
-                    ),
-                    "r5_additions": round(
-                        sum(v for k, v in timings.items() if k in R5_ADDITIONS), 3
-                    ),
-                    "r6_additions": round(
-                        sum(v for k, v in timings.items() if k in R6_ADDITIONS), 3
-                    ),
-                    "frozen_r5_set": round(
-                        sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3
-                    ),
-                },
+                "detail": "per_query_medians_sec",
                 "queries": timings,
-                "parse_events_rows": parse_rows,
                 "parse_input_blocks": PARSE_N_BLOCKS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+    # Compact machine-readable summary LAST — the driver's record. The
+    # per-query map is capped to the slowest entries so this line stays
+    # far under the 2000-char tail capture no matter how the catalog grows.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
+    )
+    summary = json.dumps(
+        {
+            "metric": "bread_spark_headline_queries",
+            "value": total,
+            "unit": "sec",
+            "cold_total": cold_total,
+            "warm_passes": WARM_PASSES,
+            "n_queries": len(timings),
+            "subtotals": subtotals,
+            "queries": slowest,
+            "parse_events_rows": parse_rows,
+            "sf": sf_val,
+        }
+    )
+    assert len(summary) < 1800, f"summary line too long ({len(summary)} chars)"
+    print(summary)
     spark.stop()
 
 

@@ -22,14 +22,19 @@ precision, so the closed form compares exactly the instants the batch
 operator compares (second-truncation would move sub-second orderings
 and horizon boundaries).
 
-After finalization the state collapses to a TOMBSTONE (done flag, no
-buffer): events arriving later for the same user are ignored instead of
-re-opening the funnel, preserving the one-row-per-user contract the
-batch operator has. The tombstone self-evicts one `FUNNEL_TOMBSTONE_S`
-after finalization — an event older than that horizon arriving for a
-finalized user would double-count, so size it to how long a user id can
-plausibly stay active past their funnel (state cost: one boolean per
-finalized user within the TTL).
+After finalization the state collapses to a TOMBSTONE (the TTL deadline
+in event-time ms, no buffer): events arriving later for the same user
+are ignored instead of re-opening the funnel, preserving the
+one-row-per-user contract the batch operator has. The tombstone
+self-evicts one `FUNNEL_TOMBSTONE_S` after finalization — an event
+older than that horizon arriving for a finalized user would
+double-count, so size it to how long a user id can plausibly stay
+active past their funnel (state cost: one long per finalized user
+within the TTL). The deadline lives IN the state tuple — not only in
+the timer — so straggler deliveries can re-arm the timer against it
+regardless of whether the engine resets pending timeouts per
+invocation (the documented Scala contract) or preserves them (what the
+Spark 4.1 Python wrapper does).
 
 State size: a user's buffered events until finalization — bounded by
 the watermark horizon past `first_view + 2·horizon` (and in a real
@@ -49,7 +54,7 @@ from pyspark.sql import DataFrame
 US = 1_000_000
 FUNNEL_HORIZON_US = 24 * 3600 * US
 FUNNEL_TOMBSTONE_S = 30 * 24 * 3600  # keep the done-flag 30 days of event time
-FUNNEL_STATE_SCHEMA = "tss array<long>, types array<string>, done boolean"
+FUNNEL_STATE_SCHEMA = "tss array<long>, types array<string>, done_until_ms long"
 FUNNEL_OUTPUT_SCHEMA = (
     "user_id long, t_view timestamp, t_click timestamp, t_purchase timestamp"
 )
@@ -96,13 +101,34 @@ def _funnel_func(
             columns=["user_id", "t_view", "t_click", "t_purchase"],
         )
 
-    if state.exists and state.get[2]:
+    if state.exists and state.get[2] is not None:
         # tombstone: the funnel already emitted — swallow stragglers until
-        # the TTL timer (set at finalization) removes the flag
+        # event time passes the TTL deadline STORED IN THE STATE. The
+        # deadline lives in the tuple, not only in the timer, because the
+        # documented GroupState contract (the Scala engine's
+        # flatMapGroupsWithState) resets a pending timeout on every
+        # invocation for the key; Spark 4.1's Python wrapper happens to
+        # echo the old timer back when unchanged (pyspark/sql/streaming/
+        # state.py constructs GroupState WITH the prior timeoutTimestamp),
+        # but relying on that implementation detail would let one
+        # straggler cancel the TTL for good if the wrapper ever matches
+        # the documented semantics. Re-deriving the timer from the stored
+        # deadline makes eviction correct under either behavior.
+        deadline_ms = state.get[2]
         for _ in pdf_iter:
             pass
-        if state.hasTimedOut:
+        if state.getCurrentWatermarkMs() >= deadline_ms:
+            # expired — whether we got here via timeout or via a straggler
+            # arriving after the deadline, the contract is the same
             state.remove()
+        else:
+            # re-arm against the stored deadline (a no-op if the old timer
+            # survived the invocation); clamp above the watermark —
+            # setTimeoutTimestamp rejects timestamps at/below it
+            state.update(([], [], deadline_ms))
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1000)
+            )
         yield empty
         return
 
@@ -132,16 +158,17 @@ def _funnel_func(
     if target_ms <= state.getCurrentWatermarkMs():
         if views:
             # emitted a real row → tombstone so stragglers can't re-open.
-            # Clamp the TTL timer above the watermark: after a backfill
-            # replay the finalization point (and even point + TTL) can
-            # already be far behind it, and setTimeoutTimestamp REJECTS
-            # timestamps below the watermark (query-crashing error).
-            state.update(([], [], True))
+            # The TTL deadline is persisted in the state (third field) so
+            # straggler invocations — which clear the pending timer — can
+            # re-arm it against the same fixed point. Clamp the timer
+            # above the watermark: after a backfill replay the
+            # finalization point (and even point + TTL) can already be
+            # far behind it, and setTimeoutTimestamp REJECTS timestamps
+            # below the watermark (query-crashing error).
+            deadline_ms = target_ms + FUNNEL_TOMBSTONE_S * 1000
+            state.update(([], [], deadline_ms))
             state.setTimeoutTimestamp(
-                max(
-                    target_ms + FUNNEL_TOMBSTONE_S * 1000,
-                    state.getCurrentWatermarkMs() + 1000,
-                )
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1000)
             )
         else:
             # nothing emitted → just drop the state. A future admitted
@@ -152,7 +179,7 @@ def _funnel_func(
             state.remove()
         yield finalized(tss, types)
         return
-    state.update((tss, types, False))
+    state.update((tss, types, None))
     state.setTimeoutTimestamp(target_ms)
     yield empty
 

@@ -110,3 +110,45 @@ def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
     assert got[5] == (BASE + H, BASE + 2 * H + us, None)
     # tombstone: u1's post-finalization view did not produce a second row
     assert got[1] == (BASE, BASE + 2 * H, BASE + 3 * H)
+
+
+def test_tombstone_survives_straggler_and_self_evicts(spark, tmp_path):
+    """The documented GroupState contract resets a pending timeout on
+    every invocation for the key, so a straggler delivered to a
+    TOMBSTONED user could cancel the TTL timer for good (Spark 4.1's
+    Python wrapper happens to preserve it, but that is an implementation
+    detail). The TTL deadline therefore lives in the state tuple and
+    every tombstone invocation re-arms the timer against it — eviction
+    is pinned by reading the state store itself after the TTL passes."""
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+
+    batches = (
+        # u1 converts; pusher 90 advances the watermark past u1's
+        # finalization point (BASE+2d) on the NEXT run
+        [(1, "view", BASE), (1, "click", BASE + H), (90, "view", BASE + 3 * D)],
+        # u1's timer fires during this run → emits + tombstones
+        # (deadline = finalization point + 30 d ≈ BASE+32d)
+        [(91, "view", BASE + 10 * D)],
+        # on-time straggler for the TOMBSTONED u1 — this invocation clears
+        # the pending TTL timer; the fix re-arms it from the stored deadline
+        [(1, "view", BASE + 11 * D)],
+        # push the watermark past the deadline...
+        [(92, "view", BASE + 50 * D)],
+        # ...and run once more so the re-armed timer fires → state removed
+        [(93, "view", BASE + 51 * D)],
+    )
+    for i, b in enumerate(batches, 1):
+        _write(src, f"b{i}.json", b)
+        _run(spark, src, ckpt, sink)
+
+    rows = spark.read.parquet(sink).collect()
+    # exactly one output row for u1 (the straggler view never re-opened it)
+    assert [r["t_view"] for r in rows if r["user_id"] == 1] == [BASE]
+
+    state = spark.read.format("statestore").load(ckpt)
+    state_users = {r["key"]["user_id"] for r in state.collect()}
+    assert 1 not in state_users, (
+        "tombstone for u1 still in the state store after its TTL passed — "
+        "the straggler cancelled the timeout and it was never re-armed"
+    )
