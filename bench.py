@@ -151,6 +151,10 @@ def main() -> None:
         # per-doc TF-IDF keywords, per-source KL drift, Heaps-law vocab
         # growth, per-source quality rollup
         "trigram_logprob_scores",
+        # round-7 additions: 5-gram deleted-interpolation LM (KenLM
+        # order) + the CCNet bucket split under it (seam-shared scores)
+        "ngram5_logprob_scores",
+        "perplexity_buckets_ngram5",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -258,6 +262,13 @@ def main() -> None:
         "key_skew_report",
     }
 
+    # Queries first benched in round 7 — same exclusion rules as
+    # R6_ADDITIONS (out of r4_comparable and the frozen gate set).
+    R7_ADDITIONS = {
+        "ngram5_logprob_scores",
+        "perplexity_buckets_ngram5",
+    }
+
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
     # of r5 + parse_events_wide) are the official perf denominator from
@@ -347,7 +358,9 @@ def main() -> None:
             sum(
                 v
                 for k, v in timings.items()
-                if k not in R5_ADDITIONS and k not in R6_ADDITIONS
+                if k not in R5_ADDITIONS
+                and k not in R6_ADDITIONS
+                and k not in R7_ADDITIONS
             ),
             3,
         ),
@@ -356,6 +369,9 @@ def main() -> None:
         ),
         "r6_additions": round(
             sum(v for k, v in timings.items() if k in R6_ADDITIONS), 3
+        ),
+        "r7_additions": round(
+            sum(v for k, v in timings.items() if k in R7_ADDITIONS), 3
         ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3

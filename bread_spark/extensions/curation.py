@@ -542,6 +542,69 @@ def lm_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized_frame(spark, "lm_big", sf_dir, build)
 
 
+def _gram_stream(w: DataFrame, k: int, names: tuple, with_doc: bool = True) -> DataFrame:
+    """Exploded k-gram stream from a (doc_id, toks) frame — in-array
+    construction (one higher-order transform over the split the scan
+    already did; zero shuffles), the bigram/trigram idiom generalized to
+    any order. ``greatest(…, 0)`` guards the ANSI-mode negative slice
+    length on docs shorter than k tokens."""
+    fields = ", ".join(
+        [f"toks[i + {j}] AS {nm}" for j, nm in enumerate(names[:-1])]
+        + [f"t AS {names[-1]}"]
+    )
+    head = ["doc_id"] if with_doc else []
+    return w.select(
+        *head,
+        F.explode(
+            F.expr(
+                f"transform(slice(toks, {k}, greatest(size(toks) - {k - 1}, 0)), "
+                f"(t, i) -> struct({fields}))"
+            )
+        ).alias("p"),
+    ).select(*head, *[f"p.{nm}" for nm in names])
+
+
+def _doc_toks(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks) — the shared split+filter every LM build starts from."""
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
+
+
+def lm_trigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once trigram count table (w1, w2, w3, n123) — shared by
+    the trigram scorer AND the 5-gram chain (which reads it twice: as
+    the order-4 denominator and the order-3 backoff numerator). See
+    `lm_unigram_frame` for the cache contract."""
+    from ..plans.materialize import materialized_frame
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return (
+            _gram_stream(_doc_toks(docs), 3, ("w1", "w2", "w3"), with_doc=False)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).alias("n123"))
+        )
+
+    return materialized_frame(spark, "lm_tri", sf_dir, build)
+
+
+def lm_quadgram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once 4-gram count table (w1..w4, n1234) — the 5-gram
+    chain reads it twice (order-5 denominator, order-4 backoff
+    numerator). See `lm_unigram_frame` for the cache contract."""
+    from ..plans.materialize import materialized_frame
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        return (
+            _gram_stream(_doc_toks(docs), 4, ("w1", "w2", "w3", "w4"), with_doc=False)
+            .groupBy("w1", "w2", "w3", "w4")
+            .agg(F.count(F.lit(1)).alias("n1234"))
+        )
+
+    return materialized_frame(spark, "lm_quad", sf_dir, build)
+
+
 def bigram_logprob_scores_df(
     docs: DataFrame, uni: DataFrame | None = None, big: DataFrame | None = None
 ) -> DataFrame:
@@ -632,15 +695,33 @@ def trigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         uni=lm_unigram_frame(spark, sf_dir),
         big=lm_bigram_frame(spark, sf_dir),
+        tri=lm_trigram_frame(spark, sf_dir),
     )
 
 
 def trigram_logprob_scores_df(
-    docs: DataFrame, uni: DataFrame | None = None, big: DataFrame | None = None
+    docs: DataFrame,
+    uni: DataFrame | None = None,
+    big: DataFrame | None = None,
+    tri: DataFrame | None = None,
+    broadcast_lm: bool = True,
 ) -> DataFrame:
     """`trigram_logprob_scores` core over any (doc_id, text) frame.
-    `uni`/`big` accept the shared LM count seams (the lower-order tables
-    are identical to the bigram build's)."""
+    `uni`/`big`/`tri` accept the shared LM count seams (the lower-order
+    tables are identical to the bigram build's; the trigram table is
+    shared with the 5-gram chain).
+
+    `broadcast_lm` is the scale switch (the BM25 df/idf convention): at
+    test/benchmark vocab the LM count tables are KB-scale, so every
+    scoring join is hinted broadcast — zero extra shuffles past the
+    count aggregates themselves. Above executor-memory vocab (a real
+    web-corpus trigram table is tens of GB) pass False and the same
+    joins run as keyed shuffle joins on the n-gram — no driver state,
+    no collect, the plan stays correct at any vocabulary (the 1-row
+    corpus-total frame stays broadcast in both modes; it never grows). Both modes
+    are plan-asserted and result-equality-pinned in
+    tests/test_plans.py."""
+    _hint = F.broadcast if broadcast_lm else (lambda f: f)
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     w = docs.select("doc_id", toks_arr.alias("toks")).filter(F.size("toks") >= 1)
     toks = w.select("doc_id", F.explode("toks").alias("token"))
@@ -670,12 +751,13 @@ def trigram_logprob_scores_df(
     total = uni.agg(F.sum("n").alias("total"))
     if big is None:
         big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    tri = triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+    if tri is None:
+        tri = triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
 
     # token 1: unigram
     first_lp = (
         w.select("doc_id", F.col("toks")[0].alias("token"))
-        .join(F.broadcast(uni), "token")
+        .join(_hint(uni), "token")
         .join(F.broadcast(total))
         .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
     )
@@ -683,8 +765,8 @@ def trigram_logprob_scores_df(
     u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
     lm_pair = (
-        big.join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        big.join(_hint(u1), "w1")
+        .join(_hint(u2), "w2")
         .join(F.broadcast(total))
         .select(
             "w1",
@@ -698,7 +780,7 @@ def trigram_logprob_scores_df(
     second_lp = (
         w.filter(F.size("toks") >= 2)
         .select("doc_id", F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w2"))
-        .join(F.broadcast(lm_pair), ["w1", "w2"])
+        .join(_hint(lm_pair), ["w1", "w2"])
         .select("doc_id", "lp")
     )
     # tokens ≥ 3: trigram with the bigram/unigram backoff chain — score
@@ -710,10 +792,10 @@ def trigram_logprob_scores_df(
     u2c = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
     u3 = uni.select(F.col("token").alias("w3"), F.col("n").alias("n3"))
     lm_tri = (
-        tri.join(F.broadcast(big12), ["w1", "w2"])
-        .join(F.broadcast(big23), ["w2", "w3"])
-        .join(F.broadcast(u2c), "w2")
-        .join(F.broadcast(u3), "w3")
+        tri.join(_hint(big12), ["w1", "w2"])
+        .join(_hint(big23), ["w2", "w3"])
+        .join(_hint(u2c), "w2")
+        .join(_hint(u3), "w3")
         .join(F.broadcast(total))
         .select(
             "w1",
@@ -729,12 +811,225 @@ def trigram_logprob_scores_df(
             ).alias("lp"),
         )
     )
-    tri_lp = triples.join(F.broadcast(lm_tri), ["w1", "w2", "w3"]).select(
+    tri_lp = triples.join(_hint(lm_tri), ["w1", "w2", "w3"]).select(
         "doc_id", "lp"
     )
     return (
         first_lp.unionByName(second_lp)
         .unionByName(tri_lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logp"),
+        )
+    )
+
+
+LM_LAMBDA4 = 0.5  # 4-gram weight in the deleted-interpolation chain
+LM_LAMBDA5 = 0.4  # 5-gram weight in the deleted-interpolation chain
+
+
+def ngram5_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log10 probability under an interpolated 5-GRAM
+    LM with full 4/3/2/1-gram backoff — the KenLM-realism order CCNet's
+    perplexity filter actually runs (its KenLM models are 5-gram):
+
+        token 1 : P₁(w) = n(w)/N
+        token 2 : P₂ = λ₂·n₁₂/n₁ + (1−λ₂)·P₁
+        token 3 : P₃ = λ₃·n₁₂₃/n₁₂ + (1−λ₃)·P₂(w₃|w₂)
+        token 4 : P₄ = λ₄·n₁₂₃₄/n₁₂₃ + (1−λ₄)·P₃(w₄|w₂w₃)
+        token t≥5: P₅ = λ₅·n₁₂₃₄₅/n₁₂₃₄ + (1−λ₅)·P₄(wₜ|wₜ₋₃..wₜ₋₁)
+
+    (deleted interpolation, λ₅=0.4 λ₄=0.5 λ₃=0.6 λ₂=0.75 — every term is
+    a count ratio from the corpus itself, so the model is engine-agnostic
+    and DuckDB-oracle-checkable, unlike a smoothed KenLM binary.)
+
+    Plan (all JVM, the trigram shape two orders up): every n-gram stream
+    is built IN-ARRAY from the one split the scan already does
+    (`_gram_stream`); the uni/bi/tri/quad count tables are the shared
+    compute-once seams (`lm_*_frame` — the trigram scorer reads the same
+    tri table); the 5-gram count table is one groupBy (this entry is its
+    only consumer). Each DISTINCT 5-gram is scored once against the
+    count tables, then the exploded quint stream takes a single join.
+    n_tokens = 4 + n_quints = the doc's token count.
+
+    The result rides the shared `ngram5_scored_frame` seam — the 5-gram
+    perplexity buckets consume the same scores, one build pays for both."""
+    return ngram5_scored_frame(spark, sf_dir)
+
+
+def ngram5_logprob_scores_df(
+    docs: DataFrame,
+    uni: DataFrame | None = None,
+    big: DataFrame | None = None,
+    tri: DataFrame | None = None,
+    quad: DataFrame | None = None,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """`ngram5_logprob_scores` core over any (doc_id, text) frame.
+    `uni`/`big`/`tri`/`quad` accept the shared LM count seams.
+    `broadcast_lm` is the same scale switch as the trigram scorer's: at
+    real web-corpus vocabulary the 4/5-gram tables are the largest
+    objects in the job — pass False and every scoring join runs keyed
+    on the n-gram as a shuffle join (the 1-row corpus total stays
+    broadcast; it never grows)."""
+    _hint = F.broadcast if broadcast_lm else (lambda f: f)
+    w = _doc_toks(docs)
+    toks = w.select("doc_id", F.explode("toks").alias("token"))
+    pairs = _gram_stream(w, 2, ("w1", "w2"))
+    triples = _gram_stream(w, 3, ("w1", "w2", "w3"))
+    quads = _gram_stream(w, 4, ("w1", "w2", "w3", "w4"))
+    quints = _gram_stream(w, 5, ("w1", "w2", "w3", "w4", "w5"))
+
+    if uni is None:
+        uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = uni.agg(F.sum("n").alias("total"))
+    if big is None:
+        big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    if tri is None:
+        tri = triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+    if quad is None:
+        quad = quads.groupBy("w1", "w2", "w3", "w4").agg(
+            F.count(F.lit(1)).alias("n1234")
+        )
+    quint = quints.groupBy("w1", "w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("n12345")
+    )
+
+    def uni_as(col, n_name):
+        return uni.select(F.col("token").alias(col), F.col("n").alias(n_name))
+
+    def big_as(c1, c2, n_name):
+        return big.select(
+            F.col("w1").alias(c1), F.col("w2").alias(c2), F.col("n12").alias(n_name)
+        )
+
+    def tri_as(c1, c2, c3, n_name):
+        return tri.select(
+            F.col("w1").alias(c1),
+            F.col("w2").alias(c2),
+            F.col("w3").alias(c3),
+            F.col("n123").alias(n_name),
+        )
+
+    def quad_as(c1, c2, c3, c4, n_name):
+        return quad.select(
+            F.col("w1").alias(c1),
+            F.col("w2").alias(c2),
+            F.col("w3").alias(c3),
+            F.col("w4").alias(c4),
+            F.col("n1234").alias(n_name),
+        )
+
+    # interpolation chains as column expressions over the joined counts
+    def p2(n12, n1, n2):
+        return F.lit(LM_LAMBDA) * (F.col(n12) / F.col(n1)) + F.lit(
+            1 - LM_LAMBDA
+        ) * (F.col(n2) / F.col("total"))
+
+    def p3(n123, n12, n23, n2, n3):
+        return F.lit(LM_LAMBDA3) * (F.col(n123) / F.col(n12)) + F.lit(
+            1 - LM_LAMBDA3
+        ) * p2(n23, n2, n3)
+
+    def p4(n1234, n123, n234, n23, n34, n3, n4):
+        return F.lit(LM_LAMBDA4) * (F.col(n1234) / F.col(n123)) + F.lit(
+            1 - LM_LAMBDA4
+        ) * p3(n234, n23, n34, n3, n4)
+
+    # token 1: unigram
+    first_lp = (
+        w.select("doc_id", F.col("toks")[0].alias("token"))
+        .join(_hint(uni), "token")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
+    )
+    # token 2: bigram interpolation on the doc's first pair
+    second_lp = (
+        w.filter(F.size("toks") >= 2)
+        .select("doc_id", F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w2"))
+        .join(_hint(big), ["w1", "w2"])
+        .join(_hint(uni_as("w1", "n1")), "w1")
+        .join(_hint(uni_as("w2", "n2")), "w2")
+        .join(F.broadcast(total))
+        .select("doc_id", F.log10(p2("n12", "n1", "n2")).alias("lp"))
+    )
+    # token 3: trigram interpolation on the doc's first triple
+    third_lp = (
+        w.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.col("toks")[0].alias("w1"),
+            F.col("toks")[1].alias("w2"),
+            F.col("toks")[2].alias("w3"),
+        )
+        .join(_hint(tri), ["w1", "w2", "w3"])
+        .join(_hint(big_as("w1", "w2", "n12")), ["w1", "w2"])
+        .join(_hint(big_as("w2", "w3", "n23")), ["w2", "w3"])
+        .join(_hint(uni_as("w2", "n2")), "w2")
+        .join(_hint(uni_as("w3", "n3")), "w3")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id", F.log10(p3("n123", "n12", "n23", "n2", "n3")).alias("lp")
+        )
+    )
+    # token 4: 4-gram interpolation on the doc's first quad
+    fourth_lp = (
+        w.filter(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            F.col("toks")[0].alias("w1"),
+            F.col("toks")[1].alias("w2"),
+            F.col("toks")[2].alias("w3"),
+            F.col("toks")[3].alias("w4"),
+        )
+        .join(_hint(quad), ["w1", "w2", "w3", "w4"])
+        .join(_hint(tri_as("w1", "w2", "w3", "n123")), ["w1", "w2", "w3"])
+        .join(_hint(tri_as("w2", "w3", "w4", "n234")), ["w2", "w3", "w4"])
+        .join(_hint(big_as("w2", "w3", "n23")), ["w2", "w3"])
+        .join(_hint(big_as("w3", "w4", "n34")), ["w3", "w4"])
+        .join(_hint(uni_as("w3", "n3")), "w3")
+        .join(_hint(uni_as("w4", "n4")), "w4")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log10(
+                p4("n1234", "n123", "n234", "n23", "n34", "n3", "n4")
+            ).alias("lp"),
+        )
+    )
+    # tokens ≥ 5: score each DISTINCT 5-gram once, one join onto the stream
+    lm_quint = (
+        quint.join(_hint(quad_as("w1", "w2", "w3", "w4", "n1234")), ["w1", "w2", "w3", "w4"])
+        .join(_hint(quad_as("w2", "w3", "w4", "w5", "n2345")), ["w2", "w3", "w4", "w5"])
+        .join(_hint(tri_as("w2", "w3", "w4", "n234")), ["w2", "w3", "w4"])
+        .join(_hint(tri_as("w3", "w4", "w5", "n345")), ["w3", "w4", "w5"])
+        .join(_hint(big_as("w3", "w4", "n34")), ["w3", "w4"])
+        .join(_hint(big_as("w4", "w5", "n45")), ["w4", "w5"])
+        .join(_hint(uni_as("w4", "n4")), "w4")
+        .join(_hint(uni_as("w5", "n5")), "w5")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            "w5",
+            F.log10(
+                F.lit(LM_LAMBDA5) * (F.col("n12345") / F.col("n1234"))
+                + F.lit(1 - LM_LAMBDA5)
+                * p4("n2345", "n234", "n345", "n34", "n45", "n4", "n5")
+            ).alias("lp"),
+        )
+    )
+    quint_lp = quints.join(_hint(lm_quint), ["w1", "w2", "w3", "w4", "w5"]).select(
+        "doc_id", "lp"
+    )
+    return (
+        first_lp.unionByName(second_lp)
+        .unionByName(third_lp)
+        .unionByName(fourth_lp)
+        .unionByName(quint_lp)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -850,6 +1145,45 @@ def perplexity_buckets(
     100 TB twin: identical assignment, no single-reducer stage.
     """
     scored = bigram_logprob_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "mean_logp", F.ntile(k).over(w).alias("bucket")
+    )
+
+
+def ngram5_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once seam for the 5-gram scored corpus — the bucket entry
+    and the scores entry share one build (cache contract:
+    plans/materialize.py; eager for the same repartitionByRange-sampling
+    reason as `lm_scored_frame`)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "ngram5_scored",
+        sf_dir,
+        lambda: ngram5_logprob_scores_df(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            uni=lm_unigram_frame(spark, sf_dir),
+            big=lm_bigram_frame(spark, sf_dir),
+            tri=lm_trigram_frame(spark, sf_dir),
+            quad=lm_quadgram_frame(spark, sf_dir),
+        ),
+        (LM_LAMBDA, LM_LAMBDA3, LM_LAMBDA4, LM_LAMBDA5),
+    )
+
+
+def perplexity_buckets_ngram5(
+    spark: SparkSession, sf_dir: str, k: int = PERPLEXITY_K
+) -> DataFrame:
+    """`perplexity_buckets` under the 5-GRAM LM — the order CCNet's
+    KenLM models actually run. Same NTILE(k) head/middle/tail split,
+    scored frame served by the `ngram5_scored_frame` seam (shared with
+    `ngram5_logprob_scores`; the uni/bi/tri/quad count tables are the
+    same seams the trigram chain reads). The 100 TB form swaps the
+    window for the `perplexity_buckets_distributed` two-pass rank —
+    the assignment arithmetic is order-based and identical."""
+    scored = ngram5_scored_frame(spark, sf_dir)
     w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id").asc())
     return scored.select(
         "doc_id", "mean_logp", F.ntile(k).over(w).alias("bucket")
@@ -1270,8 +1604,144 @@ ORACLE_SQL["trigram_logprob_scores"] = f"""
     GROUP BY doc_id
 """
 
+# The 5-gram chain, spelled out with the same count-ratio terms the
+# Spark expressions compute (deleted interpolation, λ5/λ4/λ3/λ2).
+ORACLE_SQL["ngram5_logprob_scores"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    w1 AS (SELECT * FROM w WHERE len(toks) >= 1),
+    toks AS (SELECT doc_id, unnest(toks) AS token FROM w1),
+    pairs AS (
+        SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+               toks[CAST(i AS BIGINT) + 1] AS w2
+        FROM w1, LATERAL (SELECT unnest(range(1, len(toks))) AS i) t
+    ),
+    triples AS (
+        SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+               toks[CAST(i AS BIGINT) + 1] AS w2,
+               toks[CAST(i AS BIGINT) + 2] AS w3
+        FROM w1, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) t
+    ),
+    quads AS (
+        SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+               toks[CAST(i AS BIGINT) + 1] AS w2,
+               toks[CAST(i AS BIGINT) + 2] AS w3,
+               toks[CAST(i AS BIGINT) + 3] AS w4
+        FROM w1, LATERAL (SELECT unnest(range(1, len(toks) - 2)) AS i) t
+    ),
+    quints AS (
+        SELECT doc_id, toks[CAST(i AS BIGINT)] AS w1,
+               toks[CAST(i AS BIGINT) + 1] AS w2,
+               toks[CAST(i AS BIGINT) + 2] AS w3,
+               toks[CAST(i AS BIGINT) + 3] AS w4,
+               toks[CAST(i AS BIGINT) + 4] AS w5
+        FROM w1, LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i) t
+    ),
+    uni AS (SELECT token, COUNT(1) AS n FROM toks GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM uni),
+    big AS (SELECT w1, w2, COUNT(1) AS n12 FROM pairs GROUP BY w1, w2),
+    tri AS (SELECT w1, w2, w3, COUNT(1) AS n123 FROM triples GROUP BY w1, w2, w3),
+    quad AS (SELECT w1, w2, w3, w4, COUNT(1) AS n1234
+             FROM quads GROUP BY w1, w2, w3, w4),
+    quint AS (SELECT w1, w2, w3, w4, w5, COUNT(1) AS n12345
+              FROM quints GROUP BY w1, w2, w3, w4, w5),
+    first_lp AS (
+        SELECT f.doc_id, log10(u.n / t.total) AS lp
+        FROM (SELECT doc_id, toks[1] AS token FROM w1) f
+        JOIN uni u ON f.token = u.token CROSS JOIN tot t
+    ),
+    second_lp AS (
+        SELECT s.doc_id,
+               log10({LM_LAMBDA} * (b.n12 / u1.n)
+                     + {1 - LM_LAMBDA} * (u2.n / t.total)) AS lp
+        FROM (SELECT doc_id, toks[1] AS w1, toks[2] AS w2
+              FROM w1 WHERE len(toks) >= 2) s
+        JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+        JOIN uni u1 ON s.w1 = u1.token
+        JOIN uni u2 ON s.w2 = u2.token
+        CROSS JOIN tot t
+    ),
+    third_lp AS (
+        SELECT s.doc_id,
+               log10({LM_LAMBDA3} * (tr.n123 / b12.n12)
+                     + {1 - LM_LAMBDA3}
+                       * ({LM_LAMBDA} * (b23.n12 / u2.n)
+                          + {1 - LM_LAMBDA} * (u3.n / t.total))) AS lp
+        FROM (SELECT doc_id, toks[1] AS w1, toks[2] AS w2, toks[3] AS w3
+              FROM w1 WHERE len(toks) >= 3) s
+        JOIN tri tr ON s.w1 = tr.w1 AND s.w2 = tr.w2 AND s.w3 = tr.w3
+        JOIN big b12 ON s.w1 = b12.w1 AND s.w2 = b12.w2
+        JOIN big b23 ON s.w2 = b23.w1 AND s.w3 = b23.w2
+        JOIN uni u2 ON s.w2 = u2.token
+        JOIN uni u3 ON s.w3 = u3.token
+        CROSS JOIN tot t
+    ),
+    fourth_lp AS (
+        SELECT s.doc_id,
+               log10({LM_LAMBDA4} * (q.n1234 / t123.n123)
+                     + {1 - LM_LAMBDA4}
+                       * ({LM_LAMBDA3} * (t234.n123 / b23.n12)
+                          + {1 - LM_LAMBDA3}
+                            * ({LM_LAMBDA} * (b34.n12 / u3.n)
+                               + {1 - LM_LAMBDA} * (u4.n / t.total)))) AS lp
+        FROM (SELECT doc_id, toks[1] AS w1, toks[2] AS w2,
+                     toks[3] AS w3, toks[4] AS w4
+              FROM w1 WHERE len(toks) >= 4) s
+        JOIN quad q ON s.w1 = q.w1 AND s.w2 = q.w2
+                   AND s.w3 = q.w3 AND s.w4 = q.w4
+        JOIN tri t123 ON s.w1 = t123.w1 AND s.w2 = t123.w2 AND s.w3 = t123.w3
+        JOIN tri t234 ON s.w2 = t234.w1 AND s.w3 = t234.w2 AND s.w4 = t234.w3
+        JOIN big b23 ON s.w2 = b23.w1 AND s.w3 = b23.w2
+        JOIN big b34 ON s.w3 = b34.w1 AND s.w4 = b34.w2
+        JOIN uni u3 ON s.w3 = u3.token
+        JOIN uni u4 ON s.w4 = u4.token
+        CROSS JOIN tot t
+    ),
+    quint_lp AS (
+        SELECT p.doc_id,
+               log10({LM_LAMBDA5} * (qq.n12345 / q1234.n1234)
+                     + {1 - LM_LAMBDA5}
+                       * ({LM_LAMBDA4} * (q2345.n1234 / t234.n123)
+                          + {1 - LM_LAMBDA4}
+                            * ({LM_LAMBDA3} * (t345.n123 / b34.n12)
+                               + {1 - LM_LAMBDA3}
+                                 * ({LM_LAMBDA} * (b45.n12 / u4.n)
+                                    + {1 - LM_LAMBDA} * (u5.n / t.total))))) AS lp
+        FROM quints p
+        JOIN quint qq ON p.w1 = qq.w1 AND p.w2 = qq.w2 AND p.w3 = qq.w3
+                     AND p.w4 = qq.w4 AND p.w5 = qq.w5
+        JOIN quad q1234 ON p.w1 = q1234.w1 AND p.w2 = q1234.w2
+                       AND p.w3 = q1234.w3 AND p.w4 = q1234.w4
+        JOIN quad q2345 ON p.w2 = q2345.w1 AND p.w3 = q2345.w2
+                       AND p.w4 = q2345.w3 AND p.w5 = q2345.w4
+        JOIN tri t234 ON p.w2 = t234.w1 AND p.w3 = t234.w2 AND p.w4 = t234.w3
+        JOIN tri t345 ON p.w3 = t345.w1 AND p.w4 = t345.w2 AND p.w5 = t345.w3
+        JOIN big b34 ON p.w3 = b34.w1 AND p.w4 = b34.w2
+        JOIN big b45 ON p.w4 = b45.w1 AND p.w5 = b45.w2
+        JOIN uni u4 ON p.w4 = u4.token
+        JOIN uni u5 ON p.w5 = u5.token
+        CROSS JOIN tot t
+    )
+    SELECT doc_id, COUNT(1) AS n_tokens, ROUND(AVG(lp), 6) AS mean_logp
+    FROM (SELECT * FROM first_lp UNION ALL SELECT * FROM second_lp
+          UNION ALL SELECT * FROM third_lp UNION ALL SELECT * FROM fourth_lp
+          UNION ALL SELECT * FROM quint_lp)
+    GROUP BY doc_id
+"""
+
 ORACLE_SQL["perplexity_buckets"] = _PERPLEXITY_ORACLE
 ORACLE_SQL["perplexity_buckets_distributed"] = _PERPLEXITY_ORACLE
+
+ORACLE_SQL["perplexity_buckets_ngram5"] = f"""
+    SELECT doc_id, mean_logp,
+           NTILE({PERPLEXITY_K}) OVER (
+               ORDER BY mean_logp DESC, doc_id ASC
+           ) AS bucket
+    FROM ({ORACLE_SQL["ngram5_logprob_scores"]})
+"""
 
 # Composite oracle: the member stages' own SQL fragments chained as CTEs
 # (the training_corpus pattern) — a green hash certifies the pipeline.

@@ -56,3 +56,240 @@ def quality_monitor_stream(docs: DataFrame) -> DataFrame:
             F.avg(F.when(F.col("passes"), 1.0).otherwise(0.0)), 4
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Online 5-gram perplexity monitor (the ngram5_logprob_scores twin)
+# ---------------------------------------------------------------------------
+
+LM_OOV_FLOOR = 1e-9  # probability floor for tokens the base LM never saw
+
+
+def ngram5_score_stream_against_base(
+    stream: DataFrame,
+    uni: DataFrame,
+    big: DataFrame,
+    tri: DataFrame,
+    quad: DataFrame,
+    quint: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """The streaming twin of `extensions.curation.ngram5_logprob_scores`:
+    score each incoming document under the FROZEN base-corpus 5-gram LM
+    (CCNet's online shape — the perplexity gate a crawl passes through
+    as it lands, not after a nightly rebuild).
+
+    The count tables are the batch build's seams (`lm_*_frame` plus the
+    5-gram groupBy) — stage them once (localCheckpoint, or bucketed
+    tables keyed on the n-gram at 100 TB) and pass them in; Spark
+    re-resolves the static side of a stream-static join per micro-batch.
+
+    Two deliberate divergences from the batch scorer, both forced by
+    scoring NEW text against a FIXED model (the batch entry scores the
+    corpus against itself, so every n-gram exists):
+
+    - joins are LEFT and every count ratio is zero-guarded —
+      ``coalesce(n_k, 0) / ctx_k`` contributes 0 when the context was
+      never seen, which is exactly the deleted-interpolation limit (the
+      λ_k weight collapses onto the backoff chain);
+    - a document token the base LM never saw bottoms the whole chain at
+      probability 0 — it takes ``LM_OOV_FLOOR`` instead (KenLM's <unk>
+      analog; log10(1e-9) = -9 per OOV token).
+
+    For documents whose every n-gram IS in the base corpus the safe
+    ratios reduce to the batch arithmetic exactly — agreement is pinned
+    by tests/test_streaming_curation.py. Output: one row per
+    (event-time window, doc) in append mode once the watermark passes —
+    state is O(docs per horizon).
+    """
+    from ..extensions.curation import (
+        LM_LAMBDA,
+        LM_LAMBDA3,
+        LM_LAMBDA4,
+        LM_LAMBDA5,
+    )
+
+    toks_arr = F.filter(F.split(payload_col, " "), lambda t: t != "")
+    w = (
+        stream.withColumn("__toks", toks_arr)
+        .filter(F.size("__toks") >= 1)
+        .select(id_col, ts_col, F.col("__toks").alias("toks"))
+    )
+
+    def safe(num, den):
+        # 0 when the context n-gram was never seen in the base corpus
+        return F.when(
+            F.col(den).isNotNull() & (F.col(den) != 0),
+            F.coalesce(F.col(num), F.lit(0)).cast("double") / F.col(den),
+        ).otherwise(F.lit(0.0))
+
+    total = uni.agg(F.sum("n").alias("total"))
+
+    def uni_as(col, n_name):
+        return uni.select(F.col("token").alias(col), F.col("n").alias(n_name))
+
+    def big_as(c1, c2, n_name):
+        return big.select(
+            F.col("w1").alias(c1), F.col("w2").alias(c2), F.col("n12").alias(n_name)
+        )
+
+    def tri_as(c1, c2, c3, n_name):
+        return tri.select(
+            F.col("w1").alias(c1),
+            F.col("w2").alias(c2),
+            F.col("w3").alias(c3),
+            F.col("n123").alias(n_name),
+        )
+
+    def quad_as(c1, c2, c3, c4, n_name):
+        return quad.select(
+            F.col("w1").alias(c1),
+            F.col("w2").alias(c2),
+            F.col("w3").alias(c3),
+            F.col("w4").alias(c4),
+            F.col("n1234").alias(n_name),
+        )
+
+    def p1(n1):
+        return F.coalesce(F.col(n1), F.lit(0)).cast("double") / F.col("total")
+
+    def p2(n12, n1_ctx, n2):
+        return F.lit(LM_LAMBDA) * safe(n12, n1_ctx) + F.lit(1 - LM_LAMBDA) * p1(n2)
+
+    def p3(n123, n12_ctx, n23, n2_ctx, n3):
+        return F.lit(LM_LAMBDA3) * safe(n123, n12_ctx) + F.lit(1 - LM_LAMBDA3) * p2(
+            n23, n2_ctx, n3
+        )
+
+    def p4(n1234, n123_ctx, n234, n23_ctx, n34, n3_ctx, n4):
+        return F.lit(LM_LAMBDA4) * safe(n1234, n123_ctx) + F.lit(
+            1 - LM_LAMBDA4
+        ) * p3(n234, n23_ctx, n34, n3_ctx, n4)
+
+    def lp(prob_col):
+        return F.log10(F.greatest(prob_col, F.lit(LM_OOV_FLOOR)))
+
+    # token 1: unigram
+    first_lp = (
+        w.select(id_col, ts_col, F.col("toks")[0].alias("token"))
+        .join(uni, "token", "left")
+        .join(F.broadcast(total))
+        .select(id_col, ts_col, lp(p1("n")).alias("lp"))
+    )
+    # token 2: bigram interpolation on the first pair
+    second_lp = (
+        w.filter(F.size("toks") >= 2)
+        .select(
+            id_col, ts_col, F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w2")
+        )
+        .join(big, ["w1", "w2"], "left")
+        .join(uni_as("w1", "n1"), "w1", "left")
+        .join(uni_as("w2", "n2"), "w2", "left")
+        .join(F.broadcast(total))
+        .select(id_col, ts_col, lp(p2("n12", "n1", "n2")).alias("lp"))
+    )
+    # token 3: trigram interpolation on the first triple
+    third_lp = (
+        w.filter(F.size("toks") >= 3)
+        .select(
+            id_col,
+            ts_col,
+            F.col("toks")[0].alias("w1"),
+            F.col("toks")[1].alias("w2"),
+            F.col("toks")[2].alias("w3"),
+        )
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(big_as("w1", "w2", "n12"), ["w1", "w2"], "left")
+        .join(big_as("w2", "w3", "n23"), ["w2", "w3"], "left")
+        .join(uni_as("w2", "n2"), "w2", "left")
+        .join(uni_as("w3", "n3"), "w3", "left")
+        .join(F.broadcast(total))
+        .select(id_col, ts_col, lp(p3("n123", "n12", "n23", "n2", "n3")).alias("lp"))
+    )
+    # token 4: 4-gram interpolation on the first quad
+    fourth_lp = (
+        w.filter(F.size("toks") >= 4)
+        .select(
+            id_col,
+            ts_col,
+            F.col("toks")[0].alias("w1"),
+            F.col("toks")[1].alias("w2"),
+            F.col("toks")[2].alias("w3"),
+            F.col("toks")[3].alias("w4"),
+        )
+        .join(quad, ["w1", "w2", "w3", "w4"], "left")
+        .join(tri_as("w1", "w2", "w3", "n123"), ["w1", "w2", "w3"], "left")
+        .join(tri_as("w2", "w3", "w4", "n234"), ["w2", "w3", "w4"], "left")
+        .join(big_as("w2", "w3", "n23"), ["w2", "w3"], "left")
+        .join(big_as("w3", "w4", "n34"), ["w3", "w4"], "left")
+        .join(uni_as("w3", "n3"), "w3", "left")
+        .join(uni_as("w4", "n4"), "w4", "left")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            ts_col,
+            lp(p4("n1234", "n123", "n234", "n23", "n34", "n3", "n4")).alias("lp"),
+        )
+    )
+    # tokens ≥ 5: the full 5-gram chain per sliding window of the stream
+    # doc (built in-array map-side, like the batch `_gram_stream`)
+    quints = (
+        w.filter(F.size("toks") >= 5)
+        .select(
+            id_col,
+            ts_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 5, greatest(size(toks) - 4, 0)), "
+                    "(t, i) -> struct(toks[i] AS w1, toks[i + 1] AS w2, "
+                    "toks[i + 2] AS w3, toks[i + 3] AS w4, t AS w5))"
+                )
+            ).alias("p"),
+        )
+        .select(id_col, ts_col, "p.w1", "p.w2", "p.w3", "p.w4", "p.w5")
+    )
+    quint_lp = (
+        quints.join(quint, ["w1", "w2", "w3", "w4", "w5"], "left")
+        .join(quad_as("w1", "w2", "w3", "w4", "n1234"), ["w1", "w2", "w3", "w4"], "left")
+        .join(quad_as("w2", "w3", "w4", "w5", "n2345"), ["w2", "w3", "w4", "w5"], "left")
+        .join(tri_as("w2", "w3", "w4", "n234"), ["w2", "w3", "w4"], "left")
+        .join(tri_as("w3", "w4", "w5", "n345"), ["w3", "w4", "w5"], "left")
+        .join(big_as("w3", "w4", "n34"), ["w3", "w4"], "left")
+        .join(big_as("w4", "w5", "n45"), ["w4", "w5"], "left")
+        .join(uni_as("w4", "n4"), "w4", "left")
+        .join(uni_as("w5", "n5"), "w5", "left")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            ts_col,
+            lp(
+                F.lit(LM_LAMBDA5) * safe("n12345", "n1234")
+                + F.lit(1 - LM_LAMBDA5)
+                * p4("n2345", "n234", "n345", "n34", "n45", "n4", "n5")
+            ).alias("lp"),
+        )
+    )
+    unioned = (
+        first_lp.unionByName(second_lp)
+        .unionByName(third_lp)
+        .unionByName(fourth_lp)
+        .unionByName(quint_lp)
+    )
+    scored = (
+        unioned.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logp"),
+        )
+    )
+    return scored.select(
+        F.col("win").getField("start").alias("window_start"),
+        id_col,
+        "n_tokens",
+        "mean_logp",
+    )

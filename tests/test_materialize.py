@@ -105,3 +105,21 @@ def test_ivf_assignment_seam_equals_builder(spark, sf_dir):
     )
     cols = ["vec_id", "cluster"]
     assert _rows(served, cols) == _rows(direct, cols)
+
+
+def test_ngram5_seams_equal_inline_build(spark, sf_dir):
+    """The catalog entry serves the uni/bi/tri/quad count-table seams;
+    an inline build that re-counts everything from the raw documents
+    must produce identical scores — the seam-equality contract for the
+    5-gram chain (and, since the trigram entry now shares lm_tri, for
+    the tri seam's second consumer)."""
+    from bread_spark.extensions.curation import ngram5_logprob_scores_df
+    from bread_spark.io import load_table
+    from bread_spark.queries import QUERIES
+
+    served = QUERIES["ngram5_logprob_scores"](spark, sf_dir)
+    direct = ngram5_logprob_scores_df(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    cols = ["doc_id", "n_tokens", "mean_logp"]
+    assert _rows(served, cols) == _rows(direct, cols)

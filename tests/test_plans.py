@@ -343,3 +343,98 @@ def test_ohlc_single_exchange_with_partials(plans):
     assert "partial_" in p
     assert p.count("Exchange") == 1
     assert "Window" not in p
+
+
+def test_trigram_lm_broadcast_at_test_scale_and_keyed_degrade(spark, sf_dir):
+    """VERDICT r6 #4a. Default mode: every LM scoring join is broadcast
+    (the count tables are KB-scale at test vocab) — no sort-merge join,
+    no cartesian. Degrade mode (`broadcast_lm=False`, the real-web-corpus
+    vocabulary path where the trigram table is tens of GB): the SAME
+    joins run keyed on the n-gram — shuffle joins are allowed, a
+    cartesian/broadcast-nested-loop never is, and no driver collect
+    exists in either plan. Both modes must return identical rows.
+
+    Audited on the `trigram_logprob_scores_df` builder — the catalog
+    entry serves the compute-once seam frame (lineage cut by
+    localCheckpoint)."""
+    from bread_spark.extensions.curation import trigram_logprob_scores_df
+    from bread_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    bcast = trigram_logprob_scores_df(docs)
+    p = physical_plan(bcast)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    # broadcast_lm=False removes the hints and leaves the choice to
+    # Catalyst's stats: at test vocab it still auto-broadcasts (right
+    # call); above autoBroadcastJoinThreshold the SAME plan becomes keyed
+    # shuffle joins. Simulate over-threshold tables by disabling
+    # auto-broadcast (the test_bucketing.py idiom) and assert the keyed
+    # forms appear — degenerate forms stay banned. The only nested-loop
+    # joins allowed are the 1-row corpus-total broadcasts, which are
+    # hinted in both modes.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keyed = trigram_logprob_scores_df(docs, broadcast_lm=False)
+        pk = physical_plan(keyed)
+        assert "CartesianProduct" not in pk
+        assert "SortMergeJoin" in pk or "ShuffledHashJoin" in pk
+        assert pk.count("BroadcastNestedLoopJoin") == p.count(
+            "BroadcastNestedLoopJoin"
+        )
+        got_k = {
+            r["doc_id"]: (r["n_tokens"], r["mean_logp"]) for r in keyed.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got_b = {r["doc_id"]: (r["n_tokens"], r["mean_logp"]) for r in bcast.collect()}
+    assert got_b == got_k
+
+
+def test_ngram5_lm_broadcast_and_keyed_degrade(spark, sf_dir):
+    """Same contract as the trigram test one order up: at test vocab all
+    4/5-gram scoring joins broadcast; with auto-broadcast disabled (the
+    over-threshold simulation) the SAME joins run keyed on the n-gram,
+    results identical. The 4/5-gram count tables are the largest objects
+    in a real-corpus run — this degrade path is the one that matters."""
+    from bread_spark.extensions.curation import ngram5_logprob_scores_df
+    from bread_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bcast = ngram5_logprob_scores_df(docs)
+    p = physical_plan(bcast)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        keyed = ngram5_logprob_scores_df(docs, broadcast_lm=False)
+        pk = physical_plan(keyed)
+        assert "CartesianProduct" not in pk
+        assert "SortMergeJoin" in pk or "ShuffledHashJoin" in pk
+        assert pk.count("BroadcastNestedLoopJoin") == p.count(
+            "BroadcastNestedLoopJoin"
+        )
+        got_k = {
+            r["doc_id"]: (r["n_tokens"], r["mean_logp"]) for r in keyed.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got_b = {r["doc_id"]: (r["n_tokens"], r["mean_logp"]) for r in bcast.collect()}
+    assert got_b == got_k
+
+
+def test_ngram5_buckets_ride_the_scored_seam(plans):
+    """`perplexity_buckets_ngram5` must consume the materialized
+    `ngram5_scored_frame` — its final plan is the NTILE window over the
+    checkpointed scores, with ZERO parquet scans (the one text pass is
+    paid at seam materialization, shared with `ngram5_logprob_scores`)."""
+    p = plans("perplexity_buckets_ngram5")
+    assert p.count("Scan parquet") == 0
+    assert "Window" in p

@@ -362,3 +362,27 @@ def test_bpe_merges_invariant_under_corpus_replication(spark, tmp_path):
     ]
     assert [(m[0], m[1], m[2]) for m in one] == [(m[0], m[1], m[2]) for m in two]
     assert all(t[3] == 2 * o[3] for o, t in zip(one, two))
+
+
+def test_ngram5_invariant_under_replication(spark, big_docs_r6):
+    """Replicating every doc REPS× scales every n-gram count AND the
+    total token mass by REPS, so each count ratio — and therefore every
+    interpolated probability and per-doc mean — is IDENTICAL to the
+    base corpus. Also the quadratic-blowup canary for the two new
+    count-table joins (quad/quint)."""
+    from bread_spark.extensions.curation import ngram5_logprob_scores_df
+    from bread_spark.io import load_table as lt
+
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+        for r in ngram5_logprob_scores_df(
+            lt(spark, SF_DIR, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    rep0 = {
+        r["doc_id"] : (r["n_tokens"], r["mean_logp"])
+        for r in ngram5_logprob_scores_df(big_docs_r6.select("doc_id", "text"))
+        .filter(F.col("doc_id") < 10_000_000)
+        .collect()
+    }
+    assert rep0 == base

@@ -111,3 +111,102 @@ def test_quality_monitor_stream_matches_batch_gate(spark, tmp_path):
     # the short gibberish docs fail, the long stopword-rich docs pass
     assert out["s1"]["n_passing"] == 1 and out["s1"]["n_docs"] == 2
     assert out["s3"]["pass_rate"] == 1.0
+
+
+def test_ngram5_stream_agrees_with_batch_and_floors_oov(spark, tmp_path):
+    """Stream docs drawn FROM the base corpus (every n-gram in-vocab)
+    must score EXACTLY what the batch 5-gram scorer assigns them — the
+    safe left-join ratios reduce to the batch arithmetic when every
+    count exists. A doc made of tokens the base never saw hits the OOV
+    floor: every position scores log10(LM_OOV_FLOOR) exactly."""
+    import datetime
+
+    from bread_spark.extensions.curation import (
+        lm_bigram_frame,
+        lm_quadgram_frame,
+        lm_trigram_frame,
+        lm_unigram_frame,
+        ngram5_logprob_scores_df,
+        _doc_toks,
+        _gram_stream,
+    )
+    from bread_spark.io import load_table
+    from bread_spark.streaming.curation import (
+        LM_OOV_FLOOR,
+        ngram5_score_stream_against_base,
+    )
+    from tests.conftest import SF_DIR
+    import math
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    uni = lm_unigram_frame(spark, SF_DIR)
+    big = lm_bigram_frame(spark, SF_DIR)
+    tri = lm_trigram_frame(spark, SF_DIR)
+    quad = lm_quadgram_frame(spark, SF_DIR)
+    quint = (
+        _gram_stream(_doc_toks(base), 5, ("w1", "w2", "w3", "w4", "w5"), with_doc=False)
+        .groupBy("w1", "w2", "w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).alias("n12345"))
+        .localCheckpoint()
+    )
+
+    sample = {r["doc_id"]: r["text"] for r in base.limit(8).collect()}
+    ts = datetime.datetime(2024, 8, 1, 12, 0).isoformat()
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for doc_id, text in sample.items():
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "payload": text}) + "\n")
+        f.write(
+            json.dumps(
+                {"doc_id": 999_999, "ts": ts, "payload": "zxqv1 zxqv2 zxqv3"}
+            )
+            + "\n"
+        )
+
+    sink = str(tmp_path / "sink")
+
+    def _run():
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, payload string"
+        ).json(src)
+        q = (
+            ngram5_score_stream_against_base(stream, uni, big, tri, quad, quint)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    # append mode holds rows until the watermark passes — push it
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "doc_id": 0,
+                    "ts": datetime.datetime(2024, 8, 2, 12, 0).isoformat(),
+                    "payload": "later",
+                }
+            )
+            + "\n"
+        )
+    _run()
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logp"])
+        for r in ngram5_logprob_scores_df(base, uni=uni, big=big, tri=tri, quad=quad)
+        .filter(F.col("doc_id").isin(list(sample)))
+        .collect()
+    }
+    for doc_id in sample:
+        assert got[doc_id] == want[doc_id], doc_id
+    # the all-OOV doc: 3 tokens, every position floored
+    assert got[999_999] == (3, round(math.log10(LM_OOV_FLOOR), 6))
