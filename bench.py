@@ -152,9 +152,12 @@ def main() -> None:
         # growth, per-source quality rollup
         "trigram_logprob_scores",
         # round-7 additions: 5-gram deleted-interpolation LM (KenLM
-        # order) + the CCNet bucket split under it (seam-shared scores)
+        # order) + the CCNet bucket split under it (seam-shared scores),
+        # and content-defined chunking (rolling-hash boundaries)
         "ngram5_logprob_scores",
         "perplexity_buckets_ngram5",
+        "cdc_chunks",
+        "cdc_chunk_dedup",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -267,6 +270,8 @@ def main() -> None:
     R7_ADDITIONS = {
         "ngram5_logprob_scores",
         "perplexity_buckets_ngram5",
+        "cdc_chunks",
+        "cdc_chunk_dedup",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -119,6 +119,16 @@ def paragraph_dedup_df(
     )
     # n_chunks rides along from the scan — no separate per-doc size
     # aggregate (and its shuffle + join) later.
+    return _chunk_first_occurrence_rebuild(arrs)
+
+
+def _chunk_first_occurrence_rebuild(arrs: DataFrame) -> DataFrame:
+    """Corpus-wide first-occurrence-wins chunk dedup + per-doc rebuild
+    over a (doc_id, chunks: array<string>) frame — the shared tail of
+    `paragraph_dedup` (fixed token windows) and `cdc_chunk_dedup`
+    (content-defined boundaries). One digest-keyed shuffle decides the
+    winners (chunk text rides only as payload), one doc_id-keyed
+    aggregate reassembles survivors in order."""
     chunked = arrs.select(
         "doc_id",
         F.size("chunks").alias("n_chunks"),
@@ -134,7 +144,7 @@ def paragraph_dedup_df(
         .otherwise(
             F.raise_error(
                 F.lit(
-                    "paragraph_dedup: (doc_id, chunk_idx) outside the packed-"
+                    "chunk dedup: (doc_id, chunk_idx) outside the packed-"
                     "ordinal range (need 0 <= doc_id < 2^43, chunk_idx < 2^20)"
                 )
             ).cast("long")
@@ -164,6 +174,102 @@ def paragraph_dedup_df(
 # ---------------------------------------------------------------------------
 # Per-domain quota sampling
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (Rabin-Karp-style rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+CDC_W = 4  # rolling-hash window (tokens)
+CDC_MASK = 16  # boundary when h % MASK == 0 → mean chunk ≈ MASK tokens
+CDC_B = 31  # polynomial base
+CDC_M = 2_147_483_647  # 2^31-1: every product stays < 2^63 (ANSI-safe)
+CDC_C = tuple(pow(CDC_B, j, CDC_M) for j in range(CDC_W))  # B^j mod M
+
+
+def _cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunks: array<string>) under CONTENT-DEFINED boundaries:
+    token position i (i ≥ W) ends a chunk when the Rabin-Karp rolling
+    hash of the last W tokens — h(i) = Σⱼ v(tokᵢ₋ⱼ)·Bʲ mod M over the
+    per-token values v(t) = int(md5(t)[:8 hex]) — satisfies
+    h(i) % MASK == 0. Boundaries therefore move WITH the content: an
+    insertion early in a document re-synchronizes within ~W tokens
+    instead of shifting every downstream boundary the way fixed windows
+    do (`paragraph_dedup`'s known blind spot for edited re-crawls).
+    Storage-dedup's CDC idea applied to token streams.
+
+    Everything is ONE in-array higher-order expression over the one
+    split the scan does — zero shuffles; the md5-derived token values
+    keep the whole construction engine-agnostic (DuckDB mirrors it
+    exactly), the mod-2³¹⁻¹ arithmetic keeps every intermediate under
+    2⁶³ for ANSI mode.
+
+    The intermediates (vals → bounds+[0,n] → chunks) are bound with the
+    ``transform(array(x), v -> …)[0]`` let idiom, NOT staged
+    projections: Catalyst's CollapseProject inlines projection aliases
+    into every reference, so an alias chain re-evaluates the whole
+    per-token value table on EVERY ``vals[i-j]`` access — measured as a
+    >100× blow-up on ~100-token docs. A lambda argument is bound once
+    per row by construction."""
+    c_lit = ", ".join(str(c) for c in CDC_C)
+    # sequence(a, b) counts DOWN when b < a — guard short docs explicitly
+    chunks = (
+        "transform(array(filter(split(text, ' '), t -> t != '')), toks -> "
+        "  transform(array(transform(toks, "
+        "      t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))), vals -> "
+        "    transform(array(array_distinct(concat(array(0), "
+        f"        CASE WHEN size(toks) >= {CDC_W} THEN "
+        f"          filter(sequence({CDC_W}, size(toks)), i -> "
+        f"            (aggregate(sequence(1, {CDC_W}), 0L, "
+        f"              (acc, j) -> acc + (vals[i - j] * array({c_lit})[j - 1]) % {CDC_M}) "
+        f"             % {CDC_M}) % {CDC_MASK} = 0) "
+        "          ELSE array() END, "
+        "        array(size(toks))))), ext -> "
+        # size(ext) < 2 ⇔ zero tokens (ext collapses to [0]); guarded
+        # because sequence(1, 0) counts DOWN, it is not empty
+        "      CASE WHEN size(ext) >= 2 THEN "
+        "        transform(sequence(1, size(ext) - 1), k -> "
+        "          array_join(slice(toks, ext[k - 1] + 1, ext[k] - ext[k - 1]), ' ')) "
+        "      ELSE array() END "
+        "    )[0] "
+        "  )[0] "
+        ")[0]"
+    )
+    return (
+        docs.select("doc_id", F.expr(chunks).alias("chunks"))
+        .filter(F.size("chunks") >= 1)
+    )
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC chunk index: one row per content-defined chunk —
+    (doc_id, chunk_idx, chunk_tokens, chunk_hash). The inspection /
+    staging form of `cdc_chunk_dedup` (at 100 TB this table is what you
+    persist next to the corpus and anti-join new crawl snapshots
+    against: chunk digests survive upstream edits that shift fixed
+    windows)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_in_chunk = F.size(F.filter(F.split("chunk", " "), lambda t: t != ""))
+    return (
+        _cdc_chunk_frame(docs)
+        .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            toks_in_chunk.cast("long").alias("chunk_tokens"),
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+        )
+    )
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide first-occurrence-wins dedup over CONTENT-DEFINED
+    chunks + per-doc rebuild — `paragraph_dedup` with boundaries that
+    survive insertions (the re-crawl robustness fixed windows lack).
+    Same scale shape: one digest-keyed shuffle (text rides once as
+    payload), one doc_id-keyed ordered reassembly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _chunk_first_occurrence_rebuild(_cdc_chunk_frame(docs))
 
 
 def domain_quota_sample(
@@ -1606,6 +1712,84 @@ ORACLE_SQL["trigram_logprob_scores"] = f"""
 
 # The 5-gram chain, spelled out with the same count-ratio terms the
 # Spark expressions compute (deleted interpolation, λ5/λ4/λ3/λ2).
+# Shared CTE prefix: the content-defined chunk table, mirroring
+# _cdc_chunk_frame's arithmetic term for term (DuckDB lists are 1-based
+# where Spark arrays are 0-based — the index shifts below compensate).
+_CDC_CHUNK_CTE = f"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 1
+    ),
+    v AS (
+        SELECT doc_id, toks,
+               list_transform(toks,
+                   t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS vals
+        FROM w
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= {CDC_W} THEN
+                   list_filter(range({CDC_W}, len(toks) + 1), i ->
+                       ((list_sum(list_transform(range(1, {CDC_W} + 1), j ->
+                           (vals[CAST(i - j + 1 AS BIGINT)]
+                            * ([{", ".join(str(c) for c in CDC_C)}])[CAST(j AS BIGINT)])
+                           % {CDC_M}))
+                         % {CDC_M}) % {CDC_MASK}) = 0)
+               ELSE [] END AS bounds
+        FROM v
+    ),
+    e AS (
+        SELECT doc_id, toks,
+               list_sort(list_distinct(list_prepend(CAST(0 AS BIGINT),
+                   list_append(bounds, CAST(len(toks) AS BIGINT))))) AS ext
+        FROM b
+    ),
+    c AS (
+        SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+               array_to_string(
+                   toks[CAST(ext[CAST(k AS BIGINT)] + 1 AS BIGINT)
+                        : CAST(ext[CAST(k + 1 AS BIGINT)] AS BIGINT)],
+                   ' ') AS chunk
+        FROM e, LATERAL (SELECT unnest(range(1, len(ext))) AS k) t
+    )
+"""
+
+ORACLE_SQL["cdc_chunks"] = f"""
+    {_CDC_CHUNK_CTE}
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_filter(string_split(chunk, ' '), t -> t <> ''))
+               AS BIGINT) AS chunk_tokens,
+           md5(chunk) AS chunk_hash
+    FROM c
+"""
+
+ORACLE_SQL["cdc_chunk_dedup"] = f"""
+    {_CDC_CHUNK_CTE},
+    ords AS (
+        SELECT doc_id, chunk_idx, chunk,
+               doc_id * 1048576 + chunk_idx AS ord
+        FROM c
+    ),
+    winners AS (SELECT chunk, MIN(ord) AS win_ord FROM ords GROUP BY chunk),
+    kept AS (
+        SELECT o.doc_id, o.chunk_idx, o.chunk
+        FROM ords o JOIN winners x
+          ON o.chunk = x.chunk AND o.ord = x.win_ord
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(1) AS n_chunks FROM ords GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(1) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT r.doc_id, s.n_chunks, r.n_kept, r.text
+    FROM rebuilt r JOIN sizes s ON r.doc_id = s.doc_id
+"""
+
 ORACLE_SQL["ngram5_logprob_scores"] = f"""
     WITH w AS (
         SELECT doc_id,

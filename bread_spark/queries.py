@@ -117,6 +117,8 @@ _register(
 _register(
     {
         "paragraph_dedup": curation.paragraph_dedup,
+        "cdc_chunks": curation.cdc_chunks,  # content-defined chunk index
+        "cdc_chunk_dedup": curation.cdc_chunk_dedup,  # insertion-robust rebuild
         "domain_quota_sample": curation.domain_quota_sample,
         "domain_token_quota": curation.domain_token_quota,
         "corpus_mix": curation.corpus_mix,
@@ -180,8 +182,11 @@ _register(
 # hourly_ibc_transfers, hourly_cum_ibc_transfers, corpus_mix_tokens,
 # training_corpus_neardup, media_dedup, dedup_clusters,
 # deterministic_sample, shuffle_order_distributed. ROUND-8 ROTATION
-# NOTE: sample those 15 first, then re-warm whatever CORRECTNESS_r07
-# leaves ≥2 rounds stale.
+# NOTE: sample first (a) the NEW r7 oracle-backed entries that missed
+# this window (cdc_chunks, cdc_chunk_dedup — registered after the
+# window froze, green in the in-repo differential), then (b) those 15
+# deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
+# stale.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r6 third wave (17)
     "conversion_funnel",

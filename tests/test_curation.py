@@ -447,3 +447,95 @@ def test_snapshot_diff_matches_construction(spark):
     assert sum(1 for c in got.values() if c == "added") == n_docs - CROSS_DEDUP_BASE_MAX
     assert sum(1 for c in got.values() if c == "removed") == DIFF_REMOVED_BELOW
     assert sum(1 for c in got.values() if c == "changed") == DIFF_EDITED_HI - DIFF_EDITED_LO
+
+
+# content-defined chunking ---------------------------------------------------
+
+
+def test_cdc_boundaries_survive_a_front_insertion(spark):
+    """The reason CDC exists: boundaries are a function of local content,
+    so an edit re-synchronizes within ~W tokens. Prepending tokens to a
+    document must leave MOST chunk digests identical (everything after
+    the first boundary), while fixed-window chunking shifts every
+    boundary and shares (almost) nothing."""
+    import random
+
+    from bread_spark.extensions.curation import (
+        CDC_W,
+        CHUNK_TOKENS,
+        _cdc_chunk_frame,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(4096):03x}" for _ in range(400)]
+    base = " ".join(words)
+    edited = " ".join(["zzq0", "zzq1", "zzq2"] + words)
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    chunks = {
+        r["doc_id"]: r["chunks"] for r in _cdc_chunk_frame(df).collect()
+    }
+    base_set, edited_set = set(chunks[1]), set(chunks[2])
+    shared = len(base_set & edited_set)
+    # everything except the (re-synchronized) head chunk must survive
+    assert shared >= len(base_set) - 2, (shared, len(base_set))
+    # fixed windows lose (nearly) everything under the same edit
+    fixed = {
+        r["doc_id"]: set(r["chunks"])
+        for r in df.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {CHUNK_TOKENS}.0) "
+                f"as int) - 1), i -> array_join(slice(split(text, ' '), "
+                f"i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}), ' '))"
+            ).alias("chunks"),
+        ).collect()
+    }
+    assert len(fixed[1] & fixed[2]) <= 1
+    # sanity on the re-sync bound: the first boundary differs by ≤ the
+    # insertion length; every later boundary is content-locked
+    assert CDC_W <= 8  # the argument above assumes a small window
+
+
+def test_cdc_chunks_conserve_tokens_and_rebuild_roundtrip(spark, sf_dir):
+    """Chunk token counts must partition each document exactly, and a
+    corpus with NO duplicate chunks must rebuild byte-identically."""
+    from bread_spark.extensions.curation import cdc_chunk_dedup, cdc_chunks
+    from bread_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["s"]
+        for r in cdc_chunks(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("chunk_tokens").alias("s"))
+        .collect()
+    }
+    assert got == {k: v for k, v in want.items() if v >= 1}
+
+    # docs whose every chunk won (n_kept == n_chunks) rebuild exactly
+    rebuilt = {
+        r["doc_id"]: r["text"]
+        for r in cdc_chunk_dedup(spark, sf_dir)
+        .filter("n_kept = n_chunks")
+        .collect()
+    }
+    original = {
+        r["doc_id"]: " ".join(
+            t for t in r["text"].split(" ") if t != ""
+        )
+        for r in docs.collect()
+    }
+    assert rebuilt  # non-degenerate
+    for doc_id, text in rebuilt.items():
+        assert text == original[doc_id], doc_id

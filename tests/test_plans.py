@@ -438,3 +438,17 @@ def test_ngram5_buckets_ride_the_scored_seam(plans):
     p = plans("perplexity_buckets_ngram5")
     assert p.count("Scan parquet") == 0
     assert "Window" in p
+
+
+def test_cdc_chunks_shuffle_free_and_dedup_keyed_on_digest(plans):
+    """The CDC chunk index is one in-array expression over the scan —
+    NO exchange of any kind. The dedup form pays exactly the
+    paragraph_dedup shape: a digest-keyed winner exchange (chash, never
+    raw chunk text) and one doc_id-keyed reassembly."""
+    p = plans("cdc_chunks")
+    assert "Exchange" not in p
+    pd = plans("cdc_chunk_dedup")
+    assert "Exchange hashpartitioning(chash" in pd
+    assert "Exchange hashpartitioning(chunk" not in pd
+    assert pd.count("Exchange hashpartitioning(doc_id") == 1
+    assert "CartesianProduct" not in pd

@@ -386,3 +386,28 @@ def test_ngram5_invariant_under_replication(spark, big_docs_r6):
         .collect()
     }
     assert rep0 == base
+
+
+def test_cdc_chunking_scales_linearly(spark, big_docs_r6):
+    """CDC boundaries are per-document functions — REPS× docs with
+    disjoint ids must yield exactly REPS× chunk rows, and a replica
+    doc's chunk sequence must equal the base doc's (boundaries do not
+    depend on anything outside the document)."""
+    from bread_spark.extensions.curation import _cdc_chunk_frame
+    from bread_spark.io import load_table as lt
+
+    base = {
+        r["doc_id"]: r["chunks"]
+        for r in _cdc_chunk_frame(
+            lt(spark, SF_DIR, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    big = _cdc_chunk_frame(big_docs_r6.select("doc_id", "text"))
+    assert big.count() == len(base) * REPS
+    rep1 = {
+        r["doc_id"] - 10_000_000: r["chunks"]
+        for r in big.filter(
+            (F.col("doc_id") >= 10_000_000) & (F.col("doc_id") < 20_000_000)
+        ).collect()
+    }
+    assert rep1 == base
