@@ -158,6 +158,8 @@ def main() -> None:
         "perplexity_buckets_ngram5",
         "cdc_chunks",
         "cdc_chunk_dedup",
+        "cms_sketch",
+        "cms_heavy_hitters",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -272,6 +274,8 @@ def main() -> None:
         "perplexity_buckets_ngram5",
         "cdc_chunks",
         "cdc_chunk_dedup",
+        "cms_sketch",
+        "cms_heavy_hitters",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

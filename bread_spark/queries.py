@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import models, models_ibc_catalog
-from .extensions import curation, dedup, multimodal, search, similarity, training
+from .extensions import curation, dedup, multimodal, search, similarity, sketch, training
 from .functions import text
 from .operators import asof, interval
 from .streaming import sessions, windows
@@ -84,6 +84,13 @@ _register(
         "tfidf_keywords": search.tfidf_keywords,
     },
     search.ORACLE_SQL,
+)
+_register(
+    {
+        "cms_sketch": sketch.cms_sketch,  # bounded-memory frequency table
+        "cms_heavy_hitters": sketch.cms_heavy_hitters,  # calibration report
+    },
+    sketch.ORACLE_SQL,
 )
 _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
 _register({"windowed_value_by_type": windows.windowed_value_query}, windows.ORACLE_SQL)
@@ -183,8 +190,9 @@ _register(
 # training_corpus_neardup, media_dedup, dedup_clusters,
 # deterministic_sample, shuffle_order_distributed. ROUND-8 ROTATION
 # NOTE: sample first (a) the NEW r7 oracle-backed entries that missed
-# this window (cdc_chunks, cdc_chunk_dedup — registered after the
-# window froze, green in the in-repo differential), then (b) those 15
+# this window (cdc_chunks, cdc_chunk_dedup, cms_sketch,
+# cms_heavy_hitters — registered after the window froze, green in the
+# in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.
 _SAMPLE_PRIORITY = (

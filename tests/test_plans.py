@@ -452,3 +452,14 @@ def test_cdc_chunks_shuffle_free_and_dedup_keyed_on_digest(plans):
     assert "Exchange hashpartitioning(chunk" not in pd
     assert pd.count("Exchange hashpartitioning(doc_id") == 1
     assert "CartesianProduct" not in pd
+
+
+def test_cms_sketch_single_combined_aggregate(plans):
+    """The sketch build must be ONE (d, bucket)-keyed exchange with
+    map-side partial counts (the D-row fan-out is an in-array explode,
+    never a join) — the shape whose reduce side is a constant-size table
+    at any corpus size."""
+    p = plans("cms_sketch")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "Join" not in p
