@@ -160,6 +160,11 @@ def main() -> None:
         "cdc_chunk_dedup",
         "cms_sketch",
         "cms_heavy_hitters",
+        "bootstrap_source_stats",
+        "hll_registers",
+        "hll_distinct_by_source",
+        "boilerplate_chunks",
+        "boilerplate_filtered_corpus",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -276,6 +281,11 @@ def main() -> None:
         "cdc_chunk_dedup",
         "cms_sketch",
         "cms_heavy_hitters",
+        "bootstrap_source_stats",
+        "hll_registers",
+        "hll_distinct_by_source",
+        "boilerplate_chunks",
+        "boilerplate_filtered_corpus",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

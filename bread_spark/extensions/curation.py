@@ -272,6 +272,119 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_first_occurrence_rebuild(_cdc_chunk_frame(docs))
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate removal (C4 / RefinedWeb line-frequency filtering)
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 2  # a chunk in >= this many DISTINCT docs is boilerplate
+
+
+def _fixed_chunk_stream(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, n_chunks, chunk_idx, chunk, chash) over fixed n-token
+    windows — the exploded form of `paragraph_dedup_df`'s chunking, with
+    the 16-byte md5 digest every downstream shuffle keys on."""
+    arrs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {n}.0) "
+            f"as int) - 1), i -> array_join(slice(split(text, ' '), "
+            f"i * {n} + 1, {n}), ' '))"
+        ).alias("chunks"),
+    )
+    return arrs.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.posexplode("chunks").alias("chunk_idx", "chunk"),
+    ).withColumn("chash", F.unhex(F.md5(F.col("chunk").cast("binary"))))
+
+
+def boilerplate_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """The corpus's boilerplate table: every chunk that appears in >=
+    `min_docs` DISTINCT documents, with its document frequency and total
+    occurrence count — the C4/RefinedWeb "line appears in many pages →
+    it's navigation/cookie-banner furniture, not content" report (C4
+    dropped any line repeated 3+ times corpus-wide; a 'line' here is a
+    fixed chunk because the synthetic corpus has no newlines).
+
+    Plan: map-side chunking, ONE digest-keyed aggregate (chunk text
+    rides as a min() payload, never as the shuffle key). Output size is
+    the number of REPEATED chunks — tiny relative to the corpus at any
+    scale, which is exactly what makes the downstream filter a broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _boilerplate_table(
+        _fixed_chunk_stream(docs, chunk_tokens), min_docs
+    ).select("chunk", "n_docs", "n_occurrences")
+
+
+def _boilerplate_table(stream: DataFrame, min_docs: int) -> DataFrame:
+    return (
+        stream.groupBy("chash")
+        .agg(
+            F.min("chunk").alias("chunk"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_filtered_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Remove EVERY occurrence of every boilerplate chunk (n_docs >=
+    `min_docs`) and rebuild the documents — distinct semantics from
+    `paragraph_dedup`, which keeps the first occurrence: boilerplate is
+    noise in all its positions, so no copy survives. Docs reduced to
+    nothing drop out.
+
+    Output: doc_id, n_chunks, n_kept, text (surviving chunks in order).
+
+    Scale: the boilerplate table is the heavy-hitter tail of the chunk
+    frequency distribution — small by construction — so the filter is a
+    BROADCAST anti-join on 16-byte digests; document text crosses the
+    wire only in the final doc_id-keyed reassembly, the same bound the
+    scan already pays. The frequency aggregate is one combiner-friendly
+    digest-keyed shuffle of (digest, doc_id) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return boilerplate_filter_df(docs, chunk_tokens, min_docs)
+
+
+def boilerplate_filter_df(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """`boilerplate_filtered_corpus` core over any (doc_id, text) frame."""
+    stream = _fixed_chunk_stream(docs, chunk_tokens)
+    boiler = _boilerplate_table(stream, min_docs).select("chash")
+    kept = stream.join(F.broadcast(boiler), "chash", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.first("n_chunks").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(chunk_idx, chunk))), "
+                    "s -> s.chunk)"
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "text")
+    )
+
+
 def domain_quota_sample(
     spark: SparkSession, sf_dir: str, quota: int = DOMAIN_QUOTA
 ) -> DataFrame:
@@ -1780,6 +1893,51 @@ ORACLE_SQL["cdc_chunk_dedup"] = f"""
     ),
     sizes AS (
         SELECT doc_id, COUNT(1) AS n_chunks FROM ords GROUP BY doc_id
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(1) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY chunk_idx) AS text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT r.doc_id, s.n_chunks, r.n_kept, r.text
+    FROM rebuilt r JOIN sizes s ON r.doc_id = s.doc_id
+"""
+
+_BOILER_CHUNK_CTE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(
+                   toks[i * {CHUNK_TOKENS} + 1 : (i + 1) * {CHUNK_TOKENS}],
+                   ' ') AS chunk
+        FROM w, LATERAL (
+            SELECT unnest(range(CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS i
+        ) t
+    ),
+    boiler AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(1) AS n_occurrences
+        FROM chunks GROUP BY chunk
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    )
+"""
+
+ORACLE_SQL["boilerplate_chunks"] = f"""
+    {_BOILER_CHUNK_CTE}
+    SELECT chunk, n_docs, n_occurrences FROM boiler
+"""
+
+ORACLE_SQL["boilerplate_filtered_corpus"] = f"""
+    {_BOILER_CHUNK_CTE},
+    kept AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk
+        FROM chunks c
+        WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.chunk = c.chunk)
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(1) AS n_chunks FROM chunks GROUP BY doc_id
     ),
     rebuilt AS (
         SELECT doc_id, COUNT(1) AS n_kept,

@@ -1,4 +1,4 @@
-"""Bounded-memory frequency sketching over the ``documents`` token stream.
+"""Bounded-memory sketching and resampling over the ``documents`` table.
 
 Count-min sketch (Cormode & Muthukrishnan 2005) as pure DataFrame
 aggregates: D hash rows × WIDTH buckets of counters, built with ONE
@@ -52,6 +52,13 @@ def cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging form: persist it next to the corpus and answer frequency
     probes without the exact count table."""
     docs = load_table(spark, sf_dir, "documents").select("text")
+    return cms_sketch_df(docs)
+
+
+def cms_sketch_df(docs: DataFrame) -> DataFrame:
+    """`cms_sketch` core over any (text) frame — works unchanged on a
+    STREAMING frame (the aggregate's state is the constant-size counter
+    table), which is what `streaming/sketch.py` runs."""
     rows = _tokens(docs).select(
         F.explode(
             F.expr(
@@ -153,3 +160,301 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY p.token, p.n
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (resampling without materializing resamples)
+# ---------------------------------------------------------------------------
+
+BOOT_R = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds on a 32-bit uniform, as EXACT integer
+# literals (floor(CDF_k · 2³²)) so the sampler is an integer comparison —
+# bit-identical in every engine, no float boundary anywhere.
+BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+BOOT_Z = 1.96  # normal-approximation CI half-width multiplier
+
+
+def _poisson_weight_sql(u: str) -> str:
+    """SQL CASE mapping a 32-bit uniform to a Poisson(1) draw (capped at
+    6, total tail mass ~6e-4) — the per-(doc, replicate) resample weight
+    of the Poisson bootstrap: at corpus scale, instead of materializing R
+    resampled corpora, every row carries R independent Poisson(1)
+    multiplicities and each replicate is a weighted aggregate."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_T)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+def bootstrap_source_stats(
+    spark: SparkSession, sf_dir: str, replicates: int = BOOT_R
+) -> DataFrame:
+    """Per-source mean-token-count with a bootstrap confidence interval —
+    the uncertainty a curation dashboard should print next to every
+    corpus metric (a 25-doc source's mean is noise; a 25M-doc source's
+    is not — the CI is what says so).
+
+    Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", the standard map-reduce form): replicate r
+    resamples each document with weight ~ Poisson(1), derived here from
+    the md5-uniform of (r, doc_id) via integer thresholds — fully
+    deterministic and engine-agnostic, so the whole estimator is
+    DuckDB-oracle-checked. Point estimate, bootstrap mean/std over R
+    replicates, and the ±1.96σ normal-approximation interval.
+
+    Plan: one in-array fan-out to R (replicate, weight) structs per doc
+    (map-side, no join), ONE (source, replicate) aggregate with map-side
+    partials (R·sources cells), then a source-keyed stddev over R rows
+    per source joined back to the point estimate — every shuffle is on
+    keys whose cardinality the config controls, never on data volume."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    u = (
+        "cast(conv(substring(md5(concat(cast(r as string), ':', "
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    fan = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {replicates - 1}), r -> struct("
+                f"cast(r as bigint) as replicate, "
+                f"{_poisson_weight_sql(u)} as w))"
+            )
+        ).alias("p"),
+    ).select("source", "n_tokens", "p.replicate", "p.w")
+    per_rep = fan.groupBy("source", "replicate").agg(
+        (
+            F.sum(F.col("w") * F.col("n_tokens"))
+            / F.nullif(F.sum("w"), F.lit(0))
+        ).alias("rep_mean")
+    )
+    boot = per_rep.groupBy("source").agg(
+        F.avg("rep_mean").alias("boot_mean"),
+        F.stddev_samp("rep_mean").alias("boot_std"),
+    )
+    point = docs.select("source", n_tokens.alias("n_tokens")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_tokens").alias("mean_tokens"),
+    )
+    return point.join(F.broadcast(boot), "source").select(
+        "source",
+        "n_docs",
+        F.round("mean_tokens", 4).alias("mean_tokens"),
+        F.round("boot_mean", 4).alias("boot_mean"),
+        F.round("boot_std", 4).alias("boot_std"),
+        F.round(
+            F.col("boot_mean") - F.lit(BOOT_Z) * F.col("boot_std"), 4
+        ).alias("ci_lo"),
+        F.round(
+            F.col("boot_mean") + F.lit(BOOT_Z) * F.col("boot_std"), 4
+        ).alias("ci_hi"),
+    )
+
+
+_BOOT_CASES = " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(BOOT_T))
+
+ORACLE_SQL["bootstrap_source_stats"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    fan AS (
+        SELECT source, n_tokens, CAST(r AS BIGINT) AS replicate,
+               (CASE {_BOOT_CASES} ELSE 6 END) AS w
+        FROM (
+            SELECT source, n_tokens,
+                   CAST('0x' || substring(md5(CAST(r AS VARCHAR) || ':' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS u,
+                   r
+            FROM d, LATERAL (SELECT unnest(range({BOOT_R})) AS r) t
+        )
+    ),
+    per_rep AS (
+        SELECT source, replicate,
+               SUM(w * n_tokens) / NULLIF(SUM(w), 0) AS rep_mean
+        FROM fan GROUP BY source, replicate
+    ),
+    boot AS (
+        SELECT source, AVG(rep_mean) AS boot_mean,
+               STDDEV_SAMP(rep_mean) AS boot_std
+        FROM per_rep GROUP BY source
+    ),
+    point AS (
+        SELECT source, COUNT(1) AS n_docs, AVG(n_tokens) AS mean_tokens
+        FROM d GROUP BY source
+    )
+    SELECT p.source, p.n_docs,
+           ROUND(p.mean_tokens, 4) AS mean_tokens,
+           ROUND(b.boot_mean, 4) AS boot_mean,
+           ROUND(b.boot_std, 4) AS boot_std,
+           ROUND(b.boot_mean - {BOOT_Z} * b.boot_std, 4) AS ci_lo,
+           ROUND(b.boot_mean + {BOOT_Z} * b.boot_std, 4) AS ci_hi
+    FROM point p JOIN boot b ON p.source = b.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (bounded-memory distinct counting, mergeable registers)
+# ---------------------------------------------------------------------------
+
+HLL_B = 6  # bucket bits
+HLL_M = 1 << HLL_B  # 64 registers per key
+HLL_VBITS = 26  # value bits left in the 32-bit md5 uniform after bucketing
+# alpha_m for the raw estimator, spelled as the same literal arithmetic in
+# both engines (Flajolet et al. 2007)
+HLL_ALPHA = f"(0.7213 / (1.0 + 1.079 / {HLL_M}))"
+
+
+def _rho_sql(v: str) -> str:
+    """SQL CASE for rho(v) = (trailing zeros of v) + 1, v = 0 → VBITS+1 —
+    a geometric(1/2) rank from pure integer arithmetic, so the registers
+    themselves are engine-agnostic (the sketch, not just the estimate,
+    is oracle-checkable — same idiom as the count-min table)."""
+    branches = " ".join(
+        f"WHEN {v} % {1 << (k + 1)} = {1 << k} THEN {k + 1}"
+        for k in range(HLL_VBITS)
+    )
+    return f"CASE WHEN {v} = 0 THEN {HLL_VBITS + 1} {branches} END"
+
+
+_HLL_U32 = "cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)"
+
+
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HLL register table: (source, bucket, max_rho) — at most
+    M=64 rows per source at ANY corpus size, built with ONE
+    (source, bucket)-keyed aggregate that map-side combines.
+
+    This is the staging/mergeable form — registers from disjoint corpus
+    shards (or days, or crawls) combine by elementwise MAX, so the 100 TB
+    distinct-count never recomputes history: persist the register table,
+    max-merge the new shard's registers in (mergeability pinned in
+    tests). Duplicate tokens cost nothing: same token → same (bucket,
+    rho), and MAX absorbs them — that is the whole point of the sketch.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return hll_registers_df(docs)
+
+
+def hll_registers_df(docs: DataFrame) -> DataFrame:
+    """`hll_registers` core over any (source, text) frame — works
+    unchanged on a STREAMING frame (the aggregate's state IS the
+    register table, O(sources·M)), which is what `streaming/sketch.py`
+    runs as the online distinct-count monitor."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stream = docs.select("source", F.explode(toks).alias("token"))
+    rows = stream.select(
+        "source",
+        F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+        F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+    )
+    return rows.groupBy("source", "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report: per-source TRUE distinct-token count vs the
+    HLL estimate from the 64-register sketch — (source, n_true, hll_est,
+    rel_err). The audit you run at small scale before trusting the
+    register table at large scale (expected |rel_err| ~ 1.04/√64 ≈ 13%).
+
+    The estimate is the standard raw harmonic-mean form with the
+    small-range linear-counting correction; Z's numerator is summed as
+    exact INTEGERS (2^(VBITS+1-rho) per register) so the aggregate is
+    order-independent — the only floats are the final 20-row estimate
+    arithmetic, rounded on both sides of the differential."""
+    regs = hll_registers(spark, sf_dir)
+    agg = regs.groupBy("source").agg(
+        F.expr(
+            f"sum(cast(power(2.0, {HLL_VBITS + 1} - max_rho) as bigint))"
+        ).alias("z_num"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    scale = float(1 << (HLL_VBITS + 1))
+    z = (F.col("z_num") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(scale)) / F.lit(scale)
+    e_raw = F.expr(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / z
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero),
+    ).otherwise(e_raw)
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    true = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source")
+        .agg(F.countDistinct("token").alias("n_true"))
+    )
+    report = true.join(F.broadcast(agg.withColumn("hll_est", est)), "source")
+    return report.select(
+        "source",
+        "n_true",
+        F.round("hll_est", 4).alias("hll_est"),
+        F.round(
+            (F.col("hll_est") - F.col("n_true")) / F.col("n_true"), 4
+        ).alias("rel_err"),
+    )
+
+
+_HLL_SRC_TOKENS_CTE = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS token
+        FROM documents
+    )
+"""
+
+_HLL_U32_DUCK = "CAST('0x' || substring(md5(token), 1, 8) AS BIGINT)"
+
+_HLL_REG_SQL = f"""
+    {_HLL_SRC_TOKENS_CTE},
+    rows AS (
+        SELECT source,
+               {_HLL_U32_DUCK} % {HLL_M} AS bucket,
+               ({_rho_sql(f"({_HLL_U32_DUCK} // {HLL_M})")}) AS rho
+        FROM toks
+    ),
+    regs AS (
+        SELECT source, bucket, MAX(rho) AS max_rho
+        FROM rows GROUP BY source, bucket
+    )
+"""
+
+ORACLE_SQL["hll_registers"] = f"""
+    {_HLL_REG_SQL}
+    SELECT source, bucket, max_rho FROM regs
+"""
+
+ORACLE_SQL["hll_distinct_by_source"] = f"""
+    {_HLL_REG_SQL},
+    agg AS (
+        SELECT source,
+               SUM(CAST(POWER(2, {HLL_VBITS + 1} - max_rho) AS BIGINT)) AS z_num,
+               COUNT(1) AS n_present
+        FROM regs GROUP BY source
+    ),
+    est AS (
+        SELECT source,
+               CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+                          / ((z_num + ({HLL_M} - n_present) * {float(1 << (HLL_VBITS + 1))})
+                             / {float(1 << (HLL_VBITS + 1))})) <= {2.5 * HLL_M}
+                         AND ({HLL_M} - n_present) > 0
+                    THEN {HLL_M} * ln({float(HLL_M)} / ({HLL_M} - n_present))
+                    ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M}
+                         / ((z_num + ({HLL_M} - n_present) * {float(1 << (HLL_VBITS + 1))})
+                            / {float(1 << (HLL_VBITS + 1))})
+               END AS hll_est
+        FROM agg
+    ),
+    tru AS (
+        SELECT source, COUNT(DISTINCT token) AS n_true FROM toks GROUP BY source
+    )
+    SELECT t.source, t.n_true,
+           ROUND(e.hll_est, 4) AS hll_est,
+           ROUND((e.hll_est - t.n_true) / t.n_true, 4) AS rel_err
+    FROM tru t JOIN est e ON t.source = e.source
+"""

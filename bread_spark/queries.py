@@ -89,6 +89,9 @@ _register(
     {
         "cms_sketch": sketch.cms_sketch,  # bounded-memory frequency table
         "cms_heavy_hitters": sketch.cms_heavy_hitters,  # calibration report
+        "bootstrap_source_stats": sketch.bootstrap_source_stats,  # Poisson-bootstrap CIs
+        "hll_registers": sketch.hll_registers,  # mergeable distinct-count sketch
+        "hll_distinct_by_source": sketch.hll_distinct_by_source,  # estimate vs true
     },
     sketch.ORACLE_SQL,
 )
@@ -126,6 +129,8 @@ _register(
         "paragraph_dedup": curation.paragraph_dedup,
         "cdc_chunks": curation.cdc_chunks,  # content-defined chunk index
         "cdc_chunk_dedup": curation.cdc_chunk_dedup,  # insertion-robust rebuild
+        "boilerplate_chunks": curation.boilerplate_chunks,  # C4 line-frequency report
+        "boilerplate_filtered_corpus": curation.boilerplate_filtered_corpus,  # all-occurrence removal
         "domain_quota_sample": curation.domain_quota_sample,
         "domain_token_quota": curation.domain_token_quota,
         "corpus_mix": curation.corpus_mix,
@@ -191,8 +196,10 @@ _register(
 # deterministic_sample, shuffle_order_distributed. ROUND-8 ROTATION
 # NOTE: sample first (a) the NEW r7 oracle-backed entries that missed
 # this window (cdc_chunks, cdc_chunk_dedup, cms_sketch,
-# cms_heavy_hitters — registered after the window froze, green in the
-# in-repo differential), then (b) those 15
+# cms_heavy_hitters, bootstrap_source_stats, boilerplate_chunks,
+# boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source
+# — registered after the
+# window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.
 _SAMPLE_PRIORITY = (

@@ -539,3 +539,58 @@ def test_cdc_chunks_conserve_tokens_and_rebuild_roundtrip(spark, sf_dir):
     assert rebuilt  # non-degenerate
     for doc_id, text in rebuilt.items():
         assert text == original[doc_id], doc_id
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (C4 / RefinedWeb line-frequency filtering)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_mass_conservation(spark, docs):
+    """Every occurrence of every boilerplate chunk is removed and nothing
+    else is: total kept chunks == total chunks − total boilerplate
+    occurrences (docs reduced to zero chunks drop out of the output but
+    their n_chunks still count on the left of the identity)."""
+    report = curation.boilerplate_chunks(spark, SF_DIR).collect()
+    assert report, "threshold must fire at sf0.01"
+    assert all(r["n_docs"] >= curation.BOILER_MIN_DOCS for r in report)
+    assert all(r["n_occurrences"] >= r["n_docs"] for r in report)
+    boiler_occ = sum(r["n_occurrences"] for r in report)
+
+    corpus = curation.boilerplate_filtered_corpus(spark, SF_DIR).collect()
+    import math as _m
+
+    total_chunks = sum(
+        int(_m.ceil(len(r["text"].split(" ")) / curation.CHUNK_TOKENS))
+        for r in docs.select("text").collect()
+    )
+    assert sum(r["n_kept"] for r in corpus) == total_chunks - boiler_occ
+    assert all(1 <= r["n_kept"] <= r["n_chunks"] for r in corpus)
+
+
+def test_boilerplate_clean_docs_rebuild_exactly(spark, docs):
+    """A document with NO boilerplate chunks (n_kept == n_chunks) must
+    rebuild to its original single-spaced text — removal touches only
+    the flagged chunks."""
+    rebuilt = {
+        r["doc_id"]: r["text"]
+        for r in curation.boilerplate_filtered_corpus(spark, SF_DIR)
+        .filter("n_kept = n_chunks")
+        .collect()
+    }
+    assert rebuilt
+    original = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in rebuilt.items():
+        assert text == original[doc_id], doc_id
+
+
+def test_boilerplate_full_replication_empties_corpus(spark, docs):
+    """Replicate every doc 3x under fresh doc_ids: every chunk now lives
+    in >= 3 distinct docs, so at min_docs=2 the ENTIRE corpus is
+    boilerplate and the filtered output is empty — the operator removes
+    ALL occurrences, unlike paragraph_dedup's first-occurrence-wins."""
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    big = docs.select("doc_id", "text").crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
+    )
+    assert curation.boilerplate_filter_df(big, min_docs=2).count() == 0

@@ -463,3 +463,14 @@ def test_cms_sketch_single_combined_aggregate(plans):
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_count" in p
     assert "Join" not in p
+
+
+def test_boilerplate_filter_broadcast_anti_no_text_shuffle_key(plans):
+    """The boilerplate table is the heavy-hitter tail of the chunk
+    frequency distribution — small by construction — so the removal must
+    be a BroadcastHashJoin LeftAnti on digests, never a sort-merge; and
+    the frequency aggregate must have a map-side partial."""
+    p = plans("boilerplate_filtered_corpus")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p or "partial_min" in p

@@ -64,3 +64,128 @@ def test_cms_heavy_hitters_overestimate_nonnegative(spark, sf_dir):
     for r in rows:
         assert r["overestimate"] >= 0
         assert r["cms_est"] == r["n"] + r["overestimate"]
+
+
+def test_bootstrap_ci_covers_point_and_tightens_with_mass(spark, sf_dir):
+    """Sanity contract of the Poisson bootstrap: the point estimate lies
+    inside (or at worst touches) every source's CI, std is non-negative,
+    and a 10x-replicated source's CI is strictly TIGHTER than the base
+    corpus's for the same source (more mass → less uncertainty)."""
+    from bread_spark.extensions.sketch import bootstrap_source_stats
+    from bread_spark.io import load_table
+
+    rows = bootstrap_source_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["boot_std"] >= 0
+        # generous slack: the CI is around the bootstrap mean, which can
+        # sit a hair off the point estimate at tiny source sizes
+        assert r["ci_lo"] <= r["mean_tokens"] + 2 * max(r["boot_std"], 1e-4)
+        assert r["ci_hi"] >= r["mean_tokens"] - 2 * max(r["boot_std"], 1e-4)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "source",
+        "text",
+    )
+    from bread_spark.extensions.sketch import BOOT_R, BOOT_T, _poisson_weight_sql
+
+    # rebuild the estimator over the replicated frame (same arithmetic)
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    u = (
+        "cast(conv(substring(md5(concat(cast(r as string), ':', "
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    fan = big.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {BOOT_R - 1}), r -> struct("
+                f"cast(r as bigint) as replicate, "
+                f"{_poisson_weight_sql(u)} as w))"
+            )
+        ).alias("p"),
+    ).select("source", "n_tokens", "p.replicate", "p.w")
+    big_std = {
+        r["source"]: r["s"]
+        for r in fan.groupBy("source", "replicate")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("n_tokens"))
+                / F.nullif(F.sum("w"), F.lit(0))
+            ).alias("m")
+        )
+        .groupBy("source")
+        .agg(F.stddev_samp("m").alias("s"))
+        .collect()
+    }
+    base_std = {r["source"]: r["boot_std"] for r in rows}
+    tighter = sum(1 for s in base_std if big_std[s] < base_std[s])
+    # 10x the mass → ~1/sqrt(10) the std; allow a couple of noisy sources
+    assert tighter >= len(base_std) - 2, (tighter, len(base_std))
+
+
+def test_hll_register_table_is_bounded(spark, sf_dir):
+    """≤ M rows per source at ANY corpus size, rho within [1, VBITS+1]."""
+    from bread_spark.extensions.sketch import HLL_M, HLL_VBITS, hll_registers
+
+    regs = hll_registers(spark, sf_dir).collect()
+    per_src = {}
+    for r in regs:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+        assert 0 <= r["bucket"] < HLL_M
+        assert 1 <= r["max_rho"] <= HLL_VBITS + 1
+    assert per_src and max(per_src.values()) <= HLL_M
+
+
+def test_hll_estimate_within_error_band(spark, sf_dir):
+    """Every source's estimate lands within 3 standard errors
+    (3·1.04/√64 ≈ 39%) of the true distinct count — deterministic given
+    the md5 hash family, so this pins the accuracy forever."""
+    from bread_spark.extensions.sketch import hll_distinct_by_source
+
+    rows = hll_distinct_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["rel_err"]) <= 0.39, (r["source"], r["rel_err"])
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """THE mergeability contract: registers of the full corpus equal the
+    elementwise MAX of the registers of any disjoint split — what lets a
+    100 TB pipeline fold each new shard into a persisted register table
+    without ever recomputing history."""
+    from bread_spark.extensions.sketch import hll_registers
+    from bread_spark.io import load_table
+
+    full = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in hll_registers(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    from bread_spark.extensions.sketch import HLL_M, _HLL_U32, _rho_sql
+
+    def regs_of(part):
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        rows = part.select("source", F.explode(toks).alias("token")).select(
+            "source",
+            F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+            F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+        )
+        return {
+            (r["source"], r["bucket"]): r["max_rho"]
+            for r in rows.groupBy("source", "bucket")
+            .agg(F.max("rho").alias("max_rho"))
+            .collect()
+        }
+
+    a = regs_of(docs.filter("doc_id % 2 = 0"))
+    b = regs_of(docs.filter("doc_id % 2 = 1"))
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = max(merged.get(k, 0), v)
+    assert merged == full

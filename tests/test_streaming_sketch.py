@@ -1,0 +1,107 @@
+"""Streaming sketch monitors: the running HLL register table and
+count-min counter grid over a document stream must agree EXACTLY with
+the batch sketches over the same data (both sketches' merge operators —
+MAX and SUM — are what grouped streaming aggregation applies per
+micro-batch), and must keep folding new batches in on restart."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from bread_spark.extensions.sketch import cms_sketch_df, hll_registers_df
+from bread_spark.streaming.sketch import cms_sketch_stream, hll_register_stream
+
+DOCS_SCHEMA = "doc_id long, source string, text string"
+
+BATCH1 = [
+    (1, "s1", "alpha beta gamma alpha delta"),
+    (2, "s1", "beta beta epsilon"),
+    (3, "s2", "zeta eta theta iota"),
+]
+BATCH2 = [
+    (4, "s2", "kappa zeta lam mu"),
+    (5, "s3", "nu xi omicron pi alpha"),
+]
+
+
+def _write(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for doc_id, source, text in rows:
+            f.write(
+                json.dumps({"doc_id": doc_id, "source": source, "text": text}) + "\n"
+            )
+
+
+def _run_complete(spark, src, ckpt, table, fn):
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        fn(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {table}").collect()
+
+
+def _batch_docs(spark, rows):
+    return spark.createDataFrame(
+        [{"doc_id": d, "source": s, "text": t} for d, s, t in rows],
+        DOCS_SCHEMA,
+    )
+
+
+def test_hll_stream_matches_batch_and_folds_new_batches(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck1")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    got1 = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in _run_complete(spark, src, ckpt, "hll_t1", hll_register_stream)
+    }
+    want1 = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in hll_registers_df(_batch_docs(spark, BATCH1)).collect()
+    }
+    assert got1 == want1
+
+    # a second batch lands; the SAME checkpoint folds it in by MAX
+    _write(src, "b2.json", BATCH2)
+    got2 = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in _run_complete(spark, src, ckpt, "hll_t2", hll_register_stream)
+    }
+    want2 = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in hll_registers_df(_batch_docs(spark, BATCH1 + BATCH2)).collect()
+    }
+    assert got2 == want2
+    assert got2 != got1  # the new sources/tokens actually moved registers
+
+
+def test_cms_stream_matches_batch(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck2")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    _write(src, "b2.json", BATCH2)
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in _run_complete(spark, src, ckpt, "cms_t1", cms_sketch_stream)
+    }
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch_df(
+            _batch_docs(spark, BATCH1 + BATCH2).select("text")
+        ).collect()
+    }
+    assert got == want
+    # total mass conservation: sum over any one hash row d == total tokens
+    total_tokens = sum(len(t.split()) for _, _, t in BATCH1 + BATCH2)
+    for d in {k[0] for k in got}:
+        assert sum(v for (dd, _), v in got.items() if dd == d) == total_tokens
