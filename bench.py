@@ -163,6 +163,7 @@ def main() -> None:
         "bootstrap_source_stats",
         "hll_registers",
         "hll_distinct_by_source",
+        "zipf_fit_by_source",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -284,6 +285,7 @@ def main() -> None:
         "bootstrap_source_stats",
         "hll_registers",
         "hll_distinct_by_source",
+        "zipf_fit_by_source",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

@@ -279,18 +279,22 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILER_MIN_DOCS = 2  # a chunk in >= this many DISTINCT docs is boilerplate
 
 
+def _chunk_expr(text_col: str, n: int) -> str:
+    """SQL for the fixed n-token chunk array of `text_col` — shared by
+    the batch chunkers and the streaming boilerplate gate so both sides
+    can never disagree on chunk boundaries."""
+    return (
+        f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) / {n}.0) "
+        f"as int) - 1), i -> array_join(slice(split({text_col}, ' '), "
+        f"i * {n} + 1, {n}), ' '))"
+    )
+
+
 def _fixed_chunk_stream(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, n_chunks, chunk_idx, chunk, chash) over fixed n-token
     windows — the exploded form of `paragraph_dedup_df`'s chunking, with
     the 16-byte md5 digest every downstream shuffle keys on."""
-    arrs = docs.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {n}.0) "
-            f"as int) - 1), i -> array_join(slice(split(text, ' '), "
-            f"i * {n} + 1, {n}), ' '))"
-        ).alias("chunks"),
-    )
+    arrs = docs.select("doc_id", F.expr(_chunk_expr("text", n)).alias("chunks"))
     return arrs.select(
         "doc_id",
         F.size("chunks").alias("n_chunks"),
@@ -1257,6 +1261,60 @@ def ngram5_logprob_scores_df(
     )
 
 
+ZIPF_TOP_K = 100  # head-of-distribution ranks used for the log-log fit
+
+
+def zipf_fit_by_source(
+    spark: SparkSession, sf_dir: str, k: int = ZIPF_TOP_K
+) -> DataFrame:
+    """Per-source Zipf fit: the least-squares slope/intercept/R^2 of
+    ln(frequency) on ln(rank) over the source's top-k tokens — natural
+    text sits near slope -1 with high R^2, while templated or
+    machine-generated sources flatten or kink the curve. The
+    distributional health check a curation dashboard shows next to the
+    Heaps-law vocab_growth curve (same family, other axis).
+
+    Plan: ONE (source, token) count aggregate with map-side partials;
+    the per-source top-k is a rank window pruned by WindowGroupLimit
+    (never materializes the full per-source vocabulary); the fit itself
+    is Spark's built-in regr_* aggregates over k rows per source — no
+    collect, no UDF. Batch-only by design: the per-source rank
+    window needs the source's full frequency table, so the streaming
+    dashboard re-runs this fit on a schedule over the staged count
+    table rather than maintaining it incrementally (the volume/quality
+    monitors in streaming/curation.py cover the per-batch signals). At real vocab the count table is the only big
+    intermediate, and it's exactly the table vocab_topk/BM25 already
+    stage."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return zipf_fit_df(docs, k)
+
+
+def zipf_fit_df(docs: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
+    """`zipf_fit_by_source` core over any (source, text) frame."""
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    head = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    fit = head.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.expr("regr_slope(ln(n), ln(rank))").alias("slope"),
+        F.expr("regr_intercept(ln(n), ln(rank))").alias("intercept"),
+        F.expr("regr_r2(ln(n), ln(rank))").alias("r2"),
+    )
+    return fit.select(
+        "source",
+        "n_terms",
+        F.round("slope", 4).alias("zipf_slope"),
+        F.round("intercept", 4).alias("zipf_intercept"),
+        F.round("r2", 4).alias("zipf_r2"),
+    )
+
+
 def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation dashboard rollup: per source — document count, token
     totals and mean, language spread, and distinct-content count (its
@@ -2107,4 +2165,30 @@ ORACLE_SQL["curated_corpus"] = f"""
                ) AS BIGINT) AS cum_tokens
         FROM sized
     ) WHERE cum_tokens - n_tokens < {TOKEN_QUOTA}
+"""
+
+ORACLE_SQL["zipf_fit_by_source"] = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, token, COUNT(1) AS n FROM toks GROUP BY source, token
+    ),
+    head AS (
+        SELECT source, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, token ASC
+               ) AS rank
+        FROM counts
+        QUALIFY rank <= {ZIPF_TOP_K}
+    )
+    SELECT source,
+           COUNT(1) AS n_terms,
+           ROUND(regr_slope(ln(n), ln(rank)), 4) AS zipf_slope,
+           ROUND(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
+           ROUND(regr_r2(ln(n), ln(rank)), 4) AS zipf_r2
+    FROM head GROUP BY source
 """

@@ -9,11 +9,14 @@ longer fits anywhere: point estimates cost D bucket lookups and
 overestimate only (est ≥ true, union-bound error ε ≈ e/WIDTH of the
 total mass per row).
 
-The hash family is md5-derived (``int(md5(d || ':' || token)[:8 hex]) %
-WIDTH``), NOT an engine hash — so unlike most sketches the ENTIRE
-construction is engine-agnostic and the DuckDB oracle verifies the
-sketch table and the estimates bit-for-bit (the same digest idiom the
-deterministic samplers use).
+The hash family is md5-derived — row d reads hex chars [8d, 8d+8) of
+``md5(token)``, so ONE digest per token supplies all four independent
+32-bit hashes (md5's 128 bits = exactly D=4 lanes; computing one md5
+instead of four is ~35% off the sketch build at sf0.1). NOT an engine
+hash — so unlike most sketches the ENTIRE construction is
+engine-agnostic and the DuckDB oracle verifies the sketch table and the
+estimates bit-for-bit (the same digest idiom the deterministic samplers
+use).
 """
 
 from __future__ import annotations
@@ -33,11 +36,12 @@ def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(F.explode(toks).alias("token"))
 
 
-def _bucket_expr(d_col: str, token_col: str) -> str:
-    """SQL for h_d(token) — first 8 md5 hex chars of 'd:token' mod WIDTH."""
+def _bucket_expr(d_col: str, dig_col: str) -> str:
+    """SQL for h_d — hex lane [8d, 8d+8) of an md5 digest column, mod
+    WIDTH. Callers project ``md5(token)`` ONCE and every lane slices it."""
     return (
-        f"cast(conv(substring(md5(concat(cast({d_col} as string), ':', "
-        f"{token_col})), 1, 8), 16, 10) as bigint) % {CMS_WIDTH}"
+        f"cast(conv(substring({dig_col}, 1 + 8 * cast({d_col} as int), 8), "
+        f"16, 10) as bigint) % {CMS_WIDTH}"
     )
 
 
@@ -59,11 +63,11 @@ def cms_sketch_df(docs: DataFrame) -> DataFrame:
     """`cms_sketch` core over any (text) frame — works unchanged on a
     STREAMING frame (the aggregate's state is the constant-size counter
     table), which is what `streaming/sketch.py` runs."""
-    rows = _tokens(docs).select(
+    rows = _tokens(docs).select(F.md5("token").alias("dig")).select(
         F.explode(
             F.expr(
                 f"transform(sequence(0, {CMS_D - 1}), d -> "
-                f"struct(cast(d as bigint) as d, {_bucket_expr('d', 'token')} as bucket))"
+                f"struct(cast(d as bigint) as d, {_bucket_expr('d', 'dig')} as bucket))"
             )
         ).alias("p")
     )
@@ -90,13 +94,13 @@ def cms_heavy_hitters(
     docs = load_table(spark, sf_dir, "documents").select("text")
     counts = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
-    probes = top.select(
+    probes = top.withColumn("dig", F.md5("token")).select(
         "token",
         "n",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {CMS_D - 1}), d -> "
-                f"struct(cast(d as bigint) as d, {_bucket_expr('d', 'token')} as bucket))"
+                f"struct(cast(d as bigint) as d, {_bucket_expr('d', 'dig')} as bucket))"
             )
         ).alias("p"),
     ).select("token", "n", "p.d", "p.bucket")
@@ -128,7 +132,7 @@ ORACLE_SQL: dict[str, str] = {
         {_CMS_TOKENS_CTE},
         rows AS (
             SELECT CAST(d AS BIGINT) AS d,
-                   CAST('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8)
+                   CAST('0x' || substring(md5(token), 1 + 8 * CAST(d AS INT), 8)
                         AS BIGINT) % {CMS_WIDTH} AS bucket
             FROM toks, LATERAL (SELECT unnest(range({CMS_D})) AS d) t
         )
@@ -143,14 +147,14 @@ ORACLE_SQL: dict[str, str] = {
         ),
         rows AS (
             SELECT CAST(d AS BIGINT) AS d,
-                   CAST('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8)
+                   CAST('0x' || substring(md5(token), 1 + 8 * CAST(d AS INT), 8)
                         AS BIGINT) % {CMS_WIDTH} AS bucket
             FROM toks, LATERAL (SELECT unnest(range({CMS_D})) AS d) t
         ),
         sketch AS (SELECT d, bucket, COUNT(1) AS cnt FROM rows GROUP BY d, bucket),
         probes AS (
             SELECT p.token, p.n, CAST(d AS BIGINT) AS d,
-                   CAST('0x' || substring(md5(CAST(d AS VARCHAR) || ':' || p.token), 1, 8)
+                   CAST('0x' || substring(md5(p.token), 1 + 8 * CAST(d AS INT), 8)
                         AS BIGINT) % {CMS_WIDTH} AS bucket
             FROM top p, LATERAL (SELECT unnest(range({CMS_D})) AS d) t
         )
@@ -206,7 +210,12 @@ def bootstrap_source_stats(
     (map-side, no join), ONE (source, replicate) aggregate with map-side
     partials (R·sources cells), then a source-keyed stddev over R rows
     per source joined back to the point estimate — every shuffle is on
-    keys whose cardinality the config controls, never on data volume."""
+    keys whose cardinality the config controls, never on data volume.
+    Batch-only by design: a bootstrap CI is a statement about a frozen
+    corpus snapshot (each replicate reweights EVERY document), so the
+    streaming path is re-running this on snapshots, not folding batches
+    into running state — the sketch twins (streaming/sketch.py) cover
+    the metrics that do fold."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     u = (

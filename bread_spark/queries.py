@@ -130,6 +130,7 @@ _register(
         "cdc_chunks": curation.cdc_chunks,  # content-defined chunk index
         "cdc_chunk_dedup": curation.cdc_chunk_dedup,  # insertion-robust rebuild
         "boilerplate_chunks": curation.boilerplate_chunks,  # C4 line-frequency report
+        "zipf_fit_by_source": curation.zipf_fit_by_source,  # rank-frequency health check
         "boilerplate_filtered_corpus": curation.boilerplate_filtered_corpus,  # all-occurrence removal
         "domain_quota_sample": curation.domain_quota_sample,
         "domain_token_quota": curation.domain_token_quota,
@@ -197,8 +198,8 @@ _register(
 # NOTE: sample first (a) the NEW r7 oracle-backed entries that missed
 # this window (cdc_chunks, cdc_chunk_dedup, cms_sketch,
 # cms_heavy_hitters, bootstrap_source_stats, boilerplate_chunks,
-# boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source
-# — registered after the
+# boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
+# zipf_fit_by_source — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.

@@ -293,3 +293,99 @@ def ngram5_score_stream_against_base(
         "n_tokens",
         "mean_logp",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming boilerplate gate (the boilerplate_filtered_corpus twin)
+# ---------------------------------------------------------------------------
+
+
+def base_boilerplate_table(base, chunk_tokens=None, min_docs=None):
+    """The frozen boilerplate digest table of a static corpus — the
+    frame `boilerplate_gate_stream_against_base` anti-joins every
+    micro-batch against. Build ONCE per stream (localCheckpoint, or at
+    100 TB persist it — it is tiny: the heavy-hitter tail of the chunk
+    frequency distribution); passing raw `base` instead re-runs the
+    frequency aggregate per micro-batch."""
+    from ..extensions.curation import (
+        BOILER_MIN_DOCS,
+        CHUNK_TOKENS,
+        _boilerplate_table,
+        _fixed_chunk_stream,
+    )
+
+    n = CHUNK_TOKENS if chunk_tokens is None else chunk_tokens
+    md = BOILER_MIN_DOCS if min_docs is None else min_docs
+    return _boilerplate_table(_fixed_chunk_stream(base, n), md).select("chash")
+
+
+def boilerplate_gate_stream_against_base(
+    stream: DataFrame,
+    base: DataFrame | None = None,
+    payload_col: str = "payload",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    lateness: str = "1 hour",
+    base_boiler: DataFrame | None = None,
+    chunk_tokens: int | None = None,
+    min_docs: int | None = None,
+) -> DataFrame:
+    """The streaming twin of `extensions.curation.
+    boilerplate_filtered_corpus`: strip every chunk of each incoming
+    document that matches the FROZEN base corpus's boilerplate table,
+    and emit the rebuilt document when its event-time window finalizes —
+    the online form of the crawl-ingest boilerplate scrubber (navigation
+    furniture identified on the existing corpus is removed from new
+    pages on arrival; it does NOT learn new boilerplate within the
+    stream — rebuild the base table periodically for that, exactly like
+    the span gate's staged base).
+
+    Plan: map-side chunking with the SAME `_chunk_expr` the batch
+    operator uses (the two can never disagree on boundaries), a
+    stream-static broadcast ANTI join on 16-byte digests, then a
+    watermarked tumbling-window reassembly keyed on (window, doc) —
+    state is O(docs per horizon) and evicts with the watermark.
+    Documents whose every chunk is boilerplate emit no row, matching the
+    batch operator. Output: window_start, id, n_chunks, n_kept, text.
+    """
+    from ..extensions.curation import CHUNK_TOKENS, _chunk_expr
+
+    n = CHUNK_TOKENS if chunk_tokens is None else chunk_tokens
+    if base_boiler is None:
+        if base is None:
+            raise ValueError("pass either `base` (raw corpus) or `base_boiler`")
+        base_boiler = base_boilerplate_table(base, n, min_docs)
+    chunked = (
+        stream.withColumn("__chunks", F.expr(_chunk_expr(payload_col, n)))
+        .select(
+            id_col,
+            ts_col,
+            F.size("__chunks").alias("n_chunks"),
+            F.posexplode("__chunks").alias("chunk_idx", "chunk"),
+        )
+        .withColumn("chash", F.unhex(F.md5(F.col("chunk").cast("binary"))))
+    )
+    kept = chunked.join(F.broadcast(base_boiler), "chash", "left_anti")
+    out = (
+        kept.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(id_col))
+        .agg(
+            F.first("n_chunks").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(chunk_idx, chunk))), "
+                    "s -> s.chunk)"
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return out.select(
+        F.col("win").getField("start").alias("window_start"),
+        id_col,
+        "n_chunks",
+        "n_kept",
+        "text",
+    )

@@ -594,3 +594,36 @@ def test_boilerplate_full_replication_empties_corpus(spark, docs):
         (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"), "text"
     )
     assert curation.boilerplate_filter_df(big, min_docs=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit_by_source (rank-frequency distributional health check)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_semantics_on_corpus(spark):
+    """Natural-ish text: every source's fitted slope is negative (higher
+    rank → lower frequency), R² lands in [0, 1], and n_terms is capped
+    at the configured head size."""
+    rows = curation.zipf_fit_by_source(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_terms"] <= curation.ZIPF_TOP_K
+        assert r["zipf_slope"] < 0, r["source"]
+        assert 0.0 <= r["zipf_r2"] <= 1.0, r["source"]
+
+
+def test_zipf_flat_source_has_zero_slope(spark):
+    """A templated source where every token occurs EXACTLY equally often
+    fits a flat line: slope 0 — the degenerate curve the dashboard is
+    there to flag (R² is 0/0 for a flat fit; only the slope is pinned)."""
+    frame = spark.createDataFrame(
+        [
+            {"source": "tpl", "text": "aa bb cc dd"},
+            {"source": "tpl", "text": "dd cc bb aa"},
+        ]
+    )
+    rows = curation.zipf_fit_df(frame).collect()
+    assert len(rows) == 1
+    assert rows[0]["zipf_slope"] == 0.0
+    assert rows[0]["n_terms"] == 4

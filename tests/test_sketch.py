@@ -23,14 +23,15 @@ def test_cms_never_underestimates_any_token(spark, sf_dir):
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    probes = counts.select(
+    from bread_spark.extensions.sketch import _bucket_expr
+
+    probes = counts.withColumn("dig", F.md5("token")).select(
         "token",
         "n",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {CMS_D - 1}), d -> struct("
-                f"cast(d as bigint) as d, "
-                f"cast(conv(substring(md5(concat(cast(d as string), ':', token)), 1, 8), 16, 10) as bigint) % {CMS_WIDTH} as bucket))"
+                f"cast(d as bigint) as d, {_bucket_expr('d', 'dig')} as bucket))"
             )
         ).alias("p"),
     ).select("token", "n", "p.d", "p.bucket")

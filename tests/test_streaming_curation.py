@@ -210,3 +210,92 @@ def test_ngram5_stream_agrees_with_batch_and_floors_oov(spark, tmp_path):
         assert got[doc_id] == want[doc_id], doc_id
     # the all-OOV doc: 3 tokens, every position floored
     assert got[999_999] == (3, round(math.log10(LM_OOV_FLOOR), 6))
+
+
+# ---------------------------------------------------------------------------
+# streaming boilerplate gate (frozen-base twin of boilerplate_filtered_corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_gate_stream_strips_base_furniture(spark, tmp_path):
+    """A chunk that is boilerplate in the BASE corpus (≥2 distinct base
+    docs) is stripped from every arriving document; fresh chunks pass;
+    a document that is ALL boilerplate emits no row — matching the batch
+    operator's semantics against the same frozen table."""
+    import datetime
+
+    from bread_spark.extensions.curation import CHUNK_TOKENS as W
+    from bread_spark.streaming.curation import (
+        base_boilerplate_table,
+        boilerplate_gate_stream_against_base,
+    )
+
+    BASE_TS = datetime.datetime(2024, 3, 1)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+    tok = lambda pfx, k=W: " ".join(f"{pfx}{i}" for i in range(k))
+
+    boiler_chunk = tok("nav")  # exactly one W-token chunk
+    base = spark.createDataFrame(
+        [
+            (1, boiler_chunk + " " + tok("pageone")),
+            (2, boiler_chunk + " " + tok("pagetwo")),
+            (3, tok("onlyonce") + " " + tok("pagethree")),
+        ],
+        "doc_id long, text string",
+    )
+    boiler = base_boilerplate_table(base).localCheckpoint()
+    assert boiler.count() == 1  # only the nav chunk repeats across docs
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+
+    fresh = tok("fresh")
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for event_id, ts, payload in [
+            (10, BASE_TS, boiler_chunk + " " + fresh),  # stripped to fresh
+            (11, BASE_TS + m, boiler_chunk),  # all boilerplate → no row
+            (12, BASE_TS + 2 * m, tok("novel") + " " + tok("novelb")),  # untouched
+        ]:
+            f.write(
+                json.dumps(
+                    {"event_id": event_id, "ts": ts.isoformat(), "payload": payload}
+                )
+                + "\n"
+            )
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, payload string"
+        ).json(src)
+        q = (
+            boilerplate_gate_stream_against_base(stream, base_boiler=boiler)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # advance event time far past the lateness horizon so windows finalize
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "event_id": 99,
+                    "ts": (BASE_TS + 3 * h).isoformat(),
+                    "payload": tok("late"),
+                }
+            )
+            + "\n"
+        )
+    run()
+
+    rows = {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert 11 not in rows  # all-boilerplate doc dropped entirely
+    assert rows[10]["n_chunks"] == 2 and rows[10]["n_kept"] == 1
+    assert rows[10]["text"] == fresh
+    assert rows[12]["n_chunks"] == 2 and rows[12]["n_kept"] == 2
