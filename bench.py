@@ -164,6 +164,7 @@ def main() -> None:
         "hll_registers",
         "hll_distinct_by_source",
         "zipf_fit_by_source",
+        "weighted_sample_docs",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -286,6 +287,7 @@ def main() -> None:
         "hll_registers",
         "hll_distinct_by_source",
         "zipf_fit_by_source",
+        "weighted_sample_docs",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

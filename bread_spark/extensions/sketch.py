@@ -54,9 +54,21 @@ def cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     but combines down to ≤ D·WIDTH rows per map task — at any corpus
     size the reduce side holds a constant-size table. This is the
     staging form: persist it next to the corpus and answer frequency
-    probes without the exact count table."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    return cms_sketch_df(docs)
+    probes without the exact count table.
+
+    Compute-once seam: `cms_heavy_hitters` probes the identical table —
+    one sketch build per catalog pass serves both (cache contract in
+    plans/materialize.py; equality pinned by both entries' oracles)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "cms_sketch",
+        sf_dir,
+        lambda: cms_sketch_df(
+            load_table(spark, sf_dir, "documents").select("text")
+        ),
+    )
 
 
 def cms_sketch_df(docs: DataFrame) -> DataFrame:
@@ -362,6 +374,21 @@ def hll_registers_df(docs: DataFrame) -> DataFrame:
         F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
     )
     return rows.groupBy("source", "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def merge_hll_registers(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new shard's register table into a persisted one —
+    elementwise MAX per (source, bucket). This is the whole incremental-
+    maintenance story at 100 TB: each crawl/day/shard builds its own
+    64-register table from its data alone, and the corpus-lifetime
+    distinct count is maintained by this tiny merge (≤ sources·M rows a
+    side) without ever revisiting history. Register equality with the
+    from-scratch build is pinned in tests."""
+    return (
+        base.unionByName(delta)
+        .groupBy("source", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
 
 
 def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

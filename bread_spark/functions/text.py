@@ -158,6 +158,57 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", weight.alias("weight"))
 
 
+WRS_K = 50  # weighted sample size
+WRS_SEED = "wrs42"
+
+
+def weighted_sample_docs(
+    spark: SparkSession, sf_dir: str, k: int = WRS_K
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, probability proportional
+    to token count (Efraimidis-Spirakis A-ES): each document draws a
+    deterministic uniform u from md5(seed:doc_id) and competes on the
+    priority ln(u)/w — the global top-k by priority IS a without-
+    replacement sample with inclusion odds ∝ w. The "pick k documents
+    weighted by length" primitive (token-budget-aware eval-set or
+    annotation sampling), complementing `importance_sample`'s
+    independent-coin-per-doc shape (that one's output size is random;
+    this one's is exactly k).
+
+    Scale: one map-side priority expression per row, then a distributed
+    top-k (TakeOrderedAndProject — per-partition heaps merged on the
+    driver side of the exchange, never a global sort). At 100 TB the
+    whole operator moves k rows. Zero-token docs carry no mass and are
+    filtered before the draw. Priorities are strictly-ordered doubles
+    from distinct md5 lattice points, so the top-k boundary is the same
+    in every engine; the reported priority is rounded for the oracle
+    hash only AFTER selection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(WRS_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    pri = F.log(u) / w
+    return (
+        docs.select("doc_id", "source", w.alias("n_tokens"), pri.alias("pri"))
+        .filter(F.col("n_tokens") > 0)
+        .orderBy(F.desc("pri"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id", "source", "n_tokens", F.round("pri", 6).alias("priority")
+        )
+    )
+
+
 # 4-hex-char (65536-bucket) split cutoffs: 0xe666/0x10000 ≈ 0.8999 train,
 # then ≈ 0.0500 val, remainder test. Exact hex constants, not computed
 # floats, so the boundary is identical in every engine.
@@ -676,4 +727,22 @@ ORACLE_SQL["quality_filter"] = f"""
     SELECT doc_id, lang, n_tokens, stopword_ratio, alpha_ratio
     FROM scored, th
     WHERE alpha_ratio >= alpha_th AND stopword_ratio >= stop_th
+"""
+
+ORACLE_SQL["weighted_sample_docs"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens,
+               (CAST('0x' || substring(md5('{WRS_SEED}:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           ROUND(ln(u) / n_tokens, 6) AS priority
+    FROM d
+    WHERE n_tokens > 0
+    ORDER BY ln(u) / n_tokens DESC, doc_id ASC
+    LIMIT {WRS_K}
 """

@@ -161,7 +161,8 @@ _register(
         "redact_pii": text.redact_pii,
         "doc_chunks": text.doc_chunks,
         "deterministic_sample": text.deterministic_sample,
-        "importance_sample": text.importance_sample,  # quality-weighted keep
+        "importance_sample": text.importance_sample,
+        "weighted_sample_docs": text.weighted_sample_docs,  # A-ES top-k by priority  # quality-weighted keep
         "quality_filter": text.quality_filter,  # adaptive percentile curation
         "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
@@ -199,7 +200,7 @@ _register(
 # this window (cdc_chunks, cdc_chunk_dedup, cms_sketch,
 # cms_heavy_hitters, bootstrap_source_stats, boilerplate_chunks,
 # boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
-# zipf_fit_by_source — registered after the
+# zipf_fit_by_source, weighted_sample_docs — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.

@@ -474,3 +474,12 @@ def test_boilerplate_filter_broadcast_anti_no_text_shuffle_key(plans):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
     assert "partial_count" in p or "partial_min" in p
+
+
+def test_weighted_sample_topk_pushdown(plans):
+    """A-ES sampling must run as a distributed top-k
+    (TakeOrderedAndProject), never a global Sort — at scale the operator
+    moves k rows, not the corpus."""
+    p = plans("weighted_sample_docs")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p

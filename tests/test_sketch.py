@@ -190,3 +190,16 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
     for k, v in b.items():
         merged[k] = max(merged.get(k, 0), v)
     assert merged == full
+
+    # and the DataFrame-level merge operator agrees (the op a pipeline
+    # actually runs against a persisted register table)
+    from bread_spark.extensions.sketch import hll_registers_df, merge_hll_registers
+
+    via_op = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in merge_hll_registers(
+            hll_registers_df(docs.filter("doc_id % 2 = 0")),
+            hll_registers_df(docs.filter("doc_id % 2 = 1")),
+        ).collect()
+    }
+    assert via_op == full

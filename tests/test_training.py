@@ -503,3 +503,26 @@ def test_bpe_merges_literal_space_boundary_with_tab_symbols(spark, tmp_path):
     want = [(m[0], m[1], m[2], m[4]) for m in _reference_bpe(wc, 4)]
     assert got == want
     assert ("\ta", "b") in {(m[1], m[2]) for m in got}  # the case \s gets wrong
+
+
+def test_weighted_sample_docs_exact_k_and_length_biased(spark):
+    """A-ES weighted sampling: exactly K distinct docs, all with mass,
+    and the token-weighted draw overrepresents long documents — the
+    sample's mean length exceeds the corpus mean (deterministic given
+    the fixed seed, so pinned as an exact contract, not a statistic)."""
+    from bread_spark.functions.text import WRS_K, weighted_sample_docs
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    rows = weighted_sample_docs(spark, SF_DIR).collect()
+    assert len(rows) == WRS_K
+    assert len({r["doc_id"] for r in rows}) == WRS_K  # without replacement
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_mean = docs.select(
+        F.avg(F.size(F.filter(F.split("text", " "), lambda t: t != "")))
+    ).collect()[0][0]
+    sample_mean = sum(r["n_tokens"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
