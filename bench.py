@@ -165,6 +165,7 @@ def main() -> None:
         "hll_distinct_by_source",
         "zipf_fit_by_source",
         "weighted_sample_docs",
+        "embedding_cosine_dups_tiled",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -288,6 +289,7 @@ def main() -> None:
         "hll_distinct_by_source",
         "zipf_fit_by_source",
         "weighted_sample_docs",
+        "embedding_cosine_dups_tiled",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

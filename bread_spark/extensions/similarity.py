@@ -340,6 +340,88 @@ def embedding_cosine_dups(
     return emb.mapInPandas(blocks, "vec_a long, vec_b long, cosine double")
 
 
+COSINE_TILE_T = 8  # tiles for the distributed exact all-pairs kernel
+
+
+def embedding_cosine_dups_tiled(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    tiles: int = COSINE_TILE_T,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs with NO driver
+    collect — the fully distributed form of `embedding_cosine_dups`
+    (whose broadcast kernel caps at ~10M vectors). Same result set, same
+    oracle.
+
+    Blocked all-pairs: vectors land in `tiles` tiles by vec_id; each
+    vector is fanned out once per tile-PAIR containing its tile (an
+    in-array transform + explode — T rows per vector, no join), and each
+    (ta, tb) group computes its block of the similarity matrix with one
+    BLAS matmul in `applyInPandas`, emitting only above-threshold pairs
+    with vec_a < vec_b.
+
+    Scale contract: executor memory is bounded by 2·(n/T) vectors per
+    group — pick T so a tile fits (n/T ≈ 20k rows of float64[64] ≈ 10
+    MB); shuffle volume is n·T rows. The T(T+1)/2 groups ARE the O(n²)
+    cost made explicit and spread across the cluster — exact all-pairs
+    is inherently quadratic, so at open-corpus scale the default remains
+    `lsh_bucket_pairs` (candidates meet only inside signature buckets);
+    this kernel is the exact path when completeness is non-negotiable
+    (within-cluster refine, audit passes, modest n). Scores round to 4
+    decimals — BLAS summation-order noise (~1e-15) cannot flip a
+    boundary, so the result is engine-deterministic and oracle-checked
+    against the same SQL as the broadcast kernel."""
+    import numpy as np
+    import pandas as pd
+
+    t = tiles
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fan = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(t)).alias("tile"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {t - 1}), u -> struct("
+                f"least(pmod(vec_id, {t}), u) as ta, "
+                f"greatest(pmod(vec_id, {t}), u) as tb))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "embedding", "tile", "p.ta", "p.tb")
+
+    def block(key, pdf):
+        ta, tb = key
+        a = pdf[pdf["tile"] == ta]
+        b = pdf[pdf["tile"] == tb] if tb != ta else a
+        if not len(a) or not len(b):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+        ma = np.array(a["embedding"].tolist(), dtype=np.float64)
+        mb = np.array(b["embedding"].tolist(), dtype=np.float64) if tb != ta else ma
+        ua = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        ub = mb / np.linalg.norm(mb, axis=1, keepdims=True) if tb != ta else ua
+        scores = np.round(ua @ ub.T, 4)
+        if ta == tb:
+            # within-tile: upper triangle by id
+            ia, ib = np.nonzero(
+                (scores >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            )
+            va, vb = ids_a[ia], ids_b[ib]
+        else:
+            # cross-tile: every (x, y) unordered pair appears exactly once
+            # in A×B — orient by id, drop nothing
+            ia, ib = np.nonzero(scores >= threshold)
+            xa, xb = ids_a[ia], ids_b[ib]
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": scores[ia, ib]})
+
+    return fan.groupBy("ta", "tb").applyInPandas(
+        block, "vec_a long, vec_b long, cosine double"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "quantize_embeddings": """
         WITH flat AS (
@@ -1062,3 +1144,5 @@ ORACLE_SQL["label_mix_by_source"] = """
            ROUND(c.n_docs / t.n_source, 4) AS share
     FROM counts c JOIN totals t USING (source)
 """
+
+ORACLE_SQL["embedding_cosine_dups_tiled"] = ORACLE_SQL["embedding_cosine_dups"]

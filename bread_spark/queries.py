@@ -66,6 +66,7 @@ _register(
         "centroid_by_label": similarity.centroid_by_label,
         "quantize_embeddings": similarity.quantize_embeddings_rows,
         "embedding_cosine_dups": similarity.embedding_cosine_dups,
+        "embedding_cosine_dups_tiled": similarity.embedding_cosine_dups_tiled,  # exact, no collect
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
         "ivf_topk": similarity.ivf_topk,  # rows-only (IVF ANN scale path)
@@ -200,7 +201,8 @@ _register(
 # this window (cdc_chunks, cdc_chunk_dedup, cms_sketch,
 # cms_heavy_hitters, bootstrap_source_stats, boilerplate_chunks,
 # boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
-# zipf_fit_by_source, weighted_sample_docs — registered after the
+# zipf_fit_by_source, weighted_sample_docs,
+# embedding_cosine_dups_tiled — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.

@@ -454,12 +454,19 @@ def test_cdc_chunks_shuffle_free_and_dedup_keyed_on_digest(plans):
     assert "CartesianProduct" not in pd
 
 
-def test_cms_sketch_single_combined_aggregate(plans):
+def test_cms_sketch_single_combined_aggregate(spark, sf_dir):
     """The sketch build must be ONE (d, bucket)-keyed exchange with
     map-side partial counts (the D-row fan-out is an in-array explode,
     never a join) — the shape whose reduce side is a constant-size table
-    at any corpus size."""
-    p = plans("cms_sketch")
+    at any corpus size. Audited on the builder: the catalog entry wraps
+    it in the compute-once seam (localCheckpoint), which hides the build
+    plan behind an ExistingRDD scan."""
+    from bread_spark.extensions.sketch import cms_sketch_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(
+        cms_sketch_df(load_table(spark, sf_dir, "documents").select("text"))
+    )
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_count" in p
     assert "Join" not in p

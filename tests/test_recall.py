@@ -510,3 +510,43 @@ def test_centroid_drift_zero_for_identical_labels(spark, tmp_path):
         assert abs(got[lbl]["l2_drift"] - expected_unshifted) < 1e-3, got[lbl]
     expected_shifted = math.sqrt(64 * (2.0 / 3) ** 2)
     assert abs(got[2]["l2_drift"] - expected_shifted) < 1e-3, got[2]
+
+
+def test_tiled_exact_cosine_dups_equals_broadcast_kernel(spark):
+    """The distributed tiled kernel must return EXACTLY the broadcast
+    kernel's pair set (same ids, same rounded scores) — it is the same
+    exact computation, blocked across tile-pair groups instead of
+    collected to the driver."""
+    from bread_spark.extensions.similarity import (
+        embedding_cosine_dups,
+        embedding_cosine_dups_tiled,
+    )
+
+    want = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_cosine_dups(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_cosine_dups_tiled(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_tiled_exact_cosine_dups_fanout_is_exact(spark):
+    """Every vector lands in exactly T tile-pair groups (one per pair
+    containing its tile) — the n·T shuffle-volume contract; and no pair
+    is double-emitted across groups."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.extensions.similarity import (
+        COSINE_TILE_T,
+        embedding_cosine_dups_tiled,
+    )
+    from bread_spark.io import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    pairs = embedding_cosine_dups_tiled(spark, SF_DIR)
+    dup = pairs.groupBy("vec_a", "vec_b").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    assert COSINE_TILE_T * (COSINE_TILE_T + 1) // 2 < n  # tiling is real
