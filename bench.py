@@ -166,6 +166,7 @@ def main() -> None:
         "zipf_fit_by_source",
         "weighted_sample_docs",
         "embedding_cosine_dups_tiled",
+        "source_dashboard",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -290,6 +291,7 @@ def main() -> None:
         "zipf_fit_by_source",
         "weighted_sample_docs",
         "embedding_cosine_dups_tiled",
+        "source_dashboard",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

@@ -1576,6 +1576,41 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE per-source curation dashboard: one wide row per source joining
+    the corpus rollup (volume, dup rate), the quality gate pass rate,
+    unigram-KL drift vs the corpus, the Zipf rank-frequency fit, the HLL
+    distinct-token estimate, and the bootstrap CI on mean length — every
+    number a data-mix owner reads before touching the mixture weights,
+    in one frame (the materialized "sources" dashboard table the serving
+    layer would refresh).
+
+    Plan: each member is its own aggregate (they already share scans and
+    seams where profitable); the joins are broadcasts of O(sources)-row
+    frames — the composition itself adds no data-volume shuffle. The
+    oracle is composed from the members' own SQL, so this entry re-pins
+    every member's values a second time through the join."""
+    from ..extensions.sketch import bootstrap_source_stats, hll_distinct_by_source
+    from ..functions.text import quality_by_source
+
+    stats = corpus_stats_by_source(spark, sf_dir)
+    qual = quality_by_source(spark, sf_dir).select("source", "gate_pass_rate")
+    kl = source_kl_divergence(spark, sf_dir).select(
+        "source", "kl_divergence", "n_distinct_tokens"
+    )
+    zipf = zipf_fit_by_source(spark, sf_dir).select(
+        "source", "zipf_slope", "zipf_r2"
+    )
+    hll = hll_distinct_by_source(spark, sf_dir).select(
+        "source", F.col("hll_est").alias("distinct_tokens_est")
+    )
+    boot = bootstrap_source_stats(spark, sf_dir).select("source", "ci_lo", "ci_hi")
+    out = stats
+    for right in (qual, kl, zipf, hll, boot):
+        out = out.join(F.broadcast(right), "source")
+    return out
+
+
 ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": f"""
         WITH w AS (
@@ -2191,4 +2226,21 @@ ORACLE_SQL["zipf_fit_by_source"] = f"""
            ROUND(regr_intercept(ln(n), ln(rank)), 4) AS zipf_intercept,
            ROUND(regr_r2(ln(n), ln(rank)), 4) AS zipf_r2
     FROM head GROUP BY source
+"""
+
+# Composed dashboard oracle — every member re-pinned through the join.
+from ..functions.text import ORACLE_SQL as _TEXT_ORACLE  # noqa: E402
+from .sketch import ORACLE_SQL as _SKETCH_ORACLE  # noqa: E402
+
+ORACLE_SQL["source_dashboard"] = f"""
+    SELECT s.source, s.n_docs, s.total_tokens, s.mean_tokens, s.n_langs,
+           s.n_distinct_texts, q.gate_pass_rate, k.kl_divergence,
+           k.n_distinct_tokens, z.zipf_slope, z.zipf_r2,
+           h.hll_est AS distinct_tokens_est, b.ci_lo, b.ci_hi
+    FROM ({ORACLE_SQL["corpus_stats_by_source"]}) s
+    JOIN ({_TEXT_ORACLE["quality_by_source"]}) q ON s.source = q.source
+    JOIN ({ORACLE_SQL["source_kl_divergence"]}) k ON s.source = k.source
+    JOIN ({ORACLE_SQL["zipf_fit_by_source"]}) z ON s.source = z.source
+    JOIN ({_SKETCH_ORACLE["hll_distinct_by_source"]}) h ON s.source = h.source
+    JOIN ({_SKETCH_ORACLE["bootstrap_source_stats"]}) b ON s.source = b.source
 """

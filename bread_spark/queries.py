@@ -147,6 +147,7 @@ _register(
         "perplexity_buckets_distributed": curation.perplexity_buckets_distributed,
         "corpus_stats_by_source": curation.corpus_stats_by_source,
         "source_kl_divergence": curation.source_kl_divergence,
+        "source_dashboard": curation.source_dashboard,  # wide per-source composite
         "curated_corpus": curation.curated_corpus,  # composed-oracle pipeline
     },
     curation.ORACLE_SQL,
@@ -202,7 +203,7 @@ _register(
 # cms_heavy_hitters, bootstrap_source_stats, boilerplate_chunks,
 # boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
 # zipf_fit_by_source, weighted_sample_docs,
-# embedding_cosine_dups_tiled — registered after the
+# embedding_cosine_dups_tiled, source_dashboard — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.
