@@ -167,6 +167,8 @@ def main() -> None:
         "weighted_sample_docs",
         "embedding_cosine_dups_tiled",
         "source_dashboard",
+        "weighted_sample_by_source",
+        "hll_total_distinct",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -292,6 +294,8 @@ def main() -> None:
         "weighted_sample_docs",
         "embedding_cosine_dups_tiled",
         "source_dashboard",
+        "weighted_sample_by_source",
+        "hll_total_distinct",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

@@ -435,6 +435,41 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_total_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide distinct-token estimate computed by UNIONING the
+    per-source register tables (elementwise MAX across sources) — the
+    catalog's proof that the merge operator composes: the union of
+    sketches IS the sketch of the union, so the corpus total never needs
+    a second corpus pass over what the per-source tables already read.
+    One row: true distinct count, register-union estimate, relative
+    error (same estimator arithmetic as the per-source report)."""
+    regs = hll_registers(spark, sf_dir)
+    merged = regs.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    agg = merged.agg(
+        F.expr(
+            f"sum(cast(power(2.0, {HLL_VBITS + 1} - max_rho) as bigint))"
+        ).alias("z_num"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    scale = float(1 << (HLL_VBITS + 1))
+    z = (F.col("z_num") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(scale)) / F.lit(scale)
+    e_raw = F.expr(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / z
+    v_zero = F.lit(HLL_M) - F.col("n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+        F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero),
+    ).otherwise(e_raw)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    true = _tokens(docs).agg(F.countDistinct("token").alias("n_true"))
+    return true.join(F.broadcast(agg.withColumn("hll_est", est))).select(
+        "n_true",
+        F.round("hll_est", 4).alias("hll_est"),
+        F.round(
+            (F.col("hll_est") - F.col("n_true")) / F.col("n_true"), 4
+        ).alias("rel_err"),
+    )
+
+
 _HLL_SRC_TOKENS_CTE = """
     WITH toks AS (
         SELECT source,
@@ -493,4 +528,33 @@ ORACLE_SQL["hll_distinct_by_source"] = f"""
            ROUND(e.hll_est, 4) AS hll_est,
            ROUND((e.hll_est - t.n_true) / t.n_true, 4) AS rel_err
     FROM tru t JOIN est e ON t.source = e.source
+"""
+
+ORACLE_SQL["hll_total_distinct"] = f"""
+    {_HLL_REG_SQL},
+    merged AS (
+        SELECT bucket, MAX(max_rho) AS max_rho FROM regs GROUP BY bucket
+    ),
+    agg AS (
+        SELECT SUM(CAST(POWER(2, {HLL_VBITS + 1} - max_rho) AS BIGINT)) AS z_num,
+               COUNT(1) AS n_present
+        FROM merged
+    ),
+    est AS (
+        SELECT CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+                          / ((z_num + ({HLL_M} - n_present) * {float(1 << (HLL_VBITS + 1))})
+                             / {float(1 << (HLL_VBITS + 1))})) <= {2.5 * HLL_M}
+                         AND ({HLL_M} - n_present) > 0
+                    THEN {HLL_M} * ln({float(HLL_M)} / ({HLL_M} - n_present))
+                    ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M}
+                         / ((z_num + ({HLL_M} - n_present) * {float(1 << (HLL_VBITS + 1))})
+                            / {float(1 << (HLL_VBITS + 1))})
+               END AS hll_est
+        FROM agg
+    ),
+    tru AS (SELECT COUNT(DISTINCT token) AS n_true FROM toks)
+    SELECT t.n_true,
+           ROUND(e.hll_est, 4) AS hll_est,
+           ROUND((e.hll_est - t.n_true) / t.n_true, 4) AS rel_err
+    FROM tru t, est e
 """

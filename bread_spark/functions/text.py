@@ -209,6 +209,55 @@ def weighted_sample_docs(
     )
 
 
+WRS_PER_SOURCE_K = 5  # per-stratum weighted sample size
+
+
+def weighted_sample_by_source(
+    spark: SparkSession, sf_dir: str, k: int = WRS_PER_SOURCE_K
+) -> DataFrame:
+    """STRATIFIED A-ES: the top-k Efraimidis-Spirakis priorities WITHIN
+    each source — a length-weighted without-replacement sample of
+    exactly k docs per stratum (the per-domain eval/annotation draw;
+    `weighted_sample_docs` is the global form). Same priority
+    arithmetic, so the two entries can never disagree on a priority.
+
+    Scale: the global top-k's TakeOrderedAndProject becomes a rank
+    window pruned by WindowGroupLimit — per-partition per-source heaps
+    before the exchange, k·sources rows after it."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(WRS_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    pri = F.log(u) / w
+    scored = docs.select(
+        "doc_id", "source", w.alias("n_tokens"), pri.alias("pri")
+    ).filter(F.col("n_tokens") > 0)
+    win = W.partitionBy("source").orderBy(F.desc("pri"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "source",
+            "rank",
+            "doc_id",
+            "n_tokens",
+            F.round("pri", 6).alias("priority"),
+        )
+    )
+
+
 # 4-hex-char (65536-bucket) split cutoffs: 0xe666/0x10000 ≈ 0.8999 train,
 # then ≈ 0.0500 val, remainder test. Exact hex constants, not computed
 # floats, so the boundary is identical in every engine.
@@ -745,4 +794,26 @@ ORACLE_SQL["weighted_sample_docs"] = f"""
     WHERE n_tokens > 0
     ORDER BY ln(u) / n_tokens DESC, doc_id ASC
     LIMIT {WRS_K}
+"""
+
+ORACLE_SQL["weighted_sample_by_source"] = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens,
+               (CAST('0x' || substring(md5('{WRS_SEED}:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT source, rank, doc_id, n_tokens,
+           ROUND(ln(u) / n_tokens, 6) AS priority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ln(u) / n_tokens DESC, doc_id ASC
+               ) AS rank
+        FROM d WHERE n_tokens > 0
+    )
+    WHERE rank <= {WRS_PER_SOURCE_K}
 """

@@ -93,6 +93,7 @@ _register(
         "bootstrap_source_stats": sketch.bootstrap_source_stats,  # Poisson-bootstrap CIs
         "hll_registers": sketch.hll_registers,  # mergeable distinct-count sketch
         "hll_distinct_by_source": sketch.hll_distinct_by_source,  # estimate vs true
+        "hll_total_distinct": sketch.hll_total_distinct,  # register-union corpus total
     },
     sketch.ORACLE_SQL,
 )
@@ -164,7 +165,8 @@ _register(
         "doc_chunks": text.doc_chunks,
         "deterministic_sample": text.deterministic_sample,
         "importance_sample": text.importance_sample,
-        "weighted_sample_docs": text.weighted_sample_docs,  # A-ES top-k by priority  # quality-weighted keep
+        "weighted_sample_docs": text.weighted_sample_docs,  # A-ES top-k by priority
+        "weighted_sample_by_source": text.weighted_sample_by_source,  # stratified A-ES  # quality-weighted keep
         "quality_filter": text.quality_filter,  # adaptive percentile curation
         "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
@@ -203,7 +205,8 @@ _register(
 # cms_heavy_hitters, bootstrap_source_stats, boilerplate_chunks,
 # boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
 # zipf_fit_by_source, weighted_sample_docs,
-# embedding_cosine_dups_tiled, source_dashboard — registered after the
+# embedding_cosine_dups_tiled, source_dashboard, hll_total_distinct,
+# weighted_sample_by_source — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.

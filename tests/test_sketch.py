@@ -203,3 +203,61 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
         ).collect()
     }
     assert via_op == full
+
+
+def test_hll_total_union_equals_sketch_of_union(spark, sf_dir):
+    """Sketch-of-union property: max-merging the per-source registers
+    gives EXACTLY the registers of a source-blind build over the whole
+    corpus — and the one-row total estimate stays inside 3σ."""
+    from bread_spark.extensions.sketch import (
+        HLL_M,
+        _HLL_U32,
+        _rho_sql,
+        hll_registers,
+        hll_total_distinct,
+    )
+    from bread_spark.io import load_table
+
+    merged = {
+        r["bucket"]: r["max_rho"]
+        for r in hll_registers(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    direct = {
+        r["bucket"]: r["max_rho"]
+        for r in docs.select(F.explode(toks).alias("token"))
+        .select(
+            F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+            F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == direct
+
+    row = hll_total_distinct(spark, sf_dir).collect()
+    assert len(row) == 1
+    assert abs(row[0]["rel_err"]) <= 0.39
+
+
+def test_weighted_sample_by_source_exact_k_per_stratum(spark, sf_dir):
+    """Exactly k docs per source, ranks dense 1..k, and each stratum's
+    priorities agree with the global operator's arithmetic (shared
+    expression — the two entries can never disagree)."""
+    from bread_spark.functions.text import (
+        WRS_PER_SOURCE_K,
+        weighted_sample_by_source,
+    )
+
+    rows = weighted_sample_by_source(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["rank"])
+    assert by_src
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, WRS_PER_SOURCE_K + 1)), src
