@@ -411,3 +411,75 @@ def test_cdc_chunking_scales_linearly(spark, big_docs_r6):
         ).collect()
     }
     assert rep1 == base
+
+
+def test_cms_counters_scale_exactly_linearly(spark, big_docs_r6):
+    """Replicating every document REPS× multiplies EVERY count-min
+    counter by exactly REPS (same tokens → same buckets; counts are
+    pure sums) — the sketch stays the same constant-size table while its
+    mass scales, which is the whole point."""
+    from bread_spark.extensions.sketch import cms_sketch_df
+
+    base = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch_df(
+            load_table(spark, SF_DIR, "documents").select("text")
+        ).collect()
+    }
+    big = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_sketch_df(big_docs_r6.select("text")).collect()
+    }
+    assert big == {k: v * REPS for k, v in base.items()}
+
+
+def test_hll_registers_invariant_under_replication(spark, big_docs_r6):
+    """Replication adds NO new distinct tokens, so the register table —
+    and therefore the distinct-count estimate — must be bit-identical on
+    the 10× corpus (duplicates are absorbed by MAX; the estimate depends
+    on registers alone)."""
+    from bread_spark.extensions.sketch import hll_registers_df
+
+    base = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in hll_registers_df(
+            load_table(spark, SF_DIR, "documents").select("source", "text")
+        ).collect()
+    }
+    big = {
+        (r["source"], r["bucket"]): r["max_rho"]
+        for r in hll_registers_df(big_docs_r6.select("source", "text")).collect()
+    }
+    assert big == base
+
+
+def test_boilerplate_table_docfreq_scales_linearly(spark, big_docs_r6):
+    """On the replicated corpus every chunk's document frequency is
+    exactly REPS× its base frequency — the frequency aggregate stays a
+    per-chunk count, never a pairwise structure."""
+    from bread_spark.extensions.curation import (
+        CHUNK_TOKENS,
+        _boilerplate_table,
+        _fixed_chunk_stream,
+    )
+
+    base = {
+        r["chunk"]: (r["n_docs"], r["n_occurrences"])
+        for r in _boilerplate_table(
+            _fixed_chunk_stream(
+                load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+                CHUNK_TOKENS,
+            ),
+            min_docs=1,
+        ).collect()
+    }
+    big = {
+        r["chunk"]: (r["n_docs"], r["n_occurrences"])
+        for r in _boilerplate_table(
+            _fixed_chunk_stream(
+                big_docs_r6.select("doc_id", "text"), CHUNK_TOKENS
+            ),
+            min_docs=1,
+        ).collect()
+    }
+    assert big == {k: (nd * REPS, no * REPS) for k, (nd, no) in base.items()}
