@@ -45,3 +45,44 @@ def cms_sketch_stream(docs: DataFrame) -> DataFrame:
     the online frequency monitor. State is the constant D·WIDTH counter
     grid regardless of how long the stream runs."""
     return cms_sketch_df(docs)
+
+
+def hll_windowed_register_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    payload_col: str = "text",
+    window: str = "10 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """Per-event-time-window HLL registers over a document stream —
+    "how many distinct tokens arrived THIS hour", the windowed form of
+    the running monitor above. State is O(open windows · M) and evicts
+    with the watermark; each finalized window emits its ≤M register rows
+    (window_start, bucket, max_rho) in append mode — still mergeable
+    downstream (max across windows = the period's registers), so a
+    dashboard can roll hours into days without touching raw data.
+
+    Same md5/rho arithmetic as the batch sketch (`_HLL_U32`/`_rho_sql`
+    are imported, not re-derived), so a window's registers are
+    bit-identical to a batch build over that window's documents —
+    pinned in tests."""
+    from pyspark.sql import functions as F
+
+    from ..extensions.sketch import HLL_M, _HLL_U32, _rho_sql
+
+    toks = F.filter(F.split(payload_col, " "), lambda t: t != "")
+    rows = docs.select(ts_col, F.explode(toks).alias("token")).select(
+        ts_col,
+        F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+        F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+    )
+    return (
+        rows.withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("bucket"))
+        .agg(F.max("rho").alias("max_rho"))
+        .select(
+            F.col("win").getField("start").alias("window_start"),
+            "bucket",
+            "max_rho",
+        )
+    )

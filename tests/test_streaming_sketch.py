@@ -105,3 +105,76 @@ def test_cms_stream_matches_batch(spark, tmp_path):
     total_tokens = sum(len(t.split()) for _, _, t in BATCH1 + BATCH2)
     for d in {k[0] for k in got}:
         assert sum(v for (dd, _), v in got.items() if dd == d) == total_tokens
+
+
+def test_hll_windowed_registers_match_batch_per_window(spark, tmp_path):
+    """Each finalized event-time window's register rows are bit-identical
+    to a batch register build over exactly that window's documents, and
+    emit in append mode once the watermark passes."""
+    import datetime
+
+    from bread_spark.extensions.sketch import HLL_M, _HLL_U32, _rho_sql
+    from bread_spark.streaming.sketch import hll_windowed_register_stream
+
+    BASE_TS = datetime.datetime(2024, 3, 1)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+
+    win1 = [(1, BASE_TS, "alpha beta gamma"), (2, BASE_TS + m, "beta delta")]
+    win2 = [(3, BASE_TS + 15 * m, "epsilon zeta")]
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ck", "sink"))
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for doc_id, ts, text in rows:
+                f.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "ts": ts.isoformat(), "text": text}
+                    )
+                    + "\n"
+                )
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).json(src)
+        q = (
+            hll_windowed_register_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("b1.json", win1 + win2)
+    run()
+    write("b2.json", [(9, BASE_TS + 3 * h, "late")])  # advance watermark
+    run()
+
+    got: dict = {}
+    for r in spark.read.parquet(sink).collect():
+        got.setdefault(r["window_start"], {})[r["bucket"]] = r["max_rho"]
+
+    def batch_regs(rows):
+        frame = spark.createDataFrame(
+            [{"text": t} for _, _, t in rows], "text string"
+        )
+        toks = F.filter(F.split("text", " "), lambda t: t != "")
+        return {
+            r["bucket"]: r["max_rho"]
+            for r in frame.select(F.explode(toks).alias("token"))
+            .select(
+                F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+                F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("max_rho"))
+            .collect()
+        }
+
+    assert got[BASE_TS] == batch_regs(win1)
+    assert got[BASE_TS + 10 * m] == batch_regs(win2)
