@@ -490,3 +490,13 @@ def test_weighted_sample_topk_pushdown(plans):
     p = plans("weighted_sample_docs")
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p
+
+
+def test_zipf_and_stratified_sample_window_group_limit(plans):
+    """Both per-key top-k windows (Zipf's top-100 head, the stratified
+    A-ES k-per-source) must be WindowGroupLimit-pruned — per-partition
+    heaps before the exchange, never a full per-key sort materialized."""
+    for name in ("zipf_fit_by_source", "weighted_sample_by_source"):
+        p = plans(name)
+        assert "WindowGroupLimit" in p, name
+        assert "SortMergeJoin" not in p, name
