@@ -169,6 +169,7 @@ def main() -> None:
         "source_dashboard",
         "weighted_sample_by_source",
         "hll_total_distinct",
+        "cms_probe_report",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -296,6 +297,7 @@ def main() -> None:
         "source_dashboard",
         "weighted_sample_by_source",
         "hll_total_distinct",
+        "cms_probe_report",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

@@ -131,6 +131,58 @@ def cms_heavy_hitters(
     )
 
 
+CMS_ABSENT_PROBES = ("zzqqneverseenprobeone", "zzqqneverseenprobetwo")
+
+
+def cms_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-time POINT probes against the staged sketch — the query
+    the persisted table exists to answer: estimated counts for a probe
+    set that mixes the 3 true heaviest tokens with two tokens known to
+    be ABSENT from the corpus. Present probes show est ≥ true (collision
+    mass only); absent probes show the floor directly — their estimate
+    IS the collision mass of their least-loaded bucket (0 if any lane
+    bucket is empty: the sketch LEFT-joins and missing cells count 0,
+    exactly the array-of-zeros semantics of a real CMS).
+
+    Plan: probes are a ≤5-row frame — the lane fan-out and the sketch
+    join are broadcasts; true counts come from the same token aggregate
+    the heavy-hitter report already stages."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(3).select("token")
+    absent = spark.createDataFrame(
+        [(t,) for t in CMS_ABSENT_PROBES], "token string"
+    )
+    probes = top.unionByName(absent)
+    true = (
+        probes.join(counts, "token", "left")
+        .select("token", F.coalesce("n", F.lit(0)).alias("n_true"))
+    )
+    lanes = true.withColumn("dig", F.md5("token")).select(
+        "token",
+        "n_true",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CMS_D - 1}), d -> "
+                f"struct(cast(d as bigint) as d, {_bucket_expr('d', 'dig')} as bucket))"
+            )
+        ).alias("p"),
+    ).select("token", "n_true", "p.d", "p.bucket")
+    sketch = cms_sketch(spark, sf_dir)
+    return (
+        F.broadcast(lanes)
+        .join(sketch, ["d", "bucket"], "left")
+        .groupBy("token", "n_true")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+        .select(
+            "token",
+            "n_true",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_true")).alias("overestimate"),
+        )
+    )
+
+
 _CMS_TOKENS_CTE = """
     WITH toks AS (
         SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -557,4 +609,40 @@ ORACLE_SQL["hll_total_distinct"] = f"""
            ROUND(e.hll_est, 4) AS hll_est,
            ROUND((e.hll_est - t.n_true) / t.n_true, 4) AS rel_err
     FROM tru t, est e
+"""
+
+_CMS_PROBE_VALUES = ", ".join(f"('{t}')" for t in CMS_ABSENT_PROBES)
+
+ORACLE_SQL["cms_probe_report"] = f"""
+    {_CMS_TOKENS_CTE},
+    counts AS (SELECT token, COUNT(1) AS n FROM toks GROUP BY token),
+    top AS (
+        SELECT token FROM counts ORDER BY n DESC, token ASC LIMIT 3
+    ),
+    probes AS (
+        SELECT token FROM top
+        UNION ALL SELECT * FROM (VALUES {_CMS_PROBE_VALUES}) v(token)
+    ),
+    tru AS (
+        SELECT p.token, COALESCE(c.n, 0) AS n_true
+        FROM probes p LEFT JOIN counts c ON p.token = c.token
+    ),
+    rows AS (
+        SELECT CAST(d AS BIGINT) AS d,
+               CAST('0x' || substring(md5(token), 1 + 8 * CAST(d AS INT), 8)
+                    AS BIGINT) % {CMS_WIDTH} AS bucket
+        FROM toks, LATERAL (SELECT unnest(range({CMS_D})) AS d) t
+    ),
+    sketch AS (SELECT d, bucket, COUNT(1) AS cnt FROM rows GROUP BY d, bucket),
+    lanes AS (
+        SELECT t.token, t.n_true, CAST(d AS BIGINT) AS d,
+               CAST('0x' || substring(md5(t.token), 1 + 8 * CAST(d AS INT), 8)
+                    AS BIGINT) % {CMS_WIDTH} AS bucket
+        FROM tru t, LATERAL (SELECT unnest(range({CMS_D})) AS d) x
+    )
+    SELECT l.token, l.n_true,
+           MIN(COALESCE(s.cnt, 0)) AS cms_est,
+           MIN(COALESCE(s.cnt, 0)) - l.n_true AS overestimate
+    FROM lanes l LEFT JOIN sketch s ON l.d = s.d AND l.bucket = s.bucket
+    GROUP BY l.token, l.n_true
 """

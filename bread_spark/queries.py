@@ -90,6 +90,7 @@ _register(
     {
         "cms_sketch": sketch.cms_sketch,  # bounded-memory frequency table
         "cms_heavy_hitters": sketch.cms_heavy_hitters,  # calibration report
+        "cms_probe_report": sketch.cms_probe_report,  # serving-time point probes
         "bootstrap_source_stats": sketch.bootstrap_source_stats,  # Poisson-bootstrap CIs
         "hll_registers": sketch.hll_registers,  # mergeable distinct-count sketch
         "hll_distinct_by_source": sketch.hll_distinct_by_source,  # estimate vs true
@@ -206,7 +207,7 @@ _register(
 # boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
 # zipf_fit_by_source, weighted_sample_docs,
 # embedding_cosine_dups_tiled, source_dashboard, hll_total_distinct,
-# weighted_sample_by_source — registered after the
+# weighted_sample_by_source, cms_probe_report — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.

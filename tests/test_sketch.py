@@ -261,3 +261,19 @@ def test_weighted_sample_by_source_exact_k_per_stratum(spark, sf_dir):
     assert by_src
     for src, ranks in by_src.items():
         assert sorted(ranks) == list(range(1, WRS_PER_SOURCE_K + 1)), src
+
+
+def test_cms_probe_report_absent_tokens_show_collision_floor(spark, sf_dir):
+    """The two known-absent probes report n_true = 0 with est equal to
+    pure collision mass (est == overestimate ≥ 0); the present probes
+    keep the never-underestimate guarantee."""
+    from bread_spark.extensions.sketch import CMS_ABSENT_PROBES, cms_probe_report
+
+    rows = {r["token"]: r for r in cms_probe_report(spark, sf_dir).collect()}
+    assert len(rows) == 5
+    for t in CMS_ABSENT_PROBES:
+        assert rows[t]["n_true"] == 0
+        assert rows[t]["cms_est"] == rows[t]["overestimate"] >= 0
+    for t, r in rows.items():
+        if t not in CMS_ABSENT_PROBES:
+            assert r["n_true"] > 0 and r["cms_est"] >= r["n_true"]
