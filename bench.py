@@ -170,6 +170,7 @@ def main() -> None:
         "weighted_sample_by_source",
         "hll_total_distinct",
         "cms_probe_report",
+        "split_leakage_report",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
         "bm25_search",
@@ -298,6 +299,7 @@ def main() -> None:
         "weighted_sample_by_source",
         "hll_total_distinct",
         "cms_probe_report",
+        "split_leakage_report",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
     }

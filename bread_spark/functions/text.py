@@ -158,6 +158,45 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", weight.alias("weight"))
 
 
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split auditor: one row per split with its document count plus
+    the corpus-wide count of content digests that appear in MORE THAN
+    ONE split — the eval-leakage regression a row-id-keyed split would
+    introduce. Structurally zero here because `dataset_splits` keys on
+    content md5 (byte-identical twins cannot straddle splits), and this
+    report is what PROVES it stays zero: if anyone rewires the split to
+    doc_id, the driver row goes red.
+
+    Plan: one digest-keyed countDistinct(split) aggregate + one split-
+    keyed count — O(distinct texts) intermediate, no joins of raw text."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
+    split = (
+        F.when(bucket < SPLIT_TRAIN_CUTOFF, F.lit("train"))
+        .when(bucket < SPLIT_VAL_CUTOFF, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = docs.select(
+        F.md5(F.col("text").cast("binary")).alias("digest"), split.alias("split")
+    )
+    leaked = (
+        tagged.groupBy("digest")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias(
+                "n_leaked_digests"
+            )
+        )
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("digest").alias("n_distinct_texts"),
+    )
+    return per_split.join(F.broadcast(leaked)).select(
+        "split", "n_docs", "n_distinct_texts", "n_leaked_digests"
+    )
+
+
 WRS_K = 50  # weighted sample size
 WRS_SEED = "wrs42"
 
@@ -816,4 +855,29 @@ ORACLE_SQL["weighted_sample_by_source"] = f"""
         FROM d WHERE n_tokens > 0
     )
     WHERE rank <= {WRS_PER_SOURCE_K}
+"""
+
+ORACLE_SQL["split_leakage_report"] = f"""
+    WITH tagged AS (
+        SELECT md5(text) AS digest,
+               CASE WHEN substring(md5(text), 1, 4)
+                        < '{SPLIT_TRAIN_CUTOFF}' THEN 'train'
+                    WHEN substring(md5(text), 1, 4)
+                        < '{SPLIT_VAL_CUTOFF}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    leaked AS (
+        SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_leaked_digests
+        FROM (
+            SELECT digest, COUNT(DISTINCT split) AS n_splits
+            FROM tagged GROUP BY digest
+        )
+    )
+    SELECT t.split, COUNT(1) AS n_docs,
+           COUNT(DISTINCT t.digest) AS n_distinct_texts,
+           l.n_leaked_digests
+    FROM tagged t, leaked l
+    GROUP BY t.split, l.n_leaked_digests
 """

@@ -167,7 +167,8 @@ _register(
         "deterministic_sample": text.deterministic_sample,
         "importance_sample": text.importance_sample,
         "weighted_sample_docs": text.weighted_sample_docs,  # A-ES top-k by priority
-        "weighted_sample_by_source": text.weighted_sample_by_source,  # stratified A-ES  # quality-weighted keep
+        "weighted_sample_by_source": text.weighted_sample_by_source,  # stratified A-ES
+        "split_leakage_report": text.split_leakage_report,  # eval-leak auditor  # quality-weighted keep
         "quality_filter": text.quality_filter,  # adaptive percentile curation
         "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
@@ -207,7 +208,8 @@ _register(
 # boilerplate_filtered_corpus, hll_registers, hll_distinct_by_source,
 # zipf_fit_by_source, weighted_sample_docs,
 # embedding_cosine_dups_tiled, source_dashboard, hll_total_distinct,
-# weighted_sample_by_source, cms_probe_report — registered after the
+# weighted_sample_by_source, cms_probe_report, split_leakage_report
+# — registered after the
 # window froze, green in the in-repo differential), then (b) those 15
 # deferrals, then re-warm whatever CORRECTNESS_r07 leaves ≥2 rounds
 # stale.

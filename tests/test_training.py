@@ -526,3 +526,35 @@ def test_weighted_sample_docs_exact_k_and_length_biased(spark):
     ).collect()[0][0]
     sample_mean = sum(r["n_tokens"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_split_leakage_is_structurally_zero_and_detects_id_keyed_splits(spark):
+    """The auditor reports zero leaked digests for the content-keyed
+    split (exact twins share a digest, hence a split); and the metric
+    genuinely detects leakage: assigning the SAME duplicated text to two
+    different splits yields a nonzero count under the same aggregate."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.functions.text import split_leakage_report
+    from tests.conftest import SF_DIR
+
+    rows = split_leakage_report(spark, SF_DIR).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert all(r["n_leaked_digests"] == 0 for r in rows)
+    assert all(r["n_docs"] >= r["n_distinct_texts"] >= 1 for r in rows)
+
+    # the detector itself: an id-keyed split over duplicated content
+    bad = spark.createDataFrame(
+        [
+            {"digest": "d1", "split": "train"},
+            {"digest": "d1", "split": "test"},  # twin straddles → leak
+            {"digest": "d2", "split": "train"},
+        ]
+    )
+    leaked = (
+        bad.groupBy("digest")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert leaked == 1
