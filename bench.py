@@ -427,26 +427,30 @@ def main() -> None:
         )
     )
     # Compact machine-readable summary LAST — the driver's record. The
-    # per-query map is capped to the slowest entries so this line stays
-    # far under the 2000-char tail capture no matter how the catalog grows.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:8]
-    )
-    summary = json.dumps(
-        {
-            "metric": "bread_spark_headline_queries",
-            "value": total,
-            "unit": "sec",
-            "cold_total": cold_total,
-            "warm_passes": WARM_PASSES,
-            "n_queries": len(timings),
-            "subtotals": subtotals,
-            "queries": slowest,
-            "parse_events_rows": parse_rows,
-            "sf": sf_val,
-        }
-    )
-    assert len(summary) < 1800, f"summary line too long ({len(summary)} chars)"
+    # per-query map is capped to the slowest entries, and if the line
+    # still exceeds the ~2000-char tail capture (longer names, more
+    # subtotal keys in a future round) we DEGRADE by shrinking the map
+    # rather than crashing a completed run.
+    ranked = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    for n_slowest in range(8, -1, -1):
+        summary = json.dumps(
+            {
+                "metric": "bread_spark_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "cold_total": cold_total,
+                "warm_passes": WARM_PASSES,
+                "n_queries": len(timings),
+                "subtotals": subtotals,
+                "queries": dict(ranked[:n_slowest]),
+                "parse_events_rows": parse_rows,
+                "sf": sf_val,
+            }
+        )
+        if len(summary) < 1800:
+            break
+    if len(summary) >= 1800:  # still too long even with zero queries
+        print(f"WARNING: bench summary line is {len(summary)} chars", file=sys.stderr)
     print(summary)
     spark.stop()
 

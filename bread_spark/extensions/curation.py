@@ -241,17 +241,38 @@ def _cdc_chunk_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+def _cdc_chunk_frame_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once seam over `_cdc_chunk_frame` — the Rabin-Karp
+    boundary scan touches every token of every document and is the
+    catalog's single heaviest repeated computation (VERDICT r7: the two
+    consumers paid it independently, 1.25 s + 2.67 s per pass). One
+    build per (session, sf_dir) now serves both `cdc_chunks` and
+    `cdc_chunk_dedup` (cache contract in plans/materialize.py; equality
+    stays pinned by each consumer's own oracle). At 100 TB this frame
+    is the persisted chunk-index staging table both jobs would read."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "cdc_chunk_frame",
+        sf_dir,
+        lambda: _cdc_chunk_frame(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+    )
+
+
 def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CDC chunk index: one row per content-defined chunk —
     (doc_id, chunk_idx, chunk_tokens, chunk_hash). The inspection /
     staging form of `cdc_chunk_dedup` (at 100 TB this table is what you
     persist next to the corpus and anti-join new crawl snapshots
     against: chunk digests survive upstream edits that shift fixed
-    windows)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    windows). Reads the compute-once chunk seam — the boundary scan is
+    paid once per pass, shared with `cdc_chunk_dedup`."""
     toks_in_chunk = F.size(F.filter(F.split("chunk", " "), lambda t: t != ""))
     return (
-        _cdc_chunk_frame(docs)
+        _cdc_chunk_frame_shared(spark, sf_dir)
         .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
         .select(
             "doc_id",
@@ -267,9 +288,9 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks + per-doc rebuild — `paragraph_dedup` with boundaries that
     survive insertions (the re-crawl robustness fixed windows lack).
     Same scale shape: one digest-keyed shuffle (text rides once as
-    payload), one doc_id-keyed ordered reassembly."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _chunk_first_occurrence_rebuild(_cdc_chunk_frame(docs))
+    payload), one doc_id-keyed ordered reassembly. Reads the
+    compute-once chunk seam shared with `cdc_chunks`."""
+    return _chunk_first_occurrence_rebuild(_cdc_chunk_frame_shared(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1589,7 +1610,14 @@ def source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     seams where profitable); the joins are broadcasts of O(sources)-row
     frames — the composition itself adds no data-volume shuffle. The
     oracle is composed from the members' own SQL, so this entry re-pins
-    every member's values a second time through the join."""
+    every member's values a second time through the join.
+
+    Joins are LEFT from `corpus_stats_by_source` — the complete source
+    list — so a source that drops out of a member aggregate (e.g. all
+    its documents are empty/zero-token, which removes it from the KL,
+    Zipf, and HLL frames) surfaces as a row with null metric cells
+    instead of silently vanishing from the dashboard: a monitoring
+    rollup must show the degenerate source, not hide it."""
     from ..extensions.sketch import bootstrap_source_stats, hll_distinct_by_source
     from ..functions.text import quality_by_source
 
@@ -1607,7 +1635,7 @@ def source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     boot = bootstrap_source_stats(spark, sf_dir).select("source", "ci_lo", "ci_hi")
     out = stats
     for right in (qual, kl, zipf, hll, boot):
-        out = out.join(F.broadcast(right), "source")
+        out = out.join(F.broadcast(right), "source", "left")
     return out
 
 
@@ -2229,6 +2257,8 @@ ORACLE_SQL["zipf_fit_by_source"] = f"""
 """
 
 # Composed dashboard oracle — every member re-pinned through the join.
+# LEFT joins from the complete source list (corpus_stats_by_source), same
+# degenerate-source-surfaces-as-nulls semantics as the Spark side.
 from ..functions.text import ORACLE_SQL as _TEXT_ORACLE  # noqa: E402
 from .sketch import ORACLE_SQL as _SKETCH_ORACLE  # noqa: E402
 
@@ -2238,9 +2268,9 @@ ORACLE_SQL["source_dashboard"] = f"""
            k.n_distinct_tokens, z.zipf_slope, z.zipf_r2,
            h.hll_est AS distinct_tokens_est, b.ci_lo, b.ci_hi
     FROM ({ORACLE_SQL["corpus_stats_by_source"]}) s
-    JOIN ({_TEXT_ORACLE["quality_by_source"]}) q ON s.source = q.source
-    JOIN ({ORACLE_SQL["source_kl_divergence"]}) k ON s.source = k.source
-    JOIN ({ORACLE_SQL["zipf_fit_by_source"]}) z ON s.source = z.source
-    JOIN ({_SKETCH_ORACLE["hll_distinct_by_source"]}) h ON s.source = h.source
-    JOIN ({_SKETCH_ORACLE["bootstrap_source_stats"]}) b ON s.source = b.source
+    LEFT JOIN ({_TEXT_ORACLE["quality_by_source"]}) q ON s.source = q.source
+    LEFT JOIN ({ORACLE_SQL["source_kl_divergence"]}) k ON s.source = k.source
+    LEFT JOIN ({ORACLE_SQL["zipf_fit_by_source"]}) z ON s.source = z.source
+    LEFT JOIN ({_SKETCH_ORACLE["hll_distinct_by_source"]}) h ON s.source = h.source
+    LEFT JOIN ({_SKETCH_ORACLE["bootstrap_source_stats"]}) b ON s.source = b.source
 """

@@ -243,15 +243,20 @@ BOOT_Z = 1.96  # normal-approximation CI half-width multiplier
 
 
 def _poisson_weight_sql(u: str) -> str:
-    """SQL CASE mapping a 32-bit uniform to a Poisson(1) draw (capped at
-    6, total tail mass ~6e-4) — the per-(doc, replicate) resample weight
-    of the Poisson bootstrap: at corpus scale, instead of materializing R
-    resampled corpora, every row carries R independent Poisson(1)
-    multiplicities and each replicate is a weighted aggregate."""
-    cases = " ".join(
-        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_T)
-    )
-    return f"CASE {cases} ELSE 6 END"
+    """SQL expression mapping a 32-bit uniform to a Poisson(1) draw
+    (capped at 6, total tail mass ~6e-4) — the per-(doc, replicate)
+    resample weight of the Poisson bootstrap: at corpus scale, instead of
+    materializing R resampled corpora, every row carries R independent
+    Poisson(1) multiplicities and each replicate is a weighted aggregate.
+
+    The uniform expression ``u`` (md5 + conv) is bound ONCE via the
+    ``transform(array(u), v -> CASE ...)[0]`` let idiom — same digest-once
+    discipline as the CMS lanes — rather than re-embedding it in every
+    WHEN branch (6× per (doc, replicate), ~200 md5 evals per doc at R=32
+    if Catalyst's subexpression elimination didn't fire inside the
+    enclosing transform lambda)."""
+    cases = " ".join(f"WHEN v < {t} THEN {k}" for k, t in enumerate(BOOT_T))
+    return f"transform(array({u}), v -> CASE {cases} ELSE 6 END)[0]"
 
 
 def bootstrap_source_stats(

@@ -164,21 +164,15 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE split — the eval-leakage regression a row-id-keyed split would
     introduce. Structurally zero here because `dataset_splits` keys on
     content md5 (byte-identical twins cannot straddle splits), and this
-    report is what PROVES it stays zero: if anyone rewires the split to
-    doc_id, the driver row goes red.
+    report is what PROVES it stays zero: it audits `_split_assignment` —
+    the SAME expression `dataset_splits` projects, not a private copy —
+    so a rewire of the split rule (e.g. to doc_id) is inherited here and
+    the driver row goes red.
 
     Plan: one digest-keyed countDistinct(split) aggregate + one split-
     keyed count — O(distinct texts) intermediate, no joins of raw text."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
-    split = (
-        F.when(bucket < SPLIT_TRAIN_CUTOFF, F.lit("train"))
-        .when(bucket < SPLIT_VAL_CUTOFF, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    tagged = docs.select(
-        F.md5(F.col("text").cast("binary")).alias("digest"), split.alias("split")
-    )
+    tagged = _split_assignment(docs).select("digest", "split")
     leaked = (
         tagged.groupBy("digest")
         .agg(F.countDistinct("split").alias("n_splits"))
@@ -304,24 +298,39 @@ SPLIT_TRAIN_CUTOFF = "e666"
 SPLIT_VAL_CUTOFF = "f333"
 
 
-def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment (~90/5/5): bucket each
-    document by the first 4 hex chars of its content md5 and cut at fixed
-    hex thresholds. Stable across runs, engines, partitionings, and
-    cluster sizes — and keyed on CONTENT, not doc_id, so byte-identical
-    duplicates always land in the same split: an exact dup can never sit
-    in train while its twin sits in test (the subtle leakage a
-    row-id-keyed split allows). Map-side projection, zero shuffle.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.col("text").cast("binary")), 1, 4)
+def _split_assignment(docs: DataFrame) -> DataFrame:
+    """THE split rule — the single source of truth consumed by both
+    `dataset_splits` (the operator) and `split_leakage_report` (its
+    auditor). Returns the input plus `digest` (content md5),
+    `split_bucket`, and `split` columns. Keyed on CONTENT so byte-
+    identical duplicates land in the same split; if anyone rewires this
+    to a row-id key, the auditor inherits the rewire and its driver row
+    goes red (duplicate digests straddle splits → oracle mismatch)."""
+    digest = F.md5(F.col("text").cast("binary"))
+    bucket = F.substring(digest, 1, 4)
     split = (
         F.when(bucket < SPLIT_TRAIN_CUTOFF, F.lit("train"))
         .when(bucket < SPLIT_VAL_CUTOFF, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    return docs.select(
-        "doc_id", "source", "lang", bucket.alias("split_bucket"), split.alias("split")
+    return docs.withColumns(
+        {"digest": digest, "split_bucket": bucket, "split": split}
+    )
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5): bucket each
+    document by the first 4 hex chars of its content md5 and cut at fixed
+    hex thresholds (rule: `_split_assignment`). Stable across runs,
+    engines, partitionings, and cluster sizes — and keyed on CONTENT, not
+    doc_id, so byte-identical duplicates always land in the same split:
+    an exact dup can never sit in train while its twin sits in test (the
+    subtle leakage a row-id-keyed split allows). Map-side projection,
+    zero shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return _split_assignment(docs).select(
+        "doc_id", "source", "lang", "split_bucket", "split"
     )
 
 

@@ -168,7 +168,7 @@ _register(
         "importance_sample": text.importance_sample,
         "weighted_sample_docs": text.weighted_sample_docs,  # A-ES top-k by priority
         "weighted_sample_by_source": text.weighted_sample_by_source,  # stratified A-ES
-        "split_leakage_report": text.split_leakage_report,  # eval-leak auditor  # quality-weighted keep
+        "split_leakage_report": text.split_leakage_report,  # eval-leak auditor
         "quality_filter": text.quality_filter,  # adaptive percentile curation
         "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts

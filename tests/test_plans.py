@@ -444,14 +444,23 @@ def test_cdc_chunks_shuffle_free_and_dedup_keyed_on_digest(plans):
     """The CDC chunk index is one in-array expression over the scan —
     NO exchange of any kind. The dedup form pays exactly the
     paragraph_dedup shape: a digest-keyed winner exchange (chash, never
-    raw chunk text) and one doc_id-keyed reassembly."""
+    raw chunk text) and one doc_id-keyed reassembly.
+
+    VERDICT r7 #2: both consumers must read the compute-once chunk seam
+    (localCheckpoint → ExistingRDD scan) — the Rabin-Karp boundary scan,
+    the catalog's heaviest repeated computation, is paid ONCE per pass;
+    neither consumer plan may re-scan the documents parquet."""
     p = plans("cdc_chunks")
     assert "Exchange" not in p
+    assert "Scan ExistingRDD" in p
+    assert p.count("Scan parquet") == 0
     pd = plans("cdc_chunk_dedup")
     assert "Exchange hashpartitioning(chash" in pd
     assert "Exchange hashpartitioning(chunk" not in pd
     assert pd.count("Exchange hashpartitioning(doc_id") == 1
     assert "CartesianProduct" not in pd
+    assert "Scan ExistingRDD" in pd
+    assert pd.count("Scan parquet") == 0
 
 
 def test_cms_sketch_single_combined_aggregate(spark, sf_dir):
