@@ -1639,6 +1639,76 @@ def source_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+PPL_KEEP_BUCKETS = 2  # keep CCNet's head+middle buckets, drop the tail
+
+
+def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline over the ROUND-7 gates, chained in the order a
+    real pre-training data build runs them (`training_corpus` composes
+    the earlier-generation chain):
+
+        boilerplate filter   (all-occurrence removal, C4/RefinedWeb)
+      → CDC-chunk dedup      (first-occurrence-wins over content-defined
+                              boundaries, on the boilerplate-scrubbed text)
+      → 5-gram perplexity    (keep CCNet head+middle buckets; scores come
+        gate                  from the shared `ngram5_scored_frame` seam —
+                              the LM is trained on and scores the ORIGINAL
+                              crawl text, CCNet's reference-model pattern,
+                              so the gate is a doc_id-keyed filter)
+      → decontamination      (drop probe docs and n-gram-overlap hits —
+                              scored on ORIGINAL text: chunk removal can
+                              only split shingles, so original-text
+                              overlap is the conservative side)
+      → train/val/test split (content-keyed on the REBUILT text via
+                              `_split_assignment` — the same single
+                              source of truth `dataset_splits` projects)
+      → sequence packing     (greedy per-bucket packs over REBUILT token
+                              counts, `pack_sequences_df`)
+
+    Output: one row per surviving document — (doc_id, n_tokens,
+    ppl_bucket, split, pack_id), ready for shard writing.
+
+    Every stage is the already-certified operator's df-core; the oracle
+    chains the members' own SQL builders as CTEs — a green hash
+    certifies the COMPOSITION (stage order, rebuilt-text handoffs, gate
+    keys), not just the members.
+
+    Scale shape: the text-rewriting stages keep their certified shapes
+    (digest-keyed chunk shuffles, broadcast boilerplate anti-join); the
+    gates are doc_id-keyed joins co-partitioned end to end; packing
+    shuffles O(docs) id+count rows across `PACK_BUCKETS` groups. No new
+    shuffle class is introduced by the composition itself."""
+    from ..functions.text import _split_assignment
+    from .training import PROBE_MAX_DOC_ID, decontaminate, pack_sequences_df
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bp = boilerplate_filter_df(docs).select("doc_id", "text")
+    cdc = _chunk_first_occurrence_rebuild(_cdc_chunk_frame(bp)).select(
+        "doc_id", "text"
+    )
+    gate = (
+        perplexity_buckets_ngram5(spark, sf_dir)
+        .filter(F.col("bucket") <= PPL_KEEP_BUCKETS)
+        .select("doc_id", F.col("bucket").cast("long").alias("ppl_bucket"))
+    )
+    bad = decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")
+    kept = (
+        cdc.join(gate, "doc_id")
+        .filter(F.col("doc_id") >= PROBE_MAX_DOC_ID)
+        .join(bad, "doc_id", "left_anti")
+    )
+    n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+    sized = _split_assignment(kept).select(
+        "doc_id", "ppl_bucket", "split", n_tokens.alias("n_tokens")
+    )
+    packed = pack_sequences_df(sized.select("doc_id", "n_tokens")).select(
+        "doc_id", "pack_id"
+    )
+    return sized.join(packed, "doc_id").select(
+        "doc_id", "n_tokens", "ppl_bucket", "split", "pack_id"
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "paragraph_dedup": f"""
         WITH w AS (
@@ -1944,16 +2014,17 @@ ORACLE_SQL["trigram_logprob_scores"] = f"""
     GROUP BY doc_id
 """
 
-# The 5-gram chain, spelled out with the same count-ratio terms the
-# Spark expressions compute (deleted interpolation, λ5/λ4/λ3/λ2).
 # Shared CTE prefix: the content-defined chunk table, mirroring
 # _cdc_chunk_frame's arithmetic term for term (DuckDB lists are 1-based
 # where Spark arrays are 0-based — the index shifts below compensate).
-_CDC_CHUNK_CTE = f"""
+# Parameterized by source table/CTE so curated_corpus_v2 can run the SAME
+# rule over a pipeline stage — one source of truth, no drift.
+def _cdc_chunk_cte(src: str = "documents") -> str:
+    return f"""
     WITH w AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        FROM documents
+        FROM {src}
         WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) >= 1
     ),
     v AS (
@@ -1990,17 +2061,12 @@ _CDC_CHUNK_CTE = f"""
     )
 """
 
-ORACLE_SQL["cdc_chunks"] = f"""
-    {_CDC_CHUNK_CTE}
-    SELECT doc_id, chunk_idx,
-           CAST(len(list_filter(string_split(chunk, ' '), t -> t <> ''))
-               AS BIGINT) AS chunk_tokens,
-           md5(chunk) AS chunk_hash
-    FROM c
-"""
 
-ORACLE_SQL["cdc_chunk_dedup"] = f"""
-    {_CDC_CHUNK_CTE},
+def _cdc_dedup_sql(src: str = "documents") -> str:
+    """First-occurrence-wins CDC dedup + rebuild over (doc_id, text) in
+    `src` — the cdc_chunk_dedup oracle, reusable as a pipeline stage."""
+    return f"""
+    {_cdc_chunk_cte(src)},
     ords AS (
         SELECT doc_id, chunk_idx, chunk,
                doc_id * 1048576 + chunk_idx AS ord
@@ -2024,9 +2090,23 @@ ORACLE_SQL["cdc_chunk_dedup"] = f"""
     FROM rebuilt r JOIN sizes s ON r.doc_id = s.doc_id
 """
 
-_BOILER_CHUNK_CTE = f"""
+
+ORACLE_SQL["cdc_chunks"] = f"""
+    {_cdc_chunk_cte()}
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_filter(string_split(chunk, ' '), t -> t <> ''))
+               AS BIGINT) AS chunk_tokens,
+           md5(chunk) AS chunk_hash
+    FROM c
+"""
+
+ORACLE_SQL["cdc_chunk_dedup"] = _cdc_dedup_sql()
+
+
+def _boiler_chunk_cte(src: str = "documents") -> str:
+    return f"""
     WITH w AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
     ),
     chunks AS (
         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
@@ -2045,13 +2125,13 @@ _BOILER_CHUNK_CTE = f"""
     )
 """
 
-ORACLE_SQL["boilerplate_chunks"] = f"""
-    {_BOILER_CHUNK_CTE}
-    SELECT chunk, n_docs, n_occurrences FROM boiler
-"""
 
-ORACLE_SQL["boilerplate_filtered_corpus"] = f"""
-    {_BOILER_CHUNK_CTE},
+def _boiler_filter_sql(src: str = "documents") -> str:
+    """All-occurrence boilerplate removal + rebuild over (doc_id, text)
+    in `src` — the boilerplate_filtered_corpus oracle, reusable as a
+    pipeline stage."""
+    return f"""
+    {_boiler_chunk_cte(src)},
     kept AS (
         SELECT c.doc_id, c.chunk_idx, c.chunk
         FROM chunks c
@@ -2068,6 +2148,14 @@ ORACLE_SQL["boilerplate_filtered_corpus"] = f"""
     SELECT r.doc_id, s.n_chunks, r.n_kept, r.text
     FROM rebuilt r JOIN sizes s ON r.doc_id = s.doc_id
 """
+
+
+ORACLE_SQL["boilerplate_chunks"] = f"""
+    {_boiler_chunk_cte()}
+    SELECT chunk, n_docs, n_occurrences FROM boiler
+"""
+
+ORACLE_SQL["boilerplate_filtered_corpus"] = _boiler_filter_sql()
 
 ORACLE_SQL["ngram5_logprob_scores"] = f"""
     WITH w AS (
@@ -2274,3 +2362,49 @@ ORACLE_SQL["source_dashboard"] = f"""
     LEFT JOIN ({_SKETCH_ORACLE["hll_distinct_by_source"]}) h ON s.source = h.source
     LEFT JOIN ({_SKETCH_ORACLE["bootstrap_source_stats"]}) b ON s.source = b.source
 """
+
+
+# curated_corpus_v2: the members' own SQL builders chained as CTEs — the
+# same fragments their standalone entries are certified against, re-run
+# here over each stage's output (stage handoffs via nested WITH
+# subqueries, which DuckDB scopes per-subquery).
+def _curated_corpus_v2_oracle() -> str:
+    from ..functions.text import SPLIT_TRAIN_CUTOFF, SPLIT_VAL_CUTOFF
+    from .training import PROBE_MAX_DOC_ID
+    from .training import ORACLE_SQL as _TRAIN_ORACLE
+    from .training import _pack_sql
+
+    return f"""
+    WITH bp AS (SELECT doc_id, text FROM ({_boiler_filter_sql("documents")})),
+    cdc AS (SELECT doc_id, text FROM ({_cdc_dedup_sql("bp")})),
+    px AS (SELECT * FROM ({ORACLE_SQL["perplexity_buckets_ngram5"]})),
+    bad AS (
+        SELECT doc_id FROM ({_TRAIN_ORACLE["decontaminate"]}) WHERE contaminated
+    ),
+    kept AS (
+        SELECT c.doc_id, c.text, CAST(px.bucket AS BIGINT) AS ppl_bucket
+        FROM cdc c JOIN px ON c.doc_id = px.doc_id
+        WHERE px.bucket <= {PPL_KEEP_BUCKETS}
+          AND c.doc_id >= {PROBE_MAX_DOC_ID}
+          AND c.doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    sized AS (
+        SELECT doc_id, ppl_bucket,
+               CASE WHEN substring(md5(text), 1, 4) < '{SPLIT_TRAIN_CUTOFF}'
+                        THEN 'train'
+                    WHEN substring(md5(text), 1, 4) < '{SPLIT_VAL_CUTOFF}'
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens
+        FROM kept
+    ),
+    packed AS (
+        SELECT * FROM ({_pack_sql("SELECT doc_id, n_tokens FROM sized")})
+    )
+    SELECT s.doc_id, s.n_tokens, s.ppl_bucket, s.split, p.pack_id
+    FROM sized s JOIN packed p ON s.doc_id = p.doc_id
+"""
+
+
+ORACLE_SQL["curated_corpus_v2"] = _curated_corpus_v2_oracle()

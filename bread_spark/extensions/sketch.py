@@ -433,6 +433,22 @@ def hll_registers_df(docs: DataFrame) -> DataFrame:
     return rows.groupBy("source", "bucket").agg(F.max("rho").alias("max_rho"))
 
 
+def merge_cms_sketches(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new shard's count-min table into a persisted one — CMS
+    counters are pure sums, so the merge is elementwise ADDITION per
+    (d, bucket): sketch(A ∪ B) = sketch(A) + sketch(B), exactly. The
+    count-min twin of `merge_hll_registers`: each crawl/day/shard builds
+    its own constant-size table from its data alone and the corpus-
+    lifetime sketch is maintained by this ≤ D·WIDTH-row merge without
+    revisiting history. Shard-split-merge equality with the from-scratch
+    build is pinned in tests (test_scale_smoke.py)."""
+    return (
+        base.unionByName(delta)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def merge_hll_registers(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Fold a new shard's register table into a persisted one —
     elementwise MAX per (source, bucket). This is the whole incremental-

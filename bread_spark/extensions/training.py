@@ -570,14 +570,26 @@ def pack_sequences(
     invariants additionally pinned by tests: exactly-once membership,
     budget respected, order preserved.
     """
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(n_buckets)).alias("bucket"),
         F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias(
             "n_tokens"
         ),
+    )
+    return pack_sequences_df(docs, budget, n_buckets)
+
+
+def pack_sequences_df(
+    sized: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """`pack_sequences` core over any (doc_id, n_tokens) frame — the
+    reusable pipeline stage curated_corpus_v2 runs on its survivors."""
+    docs = sized.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
     )
 
     def pack(key, pdf):
@@ -727,19 +739,25 @@ ORACLE_SQL: dict[str, str] = {
                    AS contaminated
         FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
     """,
-    # Greedy capacity-reset packing IS sequential, but per-bucket it is a
-    # linear recurrence — exactly what a recursive CTE expresses: row k of
-    # a bucket depends only on row k-1's (pack ordinal, used budget).
-    "pack_sequences": f"""
+}
+
+
+def _pack_sql(src_sql: str) -> str:
+    """Greedy capacity-reset packing over any (doc_id, n_tokens) source
+    SELECT. Packing IS sequential, but per-bucket it is a linear
+    recurrence — exactly what a recursive CTE expresses: row k of a
+    bucket depends only on row k-1's (pack ordinal, used budget).
+    Parameterized so curated_corpus_v2 packs its survivors with the SAME
+    rule the standalone entry is certified against."""
+    return f"""
         WITH RECURSIVE toks AS (
             SELECT doc_id,
                    CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
-                   len(list_filter(string_split(text, ' '), t -> t <> ''))
-                       AS n_tokens,
+                   n_tokens,
                    ROW_NUMBER() OVER (
                        PARTITION BY doc_id % {PACK_BUCKETS} ORDER BY doc_id
                    ) AS rn
-            FROM documents
+            FROM ({src_sql})
         ),
         packed AS (
             SELECT bucket, rn, doc_id, n_tokens,
@@ -756,8 +774,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, bucket, n_tokens,
                CAST(bucket AS BIGINT) * 1000000 + local_pack AS pack_id
         FROM packed
-    """,
-}
+    """
+
+
+ORACLE_SQL["pack_sequences"] = _pack_sql(
+    """SELECT doc_id,
+              len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+       FROM documents"""
+)
 
 
 # Composed from the member operators' own oracle fragments (quality_scores

@@ -28,10 +28,36 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# a named-window clause (`WINDOW w AS (...)`) must NOT be rewritten —
+# MATERIALIZED is CTE-only syntax (one oracle uses it: session_stats)
+_CTE_RE = re.compile(r"(?<!WINDOW )\b(\w+)\s+AS\s*\(")
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every ``name AS (`` CTE head to ``name AS MATERIALIZED (``.
+
+    DuckDB 1.x INLINES every CTE by default, so a fragment referenced k
+    times is re-evaluated k times — and our composed oracles reference
+    count-table CTEs from many joins (the 5-gram LM reads uni/big/tri/
+    quad from up to 8 join arms; the curated_corpus_v2 stage CTEs nest
+    whole member fragments). Measured on the 5-gram oracle at sf0.01:
+    94 s inlined → 0.1 s materialized; curated_corpus_v2 161 s → 0.4 s.
+    Purely an evaluation-strategy hint — results are identical, and
+    DuckDB accepts it on recursive CTE members too. Applied centrally at
+    registration so the driver's oracle runs and the in-repo
+    differential both get it."""
+    return _CTE_RE.sub(lambda m: f"{m.group(1)} AS MATERIALIZED (", sql)
+
 
 def _register(fns: dict[str, QueryFn], oracles: dict[str, str]) -> None:
     QUERIES.update(fns)
-    ORACLES.update({k: v for k, v in oracles.items() if k in fns or k in QUERIES})
+    ORACLES.update(
+        {
+            k: _materialize_ctes(v)
+            for k, v in oracles.items()
+            if k in fns or k in QUERIES
+        }
+    )
 
 
 _register(models.MODELS, models.ORACLE_SQL)
@@ -151,6 +177,7 @@ _register(
         "source_kl_divergence": curation.source_kl_divergence,
         "source_dashboard": curation.source_dashboard,  # wide per-source composite
         "curated_corpus": curation.curated_corpus,  # composed-oracle pipeline
+        "curated_corpus_v2": curation.curated_corpus_v2,  # r7-gate chain end-to-end
     },
     curation.ORACLE_SQL,
 )

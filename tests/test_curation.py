@@ -627,3 +627,70 @@ def test_zipf_flat_source_has_zero_slope(spark):
     assert len(rows) == 1
     assert rows[0]["zipf_slope"] == 0.0
     assert rows[0]["n_terms"] == 4
+
+
+# ---------------------------------------------------------------------------
+# source_dashboard (composed per-source rollup)
+# ---------------------------------------------------------------------------
+
+
+def test_source_dashboard_cells_equal_members(spark):
+    """VERDICT r7 #4: the dashboard's columns must EQUAL the member
+    operators' outputs joined on source — frame-level equality, not just
+    each side passing its own oracle — so a member that later gains a
+    seam or changes rounding cannot drift from the dashboard silently
+    between their separate driver rows."""
+    from bread_spark.extensions.sketch import (
+        bootstrap_source_stats,
+        hll_distinct_by_source,
+    )
+    from bread_spark.functions.text import quality_by_source
+
+    dash = {
+        r["source"]: r.asDict()
+        for r in curation.source_dashboard(spark, SF_DIR).collect()
+    }
+
+    stats = {
+        r["source"]: r.asDict()
+        for r in curation.corpus_stats_by_source(spark, SF_DIR).collect()
+    }
+    # left-join from the complete source list: exactly the stats sources
+    assert set(dash) == set(stats)
+    for src, row in stats.items():
+        for k, v in row.items():
+            assert dash[src][k] == v, (src, k)
+
+    member_cols = [
+        (quality_by_source, {"gate_pass_rate": "gate_pass_rate"}),
+        (
+            curation.source_kl_divergence,
+            {"kl_divergence": "kl_divergence", "n_distinct_tokens": "n_distinct_tokens"},
+        ),
+        (curation.zipf_fit_by_source, {"zipf_slope": "zipf_slope", "zipf_r2": "zipf_r2"}),
+        (hll_distinct_by_source, {"hll_est": "distinct_tokens_est"}),
+        (bootstrap_source_stats, {"ci_lo": "ci_lo", "ci_hi": "ci_hi"}),
+    ]
+    for fn, mapping in member_cols:
+        for r in fn(spark, SF_DIR).collect():
+            for member_col, dash_col in mapping.items():
+                assert dash[r["source"]][dash_col] == r[member_col], (
+                    fn.__name__,
+                    r["source"],
+                    member_col,
+                )
+
+
+def test_source_dashboard_joins_are_left_outer(spark):
+    """A source missing from any member aggregate must surface as null
+    cells, never vanish — the plan's member joins are LeftOuter."""
+    plan = (
+        curation.source_dashboard(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # five member joins, all LeftOuter (members keep inner joins
+    # INTERNALLY — e.g. the HLL report's true-vs-estimate join — so the
+    # assertion counts the composition's own joins, not the subplans')
+    assert plan.count(" LeftOuter,") >= 5
