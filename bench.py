@@ -173,6 +173,10 @@ def main() -> None:
         "split_leakage_report",
         "boilerplate_chunks",
         "boilerplate_filtered_corpus",
+        # round-8 additions: the r7-gate end-to-end pipeline (boilerplate
+        # → CDC dedup → 5-gram perplexity gate → decontaminate → splits
+        # → packing)
+        "curated_corpus_v2",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -304,6 +308,11 @@ def main() -> None:
         "boilerplate_filtered_corpus",
     }
 
+    # Queries first benched in round 8 — same exclusion rules.
+    R8_ADDITIONS = {
+        "curated_corpus_v2",
+    }
+
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
     # of r5 + parse_events_wide) are the official perf denominator from
@@ -396,6 +405,7 @@ def main() -> None:
                 if k not in R5_ADDITIONS
                 and k not in R6_ADDITIONS
                 and k not in R7_ADDITIONS
+                and k not in R8_ADDITIONS
             ),
             3,
         ),
@@ -407,6 +417,9 @@ def main() -> None:
         ),
         "r7_additions": round(
             sum(v for k, v in timings.items() if k in R7_ADDITIONS), 3
+        ),
+        "r8_additions": round(
+            sum(v for k, v in timings.items() if k in R8_ADDITIONS), 3
         ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3

@@ -1677,7 +1677,16 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (digest-keyed chunk shuffles, broadcast boilerplate anti-join); the
     gates are doc_id-keyed joins co-partitioned end to end; packing
     shuffles O(docs) id+count rows across `PACK_BUCKETS` groups. No new
-    shuffle class is introduced by the composition itself."""
+    shuffle class is introduced by the composition itself.
+
+    Batch-only by design: the perplexity gate is a corpus-wide quantile
+    split, decontamination compares against the full probe index, and
+    packing folds a global document order — all statements about a
+    frozen corpus snapshot. The streaming path runs the member GATES
+    incrementally (streaming/curation.py's boilerplate gate and ngram5
+    scoring monitor check arriving documents against STAGED tables) and
+    re-runs this composition on snapshots — the same division of labor
+    as the bootstrap/Zipf batch-only notes."""
     from ..functions.text import _split_assignment
     from .training import PROBE_MAX_DOC_ID, decontaminate, pack_sequences_df
 
