@@ -175,8 +175,10 @@ def main() -> None:
         "boilerplate_filtered_corpus",
         # round-8 additions: the r7-gate end-to-end pipeline (boilerplate
         # → CDC dedup → 5-gram perplexity gate → decontaminate → splits
-        # → packing)
+        # → packing), plus the HDR/DDSketch log-histogram quantile sketch
         "curated_corpus_v2",
+        "hdr_value_sketch",
+        "hdr_value_quantiles",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -311,6 +313,8 @@ def main() -> None:
     # Queries first benched in round 8 — same exclusion rules.
     R8_ADDITIONS = {
         "curated_corpus_v2",
+        "hdr_value_sketch",
+        "hdr_value_quantiles",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

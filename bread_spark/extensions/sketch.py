@@ -667,3 +667,255 @@ ORACLE_SQL["cms_probe_report"] = f"""
     FROM lanes l LEFT JOIN sketch s ON l.d = s.d AND l.bucket = s.bucket
     GROUP BY l.token, l.n_true
 """
+
+
+# ---------------------------------------------------------------------------
+# HDR/DDSketch-style log histogram (bounded-memory quantiles, mergeable)
+# ---------------------------------------------------------------------------
+
+HDR_SUB_BITS = 4  # subbuckets per octave = 2^4 → relative error ≤ 2^-4
+HDR_SUB = 1 << HDR_SUB_BITS
+HDR_SCALE = 100  # 2-decimal integer lattice: iv = floor(value·100 + 0.5)
+HDR_QS = (0.5, 0.9, 0.99)  # quantiles the calibration report probes
+
+
+def _hdr_bucket_expr(value_col: str) -> str:
+    """Spark SQL mapping a non-negative value to its log-histogram bucket
+    (HdrHistogram / DDSketch's bucketing, on an INTEGER lattice so the
+    construction is engine-agnostic like the CMS/HLL families — no float
+    log anywhere, no cross-engine boundary ambiguity):
+
+        iv     = floor(value·SCALE + 0.5)          (exact integer lattice)
+        shift  = max(0, bit_length(iv) - 1 - SUB_BITS)
+        bucket = shift·2^SUB_BITS + (iv >> shift)
+
+    HdrHistogram's linearization: shift=0 yields buckets 0..31 (one
+    EXACT lattice point each — iv < 2·SUB never loses precision); each
+    higher octave occupies the next SUB ids with (iv >> shift) landing
+    in [SUB, 2·SUB), so ids never collide and any bucket's
+    width/lower-bound ≤ 1/16 — a ~3% mid-point quantile estimate from a
+    table whose size grows with log(max value), not data volume.
+    bit_length comes from length(bin(iv)) — identical digit semantics in
+    Spark and DuckDB. Intermediates are bound once with the
+    transform-array let idiom (the digest-once discipline of the CMS
+    lanes)."""
+    return (
+        f"transform(array(cast(floor({value_col} * {HDR_SCALE} + 0.5d) as bigint)), iv -> "
+        f"  transform(array(greatest(0, length(bin(iv)) - 1 - {HDR_SUB_BITS})), sh -> "
+        f"    sh * {HDR_SUB} + shiftright(iv, cast(sh as int)) "
+        f"  )[0] "
+        f")[0]"
+    )
+
+
+def _hdr_bounds_exprs() -> tuple[str, str]:
+    """(lb, ub) SQL over a `bucket` column — the bucket's exact integer
+    value range on the lattice, derived from the bucket id alone (so a
+    merged or persisted sketch reconstructs its bounds without data):
+    shift = max(0, bucket div SUB − 1), top = bucket − shift·SUB — the
+    exact inverse of `_hdr_bucket_expr`'s linearization (buckets < 2·SUB
+    get shift 0 and lb = ub = bucket)."""
+    shift = f"greatest(0, bucket div {HDR_SUB} - 1)"
+    top = f"(bucket - ({shift}) * {HDR_SUB})"
+    lb = f"shiftleft(cast({top} as bigint), cast({shift} as int))"
+    ub = (
+        f"(shiftleft(cast({top} + 1 as bigint), cast({shift} as int)) - 1)"
+    )
+    return lb, ub
+
+
+def hdr_value_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch of `events.value`: (bucket, cnt, lb, ub) —
+    one row per occupied log-histogram bucket, O(log(max)·2^SUB_BITS)
+    rows at ANY data volume. Completes the bounded-memory sketch suite:
+    CMS answers frequency, HLL answers distinct, this answers
+    DISTRIBUTION (p50/p90/p99 tails) — the latency/price/size dashboard
+    staple. Unlike `percentile_approx`'s t-digest, the construction is
+    fully engine-agnostic (integer bucketing), so the sketch TABLE
+    itself is DuckDB-oracle-checked bit-for-bit — and it merges by plain
+    counter addition (`merge_hdr_sketches`, shard-split-merge pinned).
+
+    Contract: values are non-negative (the events lattice); a signed
+    variant would carry a sign lane the way DDSketch does.
+
+    Plan: map-side bucket expression, ONE combiner-friendly
+    groupBy(bucket) — the reduce side holds a constant-size table
+    (the cms_sketch shape). Compute-once seam shared with
+    `hdr_value_quantiles`."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "hdr_value_sketch",
+        sf_dir,
+        lambda: hdr_sketch_df(
+            load_table(spark, sf_dir, "events").select("value")
+        ),
+    )
+
+
+def hdr_sketch_df(values: DataFrame, value_col: str = "value") -> DataFrame:
+    """`hdr_value_sketch` core over any frame — works unchanged on a
+    STREAMING frame (the aggregate's state is the constant-size bucket
+    table; counters fold by SUM, the sketch's merge operator), which is
+    what `streaming/sketch.py::hdr_sketch_stream` runs."""
+    lb, ub = _hdr_bounds_exprs()
+    return (
+        values.select(F.expr(_hdr_bucket_expr(value_col)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            "cnt",
+            F.expr(lb).alias("lb"),
+            F.expr(ub).alias("ub"),
+        )
+    )
+
+
+def merge_hdr_sketches(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new shard's histogram into a persisted one — counters are
+    pure sums, so sketch(A ∪ B) = sketch(A) + sketch(B) exactly, per
+    bucket; lb/ub are functions of the bucket id and survive the merge
+    unchanged. Same incremental-maintenance contract as
+    `merge_cms_sketches` / `merge_hll_registers`; shard-split-merge
+    equality pinned in test_scale_smoke.py."""
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"), F.min("lb").alias("lb"), F.min("ub").alias("ub"))
+    )
+
+
+def hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report: for each probed quantile q, the sketch's
+    mid-point estimate vs the TRUE interpolated percentile — (q, n_rank,
+    est, true_value, rel_err). The audit you run at small scale before
+    trusting the histogram's tail estimates at large scale; |rel_err| is
+    bounded by the bucket half-width (≤ 2^-SUB_BITS/2 ≈ 3%), pinned for
+    every probe in tests.
+
+    Plan: the cumulative rank is a window over the SKETCH (constant-size
+    input — the single-partition WindowExec is over ≤ a few hundred
+    rows, by construction, not a data-volume sort); the probe set is a
+    3-row literal broadcast; the only data-volume pass is the exact
+    percentile's own aggregate, which exists precisely to calibrate the
+    sketch against."""
+    sk = hdr_value_sketch(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    cum = sk.select(
+        "bucket",
+        "lb",
+        "ub",
+        F.sum("cnt")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    total = sk.agg(F.sum("cnt").alias("total"))
+    qs = spark.createDataFrame([(q,) for q in HDR_QS], "q double")
+    ranks = qs.join(F.broadcast(total)).select(
+        "q", F.ceil(F.col("q") * F.col("total")).cast("long").alias("n_rank")
+    )
+    hit = (
+        ranks.join(F.broadcast(cum), F.col("cum") >= F.col("n_rank"))
+        .groupBy("q", "n_rank")
+        .agg(F.min_by(F.struct("lb", "ub"), "bucket").alias("b"))
+        .select("q", "n_rank", ((F.col("b.lb") + F.col("b.ub")) / F.lit(2.0 * HDR_SCALE)).alias("est"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    tru = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q}d)").alias(f"t{i}")
+            for i, q in enumerate(HDR_QS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(q).alias("q"), F.col(f"t{i}").alias("true_value"))
+                    for i, q in enumerate(HDR_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.true_value")
+    return hit.join(F.broadcast(tru), "q").select(
+        "q",
+        "n_rank",
+        F.round("est", 4).alias("est"),
+        F.round("true_value", 4).alias("true_value"),
+        F.round((F.col("est") - F.col("true_value")) / F.col("true_value"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+_HDR_BUCKET_DUCK = (
+    f"list_transform([CAST(floor(value * {HDR_SCALE} + 0.5) AS BIGINT)], iv -> "
+    f"  list_transform([greatest(0, length(bin(iv)) - 1 - {HDR_SUB_BITS})], sh -> "
+    f"    sh * {HDR_SUB} + (iv >> sh) "
+    f"  )[1] "
+    f")[1]"
+)
+
+_HDR_SHIFT_DUCK = f"greatest(0, bucket // {HDR_SUB} - 1)"
+_HDR_TOP_DUCK = f"(bucket - ({_HDR_SHIFT_DUCK}) * {HDR_SUB})"
+_HDR_LB_DUCK = f"({_HDR_TOP_DUCK} << ({_HDR_SHIFT_DUCK}))"
+_HDR_UB_DUCK = f"((({_HDR_TOP_DUCK} + 1) << ({_HDR_SHIFT_DUCK})) - 1)"
+
+ORACLE_SQL["hdr_value_sketch"] = f"""
+    WITH b AS (
+        SELECT {_HDR_BUCKET_DUCK} AS bucket FROM events
+    ),
+    sk AS (SELECT bucket, COUNT(1) AS cnt FROM b GROUP BY bucket)
+    SELECT bucket, cnt, {_HDR_LB_DUCK} AS lb, {_HDR_UB_DUCK} AS ub FROM sk
+"""
+
+_HDR_Q_VALUES = ", ".join(f"({q})" for q in HDR_QS)
+# quantile_cont demands a CONSTANT parameter in DuckDB — spell one SELECT
+# per probed q instead of grouping over the qs list
+_HDR_TRU_UNION = "\n        UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q, "
+    f"quantile_cont(value, {q}) AS true_value FROM events"
+    for q in HDR_QS
+)
+
+ORACLE_SQL["hdr_value_quantiles"] = f"""
+    WITH b AS (
+        SELECT {_HDR_BUCKET_DUCK} AS bucket FROM events
+    ),
+    sk AS (SELECT bucket, COUNT(1) AS cnt FROM b GROUP BY bucket),
+    bounds AS (
+        SELECT bucket, cnt, {_HDR_LB_DUCK} AS lb, {_HDR_UB_DUCK} AS ub FROM sk
+    ),
+    cum AS (
+        SELECT bucket, lb, ub,
+               SUM(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM bounds
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM sk),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_HDR_Q_VALUES}) v(q)),
+    ranks AS (
+        SELECT q, CAST(ceil(q * total) AS BIGINT) AS n_rank FROM qs, tot
+    ),
+    hit AS (
+        SELECT r.q, r.n_rank,
+               MIN(c.bucket) AS est_bucket
+        FROM ranks r JOIN cum c ON c.cum >= r.n_rank
+        GROUP BY r.q, r.n_rank
+    ),
+    est AS (
+        SELECT h.q, h.n_rank,
+               (c.lb + c.ub) / {2.0 * HDR_SCALE} AS est
+        FROM hit h JOIN cum c ON h.est_bucket = c.bucket
+    ),
+    tru AS (
+        {_HDR_TRU_UNION}
+    )
+    SELECT e.q, e.n_rank,
+           ROUND(e.est, 4) AS est,
+           ROUND(t.true_value, 4) AS true_value,
+           ROUND((e.est - t.true_value) / t.true_value, 4) AS rel_err
+    FROM est e JOIN tru t ON e.q = t.q
+"""

@@ -121,6 +121,8 @@ _register(
         "hll_registers": sketch.hll_registers,  # mergeable distinct-count sketch
         "hll_distinct_by_source": sketch.hll_distinct_by_source,  # estimate vs true
         "hll_total_distinct": sketch.hll_total_distinct,  # register-union corpus total
+        "hdr_value_sketch": sketch.hdr_value_sketch,  # log-histogram quantile sketch
+        "hdr_value_quantiles": sketch.hdr_value_quantiles,  # est vs true percentiles
     },
     sketch.ORACLE_SQL,
 )
@@ -222,8 +224,9 @@ _register(
 #      skipped — mandatory now)
 #   4. re-warm 17 of the 48 r6-last-green entries, family-spread
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 31 r6-last-green
-# entries (3 rounds stale after r9 otherwise): char_entropy,
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 33 r6-last-green
+# entries (3 rounds stale after r9 otherwise): value_per_day,
+# daily_value_by_type (displaced from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
 # domain_quota_sample, domain_token_quota, gopher_quality_gate,
@@ -254,8 +257,10 @@ _SAMPLE_PRIORITY = (
     "embedding_cosine_dups_tiled",
     "source_dashboard",
     "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (1)
+    # 2 — new r8 oracle-backed entries (3)
     "curated_corpus_v2",  # r7-gate chain end-to-end
+    "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
+    "hdr_value_quantiles",  # sketch estimates vs true percentiles
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -272,13 +277,13 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 17 of the 48 r6-last-green, family-spread
+    # 4 — re-warm 15 of the 48 r6-last-green, family-spread (value_per_day
+    # and daily_value_by_type moved to the r9 lead group — displaced by
+    # the two HDR entries; both only 2 rounds stale after r8)
     # TPC-H / models cross-section
     "revenue_by_segment",
     "orders_by_nation",
     "distinct_users_per_day",
-    "value_per_day",
-    "daily_value_by_type",
     # parse / events
     "base64_roundtrip",
     "events_pivot_by_type",

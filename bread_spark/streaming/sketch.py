@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..extensions.sketch import cms_sketch_df, hll_registers_df
+from ..extensions.sketch import cms_sketch_df, hdr_sketch_df, hll_registers_df
 
 
 def hll_register_stream(docs: DataFrame) -> DataFrame:
@@ -45,6 +45,16 @@ def cms_sketch_stream(docs: DataFrame) -> DataFrame:
     the online frequency monitor. State is the constant D·WIDTH counter
     grid regardless of how long the stream runs."""
     return cms_sketch_df(docs)
+
+
+def hdr_sketch_stream(values: DataFrame, value_col: str = "value") -> DataFrame:
+    """Running log-histogram over a value stream — the online quantile
+    monitor (p50/p99 of a latency/price/size column without retaining
+    values). State is the constant O(log(max)·2^SUB_BITS) bucket table;
+    micro-batches fold in by SUM (the histogram's merge operator), so
+    the running answer equals the batch sketch over everything seen —
+    same expressions as the batch entry, pinned in tests."""
+    return hdr_sketch_df(values, value_col)
 
 
 def hll_windowed_register_stream(

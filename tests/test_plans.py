@@ -509,3 +509,19 @@ def test_zipf_and_stratified_sample_window_group_limit(plans):
         p = plans(name)
         assert "WindowGroupLimit" in p, name
         assert "SortMergeJoin" not in p, name
+
+
+def test_hdr_sketch_single_combined_aggregate(spark, sf_dir):
+    """The histogram build is ONE bucket-keyed exchange with map-side
+    partial counts (bucketing is a pure map expression) — the constant-
+    size-reduce shape shared with cms_sketch. Audited on the builder;
+    the catalog entry serves the compute-once seam."""
+    from bread_spark.extensions.sketch import hdr_sketch_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(
+        hdr_sketch_df(load_table(spark, sf_dir, "events").select("value"))
+    )
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p
+    assert "Join" not in p

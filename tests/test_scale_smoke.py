@@ -561,3 +561,34 @@ def test_cms_shard_merge_equals_from_scratch(spark, big_docs_r6):
         merge_cms_sketches(shards[1], shards[2]),
     )
     assert {(r["d"], r["bucket"]): r["cnt"] for r in tree.collect()} == scratch
+
+
+def test_hdr_shard_merge_equals_from_scratch(spark, big_events):
+    """The log-histogram is sum-mergeable like CMS: per-shard sketches
+    folded with merge_hdr_sketches equal the from-scratch sketch of the
+    full replicated event set, bucket for bucket, in any merge order."""
+    from bread_spark.extensions.sketch import hdr_sketch_df, merge_hdr_sketches
+
+    shards = [
+        hdr_sketch_df(
+            big_events.filter(F.pmod(F.col("event_id"), N_SHARDS) == i).select("value")
+        )
+        for i in range(N_SHARDS)
+    ]
+    scratch = {
+        r["bucket"]: (r["cnt"], r["lb"], r["ub"])
+        for r in hdr_sketch_df(big_events.select("value")).collect()
+    }
+    seq = shards[0]
+    for s in shards[1:]:
+        seq = merge_hdr_sketches(seq, s)
+    assert {
+        r["bucket"]: (r["cnt"], r["lb"], r["ub"]) for r in seq.collect()
+    } == scratch
+    tree = merge_hdr_sketches(
+        merge_hdr_sketches(shards[2], shards[0]),
+        merge_hdr_sketches(shards[1], shards[3]),
+    )
+    assert {
+        r["bucket"]: (r["cnt"], r["lb"], r["ub"]) for r in tree.collect()
+    } == scratch

@@ -277,3 +277,66 @@ def test_cms_probe_report_absent_tokens_show_collision_floor(spark, sf_dir):
     for t, r in rows.items():
         if t not in CMS_ABSENT_PROBES:
             assert r["n_true"] > 0 and r["cms_est"] >= r["n_true"]
+
+
+# ---------------------------------------------------------------------------
+# HDR/DDSketch log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hdr_bucket_bounds_contain_their_values(spark):
+    """Every value's bucket must contain it: lb ≤ floor(v·100+0.5) ≤ ub —
+    the invariant the quantile estimate's error bound rests on; checked
+    for every event row (zero violations)."""
+    from bread_spark.extensions.sketch import HDR_SCALE, _hdr_bucket_expr, hdr_sketch_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("value")
+    sk = hdr_sketch_df(ev)
+    tagged = ev.select(
+        F.expr(_hdr_bucket_expr("value")).alias("bucket"),
+        F.expr(f"cast(floor(value * {HDR_SCALE} + 0.5d) as bigint)").alias("iv"),
+    )
+    bad = (
+        tagged.join(sk, "bucket")
+        .filter((F.col("iv") < F.col("lb")) | (F.col("iv") > F.col("ub")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_hdr_quantile_rel_err_within_bucket_halfwidth(spark):
+    """The mid-point estimate's relative error is bounded by the bucket
+    half-width: |rel_err| ≤ 2^-SUB_BITS / 2 + lattice slack — pinned for
+    every probed quantile."""
+    from bread_spark.extensions.sketch import HDR_SUB_BITS, hdr_value_quantiles
+    from tests.conftest import SF_DIR
+
+    rows = hdr_value_quantiles(spark, SF_DIR).collect()
+    assert {r["q"] for r in rows} == {0.5, 0.9, 0.99}
+    bound = 2 ** (-HDR_SUB_BITS) / 2 + 0.01
+    for r in rows:
+        assert abs(r["rel_err"]) <= bound, (r["q"], r["rel_err"])
+
+
+def test_hdr_sketch_size_is_bounded(spark):
+    """The whole point: the table is O(log(max)·2^SUB_BITS) rows no
+    matter the data volume — at the corpus's value range that is well
+    under (octaves of 2^63) · 16 rows; pin a hard generous ceiling."""
+    from bread_spark.extensions.sketch import hdr_value_sketch
+    from tests.conftest import SF_DIR
+
+    assert hdr_value_sketch(spark, SF_DIR).count() <= 63 * 16
+
+
+def test_hdr_small_buckets_are_exact(spark):
+    """Buckets 0..15 hold exactly one lattice point each (lb == ub), so
+    small values suffer zero estimation error by construction."""
+    from bread_spark.extensions.sketch import hdr_sketch_df
+
+    frame = spark.createDataFrame(
+        [(float(v) / 100.0,) for v in range(0, 16)], "value double"
+    )
+    for r in hdr_sketch_df(frame).collect():
+        assert r["lb"] == r["ub"] == r["bucket"]

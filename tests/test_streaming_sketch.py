@@ -178,3 +178,58 @@ def test_hll_windowed_registers_match_batch_per_window(spark, tmp_path):
 
     assert got[BASE_TS] == batch_regs(win1)
     assert got[BASE_TS + 10 * m] == batch_regs(win2)
+
+
+VALUES_SCHEMA = "event_id long, value double"
+
+VBATCH1 = [(1, 12.34), (2, 0.01), (3, 480.5), (4, 35.0), (5, 35.02)]
+VBATCH2 = [(6, 99.99), (7, 0.15), (8, 250.0)]
+
+
+def _write_values(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        for eid, v in rows:
+            f.write(json.dumps({"event_id": eid, "value": v}) + "\n")
+
+
+def test_hdr_stream_matches_batch_and_folds_new_batches(spark, tmp_path):
+    """The running log-histogram over a value stream equals the batch
+    sketch over everything seen (SUM is the histogram's merge operator),
+    and the same checkpoint keeps folding new batches in."""
+    from bread_spark.extensions.sketch import hdr_sketch_df
+    from bread_spark.streaming.sketch import hdr_sketch_stream
+
+    src, ckpt = str(tmp_path / "vsrc"), str(tmp_path / "vck")
+    os.makedirs(src)
+    _write_values(src, "b1.json", VBATCH1)
+
+    def run(table):
+        stream = spark.readStream.schema(VALUES_SCHEMA).json(src)
+        q = (
+            hdr_sketch_stream(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["bucket"]: (r["cnt"], r["lb"], r["ub"])
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+
+    def batch(rows):
+        frame = spark.createDataFrame(
+            [{"event_id": e, "value": v} for e, v in rows], VALUES_SCHEMA
+        )
+        return {
+            r["bucket"]: (r["cnt"], r["lb"], r["ub"])
+            for r in hdr_sketch_df(frame).collect()
+        }
+
+    assert run("hdr_t1") == batch(VBATCH1)
+    _write_values(src, "b2.json", VBATCH2)
+    got2 = run("hdr_t2")
+    assert got2 == batch(VBATCH1 + VBATCH2)
