@@ -175,10 +175,13 @@ def main() -> None:
         "boilerplate_filtered_corpus",
         # round-8 additions: the r7-gate end-to-end pipeline (boilerplate
         # → CDC dedup → 5-gram perplexity gate → decontaminate → splits
-        # → packing), plus the HDR/DDSketch log-histogram quantile sketch
+        # → packing), the HDR/DDSketch log-histogram quantile sketch, and
+        # the KMV bottom-k set-overlap sketch
         "curated_corpus_v2",
         "hdr_value_sketch",
         "hdr_value_quantiles",
+        "kmv_sketch",
+        "kmv_source_overlap",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -315,6 +318,8 @@ def main() -> None:
         "curated_corpus_v2",
         "hdr_value_sketch",
         "hdr_value_quantiles",
+        "kmv_sketch",
+        "kmv_source_overlap",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -919,3 +919,297 @@ ORACLE_SQL["hdr_value_quantiles"] = f"""
            ROUND((e.est - t.true_value) / t.true_value, 4) AS rel_err
     FROM est e JOIN tru t ON e.q = t.q
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k theta sketch (set algebra: intersection & Jaccard at scale)
+# ---------------------------------------------------------------------------
+
+KMV_K = 256  # sketch size: the K smallest hash values per set
+KMV_SHINGLE_N = 3  # word-shingle width (Broder resemblance's unit)
+KMV_HASH_BITS = 60  # 15 md5 hex chars → [0, 2^60), ANSI-safe under 2^62
+KMV_HASH_RANGE = 1 << KMV_HASH_BITS
+
+
+def _kmv_shingle_rows(docs: DataFrame) -> DataFrame:
+    """(source, h) — DISTINCT 60-bit md5 hashes of word trigram shingles
+    per source. The shingle string is formed and hashed in one lambda
+    (never materialized as a column); the hash is md5-derived like the
+    CMS/HLL lanes, so the sketch construction is engine-agnostic and the
+    DuckDB oracle checks the sketch TABLE bit-for-bit. Unigrams would be
+    the wrong unit here twice over: a 31-token vocabulary never exercises
+    the estimator, and resemblance-between-corpora (Broder 1997) is
+    defined on shingle sets."""
+    return _kmv_hash_rows(docs).distinct()
+
+
+def _kmv_hash_rows(docs: DataFrame) -> DataFrame:
+    """(source, h) WITHOUT the distinct — the stateless projection the
+    streaming twin feeds to its bounded bottom-k state (a streaming
+    distinct would itself be unbounded state; the K-value state dedupes
+    for free). Batch callers go through `_kmv_shingle_rows`."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    w = docs.select("source", toks.alias("w")).filter(
+        F.size("w") >= KMV_SHINGLE_N
+    )
+    h = (
+        f"transform(sequence(0, size(w) - {KMV_SHINGLE_N}), i -> "
+        f"cast(conv(substring(md5(concat_ws(' ', "
+        f"slice(w, i + 1, {KMV_SHINGLE_N}))), 1, 15), 16, 10) as bigint))"
+    )
+    return w.select("source", F.explode(F.expr(h)).alias("h"))
+
+
+def kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV (bottom-k / theta) sketch of the trigram-shingle
+    set: (source, rk, h) — the K SMALLEST distinct hash values, ≤ K rows
+    per source at ANY corpus size. Completes the sketch suite's algebra:
+    CMS answers frequency, HLL answers distinct (union-only), HDR answers
+    distribution — KMV answers SET OVERLAP: because the sketch retains
+    the sample values themselves (not register maxima), two sketches
+    support INTERSECTION and Jaccard estimates (`kmv_source_overlap`),
+    which HLL registers fundamentally cannot. The 100 TB use: pairwise
+    source/crawl/snapshot resemblance and train-vs-eval contamination
+    screening from K-row tables instead of corpus-sized shingle joins.
+
+    Mergeable: union = re-rank of the union of value sets
+    (`merge_kmv_sketches`, shard-split-merge pinned). Fully
+    deterministic (md5 order statistics), so unlike most sketch
+    implementations the table itself is oracle-checked exactly.
+
+    Plan: shingle fan-out is map-side; ONE (source, h)-keyed distinct
+    with map-side partials reduces volume to vocabulary size; the
+    bottom-k is a rank-filtered window over the distinct frame — Spark
+    rewrites rank ≤ K to WindowGroupLimit, so each map task forwards at
+    most K rows per source to the final per-source sort. Compute-once
+    seam shared with `kmv_source_overlap`."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "kmv_sketch",
+        sf_dir,
+        lambda: kmv_sketch_df(
+            load_table(spark, sf_dir, "documents").select("source", "text")
+        ),
+    )
+
+
+def kmv_sketch_df(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """`kmv_sketch` core over any (source, text) frame. NOT streaming-
+    capable as-is (rank-over-window is a batch construct); the streaming
+    twin `streaming/sketch.py::kmv_sketch_stream` maintains the same
+    bottom-k per key as bounded applyInPandasWithState state — batch/
+    stream agreement pinned in tests."""
+    from pyspark.sql.window import Window as W
+
+    ranked = _kmv_shingle_rows(docs).withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("source").orderBy("h")),
+    )
+    return ranked.filter(F.col("rk") <= k).select("source", "rk", "h")
+
+
+def merge_kmv_sketches(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new shard's sketch into a persisted one: the union of two
+    bottom-k value sets contains the bottom-k of the union, so the merge
+    is distinct-values → re-rank → keep K — sketch(A ∪ B) exactly, per
+    source, from ≤ 2K rows a side. Same incremental-maintenance contract
+    as the CMS/HLL/HDR merges (each crawl/day sketches its own data;
+    corpus-lifetime overlap is maintained without revisiting history);
+    shard-split-merge equality pinned in test_scale_smoke.py."""
+    from pyspark.sql.window import Window as W
+
+    u = base.select("source", "h").unionByName(delta.select("source", "h")).distinct()
+    ranked = u.withColumn(
+        "rk", F.row_number().over(W.partitionBy("source").orderBy("h"))
+    )
+    return ranked.filter(F.col("rk") <= KMV_K).select("source", "rk", "h")
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-resemblance report from the KMV sketches: for
+    every source pair (a < b), the bottom-k-of-union Jaccard estimate vs
+    the TRUE shingle-set Jaccard — (source_a, source_b, k_union, matches,
+    est_jaccard, true_jaccard, abs_err). The set-algebra showcase: the
+    estimate touches only the two K-row sketches (Broder's estimator —
+    of the K smallest union hashes, the fraction present in BOTH sets is
+    an unbiased Jaccard estimate with σ ≈ √(J(1−J)/K)); the true side
+    exists to calibrate it and is exactly what 100 TB can no longer
+    afford. When the union's distinct values fit inside K the sketch IS
+    the set and the estimate is exact (pinned in tests).
+
+    Every value in the union bottom-k that belongs to set A is
+    necessarily in sketch A (it is ≤ the union's kth smallest, hence ≤
+    A's kth smallest), so sketch membership decides `matches` without
+    touching data — the property that makes bottom-k sketches closed
+    under set operations.
+
+    Plan: sketches come from the compute-once seam; the pair fan-out is
+    a broadcast against the O(sources²) pair list; ranking happens on ≤
+    2K rows per pair. The true side is one distinct-shingle self-join on
+    h, pair-listed via broadcast so zero-overlap pairs surface as 0.0
+    rows rather than vanishing (the left-join-zero discipline)."""
+    sk = kmv_sketch(spark, sf_dir)
+    rows = _kmv_shingle_rows(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
+    from pyspark.sql.window import Window as W
+
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    tagged = sk.join(
+        F.broadcast(pairs),
+        (F.col("source") == F.col("source_a"))
+        | (F.col("source") == F.col("source_b")),
+    )
+    grouped = tagged.groupBy("source_a", "source_b", "h").agg(
+        F.max((F.col("source") == F.col("source_a")).cast("int")).alias("in_a"),
+        F.max((F.col("source") == F.col("source_b")).cast("int")).alias("in_b"),
+    )
+    ranked = grouped.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("source_a", "source_b").orderBy("h")),
+    ).filter(F.col("rk") <= KMV_K)
+    est = ranked.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("matches"),
+    )
+    est = est.select(
+        "source_a",
+        "source_b",
+        "k_union",
+        "matches",
+        (F.col("matches") / F.col("k_union")).alias("est_jaccard"),
+    )
+    sizes = rows.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        rows.select(F.col("source").alias("source_a"), "h")
+        .join(rows.select(F.col("source").alias("source_b"), "h"), "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    true = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("true_jaccard"),
+        )
+    )
+    return est.join(true, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "k_union",
+        "matches",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("true_jaccard", 6).alias("true_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+_KMV_ROWS_CTE = f"""
+    WITH w AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substring(md5(
+                   toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               ), 1, 15) AS BIGINT) AS h
+        FROM w, LATERAL (
+            SELECT unnest(range(1, len(toks) - {KMV_SHINGLE_N - 2})) AS i
+        ) t
+        WHERE len(toks) >= {KMV_SHINGLE_N}
+    )
+"""
+
+ORACLE_SQL["kmv_sketch"] = f"""
+    {_KMV_ROWS_CTE},
+    ranked AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM sh
+    )
+    SELECT source, rk, h FROM ranked WHERE rk <= {KMV_K}
+"""
+
+ORACLE_SQL["kmv_source_overlap"] = f"""
+    {_KMV_ROWS_CTE},
+    srcs AS (SELECT DISTINCT source FROM sh),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM sh
+        ) WHERE rk <= {KMV_K}
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM srcs a, srcs b WHERE a.source < b.source
+    ),
+    tagged AS (
+        SELECT p.source_a, p.source_b, s.h,
+               MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s
+          ON s.source = p.source_a OR s.source = p.source_b
+        GROUP BY p.source_a, p.source_b, s.h
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source_a, source_b ORDER BY h) AS rk
+        FROM tagged
+    ),
+    est AS (
+        SELECT source_a, source_b,
+               COUNT(1) AS k_union,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS matches
+        FROM ranked WHERE rk <= {KMV_K}
+        GROUP BY source_a, source_b
+    ),
+    sizes AS (SELECT source, COUNT(1) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(1) AS n_inter
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    tru AS (
+        SELECT p.source_a, p.source_b,
+               COALESCE(i.n_inter, 0) * 1.0
+               / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS true_jaccard
+        FROM pairs p
+        JOIN sizes sa ON sa.source = p.source_a
+        JOIN sizes sb ON sb.source = p.source_b
+        LEFT JOIN inter i
+          ON i.source_a = p.source_a AND i.source_b = p.source_b
+    )
+    SELECT e.source_a, e.source_b, e.k_union, e.matches,
+           ROUND(e.matches * 1.0 / e.k_union, 6) AS est_jaccard,
+           ROUND(t.true_jaccard, 6) AS true_jaccard,
+           ROUND(abs(e.matches * 1.0 / e.k_union - t.true_jaccard), 6)
+               AS abs_err
+    FROM est e JOIN tru t
+      ON e.source_a = t.source_a AND e.source_b = t.source_b
+"""

@@ -123,6 +123,8 @@ _register(
         "hll_total_distinct": sketch.hll_total_distinct,  # register-union corpus total
         "hdr_value_sketch": sketch.hdr_value_sketch,  # log-histogram quantile sketch
         "hdr_value_quantiles": sketch.hdr_value_quantiles,  # est vs true percentiles
+        "kmv_sketch": sketch.kmv_sketch,  # bottom-k theta sketch (set algebra)
+        "kmv_source_overlap": sketch.kmv_source_overlap,  # Jaccard/intersection est
     },
     sketch.ORACLE_SQL,
 )
@@ -224,9 +226,10 @@ _register(
 #      skipped — mandatory now)
 #   4. re-warm 17 of the 48 r6-last-green entries, family-spread
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 33 r6-last-green
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 35 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
-# daily_value_by_type (displaced from this window), char_entropy,
+# daily_value_by_type, bm25_search, trigram_logprob_scores (displaced
+# from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
 # domain_quota_sample, domain_token_quota, gopher_quality_gate,
@@ -257,10 +260,12 @@ _SAMPLE_PRIORITY = (
     "embedding_cosine_dups_tiled",
     "source_dashboard",
     "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (3)
+    # 2 — new r8 oracle-backed entries (5)
     "curated_corpus_v2",  # r7-gate chain end-to-end
     "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
     "hdr_value_quantiles",  # sketch estimates vs true percentiles
+    "kmv_sketch",  # bottom-k theta sketch (set algebra)
+    "kmv_source_overlap",  # pairwise Jaccard estimates vs true
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -277,9 +282,10 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 15 of the 48 r6-last-green, family-spread (value_per_day
-    # and daily_value_by_type moved to the r9 lead group — displaced by
-    # the two HDR entries; both only 2 rounds stale after r8)
+    # 4 — re-warm 13 of the 48 r6-last-green, family-spread (value_per_day,
+    # daily_value_by_type, bm25_search and trigram_logprob_scores moved to
+    # the r9 lead group — displaced by the HDR and KMV entries; all four
+    # only 2 rounds stale after r8)
     # TPC-H / models cross-section
     "revenue_by_segment",
     "orders_by_nation",
@@ -298,9 +304,6 @@ _SAMPLE_PRIORITY = (
     # similarity
     "centroid_by_label",
     "embedding_cosine_dups",
-    # search / curation
-    "bm25_search",
-    "trigram_logprob_scores",
     # — 50-row window ends here —
 )
 

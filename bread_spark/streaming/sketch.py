@@ -57,6 +57,65 @@ def hdr_sketch_stream(values: DataFrame, value_col: str = "value") -> DataFrame:
     return hdr_sketch_df(values, value_col)
 
 
+def kmv_sketch_stream(docs: DataFrame, k: int | None = None) -> DataFrame:
+    """Running per-source KMV (bottom-k) sketch over a (source, text)
+    document stream — the online set-overlap monitor (feed two monitors'
+    outputs to `kmv_source_overlap`'s estimator and pairwise source
+    resemblance stays answerable while the crawl runs).
+
+    Unlike the CMS/HLL/HDR twins, bottom-k is NOT expressible as a
+    grouped streaming aggregation (rank-over-window is a batch
+    construct, and a streaming `distinct` would hold the whole value
+    set), so this is the custom-stateful form: `applyInPandasWithState`
+    keyed by source, state = the sorted ≤K smallest distinct hashes —
+    STRICTLY bounded at K longs per source no matter how long the
+    stream runs. Each micro-batch folds its values in (set-union then
+    re-truncate — exactly `merge_kmv_sketches`' operator), so the state
+    after any prefix equals the batch sketch over that prefix: pinned,
+    including across a checkpoint restart, in tests.
+
+    Output per updated source: the full current sketch (source, ver, rk,
+    h), `ver` a per-source monotone update counter so a consumer (or the
+    agreement test) keeps MAX(ver) per source. Update output mode."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..extensions.sketch import KMV_K, _kmv_hash_rows
+
+    kk = KMV_K if k is None else k
+
+    def fold(key, pdfs, state):
+        vals, ver = (
+            (state.get[0], state.get[1]) if state.exists else ((), 0)
+        )
+        seen = set(vals)
+        for pdf in pdfs:
+            seen.update(int(v) for v in pdf["h"])
+        best = sorted(seen)[:kk]
+        state.update((best, ver + 1))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(best),
+                "ver": [ver + 1] * len(best),
+                "rk": list(range(1, len(best) + 1)),
+                "h": best,
+            }
+        )
+
+    return (
+        _kmv_hash_rows(docs)
+        .groupBy("source")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="source string, ver long, rk int, h long",
+            stateStructType="vals array<long>, ver long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def hll_windowed_register_stream(
     docs: DataFrame,
     ts_col: str = "ts",

@@ -592,3 +592,37 @@ def test_hdr_shard_merge_equals_from_scratch(spark, big_events):
     assert {
         r["bucket"]: (r["cnt"], r["lb"], r["ub"]) for r in tree.collect()
     } == scratch
+
+
+def test_kmv_shard_merge_equals_from_scratch(spark, big_docs_r6):
+    """KMV is union-mergeable: the bottom-k of a union is contained in
+    the union of the shards' bottom-k sets, so per-shard sketches folded
+    with merge_kmv_sketches equal the from-scratch sketch of the full
+    replicated corpus, value for value and rank for rank, in any merge
+    order. Replication is also a free invariance check: replicas add no
+    new shingles, so the from-scratch sketch equals the sf-corpus one."""
+    from bread_spark.extensions.sketch import kmv_sketch_df, merge_kmv_sketches
+
+    shards = [
+        kmv_sketch_df(
+            big_docs_r6.filter(F.pmod(F.col("doc_id"), N_SHARDS) == i).select(
+                "source", "text"
+            )
+        )
+        for i in range(N_SHARDS)
+    ]
+    scratch = {
+        (r["source"], r["rk"]): r["h"]
+        for r in kmv_sketch_df(big_docs_r6.select("source", "text")).collect()
+    }
+
+    seq = shards[0]
+    for s in shards[1:]:
+        seq = merge_kmv_sketches(seq, s)
+    assert {(r["source"], r["rk"]): r["h"] for r in seq.collect()} == scratch
+
+    tree = merge_kmv_sketches(
+        merge_kmv_sketches(shards[1], shards[3]),
+        merge_kmv_sketches(shards[0], shards[2]),
+    )
+    assert {(r["source"], r["rk"]): r["h"] for r in tree.collect()} == scratch

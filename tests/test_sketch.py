@@ -340,3 +340,71 @@ def test_hdr_small_buckets_are_exact(spark):
     )
     for r in hdr_sketch_df(frame).collect():
         assert r["lb"] == r["ub"] == r["bucket"]
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k theta sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_bounded_sorted_distinct(spark):
+    """≤ K rows per source; ranks contiguous from 1; h strictly
+    increasing with rank (the sketch IS the order statistics); values
+    distinct per source."""
+    from bread_spark.extensions.sketch import KMV_K, kmv_sketch
+    from tests.conftest import SF_DIR
+
+    rows = kmv_sketch(spark, SF_DIR).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["rk"], r["h"]))
+    assert by_src
+    for src, pairs in by_src.items():
+        pairs.sort()
+        assert len(pairs) <= KMV_K
+        assert [rk for rk, _ in pairs] == list(range(1, len(pairs) + 1))
+        hs = [h for _, h in pairs]
+        assert hs == sorted(set(hs)), src
+
+
+def test_kmv_overlap_estimator_calibrated(spark):
+    """Every pair's Jaccard estimate is within a generous multiple of
+    the estimator's standard error √(J(1−J)/K) of truth — the bound the
+    100 TB user relies on when only sketches survive. All pairs present
+    (zero-overlap pairs must surface, not vanish)."""
+    from bread_spark.extensions.sketch import KMV_K, kmv_source_overlap
+    from tests.conftest import SF_DIR
+
+    rows = kmv_source_overlap(spark, SF_DIR).collect()
+    n_src = len({r["source_a"] for r in rows} | {r["source_b"] for r in rows})
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        j = r["true_jaccard"]
+        bound = 6 * (j * (1 - j) / KMV_K) ** 0.5 + 2.0 / KMV_K
+        assert r["abs_err"] <= bound, (r["source_a"], r["source_b"], r["abs_err"])
+
+
+def test_kmv_exact_when_union_fits(spark):
+    """When the union's distinct shingle count is below K the sketch IS
+    the set: matches equals the true intersection and the estimate
+    equals true Jaccard exactly."""
+    from bread_spark.extensions.sketch import KMV_K, kmv_sketch_df
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "w1 w2 w3 w4 w5"),
+            ("a", "w2 w3 w4"),
+            ("b", "w3 w4 w5 w6"),
+        ],
+        "source string, text string",
+    )
+    sk = kmv_sketch_df(docs)
+    rows = sk.collect()
+    # tiny vocab: every shingle retained, so the sketch is the exact set
+    a = {r["h"] for r in rows if r["source"] == "a"}
+    b = {r["h"] for r in rows if r["source"] == "b"}
+    assert len(a | b) < KMV_K
+    # doc "a w1..w5" has shingles {123,234,345}; "a w2 w3 w4" adds none
+    # new beyond 234; "b" has {345,456}
+    assert len(a) == 3 and len(b) == 2
+    assert len(a & b) == 1  # the shared "w3 w4 w5" shingle

@@ -233,3 +233,67 @@ def test_hdr_stream_matches_batch_and_folds_new_batches(spark, tmp_path):
     _write_values(src, "b2.json", VBATCH2)
     got2 = run("hdr_t2")
     assert got2 == batch(VBATCH1 + VBATCH2)
+
+
+def _run_kmv(spark, src, ckpt, out):
+    """update-mode stateful output through foreachBatch→parquet — the
+    memory sink cannot recover from a checkpoint, and checkpoint
+    recovery is exactly what the restart-fold assertion exercises."""
+    from bread_spark.streaming.sketch import kmv_sketch_stream
+
+    stream = spark.readStream.schema(DOCS_SCHEMA).json(src)
+    q = (
+        kmv_sketch_stream(stream.select("source", "text"))
+        .writeStream.foreachBatch(
+            lambda batch_df, _bid: batch_df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r["source"] not in latest or r["ver"] > latest[r["source"]]:
+            latest[r["source"]] = r["ver"]
+    return {
+        (r["source"], r["rk"]): r["h"]
+        for r in rows
+        if r["ver"] == latest[r["source"]]
+    }
+
+
+def test_kmv_stream_matches_batch_and_folds_on_restart(spark, tmp_path):
+    """The bottom-k state after any stream prefix equals the batch
+    sketch over that prefix — including across a checkpoint restart
+    (the state is the sketch; micro-batches fold by union-truncate,
+    merge_kmv_sketches' operator)."""
+    from bread_spark.extensions.sketch import kmv_sketch_df
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckkmv")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    out = str(tmp_path / "kmv_out")
+    got1 = _run_kmv(spark, src, ckpt, out)
+    want1 = {
+        (r["source"], r["rk"]): r["h"]
+        for r in kmv_sketch_df(
+            _batch_docs(spark, BATCH1).select("source", "text")
+        ).collect()
+    }
+    assert got1 == want1
+
+    _write(src, "b2.json", BATCH2)
+    got2 = _run_kmv(spark, src, ckpt, out)
+    # the parquet dir is cumulative; max-ver per source already overlays
+    # run-1 state for sources batch 2 never touched
+    want2 = {
+        (r["source"], r["rk"]): r["h"]
+        for r in kmv_sketch_df(
+            _batch_docs(spark, BATCH1 + BATCH2).select("source", "text")
+        ).collect()
+    }
+    assert got2 == want2
+    assert any(k[0] == "s3" for k in got2)  # the new source surfaced
