@@ -175,13 +175,17 @@ def main() -> None:
         "boilerplate_filtered_corpus",
         # round-8 additions: the r7-gate end-to-end pipeline (boilerplate
         # → CDC dedup → 5-gram perplexity gate → decontaminate → splits
-        # → packing), the HDR/DDSketch log-histogram quantile sketch, and
-        # the KMV bottom-k set-overlap sketch
+        # → packing), the HDR/DDSketch log-histogram quantile sketch,
+        # the KMV bottom-k set-overlap sketch, and the hashed-feature
+        # Naive Bayes classifier family
         "curated_corpus_v2",
         "hdr_value_sketch",
         "hdr_value_quantiles",
         "kmv_sketch",
         "kmv_source_overlap",
+        "nb_lang_model",
+        "nb_lang_scores",
+        "nb_lang_report",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -320,6 +324,9 @@ def main() -> None:
         "hdr_value_quantiles",
         "kmv_sketch",
         "kmv_source_overlap",
+        "nb_lang_model",
+        "nb_lang_scores",
+        "nb_lang_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -14,7 +14,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import models, models_ibc_catalog
-from .extensions import curation, dedup, multimodal, search, similarity, sketch, training
+from .extensions import (
+    classify,
+    curation,
+    dedup,
+    multimodal,
+    search,
+    similarity,
+    sketch,
+    training,
+)
 from .functions import text
 from .operators import asof, interval
 from .streaming import sessions, windows
@@ -111,6 +120,14 @@ _register(
         "tfidf_keywords": search.tfidf_keywords,
     },
     search.ORACLE_SQL,
+)
+_register(
+    {
+        "nb_lang_model": classify.nb_lang_model,  # hashed NB: bounded model table
+        "nb_lang_scores": classify.nb_lang_scores,  # held-out doc predictions
+        "nb_lang_report": classify.nb_lang_report,  # per-class accuracy/precision
+    },
+    classify.ORACLE_SQL,
 )
 _register(
     {
@@ -226,9 +243,10 @@ _register(
 #      skipped — mandatory now)
 #   4. re-warm 17 of the 48 r6-last-green entries, family-spread
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 35 r6-last-green
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 38 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
-# daily_value_by_type, bm25_search, trigram_logprob_scores (displaced
+# daily_value_by_type, bm25_search, trigram_logprob_scores,
+# props_json_extract, deduped_corpus, embedding_cosine_dups (displaced
 # from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
@@ -260,12 +278,15 @@ _SAMPLE_PRIORITY = (
     "embedding_cosine_dups_tiled",
     "source_dashboard",
     "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (5)
+    # 2 — new r8 oracle-backed entries (8)
     "curated_corpus_v2",  # r7-gate chain end-to-end
     "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
     "hdr_value_quantiles",  # sketch estimates vs true percentiles
     "kmv_sketch",  # bottom-k theta sketch (set algebra)
     "kmv_source_overlap",  # pairwise Jaccard estimates vs true
+    "nb_lang_model",  # hashed NB classifier: bounded model table
+    "nb_lang_scores",  # held-out predictions (integer micro-log exact)
+    "nb_lang_report",  # per-class accuracy/precision rollup
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -282,10 +303,11 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 13 of the 48 r6-last-green, family-spread (value_per_day,
-    # daily_value_by_type, bm25_search and trigram_logprob_scores moved to
-    # the r9 lead group — displaced by the HDR and KMV entries; all four
-    # only 2 rounds stale after r8)
+    # 4 — re-warm 10 of the 48 r6-last-green, family-spread (value_per_day,
+    # daily_value_by_type, bm25_search, trigram_logprob_scores,
+    # props_json_extract, deduped_corpus and embedding_cosine_dups moved
+    # to the r9 lead group — displaced by the HDR/KMV/NB entries; all
+    # seven only 2 rounds stale after r8)
     # TPC-H / models cross-section
     "revenue_by_segment",
     "orders_by_nation",
@@ -293,17 +315,14 @@ _SAMPLE_PRIORITY = (
     # parse / events
     "base64_roundtrip",
     "events_pivot_by_type",
-    "props_json_extract",
     "brand_number_extract",
     # joins
     "customers_without_orders",
     # dedup / spans
     "dedup_exact",
     "duplicate_spans",
-    "deduped_corpus",
     # similarity
     "centroid_by_label",
-    "embedding_cosine_dups",
     # — 50-row window ends here —
 )
 

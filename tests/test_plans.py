@@ -525,3 +525,35 @@ def test_hdr_sketch_single_combined_aggregate(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_count" in p
     assert "Join" not in p
+
+
+def test_nb_scoring_broadcasts_the_bounded_model(spark):
+    """The hashing trick bounds the NB model at classes × NB_BUCKETS
+    rows at ANY corpus size, so the scoring join must be a
+    BroadcastHashJoin on bucket — never a sort-merge (this family has no
+    degrade switch because it never needs one), and never a
+    CartesianProduct (the prior fan-out is a bounded broadcast
+    nested-loop, classes rows per doc). Asserted on the unmaterialized
+    build — the catalog entry itself serves the localCheckpointed seam,
+    whose plan is just the block scan."""
+    from bread_spark.extensions.classify import (
+        _tagged_docs,
+        nb_lang_model,
+        nb_priors_df,
+        nb_scores_df,
+    )
+    from tests.conftest import SF_DIR
+
+    tagged = _tagged_docs(spark, SF_DIR)
+    model = nb_lang_model(spark, SF_DIR)
+    p = physical_plan(nb_scores_df(tagged, model, nb_priors_df(tagged, model)))
+    # the model join: BroadcastHashJoin keyed on bucket
+    assert any(
+        "BroadcastHashJoin [bucket" in line for line in p.splitlines()
+    ), p
+    assert "CartesianProduct" not in p
+    # the one sort-merge allowed is the doc-keyed LEFT join of the
+    # (doc × class) base against the per-(doc, class) sums — both sides
+    # O(docs·classes), correctly shuffle-keyed on (doc_id, lang)
+    smj = [line for line in p.splitlines() if "SortMergeJoin" in line]
+    assert all("doc_id" in line for line in smj), smj

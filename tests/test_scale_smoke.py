@@ -626,3 +626,48 @@ def test_kmv_shard_merge_equals_from_scratch(spark, big_docs_r6):
         merge_kmv_sketches(shards[0], shards[2]),
     )
     assert {(r["source"], r["rk"]): r["h"] for r in tree.collect()} == scratch
+
+
+def test_nb_model_bounded_and_shard_merge_equals_retrain(spark, big_docs_r6):
+    """The hashing-trick guarantee at scale: the NB model stays EXACTLY
+    classes × NB_BUCKETS rows under ×REPS corpus replication (the
+    vocabulary-keyed LM tables grow; this table cannot), per-bucket
+    counts scale by exactly REPS, and per-shard models folded with
+    merge_nb_models equal the from-scratch model of the full replicated
+    corpus — counts are additive, so the merge is exact in any order."""
+    from bread_spark.extensions.classify import (
+        NB_BUCKETS,
+        merge_nb_models,
+        nb_model_df,
+    )
+    from bread_spark.functions.text import _split_assignment
+
+    small = nb_model_df(
+        _split_assignment(load_table(spark, SF_DIR, "documents").select("lang", "text"))
+    )
+    big_tagged = _split_assignment(big_docs_r6.select("doc_id", "lang", "text"))
+    big = nb_model_df(big_tagged).localCheckpoint()
+
+    n_langs = small.select("lang").distinct().count()
+    assert small.count() == n_langs * NB_BUCKETS
+    assert big.count() == n_langs * NB_BUCKETS  # constant-size at ×REPS
+    scaled = (
+        small.select("lang", "bucket", (F.col("cnt") * REPS).alias("cnt"))
+        .join(big.select("lang", "bucket", "cnt"), ["lang", "bucket", "cnt"])
+        .count()
+    )
+    assert scaled == n_langs * NB_BUCKETS  # counts scale exactly linearly
+
+    shards = [
+        nb_model_df(big_tagged.filter(F.pmod(F.col("doc_id"), N_SHARDS) == i))
+        for i in range(N_SHARDS)
+    ]
+    scratch = {
+        (r["lang"], r["bucket"]): (r["cnt"], r["log_lik"]) for r in big.collect()
+    }
+    seq = shards[0]
+    for s in shards[1:]:
+        seq = merge_nb_models(seq, s)
+    assert {
+        (r["lang"], r["bucket"]): (r["cnt"], r["log_lik"]) for r in seq.collect()
+    } == scratch

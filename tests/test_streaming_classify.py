@@ -1,0 +1,88 @@
+"""Batch/stream agreement for the Naive Bayes scorer twin
+(streaming/classify.py): the streamed predictions, log-scores, and
+margins must equal the batch entry's rows exactly — the integer
+micro-log arithmetic and the shared (score DESC, lang DESC) tie-break
+leave no room for drift. Includes a checkpoint restart (the second
+availableNow run resumes from the first's offsets)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from bread_spark.extensions.classify import (
+    _tagged_docs,
+    nb_lang_model,
+    nb_lang_scores,
+    nb_priors_df,
+)
+from bread_spark.streaming.classify import nb_score_stream_against_base
+from tests.conftest import SF_DIR
+
+
+def test_nb_stream_scores_agree_with_batch(spark, tmp_path):
+    model = nb_lang_model(spark, SF_DIR)
+    priors = nb_priors_df(_tagged_docs(spark, SF_DIR), model).localCheckpoint()
+
+    batch = nb_lang_scores(spark, SF_DIR)
+    sample = {
+        r["doc_id"]: r
+        for r in batch.limit(8).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id").isin(list(sample)))
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    ts = datetime.datetime(2024, 8, 1, 12, 0).isoformat()
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for doc_id, text in texts.items():
+            f.write(json.dumps({"doc_id": doc_id, "ts": ts, "payload": text}) + "\n")
+
+    def _run():
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, payload string"
+        ).json(src)
+        q = (
+            nb_score_stream_against_base(stream, model, priors)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _run()
+    # append mode holds rows until the watermark passes — push it with a
+    # later doc; the second run is also the checkpoint-restart pin
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "doc_id": 999_999,
+                    "ts": datetime.datetime(2024, 8, 2, 12, 0).isoformat(),
+                    "payload": "later",
+                }
+            )
+            + "\n"
+        )
+    _run()
+
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["logp"], r["margin"])
+        for r in spark.read.parquet(sink).collect()
+        if r["doc_id"] in sample
+    }
+    assert set(got) == set(sample)
+    for doc_id, r in sample.items():
+        assert got[doc_id] == (r["pred_lang"], r["logp"], r["margin"]), doc_id
