@@ -176,8 +176,9 @@ def main() -> None:
         # round-8 additions: the r7-gate end-to-end pipeline (boilerplate
         # → CDC dedup → 5-gram perplexity gate → decontaminate → splits
         # → packing), the HDR/DDSketch log-histogram quantile sketch,
-        # the KMV bottom-k set-overlap sketch, and the hashed-feature
-        # Naive Bayes classifier family
+        # the KMV bottom-k set-overlap sketch, the hashed-feature
+        # Naive Bayes classifier family, and the silhouette cluster-QC
+        # family
         "curated_corpus_v2",
         "hdr_value_sketch",
         "hdr_value_quantiles",
@@ -186,6 +187,8 @@ def main() -> None:
         "nb_lang_model",
         "nb_lang_scores",
         "nb_lang_report",
+        "silhouette_scores",
+        "cluster_quality_report",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -327,6 +330,8 @@ def main() -> None:
         "nb_lang_model",
         "nb_lang_scores",
         "nb_lang_report",
+        "silhouette_scores",
+        "cluster_quality_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -1146,3 +1146,271 @@ ORACLE_SQL["label_mix_by_source"] = """
 """
 
 ORACLE_SQL["embedding_cosine_dups_tiled"] = ORACLE_SQL["embedding_cosine_dups"]
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality QC: point-level silhouettes + per-label report
+# ---------------------------------------------------------------------------
+#
+# The label-noise / outlier surface of an embedding pipeline (the QC step
+# before SemDeDup-style semantic pruning or classifier training): a point
+# whose silhouette is negative sits closer to another label's centroid
+# than to its own — a mislabel or outlier candidate to route to review or
+# drop. Simplified silhouette (centroid form, Rousseeuw 1987 §4): a =
+# distance to OWN centroid, b = distance to the NEAREST OTHER centroid,
+# s = (b - a) / max(a, b). O(n·k·d) work — the same shape as exact IVF
+# assignment, linear in corpus size for fixed label count, one broadcast
+# of the (labels × dims) centroid table; never O(n²).
+#
+# Exactness discipline (the `centroid_drift_by_label` idiom, taken one
+# step further): embedding values are micro-quantized map-side, so the
+# per-dimension deviation q·n − S is an exact integer, its SQUARE is an
+# exact DECIMAL(38,0)/HUGEINT, and the per-(point, label) sum of squares
+# is an exact integer sum — d² is then ONE cast+divide on exact operands,
+# identical in both engines with no summation-order sensitivity at all.
+# Per-label means re-quantize the identical doubles to micro-units so the
+# report's averages are integer sums too.
+
+
+def silhouette_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point cluster QC: (vec_id, label, intra_dist, nearest_label,
+    nearest_dist, silhouette). `nearest_label` is the closest OTHER
+    label's centroid (tie-break: distance ASC, label ASC — deterministic
+    in both engines because the distances are exact-operand doubles).
+    Compute-once seam shared with `cluster_quality_report`."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "silhouette_scores",
+        sf_dir,
+        lambda: silhouette_scores_df(load_table(spark, sf_dir, "embeddings")),
+    )
+
+
+def silhouette_scores_df(emb: DataFrame) -> DataFrame:
+    """`silhouette_scores` core over any (vec_id, label, embedding)."""
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * DRIFT_SCALE).cast("long").alias("q"),
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dec = "decimal(38,0)"
+    delta = F.col("q").cast(dec) * F.col("n") - F.col("s").cast(dec)
+    per_pair = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel", "n")
+        .agg(F.sum(delta * delta).alias("ss"))
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.sqrt(
+                F.col("ss").cast("double")
+                / (F.col("n").cast("double") * F.col("n").cast("double")
+                   * F.lit(float(DRIFT_SCALE) ** 2))
+            ).alias("d"),
+        )
+    )
+    agg = per_pair.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(
+            F.when(
+                F.col("clabel") != F.col("label"), F.struct("d", "clabel")
+            )
+        ).alias("nb"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("nb.d")) == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("nb.d") - F.col("a")) / F.greatest(F.col("a"), F.col("nb.d"))
+    )
+    return agg.select(
+        "vec_id",
+        "label",
+        F.round("a", 6).alias("intra_dist"),
+        F.col("nb.clabel").alias("nearest_label"),
+        F.round("nb.d", 6).alias("nearest_dist"),
+        F.round(s, 6).alias("silhouette"),
+    )
+
+
+def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster-health rollup: (label, n_vecs, mean_intra_dist,
+    mean_silhouette, n_negative, nearest_label, centroid_gap) — the
+    embedding-space dashboard next to `centroid_drift_by_label` (drift
+    says "this label MOVED"; this says "this label is DIFFUSE or
+    COLLIDING, and with whom"). `n_negative` counts mislabel/outlier
+    candidates; `centroid_gap` is the distance to the nearest other
+    CENTROID (labels² pairs — dashboard-sized, via the drift operator's
+    sorted-fold idiom on the exact normalized centroid doubles).
+
+    Means are integer sums of micro-quantized per-point values — the
+    identical doubles both engines hold — so the rollup carries no
+    float-order sensitivity either."""
+    scores = silhouette_scores(spark, sf_dir)
+    u = 1_000_000
+    per = scores.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.round(F.col("intra_dist") * u).cast("long")).alias("au"),
+        F.sum(F.round(F.col("silhouette") * u).cast("long")).alias("su"),
+        F.sum((F.col("silhouette") < 0).cast("int")).alias("n_negative"),
+    )
+    per = per.select(
+        "label",
+        "n_vecs",
+        F.round(F.col("au") / F.col("n_vecs") / u, 6).alias("mean_intra_dist"),
+        F.round(F.col("su") / F.col("n_vecs") / u, 6).alias("mean_silhouette"),
+        "n_negative",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * DRIFT_SCALE).cast("long").alias("q"),
+    )
+    cvals = dims.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(DRIFT_SCALE))))
+        .alias("c")
+    )
+    cvec = cvals.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(
+            "cv"
+        )
+    )
+    pairs = cvec.join(
+        F.broadcast(
+            cvec.select(F.col("label").alias("olabel"), F.col("cv").alias("ov"))
+        ),
+        F.col("label") != F.col("olabel"),
+    ).select(
+        "label",
+        "olabel",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(cv, ov, (x, y) -> (x - y) * (x - y)), "
+                "cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+        ).alias("dcc"),
+    )
+    nearest = pairs.groupBy("label").agg(F.min(F.struct("dcc", "olabel")).alias("m"))
+    return per.join(F.broadcast(nearest), "label").select(
+        "label",
+        "n_vecs",
+        "mean_intra_dist",
+        "mean_silhouette",
+        "n_negative",
+        F.col("m.olabel").alias("nearest_label"),
+        F.round("m.dcc", 6).alias("centroid_gap"),
+    )
+
+
+_SIL_CTE = f"""
+    WITH dims AS (
+        SELECT e.vec_id, e.label, d.pos,
+               CAST(ROUND(CAST(e.embedding[d.pos + 1] AS DOUBLE)
+                          * {DRIFT_SCALE}) AS BIGINT) AS q
+        FROM embeddings e, LATERAL (
+            SELECT unnest(range(len(e.embedding))) AS pos
+        ) d
+    ),
+    cent AS (
+        SELECT label AS clabel, pos, SUM(q) AS s, COUNT(*) AS n
+        FROM dims GROUP BY 1, 2
+    ),
+    per_pair AS (
+        SELECT d.vec_id, d.label, c.clabel, c.n,
+               SUM((CAST(d.q AS HUGEINT) * c.n - CAST(c.s AS HUGEINT))
+                   * (CAST(d.q AS HUGEINT) * c.n - CAST(c.s AS HUGEINT)))
+                   AS ss
+        FROM dims d JOIN cent c ON c.pos = d.pos
+        GROUP BY 1, 2, 3, 4
+    ),
+    dist AS (
+        SELECT vec_id, label, clabel,
+               SQRT(CAST(ss AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * {float(DRIFT_SCALE) ** 2})) AS d
+        FROM per_pair
+    ),
+    own AS (SELECT vec_id, label, d AS a FROM dist WHERE clabel = label),
+    others AS (
+        SELECT vec_id, label, clabel, d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY d ASC, clabel ASC) AS rk
+        FROM dist WHERE clabel <> label
+    ),
+    sil AS (
+        SELECT o.vec_id, o.label,
+               ROUND(w.a, 6) AS intra_dist,
+               o.clabel AS nearest_label,
+               ROUND(o.d, 6) AS nearest_dist,
+               ROUND(CASE WHEN GREATEST(w.a, o.d) = 0 THEN 0.0
+                     ELSE (o.d - w.a) / GREATEST(w.a, o.d) END, 6)
+                   AS silhouette
+        FROM others o JOIN own w ON w.vec_id = o.vec_id
+        WHERE o.rk = 1
+    )
+"""
+
+ORACLE_SQL["silhouette_scores"] = (
+    _SIL_CTE
+    + """
+    SELECT vec_id, label, intra_dist, nearest_label, nearest_dist,
+           silhouette
+    FROM sil
+"""
+)
+
+ORACLE_SQL["cluster_quality_report"] = (
+    _SIL_CTE
+    + f""",
+    per AS (
+        SELECT label, COUNT(*) AS n_vecs,
+               SUM(CAST(ROUND(intra_dist * {DRIFT_SCALE}) AS BIGINT)) AS au,
+               SUM(CAST(ROUND(silhouette * {DRIFT_SCALE}) AS BIGINT)) AS su,
+               CAST(SUM(CASE WHEN silhouette < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_negative
+        FROM sil GROUP BY 1
+    ),
+    cvals AS (
+        SELECT label, pos,
+               SUM(q) * 1.0 / (COUNT(*) * {float(DRIFT_SCALE)}) AS c
+        FROM dims GROUP BY 1, 2
+    ),
+    cpairs AS (
+        SELECT a.label, b.label AS olabel, a.pos, a.c - b.c AS dv
+        FROM cvals a JOIN cvals b
+          ON a.pos = b.pos AND a.label <> b.label
+    ),
+    gap AS (
+        SELECT label, olabel,
+               SQRT(list_dot_product(list(dv ORDER BY pos),
+                                     list(dv ORDER BY pos))) AS dcc
+        FROM cpairs GROUP BY 1, 2
+    ),
+    near AS (
+        SELECT label, olabel, dcc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label ORDER BY dcc ASC, olabel ASC) AS rk
+        FROM gap
+    )
+    SELECT p.label, p.n_vecs,
+           ROUND(p.au * 1.0 / p.n_vecs / {float(DRIFT_SCALE)}, 6)
+               AS mean_intra_dist,
+           ROUND(p.su * 1.0 / p.n_vecs / {float(DRIFT_SCALE)}, 6)
+               AS mean_silhouette,
+           p.n_negative,
+           n.olabel AS nearest_label,
+           ROUND(n.dcc, 6) AS centroid_gap
+    FROM per p JOIN near n ON n.label = p.label AND n.rk = 1
+"""
+)

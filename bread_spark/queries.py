@@ -111,6 +111,8 @@ _register(
         "topic_mix_by_source": similarity.topic_mix_by_source,  # rows-only (learned)
         "project_embeddings": similarity.project_embeddings,  # JL ±1 projection
         "centroid_drift_by_label": similarity.centroid_drift_by_label,  # drift monitor
+        "silhouette_scores": similarity.silhouette_scores,  # per-point cluster QC
+        "cluster_quality_report": similarity.cluster_quality_report,  # per-label health
     },
     similarity.ORACLE_SQL,
 )
@@ -243,10 +245,11 @@ _register(
 #      skipped — mandatory now)
 #   4. re-warm 17 of the 48 r6-last-green entries, family-spread
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 38 r6-last-green
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 40 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
 # daily_value_by_type, bm25_search, trigram_logprob_scores,
-# props_json_extract, deduped_corpus, embedding_cosine_dups (displaced
+# props_json_extract, deduped_corpus, embedding_cosine_dups,
+# distinct_users_per_day, duplicate_spans (displaced
 # from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
@@ -278,7 +281,7 @@ _SAMPLE_PRIORITY = (
     "embedding_cosine_dups_tiled",
     "source_dashboard",
     "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (8)
+    # 2 — new r8 oracle-backed entries (10)
     "curated_corpus_v2",  # r7-gate chain end-to-end
     "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
     "hdr_value_quantiles",  # sketch estimates vs true percentiles
@@ -287,6 +290,8 @@ _SAMPLE_PRIORITY = (
     "nb_lang_model",  # hashed NB classifier: bounded model table
     "nb_lang_scores",  # held-out predictions (integer micro-log exact)
     "nb_lang_report",  # per-class accuracy/precision rollup
+    "silhouette_scores",  # per-point embedding cluster QC
+    "cluster_quality_report",  # per-label cluster-health rollup
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -303,15 +308,15 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 10 of the 48 r6-last-green, family-spread (value_per_day,
+    # 4 — re-warm 8 of the 48 r6-last-green, family-spread (value_per_day,
     # daily_value_by_type, bm25_search, trigram_logprob_scores,
-    # props_json_extract, deduped_corpus and embedding_cosine_dups moved
-    # to the r9 lead group — displaced by the HDR/KMV/NB entries; all
-    # seven only 2 rounds stale after r8)
+    # props_json_extract, deduped_corpus, embedding_cosine_dups,
+    # distinct_users_per_day and duplicate_spans moved to the r9 lead
+    # group — displaced by the HDR/KMV/NB/silhouette entries; all nine
+    # only 2 rounds stale after r8)
     # TPC-H / models cross-section
     "revenue_by_segment",
     "orders_by_nation",
-    "distinct_users_per_day",
     # parse / events
     "base64_roundtrip",
     "events_pivot_by_type",
@@ -320,7 +325,6 @@ _SAMPLE_PRIORITY = (
     "customers_without_orders",
     # dedup / spans
     "dedup_exact",
-    "duplicate_spans",
     # similarity
     "centroid_by_label",
     # — 50-row window ends here —

@@ -550,3 +550,80 @@ def test_tiled_exact_cosine_dups_fanout_is_exact(spark):
     dup = pairs.groupBy("vec_a", "vec_b").count().filter(F.col("count") > 1)
     assert dup.count() == 0
     assert COSINE_TILE_T * (COSINE_TILE_T + 1) // 2 < n  # tiling is real
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality QC (silhouette family)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_embeddings(spark, per_label=30, sep=10.0):
+    """Three tightly separated clusters along distinct axes — any sane
+    silhouette implementation scores them near 1.0."""
+    rows = []
+    for lab in range(3):
+        for i in range(per_label):
+            vec = [0.0] * 8
+            vec[lab] = sep
+            vec[(lab + 3) % 8] = (i % 7) * 0.01  # tiny within-cluster spread
+            rows.append((lab * per_label + i, vec, lab))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_silhouette_separates_constructed_clusters(spark):
+    from bread_spark.extensions.similarity import silhouette_scores_df
+
+    emb = _clustered_embeddings(spark)
+    rows = silhouette_scores_df(emb).collect()
+    assert len(rows) == 90
+    for r in rows:
+        assert r["silhouette"] > 0.9, r
+        # the nearest OTHER centroid is never the own label
+        assert r["nearest_label"] != r["label"]
+
+
+def test_silhouette_flags_planted_mislabels(spark):
+    """A point carrying label 0 but sitting inside cluster 1 must get a
+    NEGATIVE silhouette with nearest_label 1 — the mislabel QC claim."""
+    from bread_spark.extensions.similarity import silhouette_scores_df
+
+    emb = _clustered_embeddings(spark)
+    bad = spark.createDataFrame(
+        [(900, [0.0, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in silhouette_scores_df(emb.unionByName(bad)).collect()
+    }
+    assert rows[900]["silhouette"] < -0.9
+    assert rows[900]["nearest_label"] == 1
+
+
+def test_cluster_report_cells_equal_scores_rollup(spark, sf_dir):
+    """The report's aggregate cells must EQUAL a recomputation from the
+    scores frame (member-equality discipline, like source_dashboard)."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.similarity import (
+        cluster_quality_report,
+        silhouette_scores,
+    )
+
+    scores = silhouette_scores(spark, sf_dir)
+    want = {
+        r["label"]: (r["n"], r["neg"])
+        for r in scores.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("silhouette") < 0).cast("int")).alias("neg"),
+        )
+        .collect()
+    }
+    got = {
+        r["label"]: (r["n_vecs"], r["n_negative"])
+        for r in cluster_quality_report(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -671,3 +671,29 @@ def test_nb_model_bounded_and_shard_merge_equals_retrain(spark, big_docs_r6):
     assert {
         (r["lang"], r["bucket"]): (r["cnt"], r["log_lik"]) for r in seq.collect()
     } == scratch
+
+
+def test_silhouette_invariant_under_replication(spark):
+    """Replicating every vector REPS× leaves each point's silhouette
+    EXACTLY unchanged — centroids are means, and the integer deviation
+    q·(R·n) − R·S = R·(q·n − S) cancels in the normalized distance, so
+    the invariance is exact arithmetic, not approximate. The report's
+    means stay identical while n_vecs scales by exactly REPS."""
+    from bread_spark.extensions.similarity import silhouette_scores_df
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    small = {
+        r["vec_id"]: (r["silhouette"], r["nearest_label"], r["intra_dist"])
+        for r in silhouette_scores_df(emb).collect()
+    }
+    big_rows = silhouette_scores_df(big).collect()
+    assert len(big_rows) == REPS * len(small)
+    for r in big_rows:
+        orig = small[r["vec_id"] % 10_000_000]
+        assert (r["silhouette"], r["nearest_label"], r["intra_dist"]) == orig
