@@ -1188,21 +1188,30 @@ def silhouette_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def silhouette_scores_df(emb: DataFrame) -> DataFrame:
-    """`silhouette_scores` core over any (vec_id, label, embedding)."""
-    dims = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "v"),
+def _quantized_dims(emb: DataFrame, *keep: str) -> DataFrame:
+    """(*keep, pos, q) — micro-quantized embedding dimensions, map-side."""
+    return emb.select(
+        *keep, F.posexplode("embedding").alias("pos", "v")
     ).select(
-        "vec_id",
-        "label",
+        *keep,
         "pos",
         F.round(F.col("v").cast("double") * DRIFT_SCALE).cast("long").alias("q"),
     )
-    cent = dims.groupBy(F.col("label").alias("clabel"), "pos").agg(
-        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
-    )
+
+
+def silhouette_centroids_df(emb: DataFrame) -> DataFrame:
+    """(clabel, pos, s, n) — the integer centroid sums the silhouette
+    distances are computed against. Exposed so the streaming twin can
+    freeze them as its base model."""
+    return _quantized_dims(emb, "label").groupBy(
+        F.col("label").alias("clabel"), "pos"
+    ).agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+
+
+def silhouette_scores_df(emb: DataFrame) -> DataFrame:
+    """`silhouette_scores` core over any (vec_id, label, embedding)."""
+    dims = _quantized_dims(emb, "vec_id", "label")
+    cent = silhouette_centroids_df(emb)
     dec = "decimal(38,0)"
     delta = F.col("q").cast(dec) * F.col("n") - F.col("s").cast(dec)
     per_pair = (
@@ -1272,11 +1281,7 @@ def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_negative",
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
-        "label",
-        "pos",
-        F.round(F.col("v").cast("double") * DRIFT_SCALE).cast("long").alias("q"),
-    )
+    dims = _quantized_dims(emb, "label")
     cvals = dims.groupBy("label", "pos").agg(
         (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(DRIFT_SCALE))))
         .alias("c")

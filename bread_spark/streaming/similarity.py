@@ -1,0 +1,98 @@
+"""Streaming twin of the silhouette cluster-QC scorer
+(extensions/similarity.py) — score each incoming LABELED embedding
+against the FROZEN base centroids as it lands: the online label-noise /
+outlier gate (route negative-silhouette arrivals to review before they
+enter the training corpus), the embedding-space sibling of the NB
+language gate in `streaming/classify.py`.
+
+The centroid table enters as a static frame ((clabel, pos, s, n) from
+`silhouette_centroids_df`) — labels × dims rows, broadcast per
+micro-batch. Same two-chained-windowed-aggregation shape as the NB twin:
+
+1. per (window, vec, label, clabel): exact integer sum of squared
+   micro-deviations (DECIMAL(38,0) state, one value per group);
+2. per (window, vec, label): own-centroid distance + argmin over the
+   other centroids via the ≤ labels bounded min(struct(d, clabel)) —
+   the identical (d ASC, clabel ASC) tie-break the batch scorer ranks
+   with, so batch and stream cannot disagree.
+
+Deliberate divergence, inherent to frozen-model scoring: the base
+centroids do NOT include the incoming point (the batch entry scores the
+corpus against itself, so each point is inside its own centroid). For
+vectors already IN the base corpus the arithmetic reduces to the batch
+scorer's exactly — agreement pinned in tests/test_streaming_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..extensions.similarity import DRIFT_SCALE, _quantized_dims
+
+
+def silhouette_stream_against_base(
+    stream: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """One row per (event-time window, vec) in append mode:
+    (window, vec_id, label, intra_dist, nearest_label, nearest_dist,
+    silhouette) — the batch scorer's columns, against frozen centroids."""
+    wm = stream.withWatermark(ts_col, lateness)
+    dims = _quantized_dims(wm, id_col, label_col, ts_col)
+    dec = "decimal(38,0)"
+    delta = F.col("q").cast(dec) * F.col("n") - F.col("s").cast(dec)
+    per_pair = (
+        dims.join(F.broadcast(centroids), "pos")
+        .groupBy(
+            F.window(ts_col, window).alias("window"),
+            id_col,
+            label_col,
+            "clabel",
+            "n",
+        )
+        .agg(F.sum(delta * delta).alias("ss"))
+        .select(
+            "window",
+            id_col,
+            label_col,
+            "clabel",
+            F.sqrt(
+                F.col("ss").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * F.lit(float(DRIFT_SCALE) ** 2)
+                )
+            ).alias("d"),
+        )
+    )
+    agg = per_pair.groupBy(
+        F.window(F.window_time("window"), window).alias("window"),
+        id_col,
+        label_col,
+    ).agg(
+        F.max(F.when(F.col("clabel") == F.col(label_col), F.col("d"))).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col(label_col), F.struct("d", "clabel"))
+        ).alias("nb"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("nb.d")) == 0, F.lit(0.0)
+    ).otherwise(
+        (F.col("nb.d") - F.col("a")) / F.greatest(F.col("a"), F.col("nb.d"))
+    )
+    return agg.select(
+        "window",
+        id_col,
+        label_col,
+        F.round("a", 6).alias("intra_dist"),
+        F.col("nb.clabel").alias("nearest_label"),
+        F.round("nb.d", 6).alias("nearest_dist"),
+        F.round(s, 6).alias("silhouette"),
+    )
