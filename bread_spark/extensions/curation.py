@@ -379,9 +379,29 @@ def boilerplate_filtered_corpus(
     wire only in the final doc_id-keyed reassembly, the same bound the
     scan already pays. The frequency aggregate is one combiner-friendly
     digest-keyed shuffle of (digest, doc_id) pairs.
+
+    At default parameters the frame rides a compute-once seam shared
+    with `curated_corpus_v2`, whose first stage is this exact filter —
+    one chunk-scan pays for both (the CMS/CDC seam convention).
     """
+    if (chunk_tokens, min_docs) == (CHUNK_TOKENS, BOILER_MIN_DOCS):
+        return _boilerplate_filtered_frame(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return boilerplate_filter_df(docs, chunk_tokens, min_docs)
+
+
+def _boilerplate_filtered_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-parameter boilerplate-scrubbed corpus, compute-once."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "boilerplate_filtered",
+        sf_dir,
+        lambda: boilerplate_filter_df(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+    )
 
 
 def boilerplate_filter_df(
@@ -1690,8 +1710,7 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import _split_assignment
     from .training import PROBE_MAX_DOC_ID, decontaminate, pack_sequences_df
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bp = boilerplate_filter_df(docs).select("doc_id", "text")
+    bp = _boilerplate_filtered_frame(spark, sf_dir).select("doc_id", "text")
     cdc = _chunk_first_occurrence_rebuild(_cdc_chunk_frame(bp)).select(
         "doc_id", "text"
     )

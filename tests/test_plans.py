@@ -481,12 +481,23 @@ def test_cms_sketch_single_combined_aggregate(spark, sf_dir):
     assert "Join" not in p
 
 
-def test_boilerplate_filter_broadcast_anti_no_text_shuffle_key(plans):
+def test_boilerplate_filter_broadcast_anti_no_text_shuffle_key(spark):
     """The boilerplate table is the heavy-hitter tail of the chunk
     frequency distribution — small by construction — so the removal must
     be a BroadcastHashJoin LeftAnti on digests, never a sort-merge; and
-    the frequency aggregate must have a map-side partial."""
-    p = plans("boilerplate_filtered_corpus")
+    the frequency aggregate must have a map-side partial. Asserted on
+    the unmaterialized core — the catalog entry now serves the
+    compute-once seam shared with curated_corpus_v2, whose plan is just
+    the checkpoint block scan."""
+    from bread_spark.extensions.curation import boilerplate_filter_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    p = physical_plan(
+        boilerplate_filter_df(
+            load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        )
+    )
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
     assert "partial_count" in p or "partial_min" in p
