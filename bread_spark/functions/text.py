@@ -195,6 +195,33 @@ WRS_K = 50  # weighted sample size
 WRS_SEED = "wrs42"
 
 
+def _wrs_scored(docs: DataFrame) -> DataFrame:
+    """THE A-ES priority rule — (doc_id, source, n_tokens, pri) with
+    pri = ln(u)/w, u the deterministic md5(seed:doc_id) uniform, w the
+    token count; zero-token docs filtered (they carry no mass). Single
+    source of truth shared by `weighted_sample_docs` (global top-k),
+    `weighted_sample_by_source` (stratified), and the streaming
+    reservoir twin (`streaming/sampling.py`) — the three can never
+    disagree on a priority, so stream-vs-batch agreement is exact."""
+    w = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(WRS_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    pri = F.log(u) / w
+    return docs.select(
+        "doc_id", "source", w.alias("n_tokens"), pri.alias("pri")
+    ).filter(F.col("n_tokens") > 0)
+
+
 def weighted_sample_docs(
     spark: SparkSession, sf_dir: str, k: int = WRS_K
 ) -> DataFrame:
@@ -217,23 +244,8 @@ def weighted_sample_docs(
     in every engine; the reported priority is rounded for the oracle
     hash only AFTER selection."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    w = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(WRS_SEED + ":"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    pri = F.log(u) / w
     return (
-        docs.select("doc_id", "source", w.alias("n_tokens"), pri.alias("pri"))
-        .filter(F.col("n_tokens") > 0)
+        _wrs_scored(docs)
         .orderBy(F.desc("pri"), F.asc("doc_id"))
         .limit(k)
         .select(
@@ -257,26 +269,16 @@ def weighted_sample_by_source(
     Scale: the global top-k's TakeOrderedAndProject becomes a rank
     window pruned by WindowGroupLimit — per-partition per-source heaps
     before the exchange, k·sources rows after it."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return weighted_sample_by_source_df(docs, k)
+
+
+def weighted_sample_by_source_df(docs: DataFrame, k: int = WRS_PER_SOURCE_K) -> DataFrame:
+    """`weighted_sample_by_source` core over any (doc_id, source, text)
+    frame — the comparator the streaming reservoir twin is pinned to."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    w = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(WRS_SEED + ":"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    pri = F.log(u) / w
-    scored = docs.select(
-        "doc_id", "source", w.alias("n_tokens"), pri.alias("pri")
-    ).filter(F.col("n_tokens") > 0)
+    scored = _wrs_scored(docs)
     win = W.partitionBy("source").orderBy(F.desc("pri"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win).cast("long"))
