@@ -189,6 +189,8 @@ def main() -> None:
         "nb_lang_report",
         "silhouette_scores",
         "cluster_quality_report",
+        "media_resize_plan",
+        "media_frame_samples",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -332,6 +334,8 @@ def main() -> None:
         "nb_lang_report",
         "silhouette_scores",
         "cluster_quality_report",
+        "media_resize_plan",
+        "media_frame_samples",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

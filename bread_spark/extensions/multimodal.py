@@ -156,3 +156,167 @@ def media_dedup_exact(media: DataFrame) -> DataFrame:
         # deterministic under any row order / engine
         F.min("byte_len").alias("byte_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample plans (oracle-backed) and the resizer seam
+# ---------------------------------------------------------------------------
+
+RESIZE_MAX_W = 512
+RESIZE_MAX_H = 512
+FRAME_EVERY_N = 30
+
+
+def media_resize_plan(
+    spark, sf_dir: str, max_w: int = RESIZE_MAX_W, max_h: int = RESIZE_MAX_H
+) -> DataFrame:
+    """The resize PLAN: (media_id, kind, width, height, out_w, out_h) —
+    aspect-preserving fit into max_w × max_h, never upscaled. The decode
+    runs through the REAL mapInPandas path; the target-dimension math is
+    JVM-side. Oracle-checked end to end: the fake decoder is pure
+    sha256 arithmetic, so DuckDB rebuilds the SAME (width, height) from
+    the digest and the driver hash pins the Arrow batch plumbing AND the
+    aspect math bit-for-bit — the strongest check a stubbed-codec
+    pipeline can carry. A real deployment swaps `set_decoder` and the
+    plan columns keep their meaning.
+
+    Scale: decode is the embarrassingly parallel map; the plan adds a
+    zero-shuffle projection. Only sampled/undersized media ever reach
+    the pixel-moving `resize_media` step — plan first, decode pixels
+    once, the standard media-pipeline economy."""
+    feats = extract_media_features(media_from_documents(spark, sf_dir))
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+    )
+    return feats.filter(F.col("kind").isin("image", "video")).select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).alias("out_h"),
+    )
+
+
+def media_frame_samples(
+    spark, sf_dir: str, every_n: int = FRAME_EVERY_N
+) -> DataFrame:
+    """Catalog entry: `frame_sample_plan` over the derived media table,
+    oracle-checked — (media_id, n_frames, frame_idx), one row per
+    sampled frame of every video. The explode-not-loop shape: the frame
+    schedule is a JVM sequence over the decoded frame count; a real
+    codec then seeks exactly these indices (decode-on-demand), never
+    the full stream."""
+    feats = extract_media_features(media_from_documents(spark, sf_dir))
+    return (
+        feats.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            F.explode(
+                F.expr(f"sequence(0L, cast(n_frames - 1 as long), {every_n}L)")
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def _fake_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in for a pixel resampler: digest-derived bytes
+    of length proportional to the target area. Replace via set_resizer."""
+    seed = hashlib.sha256(payload + struct.pack("<II", out_w, out_h)).digest()
+    need = max(1, (out_w * out_h) // 256)
+    return (seed * (need // len(seed) + 1))[:need]
+
+
+_RESIZER: Callable[[bytes, int, int], bytes] = _fake_resize
+
+
+def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Plug a real resampler (e.g. PIL Image.resize). Picklable, like
+    set_decoder."""
+    global _RESIZER
+    _RESIZER = fn
+
+
+def resize_media(
+    media: DataFrame, max_w: int = RESIZE_MAX_W, max_h: int = RESIZE_MAX_H
+) -> DataFrame:
+    """Execute the resize: one mapInPandas pass that decodes, computes
+    the aspect-fit target, and runs the resampler seam — (media_id,
+    kind, out_w, out_h, payload). Pure map, zero shuffles; payload bytes
+    never enter a shuffle. The plan/execute split mirrors
+    `frame_sample_plan`: run `media_resize_plan` to budget the work,
+    this to move pixels."""
+    decoder, resizer = _DECODER, _RESIZER
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = {"media_id": [], "kind": [], "out_w": [], "out_h": [], "payload": []}
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind not in ("image", "video"):
+                    continue
+                w, h, _ = decoder(payload, kind)
+                scale = min(1.0, max_w / w, max_h / h)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                out_rows["media_id"].append(mid)
+                out_rows["kind"].append(kind)
+                out_rows["out_w"].append(ow)
+                out_rows["out_h"].append(oh)
+                out_rows["payload"].append(resizer(payload, ow, oh))
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(
+        batches, schema="media_id long, kind string, out_w int, out_h int, payload binary"
+    )
+
+
+# sha256 is pure arithmetic in both engines, so the oracle REBUILDS the
+# fake decoder: w/h/frames come from the first 6 digest bytes read
+# little-endian ('<HHH'), exactly `_fake_decode`.
+_MEDIA_DIMS_CTE = """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                    ELSE 'audio' END AS kind,
+               sha256(text) AS hx
+        FROM documents
+    ),
+    dims AS (
+        SELECT media_id, kind,
+               CAST(('0x' || substr(hx, 3, 2) || substr(hx, 1, 2))::BIGINT
+                    % 1920 + 1 AS INT) AS width,
+               CAST(('0x' || substr(hx, 7, 2) || substr(hx, 5, 2))::BIGINT
+                    % 1080 + 1 AS INT) AS height,
+               CASE WHEN kind = 'video'
+                    THEN CAST(('0x' || substr(hx, 11, 2) || substr(hx, 9, 2))::BIGINT
+                              % 300 + 1 AS INT)
+                    ELSE 1 END AS n_frames
+        FROM m
+    )
+"""
+
+ORACLE_SQL["media_resize_plan"] = (
+    _MEDIA_DIMS_CTE
+    + f"""
+    SELECT media_id, kind, width, height,
+           GREATEST(1, CAST(FLOOR(width * LEAST(1.0,
+               {float(RESIZE_MAX_W)} / width,
+               {float(RESIZE_MAX_H)} / height)) AS BIGINT)) AS out_w,
+           GREATEST(1, CAST(FLOOR(height * LEAST(1.0,
+               {float(RESIZE_MAX_W)} / width,
+               {float(RESIZE_MAX_H)} / height)) AS BIGINT)) AS out_h
+    FROM dims WHERE kind IN ('image', 'video')
+"""
+)
+
+ORACLE_SQL["media_frame_samples"] = (
+    _MEDIA_DIMS_CTE
+    + f"""
+    SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(unnest(range(0, n_frames, {FRAME_EVERY_N})) AS BIGINT)
+               AS frame_idx
+    FROM dims WHERE kind = 'video'
+"""
+)

@@ -155,6 +155,8 @@ _register(
     {
         "media_features": multimodal.media_features_query,
         "media_dedup": multimodal.media_dedup_query,
+        "media_resize_plan": multimodal.media_resize_plan,  # aspect-fit targets
+        "media_frame_samples": multimodal.media_frame_samples,  # decode schedule
     },
     multimodal.ORACLE_SQL,
 )
@@ -245,11 +247,12 @@ _register(
 #      skipped — mandatory now)
 #   4. re-warm 17 of the 48 r6-last-green entries, family-spread
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 40 r6-last-green
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 42 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
 # daily_value_by_type, bm25_search, trigram_logprob_scores,
 # props_json_extract, deduped_corpus, embedding_cosine_dups,
-# distinct_users_per_day, duplicate_spans (displaced
+# distinct_users_per_day, duplicate_spans, brand_number_extract,
+# centroid_by_label (displaced
 # from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
@@ -281,7 +284,7 @@ _SAMPLE_PRIORITY = (
     "embedding_cosine_dups_tiled",
     "source_dashboard",
     "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (10)
+    # 2 — new r8 oracle-backed entries (12)
     "curated_corpus_v2",  # r7-gate chain end-to-end
     "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
     "hdr_value_quantiles",  # sketch estimates vs true percentiles
@@ -292,6 +295,8 @@ _SAMPLE_PRIORITY = (
     "nb_lang_report",  # per-class accuracy/precision rollup
     "silhouette_scores",  # per-point embedding cluster QC
     "cluster_quality_report",  # per-label cluster-health rollup
+    "media_resize_plan",  # oracle-checked decode + aspect-fit plan
+    "media_frame_samples",  # oracle-checked frame schedule
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -308,25 +313,23 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 8 of the 48 r6-last-green, family-spread (value_per_day,
+    # 4 — re-warm 6 of the 48 r6-last-green, family-spread (value_per_day,
     # daily_value_by_type, bm25_search, trigram_logprob_scores,
     # props_json_extract, deduped_corpus, embedding_cosine_dups,
-    # distinct_users_per_day and duplicate_spans moved to the r9 lead
-    # group — displaced by the HDR/KMV/NB/silhouette entries; all nine
-    # only 2 rounds stale after r8)
+    # distinct_users_per_day, duplicate_spans, brand_number_extract and
+    # centroid_by_label moved to the r9 lead group — displaced by the
+    # HDR/KMV/NB/silhouette/media entries; all eleven only 2 rounds
+    # stale after r8)
     # TPC-H / models cross-section
     "revenue_by_segment",
     "orders_by_nation",
     # parse / events
     "base64_roundtrip",
     "events_pivot_by_type",
-    "brand_number_extract",
     # joins
     "customers_without_orders",
     # dedup / spans
     "dedup_exact",
-    # similarity
-    "centroid_by_label",
     # — 50-row window ends here —
 )
 
