@@ -346,3 +346,82 @@ def test_bm25_scores_only_matching_docs_positively(spark, texts):
     expect = {i for i, t in rows if {"x", "xy"} & set(t.split(" "))}
     assert set(out) == expect
     assert all(s > 0 for s in out.values())
+
+
+# ---------------------------------------------------------------------------
+# r8 families: NB merge algebra + silhouette bounds, on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+nb_doc = st.tuples(
+    st.sampled_from(["aa", "bb", "cc"]),
+    st.lists(st.sampled_from(["t0", "t1", "t2", "t3", "t4"]), min_size=0, max_size=8),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(nb_doc, min_size=2, max_size=24), st.integers(2, 4))
+def test_nb_merge_equals_retrain_on_arbitrary_corpora(spark, docs, n_shards):
+    """For ANY corpus and ANY shard split, folding per-shard NB models
+    equals training once on the union — the additive-counts algebra,
+    not just the fixture the scale smoke uses."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.classify import merge_nb_models, nb_model_df
+    from bread_spark.functions.text import _split_assignment
+
+    rows = [
+        (i, lang, " ".join(toks) + f" u{i}")  # unique tail → distinct texts
+        for i, (lang, toks) in enumerate(docs)
+    ]
+    tagged = _split_assignment(
+        spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ).localCheckpoint()
+    full = {
+        (r["lang"], r["bucket"]): (r["cnt"], r["log_lik"])
+        for r in nb_model_df(tagged).collect()
+    }
+    shards = [
+        nb_model_df(tagged.filter(F.pmod(F.col("doc_id"), n_shards) == i))
+        for i in range(n_shards)
+    ]
+    merged = shards[0]
+    for s in shards[1:]:
+        merged = merge_nb_models(merged, s)
+    got = {
+        (r["lang"], r["bucket"]): (r["cnt"], r["log_lik"]) for r in merged.collect()
+    }
+    assert got == full
+
+
+emb_point = st.tuples(
+    st.integers(0, 2),
+    st.lists(
+        st.floats(-1, 1, allow_nan=False, width=32), min_size=4, max_size=4
+    ),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(emb_point, min_size=4, max_size=20))
+def test_silhouette_bounds_and_self_consistency(spark, points):
+    """For ANY labeled point set with ≥2 labels: every silhouette lies in
+    [-1, 1], nearest_label is never the own label, and the sign agrees
+    with the a-vs-b comparison that defines it."""
+    from hypothesis import assume
+
+    from bread_spark.extensions.similarity import silhouette_scores_df
+
+    assume(len({lab for lab, _ in points}) >= 2)
+    rows = [
+        (i, [float(x) for x in vec], int(lab)) for i, (lab, vec) in enumerate(points)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    for r in silhouette_scores_df(emb).collect():
+        assert -1.0 <= r["silhouette"] <= 1.0, r
+        assert r["nearest_label"] != r["label"], r
+        if r["intra_dist"] < r["nearest_dist"]:
+            assert r["silhouette"] >= 0.0, r
+        elif r["intra_dist"] > r["nearest_dist"]:
+            assert r["silhouette"] <= 0.0, r
