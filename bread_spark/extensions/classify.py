@@ -110,6 +110,13 @@ def nb_model_df(tagged: DataFrame) -> DataFrame:
     """`nb_lang_model` core over any frame carrying (lang, text, split)."""
     train_toks = _token_rows(tagged.filter(F.col("split") == "train"), "lang")
     counts = train_toks.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return nb_counts_to_model(counts)
+
+
+def nb_counts_to_model(counts: DataFrame) -> DataFrame:
+    """(lang, bucket, cnt) sparse count table → the dense smoothed model.
+    Shared by the batch build, the shard merge, and the streaming count
+    maintainer's snapshots — one likelihood formula, three producers."""
     totals = counts.groupBy("lang").agg(F.sum("cnt").alias("tot"))
     grid = totals.select(
         "lang",
@@ -149,19 +156,7 @@ def merge_nb_models(base: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy("lang", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    totals = merged.groupBy("lang").agg(F.sum("cnt").alias("tot"))
-    return merged.join(totals, "lang").select(
-        "lang",
-        "bucket",
-        "cnt",
-        F.round(
-            F.log10(
-                (F.col("cnt") + F.lit(NB_ALPHA))
-                / (F.col("tot") + F.lit(NB_ALPHA * NB_BUCKETS))
-            ),
-            6,
-        ).alias("log_lik"),
-    )
+    return nb_counts_to_model(merged)
 
 
 def nb_priors_df(tagged: DataFrame, model: DataFrame) -> DataFrame:

@@ -100,3 +100,34 @@ def nb_score_stream_against_base(
             ),
         ).alias("margin"),
     )
+
+
+def nb_model_count_stream(
+    docs: DataFrame,
+    payload_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """ONLINE TRAINING: maintain the NB model's count table over a
+    labeled document stream — the model-side twin of the scorer above
+    (the CMS/HLL convention: the sketch maintains itself on the stream;
+    here the "sketch" is the classifier's sufficient statistic, because
+    multinomial NB's entire state IS a count table).
+
+    One grouped streaming aggregation keyed (label, bucket) — state
+    bounded at classes × NB_BUCKETS longs no matter how long the stream
+    runs (the hashing trick again). Update output mode emits changed
+    rows; feed a snapshot through `nb_counts_to_model` to get the dense
+    scoring model (the SAME formula the batch build and the shard merge
+    use — `extensions/classify.py::nb_counts_to_model`), so after any
+    stream prefix the derived model equals training from scratch on that
+    prefix: pinned in tests, including a checkpoint restart.
+
+    The stream carries whatever the caller considers training data — the
+    content-keyed split rule belongs to the batch corpus build; a crawl
+    gate would apply it upstream of this aggregation."""
+    toks = docs.select(
+        F.col(label_col).alias("lang"),
+        F.explode(F.split(payload_col, " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    hashed = toks.select("lang", _bucket_expr(F.col("token")).alias("bucket"))
+    return hashed.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

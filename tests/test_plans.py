@@ -568,3 +568,21 @@ def test_nb_scoring_broadcasts_the_bounded_model(spark):
     # O(docs·classes), correctly shuffle-keyed on (doc_id, lang)
     smj = [line for line in p.splitlines() if "SortMergeJoin" in line]
     assert all("doc_id" in line for line in smj), smj
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    """The point-to-centroid fan-out must broadcast the labels × dims
+    centroid table (bounded by construction) — never sort-merge the
+    per-dimension stream against it, and never a CartesianProduct."""
+    from bread_spark.extensions.similarity import silhouette_scores_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    p = physical_plan(
+        silhouette_scores_df(load_table(spark, SF_DIR, "embeddings"))
+    )
+    assert any(
+        "BroadcastHashJoin [pos" in line for line in p.splitlines()
+    ), p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
