@@ -237,15 +237,18 @@ _register(
 # insertion order (observed: CORRECTNESS_r01-r05 each hold exactly the
 # first 50 registered names). The window ROTATES each round so every
 # oracle-backed entry's last green driver row stays ≤2 rounds old
-# (sampled at least every 3 rounds; 131 oracles / 50 slots ≈ 2.6).
+# (sampled at least every 3 rounds; 142 oracles / 50 slots ≈ 2.8).
 #
 # ROUND-8 window (per VERDICT r7 #1): all 50 slots oracle-backed —
 #   1. the 17 r7-registered entries with NO driver row ever (registered
 #      after the r7 window froze; green in the in-repo differential)
-#   2. new-this-round entries (curated_corpus_v2)
+#   2. the 12 new r8 entries (curated_corpus_v2, HDR, KMV, NB,
+#      silhouette, media plans)
 #   3. the 15 r5-last-green deferrals (3 rounds stale after r8 if
 #      skipped — mandatory now)
-#   4. re-warm 17 of the 48 r6-last-green entries, family-spread
+#   4. re-warm 6 of the 48 r6-last-green entries, family-spread (the
+#      other 11 originally here were displaced by group 2's growth —
+#      see the round-9 note)
 #
 # ROUND-9 ROTATION NOTE: lead with the REMAINING 42 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
