@@ -79,9 +79,12 @@ def _tagged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _split_assignment(docs)
 
 
-def _token_rows(df: DataFrame, *keep: str) -> DataFrame:
-    """(*keep, bucket) — one row per token occurrence, hashed map-side."""
-    toks = df.select(*keep, F.explode(F.split("text", " ")).alias("token")).filter(
+def _token_rows(df: DataFrame, *keep: str, text_col: str = "text") -> DataFrame:
+    """(*keep, bucket) — one row per token occurrence, hashed map-side.
+    THE tokenizer+featurizer for this family: the batch build, the
+    scorer, and both streaming twins all call it, so the model and
+    everything scored against it can never tokenize differently."""
+    toks = df.select(*keep, F.explode(F.split(text_col, " ")).alias("token")).filter(
         F.col("token") != ""
     )
     return toks.select(*keep, _bucket_expr(F.col("token")).alias("bucket"))

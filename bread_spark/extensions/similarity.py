@@ -1208,47 +1208,71 @@ def silhouette_centroids_df(emb: DataFrame) -> DataFrame:
     ).agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
 
 
-def silhouette_scores_df(emb: DataFrame) -> DataFrame:
-    """`silhouette_scores` core over any (vec_id, label, embedding)."""
-    dims = _quantized_dims(emb, "vec_id", "label")
-    cent = silhouette_centroids_df(emb)
+def _sil_sq_dev_sum():
+    """Aggregate: exact integer sum of squared micro-deviations for one
+    (point, centroid) pair — DECIMAL(38,0), no float until the divide."""
     dec = "decimal(38,0)"
     delta = F.col("q").cast(dec) * F.col("n") - F.col("s").cast(dec)
-    per_pair = (
-        dims.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel", "n")
-        .agg(F.sum(delta * delta).alias("ss"))
-        .select(
-            "vec_id",
-            "label",
-            "clabel",
-            F.sqrt(
-                F.col("ss").cast("double")
-                / (F.col("n").cast("double") * F.col("n").cast("double")
-                   * F.lit(float(DRIFT_SCALE) ** 2))
-            ).alias("d"),
+    return F.sum(delta * delta).alias("ss")
+
+
+def _sil_dist():
+    """d from (ss, n): ONE cast+divide on exact operands, then sqrt."""
+    return F.sqrt(
+        F.col("ss").cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * F.lit(float(DRIFT_SCALE) ** 2)
         )
-    )
-    agg = per_pair.groupBy("vec_id", "label").agg(
-        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d"))).alias("a"),
+    ).alias("d")
+
+
+def _sil_argmin_aggs(label_col: str = "label"):
+    """Aggregates: own-centroid distance + argmin over other centroids
+    ((d ASC, clabel ASC) tie-break via struct min). Shared verbatim by
+    the batch scorer and the streaming twin so the two can never drift."""
+    return [
+        F.max(F.when(F.col("clabel") == F.col(label_col), F.col("d"))).alias("a"),
         F.min(
-            F.when(
-                F.col("clabel") != F.col("label"), F.struct("d", "clabel")
-            )
+            F.when(F.col("clabel") != F.col(label_col), F.struct("d", "clabel"))
         ).alias("nb"),
-    )
+    ]
+
+
+def _sil_projection():
+    """Final silhouette columns from the (a, nb) aggregate."""
     s = F.when(
         F.greatest(F.col("a"), F.col("nb.d")) == 0, F.lit(0.0)
     ).otherwise(
         (F.col("nb.d") - F.col("a")) / F.greatest(F.col("a"), F.col("nb.d"))
     )
-    return agg.select(
-        "vec_id",
-        "label",
+    return [
         F.round("a", 6).alias("intra_dist"),
         F.col("nb.clabel").alias("nearest_label"),
         F.round("nb.d", 6).alias("nearest_dist"),
         F.round(s, 6).alias("silhouette"),
+    ]
+
+
+def silhouette_scores_df(emb: DataFrame) -> DataFrame:
+    """`silhouette_scores` core over any (vec_id, label, embedding).
+
+    A corpus with a SINGLE label emits no rows — a silhouette needs at
+    least one OTHER centroid to compare against (the same inner-join
+    semantics the DuckDB oracle has; an unfiltered aggregate would emit
+    null-silhouette rows here and diverge on degenerate corpora)."""
+    dims = _quantized_dims(emb, "vec_id", "label")
+    cent = silhouette_centroids_df(emb)
+    per_pair = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel", "n")
+        .agg(_sil_sq_dev_sum())
+        .select("vec_id", "label", "clabel", _sil_dist())
+    )
+    agg = per_pair.groupBy("vec_id", "label").agg(*_sil_argmin_aggs())
+    return agg.filter(F.col("nb").isNotNull()).select(
+        "vec_id", "label", *_sil_projection()
     )
 
 
@@ -1281,10 +1305,14 @@ def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_negative",
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    dims = _quantized_dims(emb, "label")
-    cvals = dims.groupBy("label", "pos").agg(
-        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(float(DRIFT_SCALE))))
-        .alias("c")
+    # centroid means come from the SAME (s, n) sums the scorer uses —
+    # one formula, one aggregation shape, no second exploded scan logic
+    cvals = silhouette_centroids_df(emb).select(
+        F.col("clabel").alias("label"),
+        "pos",
+        (F.col("s").cast("double") / (F.col("n") * F.lit(float(DRIFT_SCALE)))).alias(
+            "c"
+        ),
     )
     cvec = cvals.groupBy("label").agg(
         F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").alias(

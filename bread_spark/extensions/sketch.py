@@ -1010,21 +1010,29 @@ def kmv_sketch_df(docs: DataFrame, k: int = KMV_K) -> DataFrame:
     return ranked.filter(F.col("rk") <= k).select("source", "rk", "h")
 
 
-def merge_kmv_sketches(base: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_kmv_sketches(
+    base: DataFrame, delta: DataFrame, k: int = KMV_K
+) -> DataFrame:
     """Fold a new shard's sketch into a persisted one: the union of two
     bottom-k value sets contains the bottom-k of the union, so the merge
-    is distinct-values → re-rank → keep K — sketch(A ∪ B) exactly, per
-    source, from ≤ 2K rows a side. Same incremental-maintenance contract
+    is distinct-values → re-rank → keep k — sketch(A ∪ B) exactly, per
+    source, from ≤ 2k rows a side. Same incremental-maintenance contract
     as the CMS/HLL/HDR merges (each crawl/day sketches its own data;
     corpus-lifetime overlap is maintained without revisiting history);
-    shard-split-merge equality pinned in test_scale_smoke.py."""
+    shard-split-merge equality pinned in test_scale_smoke.py.
+
+    `k` MUST equal the k the input sketches were BUILT with: a bottom-k'
+    sketch (k' < k) has already discarded values below the merge
+    threshold, so merging it at a larger k would fabricate order
+    statistics the shard never retained. Pass the build-time k for
+    custom-sized sketches (`kmv_sketch_df(..., k=...)`)."""
     from pyspark.sql.window import Window as W
 
     u = base.select("source", "h").unionByName(delta.select("source", "h")).distinct()
     ranked = u.withColumn(
         "rk", F.row_number().over(W.partitionBy("source").orderBy("h"))
     )
-    return ranked.filter(F.col("rk") <= KMV_K).select("source", "rk", "h")
+    return ranked.filter(F.col("rk") <= k).select("source", "rk", "h")
 
 
 def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

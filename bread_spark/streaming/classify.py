@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..extensions.classify import _bucket_expr, _micro
+from ..extensions.classify import _micro, _token_rows
 
 
 def nb_score_stream_against_base(
@@ -52,12 +52,7 @@ def nb_score_stream_against_base(
     watermark passes: (window, doc_id, pred_lang, logp, margin) — the
     same integer-exact scores the batch entry computes."""
     wm = stream.withWatermark(ts_col, lateness)
-    toks = wm.select(
-        id_col,
-        ts_col,
-        F.explode(F.split(payload_col, " ")).alias("token"),
-    ).filter(F.col("token") != "")
-    hashed = toks.select(id_col, ts_col, _bucket_expr(F.col("token")).alias("bucket"))
+    hashed = _token_rows(wm, id_col, ts_col, text_col=payload_col)
     contrib = hashed.join(
         F.broadcast(
             model.select("bucket", "lang", _micro(F.col("log_lik")).alias("lik_u"))
@@ -125,9 +120,6 @@ def nb_model_count_stream(
     The stream carries whatever the caller considers training data — the
     content-keyed split rule belongs to the batch corpus build; a crawl
     gate would apply it upstream of this aggregation."""
-    toks = docs.select(
-        F.col(label_col).alias("lang"),
-        F.explode(F.split(payload_col, " ")).alias("token"),
-    ).filter(F.col("token") != "")
-    hashed = toks.select("lang", _bucket_expr(F.col("token")).alias("bucket"))
+    labeled = docs.select(F.col(label_col).alias("lang"), F.col(payload_col))
+    hashed = _token_rows(labeled, "lang", text_col=payload_col)
     return hashed.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt"))

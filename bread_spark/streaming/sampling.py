@@ -34,9 +34,19 @@ def weighted_reservoir_stream(docs: DataFrame, k: int = WRS_PER_SOURCE_K) -> Dat
     per-source monotone update counter so a consumer keeps MAX(ver).
     Update output mode; the priority is rounded only in the OUTPUT, the
     state competes on the full double (the batch entries' convention)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def round_half_up(x: float) -> float:
+        # match Spark's F.round on doubles (BigDecimal.valueOf → shortest
+        # decimal repr → setScale(6, HALF_UP)); Python's round() is
+        # half-EVEN and disagrees at decimal-midpoint doubles
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
 
     def fold(key, pdfs, state):
         pris, ids, toks, ver = (
@@ -66,7 +76,7 @@ def weighted_reservoir_stream(docs: DataFrame, k: int = WRS_PER_SOURCE_K) -> Dat
                 "rank": list(range(1, len(rows) + 1)),
                 "doc_id": [r[1] for r in rows],
                 "n_tokens": [r[2] for r in rows],
-                "priority": [round(r[0], 6) for r in rows],
+                "priority": [round_half_up(r[0]) for r in rows],
             }
         )
 

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..extensions.similarity import DRIFT_SCALE, _quantized_dims
+from ..extensions.similarity import (
+    _quantized_dims,
+    _sil_argmin_aggs,
+    _sil_dist,
+    _sil_projection,
+    _sil_sq_dev_sum,
+)
 
 
 def silhouette_stream_against_base(
@@ -42,11 +48,13 @@ def silhouette_stream_against_base(
 ) -> DataFrame:
     """One row per (event-time window, vec) in append mode:
     (window, vec_id, label, intra_dist, nearest_label, nearest_dist,
-    silhouette) — the batch scorer's columns, against frozen centroids."""
+    silhouette) — the batch scorer's columns, against frozen centroids.
+    The deviation sum, distance, argmin aggregates, and final projection
+    are the batch scorer's OWN expression builders (`_sil_*`), so a
+    change to the batch arithmetic or tie-break propagates here by
+    construction."""
     wm = stream.withWatermark(ts_col, lateness)
     dims = _quantized_dims(wm, id_col, label_col, ts_col)
-    dec = "decimal(38,0)"
-    delta = F.col("q").cast(dec) * F.col("n") - F.col("s").cast(dec)
     per_pair = (
         dims.join(F.broadcast(centroids), "pos")
         .groupBy(
@@ -56,43 +64,14 @@ def silhouette_stream_against_base(
             "clabel",
             "n",
         )
-        .agg(F.sum(delta * delta).alias("ss"))
-        .select(
-            "window",
-            id_col,
-            label_col,
-            "clabel",
-            F.sqrt(
-                F.col("ss").cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * F.col("n").cast("double")
-                    * F.lit(float(DRIFT_SCALE) ** 2)
-                )
-            ).alias("d"),
-        )
+        .agg(_sil_sq_dev_sum())
+        .select("window", id_col, label_col, "clabel", _sil_dist())
     )
     agg = per_pair.groupBy(
         F.window(F.window_time("window"), window).alias("window"),
         id_col,
         label_col,
-    ).agg(
-        F.max(F.when(F.col("clabel") == F.col(label_col), F.col("d"))).alias("a"),
-        F.min(
-            F.when(F.col("clabel") != F.col(label_col), F.struct("d", "clabel"))
-        ).alias("nb"),
-    )
-    s = F.when(
-        F.greatest(F.col("a"), F.col("nb.d")) == 0, F.lit(0.0)
-    ).otherwise(
-        (F.col("nb.d") - F.col("a")) / F.greatest(F.col("a"), F.col("nb.d"))
-    )
-    return agg.select(
-        "window",
-        id_col,
-        label_col,
-        F.round("a", 6).alias("intra_dist"),
-        F.col("nb.clabel").alias("nearest_label"),
-        F.round("nb.d", 6).alias("nearest_dist"),
-        F.round(s, 6).alias("silhouette"),
+    ).agg(*_sil_argmin_aggs(label_col))
+    return agg.filter(F.col("nb").isNotNull()).select(
+        "window", id_col, label_col, *_sil_projection()
     )
