@@ -191,6 +191,8 @@ def main() -> None:
         "cluster_quality_report",
         "media_resize_plan",
         "media_frame_samples",
+        "mg_summary",
+        "mg_heavy_hitters",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -336,6 +338,8 @@ def main() -> None:
         "cluster_quality_report",
         "media_resize_plan",
         "media_frame_samples",
+        "mg_summary",
+        "mg_heavy_hitters",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

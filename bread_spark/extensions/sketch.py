@@ -1221,3 +1221,256 @@ ORACLE_SQL["kmv_source_overlap"] = f"""
     FROM est e JOIN tru t
       ON e.source_a = t.source_a AND e.source_b = t.source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summary (deterministic, exact-bounded)
+# ---------------------------------------------------------------------------
+
+MG_K = 16  # counters per summary: each shard ships <= K rows
+MG_SHARDS = 4  # deterministic shard = doc_id % MG_SHARDS
+
+
+def _mg_token_counts(docs: DataFrame, n_shards: int) -> DataFrame:
+    """(shard, token, c) — exact per-shard token counts."""
+    toks = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return toks.groupBy("shard", "token").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _mg_reduce(counts: DataFrame, key: str, val: str, k: int) -> DataFrame:
+    """The Misra-Gries reduction: subtract the (k+1)-th largest value
+    (deterministic (val DESC, token ASC) order; 0 when fewer than k+1
+    tokens) and keep strictly-positive weights — at most k rows per
+    group survive, and every kept weight UNDERSTATES the true value by
+    at most the subtracted threshold. Returns the reduced rows plus the
+    per-group threshold as `t` (the error ledger the report sums)."""
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy(key).orderBy(F.desc(val), F.asc("token"))
+    )
+    ranked = counts.withColumn("rk", rk)
+    thresh = (
+        ranked.filter(F.col("rk") == k + 1)
+        .select(key, F.col(val).alias("t"))
+    )
+    return (
+        ranked.join(F.broadcast(thresh), key, "left")
+        .select(
+            key,
+            "token",
+            (F.col(val) - F.coalesce(F.col("t"), F.lit(0))).alias("wt"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("t"),
+        )
+        .filter(F.col("wt") > 0)
+    )
+
+
+def mg_summary(
+    spark: SparkSession, sf_dir: str, k: int = MG_K, n_shards: int = MG_SHARDS
+) -> DataFrame:
+    """Deterministic Misra-Gries heavy-hitter summary of the corpus's
+    token stream: (token, est_count, max_underestimate) — at most `k`
+    rows, each estimate an UNDERSTATEMENT of the true count by at most
+    `max_underestimate` = Σ per-shard thresholds + the final-merge
+    threshold (the exact error ledger, not a probabilistic bound).
+
+    Completes the frequency story: CMS answers point probes for KNOWN
+    tokens (never undercounts), `vocab_topk` finds the exact top-k by
+    shuffling the full term-frequency table — Misra-Gries FINDS the
+    heavy hitters while shipping only k rows per shard (Agarwal et al.
+    2012, "Mergeable Summaries": the summary algebra is closed under
+    merge). The 100 TB shape: each crawl/shard reduces its own counts to
+    k rows; the merge stage reads shards × k rows — not the vocabulary —
+    and a stored summary folds new shards in without re-reading history
+    (`merge_mg_summaries`).
+
+    Determinism: shard = doc_id % n_shards and a (count DESC, token ASC)
+    threshold order make every step engine-mirrorable — the summary
+    TABLE is oracle-checked, unlike classic streaming MG whose content
+    depends on arrival order. The entry uses the flat merge (sum all
+    shard summaries, one final reduction), which is merge-order-free;
+    pairwise folds are valid too but may keep a different (equally
+    bounded) row set, so the error BOUND — not row equality — is the
+    pinned merge property.
+
+    Streaming: batch-only by design — classic streaming Misra-Gries
+    keeps a summary whose CONTENT depends on arrival order, so the
+    exact batch/stream agreement the other twins pin cannot hold. The
+    incremental path is per-micro-batch summaries folded through
+    `merge_mg_summaries` (bound-valid under the mergeable-summaries
+    algebra), which the merge tests pin."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return mg_summary_df(docs, k, n_shards)
+
+
+def mg_summary_df(
+    docs: DataFrame, k: int = MG_K, n_shards: int = MG_SHARDS
+) -> DataFrame:
+    """`mg_summary` core over any (doc_id, text) frame."""
+    counts = _mg_token_counts(docs, n_shards)
+    shard_sum = _mg_reduce(counts, "shard", "c", k)
+    shard_t = shard_sum.groupBy("shard").agg(F.max("t").alias("t"))
+    merged = shard_sum.groupBy("token").agg(F.sum("wt").alias("m"))
+    final = _mg_reduce(merged.withColumn("g", F.lit(0)), "g", "m", k)
+    total_t = shard_t.agg(
+        F.sum("t").alias("ts")
+    )  # one row; the final threshold rides on every `final` row as `t`
+    return (
+        final.join(F.broadcast(total_t))
+        .select(
+            "token",
+            F.col("wt").alias("est_count"),
+            (F.col("ts") + F.col("t")).alias("max_underestimate"),
+        )
+    )
+
+
+def merge_mg_summaries(base: DataFrame, delta: DataFrame, k: int = MG_K) -> DataFrame:
+    """Fold one summary into another: pointwise weight sum, then one
+    MG reduction. The result is a VALID summary of the union whose
+    per-token understatement grows by at most the new threshold —
+    the mergeable-summaries guarantee (error adds, size stays ≤ k).
+    Unlike the CMS/HLL/KMV/NB merges this is lossy by design, so tests
+    pin the BOUND (|est − true| ≤ combined max_underestimate), not row
+    equality with a from-scratch build. Inputs carry (token, est_count,
+    max_underestimate); the output's bound accumulates both sides' plus
+    the reduction's own threshold."""
+    # the combined prior bound is the SUM of both inputs' bounds: a token
+    # absent from one side may have lost up to that side's entire bound
+    # there (fully deducted), so max() would understate the ledger
+    pb = (
+        base.agg(F.max("max_underestimate").alias("b1"))
+        .join(delta.agg(F.max("max_underestimate").alias("b2")))
+        .select(
+            (F.coalesce(F.col("b1"), F.lit(0)) + F.coalesce(F.col("b2"), F.lit(0)))
+            .alias("pb")
+        )
+    )
+    u = (
+        base.select("token", "est_count")
+        .unionByName(delta.select("token", "est_count"))
+        .groupBy("token")
+        .agg(F.sum("est_count").alias("m"))
+    )
+    red = _mg_reduce(u.withColumn("g", F.lit(0)), "g", "m", k)
+    return red.join(F.broadcast(pb)).select(
+        "token",
+        F.col("wt").alias("est_count"),
+        (F.col("pb") + F.col("t")).alias("max_underestimate"),
+    )
+
+
+def mg_heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = MG_K, n_shards: int = MG_SHARDS
+) -> DataFrame:
+    """Calibration report: the summary's estimates against TRUE corpus
+    counts — (token, est_count, true_count, underestimate,
+    max_underestimate, within_bound). The true side is the full
+    term-frequency shuffle the summary exists to avoid; at sf scale it
+    verifies the ledger: 0 ≤ underestimate ≤ max_underestimate on every
+    row (an int comparison, pinned here AND by the oracle hash)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    summ = mg_summary(spark, sf_dir, k, n_shards)
+    true = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return summ.join(true, "token").select(
+        "token",
+        "est_count",
+        "true_count",
+        (F.col("true_count") - F.col("est_count")).alias("underestimate"),
+        "max_underestimate",
+        (
+            (F.col("true_count") - F.col("est_count"))
+            <= F.col("max_underestimate")
+        ).cast("int").alias("within_bound"),
+    )
+
+
+_MG_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id % {MG_SHARDS} AS shard, tok AS token
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents
+        )
+    ),
+    counts AS (
+        SELECT shard, token, COUNT(1) AS c FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT shard, token, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY shard ORDER BY c DESC, token ASC) AS rk
+        FROM counts
+    ),
+    thresh AS (
+        SELECT shard, c AS t FROM ranked WHERE rk = {MG_K + 1}
+    ),
+    shard_sum AS (
+        SELECT r.shard, r.token,
+               r.c - COALESCE(th.t, 0) AS wt,
+               COALESCE(th.t, 0) AS t
+        FROM ranked r LEFT JOIN thresh th ON th.shard = r.shard
+        WHERE r.c - COALESCE(th.t, 0) > 0
+    ),
+    shard_t AS (SELECT shard, MAX(t) AS t FROM shard_sum GROUP BY 1),
+    merged AS (
+        SELECT token, CAST(SUM(wt) AS BIGINT) AS m FROM shard_sum GROUP BY 1
+    ),
+    mranked AS (
+        SELECT token, m,
+               ROW_NUMBER() OVER (ORDER BY m DESC, token ASC) AS rk
+        FROM merged
+    ),
+    mthresh AS (SELECT m AS t FROM mranked WHERE rk = {MG_K + 1}),
+    final AS (
+        SELECT r.token,
+               r.m - COALESCE((SELECT t FROM mthresh), 0) AS wt,
+               COALESCE((SELECT t FROM mthresh), 0) AS t
+        FROM mranked r
+        WHERE r.m - COALESCE((SELECT t FROM mthresh), 0) > 0
+    ),
+    summary AS (
+        SELECT f.token, CAST(f.wt AS BIGINT) AS est_count,
+               CAST((SELECT COALESCE(SUM(t), 0) FROM shard_t) + f.t
+                    AS BIGINT) AS max_underestimate
+        FROM final f
+    )
+"""
+
+ORACLE_SQL["mg_summary"] = (
+    _MG_CTE
+    + """
+    SELECT token, est_count, max_underestimate FROM summary
+"""
+)
+
+ORACLE_SQL["mg_heavy_hitters"] = (
+    _MG_CTE
+    + """,
+    tru AS (
+        SELECT token, COUNT(1) AS true_count
+        FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS token
+            FROM documents
+        )
+        GROUP BY 1
+    )
+    SELECT s.token, s.est_count, t.true_count,
+           t.true_count - s.est_count AS underestimate,
+           s.max_underestimate,
+           CAST(CASE WHEN t.true_count - s.est_count <= s.max_underestimate
+                THEN 1 ELSE 0 END AS INT) AS within_bound
+    FROM summary s JOIN tru t ON t.token = s.token
+"""
+)

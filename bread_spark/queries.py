@@ -144,6 +144,8 @@ _register(
         "hdr_value_quantiles": sketch.hdr_value_quantiles,  # est vs true percentiles
         "kmv_sketch": sketch.kmv_sketch,  # bottom-k theta sketch (set algebra)
         "kmv_source_overlap": sketch.kmv_source_overlap,  # Jaccard/intersection est
+        "mg_summary": sketch.mg_summary,  # Misra-Gries mergeable heavy hitters
+        "mg_heavy_hitters": sketch.mg_heavy_hitters,  # est vs true calibration
     },
     sketch.ORACLE_SQL,
 )
@@ -242,20 +244,20 @@ _register(
 # ROUND-8 window (per VERDICT r7 #1): all 50 slots oracle-backed —
 #   1. the 17 r7-registered entries with NO driver row ever (registered
 #      after the r7 window froze; green in the in-repo differential)
-#   2. the 12 new r8 entries (curated_corpus_v2, HDR, KMV, NB,
-#      silhouette, media plans)
+#   2. the 14 new r8 entries (curated_corpus_v2, HDR, KMV, NB,
+#      silhouette, media plans, Misra-Gries)
 #   3. the 15 r5-last-green deferrals (3 rounds stale after r8 if
 #      skipped — mandatory now)
 #   4. re-warm 6 of the 48 r6-last-green entries, family-spread (the
 #      other 11 originally here were displaced by group 2's growth —
 #      see the round-9 note)
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 42 r6-last-green
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 44 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
 # daily_value_by_type, bm25_search, trigram_logprob_scores,
 # props_json_extract, deduped_corpus, embedding_cosine_dups,
 # distinct_users_per_day, duplicate_spans, brand_number_extract,
-# centroid_by_label (displaced
+# centroid_by_label, orders_by_nation, events_pivot_by_type (displaced
 # from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
@@ -287,7 +289,7 @@ _SAMPLE_PRIORITY = (
     "embedding_cosine_dups_tiled",
     "source_dashboard",
     "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (12)
+    # 2 — new r8 oracle-backed entries (14)
     "curated_corpus_v2",  # r7-gate chain end-to-end
     "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
     "hdr_value_quantiles",  # sketch estimates vs true percentiles
@@ -300,6 +302,8 @@ _SAMPLE_PRIORITY = (
     "cluster_quality_report",  # per-label cluster-health rollup
     "media_resize_plan",  # oracle-checked decode + aspect-fit plan
     "media_frame_samples",  # oracle-checked frame schedule
+    "mg_summary",  # Misra-Gries mergeable heavy-hitter summary
+    "mg_heavy_hitters",  # summary vs true counts calibration
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -316,19 +320,17 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 6 of the 48 r6-last-green, family-spread (value_per_day,
+    # 4 — re-warm 4 of the 48 r6-last-green, family-spread (value_per_day,
     # daily_value_by_type, bm25_search, trigram_logprob_scores,
     # props_json_extract, deduped_corpus, embedding_cosine_dups,
-    # distinct_users_per_day, duplicate_spans, brand_number_extract and
-    # centroid_by_label moved to the r9 lead group — displaced by the
-    # HDR/KMV/NB/silhouette/media entries; all eleven only 2 rounds
-    # stale after r8)
+    # distinct_users_per_day, duplicate_spans, brand_number_extract,
+    # centroid_by_label, orders_by_nation and events_pivot_by_type moved
+    # to the r9 lead group — displaced by the HDR/KMV/NB/silhouette/
+    # media/MG entries; all thirteen only 2 rounds stale after r8)
     # TPC-H / models cross-section
     "revenue_by_segment",
-    "orders_by_nation",
     # parse / events
     "base64_roundtrip",
-    "events_pivot_by_type",
     # joins
     "customers_without_orders",
     # dedup / spans

@@ -697,3 +697,26 @@ def test_silhouette_invariant_under_replication(spark):
     for r in big_rows:
         orig = small[r["vec_id"] % 10_000_000]
         assert (r["silhouette"], r["nearest_label"], r["intra_dist"]) == orig
+
+
+def test_mg_summary_scales_exactly_linearly(spark, big_docs_r6):
+    """Replicating the corpus REPS× with a shard-preserving id offset
+    (10M % MG_SHARDS == 0) multiplies every per-shard count, threshold
+    and surviving weight by exactly REPS — and the (count DESC, token
+    ASC) order is scale-invariant — so the summary is the SAME token
+    set with est_count and max_underestimate exactly ×REPS. The pin is
+    exact row equality, not a bound: at 100 TB the summary stays ≤ k
+    rows while its ledger grows linearly with the mass it absorbed."""
+    from bread_spark.extensions.sketch import MG_SHARDS, mg_summary_df
+
+    assert 10_000_000 % MG_SHARDS == 0
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    small = {
+        r["token"]: (r["est_count"], r["max_underestimate"])
+        for r in mg_summary_df(docs).collect()
+    }
+    big = {
+        r["token"]: (r["est_count"], r["max_underestimate"])
+        for r in mg_summary_df(big_docs_r6.select("doc_id", "text")).collect()
+    }
+    assert big == {t: (c * REPS, b * REPS) for t, (c, b) in small.items()}

@@ -408,3 +408,93 @@ def test_kmv_exact_when_union_fits(spark):
     # new beyond 234; "b" has {345,456}
     assert len(a) == 3 and len(b) == 2
     assert len(a & b) == 1  # the shared "w3 w4 w5" shingle
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summary
+# ---------------------------------------------------------------------------
+
+
+def _skewed_docs(spark, n=200):
+    """One planted heavy hitter ('whale', ~35% of all tokens) over a
+    long tail of per-doc-unique tokens."""
+    rows = [
+        (i, "whale whale whale " + " ".join(f"t{i}_{j}" for j in range(6)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_mg_summary_finds_planted_heavy_hitter(spark):
+    from bread_spark.extensions.sketch import MG_K, mg_summary_df
+
+    docs = _skewed_docs(spark)
+    rows = mg_summary_df(docs).collect()
+    assert 0 < len(rows) <= MG_K
+    by_tok = {r["token"]: r for r in rows}
+    assert "whale" in by_tok
+    w = by_tok["whale"]
+    true = 600  # 3 per doc × 200 docs
+    assert 0 <= true - w["est_count"] <= w["max_underestimate"]
+
+
+def test_mg_no_false_negatives_above_bound(spark):
+    """ANY token whose true count exceeds max_underestimate must appear
+    in the summary — the Misra-Gries guarantee, checked on the real
+    corpus (uniform: typically nothing clears the bound, which the test
+    then confirms trivially but correctly) AND the skewed one."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.sketch import mg_summary_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    for docs in [
+        _skewed_docs(spark),
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+    ]:
+        summ = {r["token"]: r for r in mg_summary_df(docs).collect()}
+        bound = max(r["max_underestimate"] for r in summ.values()) if summ else 0
+        true = (
+            docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .filter(F.col("t") != "")
+            .groupBy("t")
+            .count()
+            .collect()
+        )
+        for r in true:
+            if r["count"] > bound:
+                assert r["t"] in summ, r
+                assert (
+                    r["count"] - summ[r["t"]]["est_count"]
+                    <= summ[r["t"]]["max_underestimate"]
+                )
+
+
+def test_mg_merge_is_bounded_valid_summary(spark):
+    """Folding two disjoint corpora's summaries yields estimates whose
+    understatement stays within the accumulated ledger — the mergeable-
+    summaries contract (error adds, size stays ≤ k); exact row equality
+    with a from-scratch build is NOT claimed (the reduction is lossy)."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.sketch import MG_K, merge_mg_summaries, mg_summary_df
+
+    docs = _skewed_docs(spark, n=240)
+    a = mg_summary_df(docs.filter(F.col("doc_id") < 120))
+    b = mg_summary_df(docs.filter(F.col("doc_id") >= 120))
+    merged = merge_mg_summaries(a, b)
+    rows = merged.collect()
+    assert 0 < len(rows) <= MG_K
+    true = {
+        r["t"]: r["count"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        under = true[r["token"]] - r["est_count"]
+        assert 0 <= under <= r["max_underestimate"], r
+    # the whale survives the merge
+    assert any(r["token"] == "whale" for r in rows)
