@@ -1246,19 +1246,28 @@ def _mg_reduce(counts: DataFrame, key: str, val: str, k: int) -> DataFrame:
     tokens) and keep strictly-positive weights — at most k rows per
     group survive, and every kept weight UNDERSTATES the true value by
     at most the subtracted threshold. Returns the reduced rows plus the
-    per-group threshold as `t` (the error ledger the report sums)."""
+    per-group threshold as `t` (the error ledger the report sums).
+
+    Scale shape: the rank is computed ONLY to find the (k+1)-th value —
+    filtering `rk == k+1` immediately after the window lets Spark's
+    WindowGroupLimit rewrite keep just k+1 rows per group ahead of the
+    sort, so no task ever ranks a full shard's vocabulary. The big side
+    then never sees a window at all: it is a broadcast-join against the
+    O(groups)-row threshold table plus a filter — at most k rows per
+    group survive by the MG property (c > t only above the (k+1)-th
+    rank), so the pass over the counts is select-and-drop, not sort."""
     from pyspark.sql.window import Window as W
 
     rk = F.row_number().over(
         W.partitionBy(key).orderBy(F.desc(val), F.asc("token"))
     )
-    ranked = counts.withColumn("rk", rk)
     thresh = (
-        ranked.filter(F.col("rk") == k + 1)
+        counts.withColumn("rk", rk)
+        .filter(F.col("rk") == k + 1)
         .select(key, F.col(val).alias("t"))
     )
     return (
-        ranked.join(F.broadcast(thresh), key, "left")
+        counts.join(F.broadcast(thresh), key, "left")
         .select(
             key,
             "token",

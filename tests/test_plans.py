@@ -586,3 +586,32 @@ def test_silhouette_broadcasts_centroids(spark):
     ), p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_mg_summary_prunes_threshold_and_broadcasts(spark):
+    """The Misra-Gries reduction must never sort a full vocabulary: the
+    (k+1)-th-value threshold lookup is WindowGroupLimit-pruned (k+1 rows
+    per shard survive ahead of the sort) and the vocabulary-scale side
+    is a broadcast-join filter against the O(shards)-row threshold table
+    — no SortMergeJoin, no CartesianProduct anywhere in the family."""
+    from bread_spark.extensions.sketch import mg_summary_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    p = physical_plan(mg_summary_df(docs))
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    # every window sits directly above its prune: per-shard thresholds
+    # keep k+1 rows via WindowGroupLimit; the single-group final merge
+    # compiles to TakeOrderedAndProject(limit=k+1) — a distributed
+    # top-k, so only k+1 rows ever reach the rank in either form
+    lines = p.splitlines()
+    win_idx = [i for i, l in enumerate(lines) if "+- Window [" in l]
+    assert win_idx, p
+    for i in win_idx:
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert (
+            "WindowGroupLimit" in below or "TakeOrderedAndProject" in below
+        ), lines[i : i + 4]
