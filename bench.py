@@ -193,6 +193,9 @@ def main() -> None:
         "media_frame_samples",
         "mg_summary",
         "mg_heavy_hitters",
+        "fuzzy_dup_pairs",
+        "fuzzy_dedup_corpus",
+        "cross_fuzzy_matches",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -340,6 +343,9 @@ def main() -> None:
         "media_frame_samples",
         "mg_summary",
         "mg_heavy_hitters",
+        "fuzzy_dup_pairs",
+        "fuzzy_dedup_corpus",
+        "cross_fuzzy_matches",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -18,6 +18,7 @@ from .extensions import (
     classify,
     curation,
     dedup,
+    fuzzy,
     multimodal,
     search,
     similarity,
@@ -122,6 +123,14 @@ _register(
         "tfidf_keywords": search.tfidf_keywords,
     },
     search.ORACLE_SQL,
+)
+_register(
+    {
+        "fuzzy_dup_pairs": fuzzy.fuzzy_dup_pairs,  # edit-distance near-dup pairs
+        "fuzzy_dedup_corpus": fuzzy.fuzzy_dedup_corpus,  # greedy keep-earliest gate
+        "cross_fuzzy_matches": fuzzy.cross_fuzzy_matches,  # probe-vs-base nearest
+    },
+    fuzzy.ORACLE_SQL,
 )
 _register(
     {
@@ -244,21 +253,22 @@ _register(
 # ROUND-8 window (per VERDICT r7 #1): all 50 slots oracle-backed —
 #   1. the 17 r7-registered entries with NO driver row ever (registered
 #      after the r7 window froze; green in the in-repo differential)
-#   2. the 14 new r8 entries (curated_corpus_v2, HDR, KMV, NB,
-#      silhouette, media plans, Misra-Gries)
+#   2. the 17 new r8 entries (curated_corpus_v2, HDR, KMV, NB,
+#      silhouette, media plans, Misra-Gries, fuzzy edit-distance)
 #   3. the 15 r5-last-green deferrals (3 rounds stale after r8 if
 #      skipped — mandatory now)
-#   4. re-warm 6 of the 48 r6-last-green entries, family-spread (the
-#      other 11 originally here were displaced by group 2's growth —
+#   4. re-warm 1 of the 48 r6-last-green entries (the other 16
+#      originally here were displaced by group 2's growth —
 #      see the round-9 note)
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 44 r6-last-green
+# ROUND-9 ROTATION NOTE: lead with the REMAINING 47 r6-last-green
 # entries (3 rounds stale after r9 otherwise): value_per_day,
 # daily_value_by_type, bm25_search, trigram_logprob_scores,
 # props_json_extract, deduped_corpus, embedding_cosine_dups,
 # distinct_users_per_day, duplicate_spans, brand_number_extract,
-# centroid_by_label, orders_by_nation, events_pivot_by_type (displaced
-# from this window), char_entropy,
+# centroid_by_label, orders_by_nation, events_pivot_by_type,
+# revenue_by_segment, base64_roundtrip, customers_without_orders
+# (displaced from this window), char_entropy,
 # contamination_report, corpus_stats_by_source, cross_dedup_spans,
 # curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
 # domain_quota_sample, domain_token_quota, gopher_quality_gate,
@@ -304,6 +314,9 @@ _SAMPLE_PRIORITY = (
     "media_frame_samples",  # oracle-checked frame schedule
     "mg_summary",  # Misra-Gries mergeable heavy-hitter summary
     "mg_heavy_hitters",  # summary vs true counts calibration
+    "fuzzy_dup_pairs",  # edit-distance near-dup pairs (prefix filter)
+    "fuzzy_dedup_corpus",  # greedy keep-earliest fuzzy gate
+    "cross_fuzzy_matches",  # probe-vs-base nearest fuzzy match
     # 3 — the 15 r5-last-green deferrals (mandatory this round)
     "top_parts_by_revenue",
     "regional_supplier_revenue",
@@ -320,19 +333,15 @@ _SAMPLE_PRIORITY = (
     "dedup_clusters",
     "deterministic_sample",
     "shuffle_order_distributed",
-    # 4 — re-warm 4 of the 48 r6-last-green, family-spread (value_per_day,
+    # 4 — re-warm 1 of the 48 r6-last-green (value_per_day,
     # daily_value_by_type, bm25_search, trigram_logprob_scores,
     # props_json_extract, deduped_corpus, embedding_cosine_dups,
     # distinct_users_per_day, duplicate_spans, brand_number_extract,
-    # centroid_by_label, orders_by_nation and events_pivot_by_type moved
-    # to the r9 lead group — displaced by the HDR/KMV/NB/silhouette/
-    # media/MG entries; all thirteen only 2 rounds stale after r8)
-    # TPC-H / models cross-section
-    "revenue_by_segment",
-    # parse / events
-    "base64_roundtrip",
-    # joins
-    "customers_without_orders",
+    # centroid_by_label, orders_by_nation, events_pivot_by_type,
+    # revenue_by_segment, base64_roundtrip and customers_without_orders
+    # moved to the r9 lead group — displaced by the HDR/KMV/NB/
+    # silhouette/media/MG/fuzzy entries; all sixteen only 2 rounds
+    # stale after r8)
     # dedup / spans
     "dedup_exact",
     # — 50-row window ends here —

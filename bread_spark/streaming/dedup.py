@@ -160,3 +160,126 @@ def span_gate_stream_against_base(
         ).alias("base_frac"),
         span_keep_expr(F.col("n_base_windows"), F.col("n_windows")).alias("keep"),
     )
+
+
+def base_fuzzy_tables(base: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The static side of the fuzzy gate: (selected-gram index, norm
+    texts) of the base corpus. Build ONCE per stream and
+    `localCheckpoint(eager=True)` both (or stage them as tables keyed
+    on gram / doc_id at 100 TB); otherwise Spark re-resolves the static
+    side per micro-batch and replays the md5 explode + rank over the
+    whole base corpus each batch. min_df=1: a base doc whose twin
+    arrives only on the stream has df=1 on its distinguishing grams
+    within the base (see `_selected_grams`)."""
+    from ..extensions.fuzzy import _norm_docs, _selected_grams
+
+    norm = _norm_docs(base)
+    return _selected_grams(norm, min_df=1), norm
+
+
+def fuzzy_gate_stream_against_base(
+    stream: DataFrame,
+    base: DataFrame | None = None,
+    payload_col: str = "payload",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    lateness: str = DEFAULT_HORIZON,
+    base_tables: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The streaming twin of `extensions.fuzzy.fuzzy_matches_df`: match
+    each incoming document against the STATIC base corpus by bounded
+    edit distance — the refresh-crawl gate for typo-mutated recycled
+    content, which the exact-digest gate (`dedup_stream_against_base`)
+    and the span gate both miss.
+
+    Plan: the arriving payload's distinct gram set is built in-row
+    (`gram_array_expr` — the SAME expression the batch probe uses, so
+    batch and stream hash identically; in-row `array_distinct` means no
+    stateful streaming distinct), exploded into a stream-static join
+    against the base's selected-gram postings. Two chained windowed
+    aggregations (the `nb_score_stream_against_base` shape):
+
+    1. per (window, event, base_doc): shared-gram count, with the
+       normalized payload riding via `first` (constant per event);
+       candidates below `FUZZY_MIN_SHARED` drop here — state is one
+       count + one string per candidate pair, and only docs sharing
+       selected grams ever create state;
+    2. verify + per (window, event): join the static base texts, the
+       length-difference prefilter, one thresholded `levenshtein`, then
+       the nearest match via lexicographic MIN of (dist, base_doc) —
+       the batch tie-break, so batch and stream can never disagree.
+
+    Emits (window, event_id, matched_doc, dist, n_candidates) in append
+    mode once the watermark passes — one row per arriving doc that HAS
+    a fuzzy match (a clean doc emits nothing; gate by anti-joining the
+    verdicts downstream). Agreement with the batch matcher, including a
+    checkpoint restart, is pinned in tests/test_streaming_dedup.py."""
+    from ..extensions.fuzzy import (
+        FUZZY_MAX_DIST,
+        FUZZY_MIN_SHARED,
+        FUZZY_Q,
+        gram_array_expr,
+        normalize_text_expr,
+    )
+
+    if base_tables is None:
+        if base is None:
+            raise ValueError("pass base or base_tables")
+        base_tables = base_fuzzy_tables(base)
+    base_sel, base_norm = base_tables
+
+    wm = stream.withWatermark(ts_col, lateness)
+    norm = wm.select(
+        ts_col,
+        F.col(id_col).alias("event_id"),
+        normalize_text_expr(payload_col).alias("s"),
+    ).withColumn("len", F.length("s"))
+    grams = norm.filter(F.col("len") >= FUZZY_Q).select(
+        ts_col,
+        "event_id",
+        "s",
+        "len",
+        F.explode(F.expr(gram_array_expr("s", "len"))).alias("gram"),
+    )
+    hits = grams.join(
+        base_sel.select(F.col("doc_id").alias("base_doc"), "gram"), "gram"
+    )
+    cand = (
+        hits.groupBy(
+            F.window(ts_col, window).alias("window"),
+            "event_id",
+            "base_doc",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("shared_grams"),
+            F.first("s").alias("s"),
+            F.first("len").alias("len"),
+        )
+        .filter(F.col("shared_grams") >= FUZZY_MIN_SHARED)
+    )
+    bn = base_norm.select(
+        F.col("doc_id").alias("base_doc"),
+        F.col("s").alias("sb"),
+        F.col("len").alias("lb"),
+    )
+    verified = (
+        cand.join(bn, "base_doc")
+        .filter(F.abs(F.col("len") - F.col("lb")) <= FUZZY_MAX_DIST)
+        .withColumn("dist", F.levenshtein("s", "sb", FUZZY_MAX_DIST))
+        .filter(F.col("dist") >= 0)
+    )
+    best = verified.groupBy(
+        F.window(F.window_time("window"), window).alias("window"),
+        "event_id",
+    ).agg(
+        F.min(F.struct("dist", "base_doc")).alias("best"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return best.select(
+        "window",
+        "event_id",
+        F.col("best.base_doc").alias("matched_doc"),
+        F.col("best.dist").alias("dist"),
+        "n_candidates",
+    )

@@ -1,0 +1,121 @@
+"""Fuzzy (edit-distance) dedup: blocking recall, verify exactness, and
+the greedy corpus rule."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from bread_spark.extensions.fuzzy import (
+    FUZZY_MAX_DIST,
+    fuzzy_dedup_corpus,
+    fuzzy_dup_pairs,
+    fuzzy_pairs_df,
+)
+from tests.conftest import SF_DIR
+
+
+_BRUTE_CACHE: dict[str, dict[tuple[int, int], int]] = {}
+
+
+def _brute_pairs(sf_dir: str) -> dict[tuple[int, int], int]:
+    """Ground truth by unblocked DuckDB brute force (the all-pairs scan
+    the Spark side exists to avoid). Memoized — the O(n^2) Levenshtein
+    sweep is the slow part of this file and two tests need it."""
+    if sf_dir in _BRUTE_CACHE:
+        return _BRUTE_CACHE[sf_dir]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.execute(
+        rf"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+',
+                                       ' ', 'g')) AS s
+            FROM documents
+        )
+        SELECT a.doc_id, b.doc_id, levenshtein(a.s, b.s) AS d
+        FROM n a JOIN n b ON a.doc_id < b.doc_id
+        WHERE abs(length(a.s) - length(b.s)) <= {FUZZY_MAX_DIST}
+          AND levenshtein(a.s, b.s) <= {FUZZY_MAX_DIST}
+        """
+    ).fetchall()
+    con.close()
+    _BRUTE_CACHE[sf_dir] = {(a, b): d for a, b, d in rows}
+    return _BRUTE_CACHE[sf_dir]
+
+
+def test_fuzzy_pairs_equal_brute_force(spark):
+    """On the fixture corpus the prefix-filtered result EQUALS the
+    unblocked brute force — precision 1.0 by construction (every
+    candidate is re-verified with exact Levenshtein) and recall 1.0
+    measured: near-dup pairs share their rarest df>=2 grams, which is
+    exactly what the blocking indexes."""
+    truth = _brute_pairs(SF_DIR)
+    assert truth, "fixture corpus should contain fuzzy-dup pairs"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_dup_pairs(spark, SF_DIR).collect()
+    }
+    assert got == truth
+
+
+def test_fuzzy_planted_mutations(spark):
+    """Hand-constructed corpus: a base doc, a 3-substitution copy, a
+    heavily-rewritten copy (beyond the threshold), and an unrelated doc.
+    The pair set and the exact distances are both pinned."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet village rooftops at dusk tonight"
+    )
+    mutated = base.replace("quick", "quack").replace("rain", "ruin")
+    far = " ".join(sorted(base.split()))  # same words, order destroyed
+    other = (
+        "completely different content about distributed query engines "
+        "and columnar storage formats for analytical processing loads"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, mutated), (2, far), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_pairs_df(docs).collect()
+    }
+    # quick->quack is 1 substitution, rain->ruin is 1 -> total dist 2
+    assert got == {(0, 1): 2}
+
+
+def test_fuzzy_corpus_greedy_rule(spark):
+    """Survivors are exactly the docs with no smaller-id partner, and
+    n_fuzzy_partners counts each keeper's larger-id partners."""
+    truth = _brute_pairs(SF_DIR)
+    dropped = {b for (_, b) in truth}
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = fuzzy_dedup_corpus(spark, SF_DIR).collect()
+    assert len(rows) == total - len(dropped)
+    by_id = {r["doc_id"]: r["n_fuzzy_partners"] for r in rows}
+    assert dropped.isdisjoint(by_id)
+    for doc_id, n in by_id.items():
+        assert n == sum(1 for (a, _) in truth if a == doc_id)
+
+
+def test_fuzzy_verify_threshold_boundary(spark):
+    """The thresholded Levenshtein keeps dist == FUZZY_MAX_DIST and
+    drops FUZZY_MAX_DIST + 1 — the boundary is inclusive, matching the
+    oracle's `<=`."""
+    base = "x" * 30 + " shared anchor text that blocks the pair " + "y" * 30
+    at = "a" * FUZZY_MAX_DIST + base[FUZZY_MAX_DIST:]
+    over = "a" * (FUZZY_MAX_DIST + 1) + base[FUZZY_MAX_DIST + 1 :]
+    docs = spark.createDataFrame(
+        [(0, base), (1, at), (2, over)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_pairs_df(docs).collect()
+    }
+    assert got.get((0, 1)) == FUZZY_MAX_DIST
+    assert (0, 2) not in got

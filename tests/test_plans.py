@@ -615,3 +615,22 @@ def test_mg_summary_prunes_threshold_and_broadcasts(spark):
         assert (
             "WindowGroupLimit" in below or "TakeOrderedAndProject" in below
         ), lines[i : i + 4]
+
+
+def test_fuzzy_blocking_plan_is_pruned_and_joined(spark):
+    """Fuzzy dedup's prefix filter: the per-doc rarest-R rank must be
+    WindowGroupLimit-pruned (R rows per doc survive ahead of the sort),
+    the hot-gram drop a broadcast anti-join, and nothing anywhere a
+    cartesian product — candidates meet only inside gram postings."""
+    from bread_spark.extensions.fuzzy import fuzzy_pairs_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    p = physical_plan(fuzzy_pairs_df(docs))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert any(
+        "BroadcastHashJoin" in line and "LeftAnti" in line
+        for line in p.splitlines()
+    ), p

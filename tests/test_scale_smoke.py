@@ -720,3 +720,25 @@ def test_mg_summary_scales_exactly_linearly(spark, big_docs_r6):
         for r in mg_summary_df(big_docs_r6.select("doc_id", "text")).collect()
     }
     assert big == {t: (c * REPS, b * REPS) for t, (c, b) in small.items()}
+
+
+def test_fuzzy_blocking_never_loses_exact_dups_at_scale(spark, big_docs_r6):
+    """x10 replication makes every doc an exact (dist-0) duplicate of
+    its 9 replicas. Replicas share ALL grams, so their selected prefix
+    sets are identical and each replica clique must be fully recovered:
+    exactly n_docs * C(REPS, 2) dist-0 pairs, none lost to the blocking
+    caps (a replica-private gram is selected by only REPS docs — far
+    under FUZZY_SEL_CAP). Non-zero distances stay bounded by the
+    verify threshold; candidate volume stays linear by construction."""
+    from bread_spark.extensions.fuzzy import FUZZY_MAX_DIST, fuzzy_pairs_df
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    pairs = fuzzy_pairs_df(big_docs_r6.select("doc_id", "text")).collect()
+    zero = [
+        r
+        for r in pairs
+        if r["dist"] == 0
+        and r["doc_a"] % 10_000_000 == r["doc_b"] % 10_000_000
+    ]
+    assert len(zero) == n_docs * REPS * (REPS - 1) // 2
+    assert all(0 <= r["dist"] <= FUZZY_MAX_DIST for r in pairs)

@@ -166,3 +166,58 @@ def test_stream_span_gate_prestaged_base_spans(spark, tmp_path):
     rows = {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
     assert rows[10]["base_frac"] == 1.0 and rows[10]["keep"] is False
     assert rows[13]["n_base_windows"] == 0 and rows[13]["keep"] is True
+
+
+def test_stream_fuzzy_gate_agrees_with_batch(spark, tmp_path):
+    """The fuzzy edit-distance gate in streaming form must agree with
+    the batch matcher EXACTLY — same matched base doc, same integer
+    distance, same candidate count for every probe doc — across two
+    micro-batches and a checkpoint restart (the second _run reopens the
+    same checkpoint). Probes are the real fixture corpus split the same
+    way as `cross_fuzzy_matches`."""
+    from bread_spark.extensions.fuzzy import fuzzy_matches_df
+    from bread_spark.io import load_table
+    from bread_spark.streaming.dedup import (
+        base_fuzzy_tables,
+        fuzzy_gate_stream_against_base,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter("doc_id < 250")
+    probe = docs.filter("doc_id >= 250")
+    expected = {
+        r["doc_id"]: (r["matched_doc"], r["dist"], r["n_candidates"])
+        for r in fuzzy_matches_df(base, probe).collect()
+    }
+    assert expected, "fixture split should contain cross fuzzy matches"
+
+    sel, norm = base_fuzzy_tables(base)
+    tables = (sel.localCheckpoint(), norm.localCheckpoint())
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+    probes = probe.collect()
+    half = len(probes) // 2
+    fn = lambda s: fuzzy_gate_stream_against_base(
+        s, base_tables=tables, window="10 minutes", lateness="1 hour"
+    )
+    _write(
+        src, "b1.json",
+        [(r["doc_id"], BASE, r["text"]) for r in probes[:half]],
+    )
+    _run(spark, src, ckpt, sink, fn)
+    _write(
+        src, "b2.json",
+        [(r["doc_id"], BASE + m, r["text"]) for r in probes[half:]]
+        + [(999999, BASE + 3 * h, "window closer content xyz")],
+    )
+    _run(spark, src, ckpt, sink, fn)
+
+    got = {
+        r["event_id"]: (r["matched_doc"], r["dist"], r["n_candidates"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == expected
