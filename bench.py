@@ -196,6 +196,8 @@ def main() -> None:
         "fuzzy_dup_pairs",
         "fuzzy_dedup_corpus",
         "cross_fuzzy_matches",
+        "doc_provenance_edges",
+        "doc_authority_rank",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -346,6 +348,8 @@ def main() -> None:
         "fuzzy_dup_pairs",
         "fuzzy_dedup_corpus",
         "cross_fuzzy_matches",
+        "doc_provenance_edges",
+        "doc_authority_rank",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -1,0 +1,264 @@
+"""Graph analytics over the content-provenance graph: deterministic
+integer PageRank.
+
+The corpus induces a natural directed graph: whenever two documents
+share a word shingle, content flowed (by the keep-earliest convention
+every dedup family here uses) from the EARLIEST document that has it.
+`doc_provenance_edges` materializes that graph — one edge per
+(copier, canonical) pair, weighted by the number of shared shingles —
+and `doc_authority_rank` runs PageRank over it, giving each document a
+provenance-authority score: documents whose content is widely copied
+rank high, pure copiers sink to the base rank. In a curation pipeline
+this is the upweight-originals / downweight-mirrors signal that
+pairwise dedup alone cannot produce (dedup says "these two match";
+rank says "this one is the source everyone else copies").
+
+Complements the existing graph operator (`connected_components` /
+`dedup_clusters`, which finds undirected equivalence classes) with a
+DIRECTED, weighted, global-importance computation — the classic
+power-iteration workload.
+
+**Exact-integer PageRank.** Classic PageRank is float-summed and
+therefore summation-order-sensitive — unusable under the repo's
+cross-engine hash gate. This implementation runs ENTIRELY in 64-bit
+integer micro-units and is bit-for-bit reproducible on any engine:
+
+- every node starts at ``R0 = 1_000_000`` micro-units;
+- per iteration, a node keeps ``R0 - DAMP`` (the teleport base) and
+  ships ``share = rank * DAMP_NUM // DAMP_DEN`` (integer floor) to its
+  out-neighbors, split as ``share * w // W`` per edge (W = the node's
+  total out-weight, again integer floor);
+- ``new_rank = BASE + sum(incoming)`` — a plain bigint sum.
+
+Floor division leaks a deterministic few micro-units per split instead
+of renormalizing — the price of exactness, identical on both engines.
+Dangling mass (nodes with no out-edges keep only BASE; their share
+vanishes) uses the standard "leaked" PageRank variant, documented
+rather than redistributed, which keeps every iteration one join + one
+aggregate. `PR_ITERS` fixed power iterations rather than
+convergence-testing: deterministic plan depth, and rank ORDER
+stabilizes long before values do.
+
+Bounds under ANSI mode: total mass never exceeds n * R0; a universal
+sink's rank is < n * R0, so ``rank * DAMP_NUM`` stays < 2^62 for any
+corpus below ~5e13 docs — no overflow at any plausible scale.
+
+Scale shape: the edge build rides the SHARED capped-shingle seam
+(`capped_shingle_frame` — already materialized by the jaccard family;
+df <= MAX_DF bounds per-shingle edge fan-out), and each iteration is
+one keyed join (ranks x edges on src) + one keyed aggregate (sum by
+dst) + one left join back onto the node set — the standard
+Pregel-on-DataFrames shape, no collect, no broadcast of anything
+unbounded. Iteration count is a compile-time constant, so the whole
+rank is ONE Catalyst plan of fixed depth.
+
+Streaming: batch-only by design — PageRank is a fixed-point over the
+WHOLE graph; there is no per-arrival incremental form with the same
+semantics. The incremental path is the edge table (new crawl shards
+append edges via the same seam; re-rank on a schedule), which is how
+production link-analysis pipelines run it.
+
+Reference parity: the reference has no graph analytics; additive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..plans.materialize import materialized_frame
+from .dedup import MAX_DF, SHINGLE_N, capped_shingle_frame
+
+R0 = 1_000_000  # initial rank in micro-units
+DAMP_NUM, DAMP_DEN = 85, 100  # damping factor 0.85 as an exact ratio
+BASE = R0 - R0 * DAMP_NUM // DAMP_DEN  # teleport base kept each iteration
+PR_ITERS = 5  # fixed power iterations
+
+
+def provenance_edges_df(shingles: DataFrame) -> DataFrame:
+    """(src, dst, w) from a (doc_id, shingle) posting index: for every
+    shingle, its earliest (min doc_id) holder is the canonical; every
+    later holder gets one edge toward it, weights summed per pair.
+    Only equality and MIN over doc_id touch the shingle column, so the
+    identity-hashed (xxhash64) seam index is safe here — no ordering
+    of shingle values anywhere."""
+    canon = shingles.groupBy("shingle").agg(F.min("doc_id").alias("dst"))
+    return (
+        shingles.join(canon, "shingle")
+        .filter(F.col("doc_id") > F.col("dst"))
+        .groupBy(F.col("doc_id").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def edge_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once provenance edge table — shared by the edge entry
+    and the rank entry (and, at 100 TB, the staging table a scheduled
+    re-rank reads)."""
+    return materialized_frame(
+        spark,
+        "provenance_edges",
+        sf_dir,
+        lambda: provenance_edges_df(
+            capped_shingle_frame(spark, sf_dir, MAX_DF)
+        ),
+        (SHINGLE_N, MAX_DF),
+    )
+
+
+def doc_provenance_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-provenance graph: (src, dst, w) — src shares `w`
+    capped shingles whose earliest holder is dst (module docstring)."""
+    return edge_frame(spark, sf_dir)
+
+
+def authority_rank_df(
+    docs: DataFrame, edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """`doc_authority_rank` core: integer PageRank over (src, dst, w)
+    for every doc in `docs` (doc_id column). Returns (doc_id,
+    rank_micro, n_out, n_in) with rank_micro exact."""
+    nodes = docs.select("doc_id")
+    outw = edges.groupBy("src").agg(
+        F.sum("w").alias("tot_w"), F.count(F.lit(1)).alias("n_out")
+    )
+    n_in = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("n_in"))
+
+    ranks = nodes.select("doc_id", F.lit(R0).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(edges, ranks["doc_id"] == edges["src"])
+            .join(outw, "src")
+            # share = rank*85 div 100, then split share*w div W — two
+            # explicit INTEGER floor divisions (SQL `div`, never `/`:
+            # float division + cast could mis-floor near-integer
+            # quotients), mirrored by the oracle's `//`
+            .select(
+                "dst",
+                F.expr(
+                    f"(((rank * {DAMP_NUM}) div {DAMP_DEN}) * w) div tot_w"
+                ).alias("c"),
+            )
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = (
+            nodes.join(
+                incoming, nodes["doc_id"] == incoming["dst"], "left"
+            )
+            .select(
+                "doc_id",
+                (F.lit(BASE) + F.coalesce("inc", F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        ranks.join(outw, ranks["doc_id"] == outw["src"], "left")
+        .join(n_in, ranks["doc_id"] == n_in["dst"], "left")
+        .select(
+            "doc_id",
+            F.col("rank").alias("rank_micro"),
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).alias("n_in"),
+        )
+    )
+
+
+def doc_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-authority PageRank over the corpus (module docstring):
+    (doc_id, rank_micro, n_out, n_in), rank in exact integer
+    micro-units after `PR_ITERS` power iterations."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return authority_rank_df(docs, edge_frame(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_EDGES_CTE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= {SHINGLE_N}
+    ),
+    hot AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(1) > {MAX_DF}
+    ),
+    sh AS (
+        SELECT sh0.doc_id, sh0.shingle FROM sh0
+        WHERE sh0.shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    canon AS (
+        SELECT shingle, MIN(doc_id) AS dst FROM sh GROUP BY shingle
+    ),
+    edges AS (
+        SELECT s.doc_id AS src, c.dst, CAST(COUNT(1) AS BIGINT) AS w
+        FROM sh s JOIN canon c USING (shingle)
+        WHERE s.doc_id > c.dst
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _rank_iteration_sql(prev: str, out: str) -> str:
+    """One integer power iteration as SQL CTE text (DuckDB // is
+    integer floor-division on BIGINT operands)."""
+    return f"""
+    {out} AS (
+        SELECT n.doc_id,
+               CAST({BASE} + COALESCE(i.inc, 0) AS BIGINT) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS doc_id,
+                   SUM((r.rank * {DAMP_NUM} // {DAMP_DEN}) * e.w // o.W)
+                       AS inc
+            FROM {prev} r
+            JOIN edges e ON e.src = r.doc_id
+            JOIN outw o ON o.src = e.src
+            GROUP BY 1
+        ) i USING (doc_id)
+    )"""
+
+
+def _rank_sql() -> str:
+    parts = [
+        _EDGES_CTE,
+        """,
+    nodes AS (SELECT doc_id FROM documents),
+    outw AS (
+        SELECT src, SUM(w) AS W, COUNT(1) AS n_out FROM edges GROUP BY 1
+    ),
+    nin AS (SELECT dst, COUNT(1) AS n_in FROM edges GROUP BY 1),"""
+        + f"""
+    it0 AS (SELECT doc_id, CAST({R0} AS BIGINT) AS rank FROM nodes),""",
+    ]
+    for i in range(PR_ITERS):
+        parts.append(_rank_iteration_sql(f"it{i}", f"it{i + 1}") + ",")
+    # strip the trailing comma from the last CTE
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""
+    SELECT r.doc_id, r.rank AS rank_micro,
+           CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(i.n_in, 0) AS BIGINT) AS n_in
+    FROM it{PR_ITERS} r
+    LEFT JOIN outw o ON o.src = r.doc_id
+    LEFT JOIN nin i ON i.dst = r.doc_id
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_SQL: dict[str, str] = {
+    "doc_provenance_edges": _EDGES_CTE
+    + """
+    SELECT src, dst, w FROM edges
+""",
+    "doc_authority_rank": _rank_sql(),
+}

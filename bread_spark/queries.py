@@ -19,6 +19,7 @@ from .extensions import (
     curation,
     dedup,
     fuzzy,
+    graph,
     multimodal,
     search,
     similarity,
@@ -131,6 +132,13 @@ _register(
         "cross_fuzzy_matches": fuzzy.cross_fuzzy_matches,  # probe-vs-base nearest
     },
     fuzzy.ORACLE_SQL,
+)
+_register(
+    {
+        "doc_provenance_edges": graph.doc_provenance_edges,  # content-flow graph
+        "doc_authority_rank": graph.doc_authority_rank,  # integer PageRank
+    },
+    graph.ORACLE_SQL,
 )
 _register(
     {
@@ -278,8 +286,11 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk —
-# then any new r9 entries, then re-warm the oldest of the r7-green
-# cohort (they go 3-rounds-stale in r10, so r10 must take the rest).
+# PLUS the r8-registered entries that missed this window entirely and
+# have NO driver row yet (doc_provenance_edges, doc_authority_rank,
+# and any later r8 registrations — see the catalog tail), then any new
+# r9 entries, then re-warm the oldest of the r7-green cohort (they go
+# 3-rounds-stale in r10, so r10 must take the rest).
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r7 sketch/CDC/sampling wave (17)
     "cdc_chunks",

@@ -1,0 +1,108 @@
+"""Integer PageRank: hand-computed ground truth, rank-mass properties,
+and the planted canonical-vs-copier discrimination."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from bread_spark.extensions.graph import (
+    BASE,
+    DAMP_DEN,
+    DAMP_NUM,
+    PR_ITERS,
+    R0,
+    authority_rank_df,
+    provenance_edges_df,
+)
+from tests.conftest import SF_DIR
+
+
+def _reference_rank(n_nodes, edges, iters=PR_ITERS):
+    """The same integer recurrence in plain Python — an independent
+    implementation the Spark plan must match exactly."""
+    ranks = {i: R0 for i in range(n_nodes)}
+    tot_w = {}
+    for s, _, w in edges:
+        tot_w[s] = tot_w.get(s, 0) + w
+    for _ in range(iters):
+        inc = {}
+        for s, d, w in edges:
+            share = ranks[s] * DAMP_NUM // DAMP_DEN
+            inc[d] = inc.get(d, 0) + share * w // tot_w[s]
+        ranks = {i: BASE + inc.get(i, 0) for i in range(n_nodes)}
+    return ranks
+
+
+def test_rank_matches_python_reference_on_small_graph(spark):
+    """Star + chain + isolated node: the Spark rank equals the plain-
+    Python integer recurrence value for value — bit-exact, including
+    the floor-division leaks."""
+    edges = [(1, 0, 3), (2, 0, 1), (3, 0, 1), (4, 3, 2), (3, 2, 5)]
+    nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["doc_id"]: r["rank_micro"]
+        for r in authority_rank_df(nodes, edf).collect()
+    }
+    assert got == _reference_rank(6, edges)
+
+
+def test_rank_mass_and_floor_properties(spark):
+    """Every rank >= BASE (teleport floor); isolated docs sit exactly
+    at BASE; total mass never exceeds n * R0 (floor division only
+    leaks, never creates)."""
+    from bread_spark.extensions.graph import doc_authority_rank
+
+    rows = doc_authority_rank(spark, SF_DIR).collect()
+    n = len(rows)
+    assert all(r["rank_micro"] >= BASE for r in rows)
+    assert sum(r["rank_micro"] for r in rows) <= n * R0
+    iso = [r for r in rows if r["n_out"] == 0 and r["n_in"] == 0]
+    assert all(r["rank_micro"] == BASE for r in iso)
+
+
+def test_canonical_outranks_copiers_on_planted_star(spark):
+    """One original doc and four verbatim copies with later ids: every
+    shared shingle's canonical is the original, so all edges point at
+    it and its rank must dominate each copier's."""
+    text = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )
+    from bread_spark.extensions.dedup import _word_shingles
+
+    edges = provenance_edges_df(_word_shingles(docs))
+    e = edges.collect()
+    assert {r["dst"] for r in e} == {0}
+    assert {r["src"] for r in e} == {1, 2, 3, 4}
+    ranks = {
+        r["doc_id"]: r["rank_micro"]
+        for r in authority_rank_df(docs.select("doc_id"), edges).collect()
+    }
+    assert all(ranks[0] > ranks[i] for i in range(1, 5))
+    # copiers ship everything to the canonical and keep the floor
+    assert all(ranks[i] == BASE for i in range(1, 5))
+
+
+def test_edges_respect_posting_cap_and_direction(spark):
+    """Every edge points backward in doc_id (src > dst) and the edge
+    fan-in of any canonical through one shingle is bounded by the
+    posting cap — checked indirectly: per-src total weight is bounded
+    by the doc's shingle count."""
+    from bread_spark.extensions.graph import doc_provenance_edges
+    from bread_spark.io import load_table
+
+    edges = doc_provenance_edges(spark, SF_DIR)
+    assert edges.filter(F.col("src") <= F.col("dst")).count() == 0
+    docs = load_table(spark, SF_DIR, "documents")
+    n_shingles = docs.select(
+        "doc_id",
+        (F.size(F.split("text", " ")) - 2).alias("max_sh"),
+    )
+    over = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("tw"))
+        .join(n_shingles, F.col("src") == F.col("doc_id"))
+        .filter(F.col("tw") > F.col("max_sh"))
+    )
+    assert over.count() == 0

@@ -634,3 +634,16 @@ def test_fuzzy_blocking_plan_is_pruned_and_joined(spark):
         "BroadcastHashJoin" in line and "LeftAnti" in line
         for line in p.splitlines()
     ), p
+
+
+def test_authority_rank_plan_keyed_joins_only(spark):
+    """The PageRank plan: every iteration is keyed joins + keyed
+    aggregates — no cartesian product, no nested-loop join anywhere,
+    and map-side partial sums on the incoming-mass aggregate."""
+    from bread_spark.extensions.graph import doc_authority_rank
+    from tests.conftest import SF_DIR
+
+    p = physical_plan(doc_authority_rank(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p

@@ -742,3 +742,33 @@ def test_fuzzy_blocking_never_loses_exact_dups_at_scale(spark, big_docs_r6):
     ]
     assert len(zero) == n_docs * REPS * (REPS - 1) // 2
     assert all(0 <= r["dist"] <= FUZZY_MAX_DIST for r in pairs)
+
+
+def test_authority_rank_invariant_on_disjoint_replica_graphs(spark):
+    """PageRank on REPS disjoint copies of the same graph must assign
+    each replica the EXACT ranks of the single copy (integer arithmetic:
+    no cross-replica mass can leak), and the plan is the same fixed
+    depth — the rank core scales by partitioning nodes/edges, not by
+    changing the recurrence."""
+    from bread_spark.extensions.graph import authority_rank_df
+
+    edges = [(1, 0, 3), (2, 0, 1), (3, 2, 5), (4, 3, 2)]
+    nodes = spark.range(6).select(F.col("id").alias("doc_id"))
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    small = {
+        r["doc_id"]: r["rank_micro"]
+        for r in authority_rank_df(nodes, edf).collect()
+    }
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big_nodes = nodes.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id")
+    )
+    big_edges = edf.crossJoin(reps).select(
+        (F.col("src") + F.col("rep") * 1_000_000).alias("src"),
+        (F.col("dst") + F.col("rep") * 1_000_000).alias("dst"),
+        "w",
+    )
+    big = authority_rank_df(big_nodes, big_edges).collect()
+    assert len(big) == 6 * REPS
+    for r in big:
+        assert r["rank_micro"] == small[r["doc_id"] % 1_000_000]
