@@ -198,6 +198,7 @@ def main() -> None:
         "cross_fuzzy_matches",
         "doc_provenance_edges",
         "doc_authority_rank",
+        "hard_negatives",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -350,6 +351,7 @@ def main() -> None:
         "cross_fuzzy_matches",
         "doc_provenance_edges",
         "doc_authority_rank",
+        "hard_negatives",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

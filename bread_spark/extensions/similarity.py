@@ -1447,3 +1447,202 @@ ORACLE_SQL["cluster_quality_report"] = (
     FROM per p JOIN near n ON n.label = p.label AND n.rk = 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    spark: SparkSession, sf_dir: str, tiles: int = COSINE_TILE_T
+) -> DataFrame:
+    """Contrastive-pair mining over the labeled embedding corpus: for
+    every vector, its HARDEST NEGATIVE (the most-similar vector with a
+    DIFFERENT label) and its nearest positive (most-similar SAME-label
+    vector, self excluded) — (vec_id, label, pos_id, pos_cos, neg_id,
+    neg_label, neg_cos, margin). margin = pos_cos − neg_cos; anchors
+    with margin <= 0 are exactly the label confusions a contrastive
+    trainer should sample and a curator should audit (the per-pair
+    sharpening of what `silhouette_scores` measures against centroids).
+
+    Exactness: scores round to 4 decimals inside the BLAS block (the
+    `embedding_cosine_dups_tiled` convention — summation-order noise
+    ~1e-15 cannot flip a rounded boundary), and every argmax is the
+    lexicographic MAX of (cosine, candidate_id) — applied identically
+    in the block-local reduction, the global aggregate, and the
+    oracle's ranked form, so ties can never diverge across engines.
+
+    Plan: the tile-pair fan-out of the exact kernel (each vector ships
+    to `tiles` groups; executor memory bounded by 2·(n/T) vectors), but
+    each group emits at most TWO rows per anchor (its block-local best
+    positive and negative) instead of the above-threshold pair list —
+    so the shuffle after the quadratic stage is O(n·T), and the global
+    per-anchor max-of-maxes is one keyed aggregate. The O(n²) lives
+    inside the blocks, made explicit and spread — the exact-mining
+    path for modest corpora and audit passes; at open-corpus scale,
+    mine within IVF cells (`ivf_assignment_frame`) for semi-hard
+    negatives instead.
+
+    Anchors whose label has no other member emit null pos_* (and null
+    margin); a single-label corpus would emit null neg_* — both
+    surfaced, not dropped."""
+    import numpy as np
+    import pandas as pd
+
+    t = tiles
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    fan = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(t)).alias("tile"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {t - 1}), u -> struct("
+                f"least(pmod(vec_id, {t}), u) as ta, "
+                f"greatest(pmod(vec_id, {t}), u) as tb))"
+            )
+        ).alias("p"),
+    ).select("vec_id", "label", "embedding", "tile", "p.ta", "p.tb")
+
+    def _bests(ids_a, labs_a, ids_b, labs_b, scores, same_side):
+        """Block-local lexicographic-max (cos, id) per a-row, split by
+        same-label / different-label candidate masks."""
+        out = []
+        if same_side:
+            valid = ids_a[:, None] != ids_b[None, :]
+        else:
+            valid = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        for flag, mask in (
+            (0, valid & (labs_a[:, None] != labs_b[None, :])),
+            (1, valid & (labs_a[:, None] == labs_b[None, :])),
+        ):
+            sc = np.where(mask, scores, -np.inf)
+            m = sc.max(axis=1)
+            has = m > -np.inf
+            if not has.any():
+                continue
+            cand = np.where(
+                sc[has] == m[has][:, None], ids_b[None, :], -1
+            ).max(axis=1)
+            cl = labs_b[
+                np.argmax(
+                    (sc[has] == m[has][:, None]) & (ids_b[None, :] == cand[:, None]),
+                    axis=1,
+                )
+            ]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids_a[has],
+                        "label": labs_a[has],
+                        "is_pos": flag,
+                        "cand_id": cand,
+                        "cand_label": cl,
+                        "cos": m[has],
+                    }
+                )
+            )
+        return out
+
+    def block(key, pdf):
+        ta, tb = key
+        a = pdf[pdf["tile"] == ta]
+        b = pdf[pdf["tile"] == tb] if tb != ta else a
+        if not len(a) or not len(b):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int32"),
+                    "is_pos": pd.Series([], dtype="int32"),
+                    "cand_id": pd.Series([], dtype="int64"),
+                    "cand_label": pd.Series([], dtype="int32"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        labs_a = a["label"].to_numpy()
+        ma = np.array(a["embedding"].tolist(), dtype=np.float64)
+        ua = ma / np.linalg.norm(ma, axis=1, keepdims=True)
+        if tb != ta:
+            ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+            labs_b = b["label"].to_numpy()
+            mb = np.array(b["embedding"].tolist(), dtype=np.float64)
+            ub = mb / np.linalg.norm(mb, axis=1, keepdims=True)
+        else:
+            ids_b, labs_b, ub = ids_a, labs_a, ua
+        scores = np.round(ua @ ub.T, 4)
+        out = _bests(ids_a, labs_a, ids_b, labs_b, scores, tb == ta)
+        if tb != ta:  # b-side anchors see a-side candidates too
+            out += _bests(ids_b, labs_b, ids_a, labs_a, scores.T, False)
+        if not out:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int32"),
+                    "is_pos": pd.Series([], dtype="int32"),
+                    "cand_id": pd.Series([], dtype="int64"),
+                    "cand_label": pd.Series([], dtype="int32"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    local = fan.groupBy("ta", "tb").applyInPandas(
+        block,
+        "vec_id long, label int, is_pos int, cand_id long, "
+        "cand_label int, cos double",
+    )
+    # global max-of-maxes, same (cos, id) lexicographic order as blocks
+    best = local.groupBy("vec_id", "label", "is_pos").agg(
+        F.max(F.struct("cos", "cand_id", "cand_label")).alias("b")
+    )
+    wide = best.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("is_pos") == 1, F.col("b"))).alias("p"),
+        F.max(F.when(F.col("is_pos") == 0, F.col("b"))).alias("n"),
+    )
+    return wide.select(
+        "vec_id",
+        "label",
+        F.col("p.cand_id").alias("pos_id"),
+        F.col("p.cos").alias("pos_cos"),
+        F.col("n.cand_id").alias("neg_id"),
+        F.col("n.cand_label").alias("neg_label"),
+        F.col("n.cos").alias("neg_cos"),
+        F.round(F.col("p.cos") - F.col("n.cos"), 4).alias("margin"),
+    )
+
+
+_HN_COS = (
+    "ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /"
+    " (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *"
+    "  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)"
+)
+
+ORACLE_SQL["hard_negatives"] = f"""
+    WITH scored AS (
+        SELECT a.vec_id, a.label,
+               b.vec_id AS cand_id, b.label AS cand_label,
+               {_HN_COS} AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, label, cand_id, cand_label, c,
+               (cand_label = label) AS is_pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, (cand_label = label)
+                   ORDER BY c DESC, cand_id DESC) AS rk
+        FROM scored
+    ),
+    best AS (SELECT * FROM ranked WHERE rk = 1)
+    SELECT v.vec_id, v.label,
+           p.cand_id AS pos_id, p.c AS pos_cos,
+           n.cand_id AS neg_id, n.cand_label AS neg_label, n.c AS neg_cos,
+           ROUND(p.c - n.c, 4) AS margin
+    FROM (SELECT DISTINCT vec_id, label FROM embeddings) v
+    LEFT JOIN best p ON p.vec_id = v.vec_id AND p.is_pos
+    LEFT JOIN best n ON n.vec_id = v.vec_id AND NOT n.is_pos
+"""

@@ -115,6 +115,7 @@ _register(
         "centroid_drift_by_label": similarity.centroid_drift_by_label,  # drift monitor
         "silhouette_scores": similarity.silhouette_scores,  # per-point cluster QC
         "cluster_quality_report": similarity.cluster_quality_report,  # per-label health
+        "hard_negatives": similarity.hard_negatives,  # contrastive-pair mining
     },
     similarity.ORACLE_SQL,
 )

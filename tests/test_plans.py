@@ -647,3 +647,16 @@ def test_authority_rank_plan_keyed_joins_only(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_sum" in p
+
+
+def test_hard_negatives_plan_blocked_no_join(spark):
+    """Hard-negative mining: the quadratic stage lives inside the
+    grouped-pandas blocks; after it the plan is keyed aggregates only —
+    no join of any kind, no cartesian product."""
+    from bread_spark.extensions.similarity import hard_negatives
+    from tests.conftest import SF_DIR
+
+    p = physical_plan(hard_negatives(spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p

@@ -627,3 +627,54 @@ def test_cluster_report_cells_equal_scores_rollup(spark, sf_dir):
         for r in cluster_quality_report(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_hard_negatives_flags_planted_confusable(spark, monkeypatch):
+    """Two tight clusters plus one vector planted INSIDE the wrong
+    cluster: its hardest negative is closer than its nearest positive
+    (margin < 0), while a clean member keeps margin > 0; every row's
+    neg_label differs from its own and singleton labels surface null
+    pos fields. Runs through the real catalog entry via a patched
+    loader so the tile fan-out is exercised."""
+    import numpy as np
+
+    from bread_spark.extensions import similarity as S
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(12):  # label 0 cluster around e0
+        v = np.array([10.0, 0.0, 0.0, 0.0]) + rng.normal(0, 0.1, 4)
+        rows.append((i, 0, [float(x) for x in v]))
+    for i in range(12, 24):  # label 1 cluster around e1
+        v = np.array([0.0, 10.0, 0.0, 0.0]) + rng.normal(0, 0.1, 4)
+        rows.append((i, 1, [float(x) for x in v]))
+    # planted: labeled 0 but sitting in cluster 1
+    rows.append((24, 0, [0.0, 10.0, 0.05, 0.0]))
+    # singleton label 2
+    rows.append((25, 2, [0.0, 0.0, 10.0, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    monkeypatch.setattr(S, "load_table", lambda sp, sf, t: emb)
+    out = {r["vec_id"]: r for r in S.hard_negatives(spark, "ignored").collect()}
+    assert len(out) == 26
+    for r in out.values():
+        if r["neg_label"] is not None:
+            assert r["neg_label"] != r["label"]
+        if r["margin"] is not None:
+            assert r["margin"] == round(r["pos_cos"] - r["neg_cos"], 4)
+    assert out[24]["margin"] < 0  # the planted confusable
+    assert out[0]["margin"] > 0  # a clean cluster member
+    assert out[25]["pos_id"] is None and out[25]["margin"] is None
+    assert out[25]["neg_id"] is not None
+
+
+def test_hard_negatives_tile_count_invariance(spark):
+    """The tile fan-out is pure parallelization: tiles=2 and tiles=8
+    must produce identical rows (exactness of the blocked argmax,
+    including the (cos, id) tie-break across block boundaries)."""
+    from bread_spark.extensions.similarity import hard_negatives
+
+    a = {r["vec_id"]: r for r in hard_negatives(spark, SF_DIR, tiles=2).collect()}
+    b = {r["vec_id"]: r for r in hard_negatives(spark, SF_DIR, tiles=8).collect()}
+    assert a == b
