@@ -199,6 +199,10 @@ def main() -> None:
         "doc_provenance_edges",
         "doc_authority_rank",
         "hard_negatives",
+        "value_cusum_by_type",
+        "cusum_alarms",
+        "seasonal_decomposition",
+        "seasonal_anomalies",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -352,6 +356,10 @@ def main() -> None:
         "doc_provenance_edges",
         "doc_authority_rank",
         "hard_negatives",
+        "value_cusum_by_type",
+        "cusum_alarms",
+        "seasonal_decomposition",
+        "seasonal_anomalies",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -1,0 +1,451 @@
+"""Time-series monitoring over the event stream: CUSUM changepoint
+detection and seasonal decomposition — both in EXACT integer arithmetic.
+
+The statistical-QC family (`value_zscore_outliers`,
+`daily_value_moving_avg`, the anomaly stream) flags POINT outliers.
+These two operators cover what point tests cannot see:
+
+- **CUSUM** (`value_cusum_by_type` / `cusum_alarms`): a small
+  persistent LEVEL SHIFT — a fee change, a unit regression, a silent
+  partial outage — moves every day's value by less than any
+  per-point threshold, but its cumulative deviation grows linearly.
+  Page's CUSUM accumulates (x - mu -/+ k) clamped at zero and alarms
+  when the sum crosses h. The clamped recurrence
+  ``S_t = max(0, S_{t-1} + d_t)`` looks sequential, but the classic
+  identity ``S_t = P_t - min(0, min_{j<=t} P_j)`` (P = prefix sums)
+  turns it into TWO window functions — a running sum and a running
+  min — so the whole detector is plain Catalyst window work over the
+  tiny day x type aggregate, no recursion, no UDF.
+
+- **Seasonal decomposition** (`seasonal_decomposition` /
+  `seasonal_anomalies`): additive trend + day-of-week + residual.
+  Trend is a centered 7-day window mean, seasonal is the per-(type,
+  day-of-week) mean of the detrended series, residual is what's left;
+  anomalies are residuals beyond ``SEAS_H_MAD`` mean-absolute
+  deviations. A Monday spike that repeats every Monday stops being an
+  "anomaly" once the weekday component absorbs it — the
+  seasonality-aware upgrade of the z-score monitor.
+
+**Exact-integer discipline** (DECISIONS.md #12: anything DIFFERENCED
+or thresholded must come from exact integers): per-event values
+micro-quantize map-side (``round(value * 1e6)`` as bigint), daily
+sums, prefix sums, running mins, frame means (SUM div COUNT — floor),
+MAD, and every threshold comparison stay in int64 — both engines
+compute bit-identical verdicts, no float ever crosses a boundary.
+Policy constants (the allowance k = |mu|/20, alarm h = 5 MAD, seasonal
+gate = 4 MAD) are engine policy, documented, and part of the oracle.
+
+Overflow: prefix sums are bounded by the series' total micro-mass; at
+100 TB per-type daily totals live in a bigint comfortably (1e12 days x
+values would be needed to threaten 2^62); the micro-quantization
+itself bounds per-event values at ~9e12 units.
+
+Scale shape: everything windows over the day x type aggregate —
+O(days x types) rows regardless of raw volume; the only full-data pass
+is the map-side quantize + one keyed daily aggregate with partial
+sums. Window partitions are per event_type, so parallelism is bounded
+by type cardinality — correct here (the aggregate is tiny); for
+high-cardinality keys the same plan shards by key hash for free.
+
+Streaming: CUSUM is the naturally ONLINE detector — the recurrence
+carries one (S+, S-) pair per key. `streaming/timeseries.py` runs it
+with `applyInPandasWithState` against FROZEN baseline stats (mu, k, h
+from the reference window), state bounded at two longs per key;
+batch/stream agreement incl. restart pinned. The decomposition is
+batch-only by design: the centered trend window needs FUTURE days, so
+an online form is a different (trailing-window) estimator, not this
+operator.
+
+Reference parity: the reference has no changepoint/seasonal analytics;
+additive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+CUSUM_K_DIV = 100  # allowance k = |mu| / 100 (1% of the baseline level)
+CUSUM_H_MAD = 5  # alarm when S exceeds 5 mean-absolute-deviations
+CUSUM_BASE_DAYS = 14  # baseline stats come from each type's first 14 days
+SEAS_H_MAD = 4  # seasonal anomaly gate: |residual| > 4 MAD
+
+
+def _daily_micro(ev: DataFrame) -> DataFrame:
+    """(event_type, day, x) — exact integer micro-sums per day."""
+    return (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 1_000_000)
+            .cast("long")
+            .alias("v_u"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_u").alias("x"))
+    )
+
+
+def cusum_df(daily: DataFrame, base_days: int = CUSUM_BASE_DAYS) -> DataFrame:
+    """`value_cusum_by_type` core over an (event_type, day, x) frame.
+
+    The baseline is each type's FIRST `base_days` days (day-rank
+    window): mu = sum(x) div n, k = |mu| div CUSUM_K_DIV,
+    mad = sum(|x - mu|) div n, h = CUSUM_H_MAD * mad — the reference
+    window a production monitor trains on before watching the rest
+    (and exactly the frozen-baseline shape the streaming twin uses).
+    A GLOBAL baseline would be self-referential: a level shift drags
+    mu toward the midpoint, the allowance swallows half the deviation,
+    and the detector flags the PRE-change regime as a drop; the
+    reference-window form has neither problem. Upper/lower CUSUM via
+    the prefix-sum/running-min identity; alarm when either side
+    exceeds h (baseline days are scored too — their deviations are
+    near zero by construction)."""
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    base = daily.withColumn("rk", rk).filter(F.col("rk") <= base_days)
+    stats = base.groupBy("event_type").agg(
+        F.expr("sum(x) div count(1)").alias("mu"),
+    )
+    mad = (
+        base.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("sum(abs(x - mu)) div count(1)").alias("mad"))
+    )
+    d = (
+        daily.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn("k", F.expr(f"abs(mu) div {CUSUM_K_DIV}"))
+        .withColumn("h", F.expr(f"{CUSUM_H_MAD} * mad"))
+        .withColumn("dp", F.col("x") - F.col("mu") - F.col("k"))
+        .withColumn("dn", -(F.col("x") - F.col("mu") + F.col("k")))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pp = F.sum("dp").over(wcum)
+    pn = F.sum("dn").over(wcum)
+    s_pos = pp - F.least(F.lit(0), F.min(pp).over(wcum))
+    s_neg = pn - F.least(F.lit(0), F.min(pn).over(wcum))
+    return d.select(
+        "event_type",
+        "day",
+        "x",
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+        "h",
+        ((s_pos > F.col("h")) | (s_neg > F.col("h")))
+        .cast("int")
+        .alias("alarm"),
+    )
+
+
+def value_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over daily per-type value totals (module
+    docstring): (event_type, day, x, s_pos, s_neg, h, alarm) — x and
+    both statistics in exact integer micro-units."""
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_df(_daily_micro(ev))
+
+
+def cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint report per type: first alarm day, alarm-day count,
+    and the peak statistic — the page an on-call engineer reads.
+    Types that never alarm are surfaced with nulls (a monitoring
+    rollup must show its silent rows)."""
+    c = value_cusum_by_type(spark, sf_dir)
+    alarms = (
+        c.filter(F.col("alarm") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("first_alarm_day"),
+            F.count(F.lit(1)).alias("n_alarm_days"),
+            F.max(F.greatest("s_pos", "s_neg")).alias("peak_stat"),
+        )
+    )
+    types = c.select("event_type", "h").distinct()
+    return types.join(alarms, "event_type", "left").select(
+        "event_type",
+        "first_alarm_day",
+        "n_alarm_days",
+        "peak_stat",
+        "h",
+    )
+
+
+def seasonal_df(daily: DataFrame) -> DataFrame:
+    """`seasonal_decomposition` core over (event_type, day, x): trend =
+    centered 7-day frame mean (SUM div COUNT — shrinks at the edges,
+    same frame both engines), seasonal = per-(type, dow) mean of the
+    detrended series, residual = x - trend - seasonal. dow follows
+    DuckDB's convention (0 = Sunday)."""
+    wtrend = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    trend = F.expr(
+        "sum(x) over (partition by event_type order by day "
+        "rows between 3 preceding and 3 following) div "
+        "count(1) over (partition by event_type order by day "
+        "rows between 3 preceding and 3 following)"
+    )
+    t = daily.select(
+        "event_type",
+        "day",
+        "x",
+        (F.dayofweek("day") - 1).alias("dow"),
+        trend.alias("trend"),
+    ).withColumn("detr", F.col("x") - F.col("trend"))
+    seas = t.groupBy("event_type", "dow").agg(
+        F.expr("sum(detr) div count(1)").alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "x",
+            "trend",
+            "seasonal",
+            (F.col("x") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend + day-of-week + residual decomposition of daily
+    per-type value totals, exact micro-integers throughout (module
+    docstring): (event_type, day, dow, x, trend, seasonal, residual)."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_df(_daily_micro(ev))
+
+
+def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose RESIDUAL (after removing trend and weekday shape)
+    exceeds `SEAS_H_MAD` mean-absolute-deviations of the residual —
+    the seasonality-aware anomaly list: (event_type, day, x, residual,
+    mad, severity_pct). severity = |residual| * 100 div (gate) — an
+    integer percentage of the alarm threshold."""
+    s = seasonal_decomposition(spark, sf_dir)
+    mad = s.groupBy("event_type").agg(
+        F.expr("sum(abs(residual)) div count(1)").alias("mad")
+    )
+    gated = s.join(F.broadcast(mad), "event_type").filter(
+        F.abs("residual") > SEAS_H_MAD * F.col("mad")
+    )
+    return gated.select(
+        "event_type",
+        "day",
+        "x",
+        "residual",
+        "mad",
+        F.expr(f"abs(residual) * 100 div ({SEAS_H_MAD} * mad)").alias(
+            "severity_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_DAILY_CTE = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS x
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+_CUSUM_CTE = (
+    _DAILY_CTE
+    + f""",
+    based AS (
+        SELECT event_type, day, x FROM (
+            SELECT event_type, day, x,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day) AS rk
+            FROM daily
+        ) WHERE rk <= {CUSUM_BASE_DAYS}
+    ),
+    stats AS (
+        SELECT event_type, SUM(x) // COUNT(1) AS mu FROM based GROUP BY 1
+    ),
+    madt AS (
+        SELECT d.event_type,
+               SUM(ABS(d.x - s.mu)) // COUNT(1) AS mad
+        FROM based d JOIN stats s USING (event_type) GROUP BY 1
+    ),
+    dd AS (
+        SELECT d.event_type, d.day, d.x,
+               s.mu, ABS(s.mu) // {CUSUM_K_DIV} AS k,
+               {CUSUM_H_MAD} * m.mad AS h
+        FROM daily d
+        JOIN stats s USING (event_type)
+        JOIN madt m USING (event_type)
+    ),
+    pref AS (
+        SELECT event_type, day, x, h,
+               SUM(x - mu - k) OVER w AS pp,
+               SUM(-(x - mu + k)) OVER w AS pn
+        FROM dd
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cus AS (
+        SELECT event_type, day, x, h,
+               pp - LEAST(0, MIN(pp) OVER w) AS s_pos,
+               pn - LEAST(0, MIN(pn) OVER w) AS s_neg
+        FROM pref
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+"""
+)
+
+_SEAS_CTE = (
+    _DAILY_CTE
+    + """,
+    tr AS (
+        SELECT event_type, day, x, dayofweek(day) AS dow,
+               SUM(x) OVER w // COUNT(1) OVER w AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+        SELECT event_type, dow,
+               SUM(x - trend) // COUNT(1) AS seasonal
+        FROM tr GROUP BY 1, 2
+    ),
+    dec AS (
+        SELECT t.event_type, t.day, t.dow, t.x, t.trend, s.seasonal,
+               t.x - t.trend - s.seasonal AS residual
+        FROM tr t JOIN seas s USING (event_type, dow)
+    )
+"""
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "value_cusum_by_type": _CUSUM_CTE
+    + """
+    SELECT event_type, day, CAST(x AS BIGINT) AS x,
+           CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+           CAST(h AS BIGINT) AS h,
+           CAST(CASE WHEN s_pos > h OR s_neg > h THEN 1 ELSE 0 END AS INT)
+               AS alarm
+    FROM cus
+""",
+    "cusum_alarms": _CUSUM_CTE
+    + """
+    SELECT t.event_type, a.first_alarm_day,
+           CAST(a.n_alarm_days AS BIGINT) AS n_alarm_days,
+           CAST(a.peak_stat AS BIGINT) AS peak_stat,
+           CAST(t.h AS BIGINT) AS h
+    FROM (SELECT DISTINCT event_type, h FROM cus) t
+    LEFT JOIN (
+        SELECT event_type,
+               MIN(day) AS first_alarm_day,
+               COUNT(1) AS n_alarm_days,
+               MAX(GREATEST(s_pos, s_neg)) AS peak_stat
+        FROM cus WHERE s_pos > h OR s_neg > h
+        GROUP BY 1
+    ) a USING (event_type)
+""",
+    "seasonal_decomposition": _SEAS_CTE
+    + """
+    SELECT event_type, day, CAST(dow AS INT) AS dow,
+           CAST(x AS BIGINT) AS x, CAST(trend AS BIGINT) AS trend,
+           CAST(seasonal AS BIGINT) AS seasonal,
+           CAST(residual AS BIGINT) AS residual
+    FROM dec
+""",
+    "seasonal_anomalies": _SEAS_CTE
+    + f""",
+    madr AS (
+        SELECT event_type, SUM(ABS(residual)) // COUNT(1) AS mad
+        FROM dec GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.x, d.residual, m.mad,
+           ABS(d.residual) * 100 // ({SEAS_H_MAD} * m.mad) AS severity_pct
+    FROM dec d JOIN madr m USING (event_type)
+    WHERE ABS(d.residual) > {SEAS_H_MAD} * m.mad
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Event-level CUSUM against a frozen baseline (the online form's batch core)
+# ---------------------------------------------------------------------------
+
+
+def cusum_baseline(ev: DataFrame) -> DataFrame:
+    """Frozen per-type baseline from a reference window: (event_type,
+    mu, k, h) over per-EVENT micro values — the static side the
+    streaming detector scores against (mirrors the daily detector's
+    stats, at event granularity)."""
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+    )
+    stats = v.groupBy("event_type").agg(
+        F.expr("sum(v_u) div count(1)").alias("mu")
+    )
+    mad = (
+        v.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("sum(abs(v_u - mu)) div count(1)").alias("mad"))
+    )
+    return (
+        stats.join(mad, "event_type")
+        .select(
+            "event_type",
+            "mu",
+            F.expr(f"abs(mu) div {CUSUM_K_DIV}").alias("k"),
+            F.expr(f"{CUSUM_H_MAD} * mad").alias("h"),
+        )
+    )
+
+
+def event_cusum_df(ev: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per-EVENT two-sided CUSUM against a FROZEN baseline, ordered by
+    (ts, event_id) — deterministic event order, so the streaming fold
+    (same recurrence, same order) must agree row for row. Returns
+    (event_type, event_id, ts, v_u, s_pos, s_neg, alarm)."""
+    v = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_u"),
+    ).join(F.broadcast(baseline), "event_type")
+    d = v.withColumn("dp", F.col("v_u") - F.col("mu") - F.col("k")).withColumn(
+        "dn", -(F.col("v_u") - F.col("mu") + F.col("k"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pp = F.sum("dp").over(wcum)
+    pn = F.sum("dn").over(wcum)
+    s_pos = pp - F.least(F.lit(0), F.min(pp).over(wcum))
+    s_neg = pn - F.least(F.lit(0), F.min(pn).over(wcum))
+    return d.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "v_u",
+        s_pos.alias("s_pos"),
+        s_neg.alias("s_neg"),
+        ((s_pos > F.col("h")) | (s_neg > F.col("h")))
+        .cast("int")
+        .alias("alarm"),
+    )

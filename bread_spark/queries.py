@@ -20,6 +20,7 @@ from .extensions import (
     dedup,
     fuzzy,
     graph,
+    timeseries,
     multimodal,
     search,
     similarity,
@@ -140,6 +141,15 @@ _register(
         "doc_authority_rank": graph.doc_authority_rank,  # integer PageRank
     },
     graph.ORACLE_SQL,
+)
+_register(
+    {
+        "value_cusum_by_type": timeseries.value_cusum_by_type,  # changepoint stat
+        "cusum_alarms": timeseries.cusum_alarms,  # per-type changepoint report
+        "seasonal_decomposition": timeseries.seasonal_decomposition,  # trend+dow+resid
+        "seasonal_anomalies": timeseries.seasonal_anomalies,  # seasonality-aware outliers
+    },
+    timeseries.ORACLE_SQL,
 )
 _register(
     {

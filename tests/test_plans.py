@@ -660,3 +660,16 @@ def test_hard_negatives_plan_blocked_no_join(spark):
     assert "FlatMapGroupsInPandas" in p
     assert "Join" not in p
     assert "CartesianProduct" not in p
+
+
+def test_cusum_windows_over_aggregate_with_broadcast_stats(spark, sf_dir):
+    """CUSUM: the only full-data pass is the map-side quantize + one
+    keyed daily aggregate with partial sums; baseline stats join back
+    as broadcasts; no cartesian."""
+    from bread_spark.extensions.timeseries import value_cusum_by_type
+
+    p = physical_plan(value_cusum_by_type(spark, sf_dir))
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
