@@ -203,6 +203,9 @@ def main() -> None:
         "cusum_alarms",
         "seasonal_decomposition",
         "seasonal_anomalies",
+        "event_transition_matrix",
+        "event_path_trigrams",
+        "top_paths_to_purchase",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -360,6 +363,9 @@ def main() -> None:
         "cusum_alarms",
         "seasonal_decomposition",
         "seasonal_anomalies",
+        "event_transition_matrix",
+        "event_path_trigrams",
+        "top_paths_to_purchase",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

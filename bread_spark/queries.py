@@ -20,6 +20,7 @@ from .extensions import (
     dedup,
     fuzzy,
     graph,
+    paths,
     timeseries,
     multimodal,
     search,
@@ -141,6 +142,14 @@ _register(
         "doc_authority_rank": graph.doc_authority_rank,  # integer PageRank
     },
     graph.ORACLE_SQL,
+)
+_register(
+    {
+        "event_transition_matrix": paths.event_transition_matrix,  # Markov matrix
+        "event_path_trigrams": paths.event_path_trigrams,  # 3-step journeys
+        "top_paths_to_purchase": paths.top_paths_to_purchase,  # pre-conversion paths
+    },
+    paths.ORACLE_SQL,
 )
 _register(
     {

@@ -673,3 +673,16 @@ def test_cusum_windows_over_aggregate_with_broadcast_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_path_trigrams_single_user_exchange(spark, sf_dir):
+    """LEAD(1) and LEAD(2) share one window spec: the whole trigram
+    derivation must run over a SINGLE user-keyed exchange (one Window
+    operator serves every offset), with map-side partial counts on the
+    path aggregate."""
+    from bread_spark.extensions.paths import event_path_trigrams
+
+    p = physical_plan(event_path_trigrams(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning(user_id") == 1
+    assert p.count("Window") == 1
+    assert "partial_count" in p
