@@ -206,6 +206,7 @@ def main() -> None:
         "event_transition_matrix",
         "event_path_trigrams",
         "top_paths_to_purchase",
+        "corpus_checksum_by_source",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -366,6 +367,7 @@ def main() -> None:
         "event_transition_matrix",
         "event_path_trigrams",
         "top_paths_to_purchase",
+        "corpus_checksum_by_source",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

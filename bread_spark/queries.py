@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import models, models_ibc_catalog
 from .extensions import (
+    audit,
     classify,
     curation,
     dedup,
@@ -142,6 +143,12 @@ _register(
         "doc_authority_rank": graph.doc_authority_rank,  # integer PageRank
     },
     graph.ORACLE_SQL,
+)
+_register(
+    {
+        "corpus_checksum_by_source": audit.corpus_checksum_by_source,  # audit row
+    },
+    audit.ORACLE_SQL,
 )
 _register(
     {
