@@ -207,6 +207,9 @@ def main() -> None:
         "event_path_trigrams",
         "top_paths_to_purchase",
         "corpus_checksum_by_source",
+        "embedding_covariance",
+        "pca_components",
+        "fd_sketch",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -368,6 +371,9 @@ def main() -> None:
         "event_path_trigrams",
         "top_paths_to_purchase",
         "corpus_checksum_by_source",
+        "embedding_covariance",
+        "pca_components",
+        "fd_sketch",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

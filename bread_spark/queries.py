@@ -27,6 +27,7 @@ from .extensions import (
     search,
     similarity,
     sketch,
+    spectral,
     training,
 )
 from .functions import text
@@ -149,6 +150,14 @@ _register(
         "corpus_checksum_by_source": audit.corpus_checksum_by_source,  # audit row
     },
     audit.ORACLE_SQL,
+)
+_register(
+    {
+        "embedding_covariance": spectral.embedding_covariance,  # exact d x d moments
+        "pca_components": spectral.pca_components,  # rows-only (LAPACK floats)
+        "fd_sketch": spectral.fd_sketch,  # rows-only (mergeable matrix sketch)
+    },
+    spectral.ORACLE_SQL,
 )
 _register(
     {

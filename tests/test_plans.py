@@ -686,3 +686,18 @@ def test_path_trigrams_single_user_exchange(spark, sf_dir):
     assert p.count("Exchange hashpartitioning(user_id") == 1
     assert p.count("Window") == 1
     assert "partial_count" in p
+
+
+def test_covariance_partials_ride_map_side(spark, sf_dir):
+    """The d x d moment table: quadratic-in-d work inside the Arrow
+    blocks, one keyed aggregate of O(partitions * d^2) partial rows,
+    dimension tables joined back as broadcasts — no sort-merge join,
+    no cartesian."""
+    from bread_spark.extensions.spectral import embedding_covariance
+
+    p = physical_plan(embedding_covariance(spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
