@@ -292,7 +292,9 @@ _register(
 # insertion order (observed: CORRECTNESS_r01-r05 each hold exactly the
 # first 50 registered names). The window ROTATES each round so every
 # oracle-backed entry's last green driver row stays ≤2 rounds old
-# (sampled at least every 3 rounds; 142 oracles / 50 slots ≈ 2.8).
+# (sampled at least every 3-4 rounds; 159 oracles / 50 slots ≈ 3.2
+# after the r8 close-out — the ledger below is the control that keeps
+# worst-case staleness bounded).
 #
 # ROUND-8 window (per VERDICT r7 #1): all 50 slots oracle-backed —
 #   1. the 17 r7-registered entries with NO driver row ever (registered
@@ -322,11 +324,16 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk —
-# PLUS the r8-registered entries that missed this window entirely and
-# have NO driver row yet (doc_provenance_edges, doc_authority_rank,
-# and any later r8 registrations — see the catalog tail), then any new
-# r9 entries, then re-warm the oldest of the r7-green cohort (they go
-# 3-rounds-stale in r10, so r10 must take the rest).
+# PLUS the 12 r8-registered oracle-backed entries that missed this
+# window entirely and have NO driver row yet: doc_provenance_edges,
+# doc_authority_rank, hard_negatives, value_cusum_by_type,
+# cusum_alarms, seasonal_decomposition, seasonal_anomalies,
+# event_transition_matrix, event_path_trigrams, top_paths_to_purchase,
+# corpus_checksum_by_source, embedding_covariance (pca_components and
+# fd_sketch are rows-only — keep them OUT of the window per the r6
+# no-oracle rule), then any new r9 entries, then re-warm the oldest of
+# the r7-green cohort (they go 3-rounds-stale in r10, so r10 must take
+# the rest).
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r7 sketch/CDC/sampling wave (17)
     "cdc_chunks",
