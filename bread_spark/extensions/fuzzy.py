@@ -267,9 +267,19 @@ def fuzzy_matches_df(
     if base_selected is None:
         base_selected = _selected_grams(base_norm, min_df=1)
     probe_norm = _norm_docs(probe)
-    probe_grams = probe_norm.filter(F.col("len") >= FUZZY_Q).select(
-        "doc_id",
-        F.explode(F.expr(gram_array_expr("s", "len"))).alias("gram"),
+    # same explicit fan-out as _char_grams: the probe batch is one
+    # parquet split locally, and a bare repartition would be
+    # AQE-coalesced back before the md5 explode ever runs
+    probe_grams = (
+        probe_norm.repartition(
+            probe_norm.sparkSession.sparkContext.defaultParallelism,
+            "doc_id",
+        )
+        .filter(F.col("len") >= FUZZY_Q)
+        .select(
+            "doc_id",
+            F.explode(F.expr(gram_array_expr("s", "len"))).alias("gram"),
+        )
     )
     cand = (
         probe_grams.join(
@@ -309,16 +319,47 @@ def fuzzy_matches_df(
 CROSS_FUZZY_BASE_MAX = 250  # doc_id < this plays the already-ingested base
 
 
+def cross_fuzzy_base_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Compute-once (selected grams, norm texts) of the cross-fuzzy
+    BASE split — the staged index a refresh-crawl gate reads. Without
+    the seam every catalog pass re-ran the base's md5 explode + df +
+    rarest-R rank (~3.9 s of cross_fuzzy_matches' 4.4 s warm cost at
+    sf0.1); with it the warm entry pays only the probe join + verify."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < CROSS_FUZZY_BASE_MAX)
+    sel = materialized_frame(
+        spark,
+        "cross_fuzzy_base_sel",
+        sf_dir,
+        lambda: _selected_grams(_norm_docs(base), min_df=1),
+        (FUZZY_Q, FUZZY_R, FUZZY_SEL_CAP, CROSS_FUZZY_BASE_MAX),
+    )
+    norm = materialized_frame(
+        spark,
+        "cross_fuzzy_base_norm",
+        sf_dir,
+        lambda: _norm_docs(base),
+        (CROSS_FUZZY_BASE_MAX,),
+    )
+    return sel, norm
+
+
 def cross_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog form of `fuzzy_matches_df`: docs with id <
     `CROSS_FUZZY_BASE_MAX` play the already-ingested base (same split
     convention as `cross_dedup`), the rest arrive as the probe batch.
     Each probe doc reports its nearest base doc within
-    `FUZZY_MAX_DIST` edits."""
+    `FUZZY_MAX_DIST` edits. The base index/texts ride the compute-once
+    seam above."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sel, norm = cross_fuzzy_base_frames(spark, sf_dir)
     return fuzzy_matches_df(
         docs.filter(F.col("doc_id") < CROSS_FUZZY_BASE_MAX),
         docs.filter(F.col("doc_id") >= CROSS_FUZZY_BASE_MAX),
+        base_selected=sel,
+        base_norm=norm,
     )
 
 
