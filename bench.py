@@ -203,6 +203,7 @@ def main() -> None:
         "cusum_alarms",
         "seasonal_decomposition",
         "seasonal_anomalies",
+        "value_psi_by_type",
         "event_transition_matrix",
         "event_path_trigrams",
         "top_paths_to_purchase",
@@ -367,6 +368,7 @@ def main() -> None:
         "cusum_alarms",
         "seasonal_decomposition",
         "seasonal_anomalies",
+        "value_psi_by_type",
         "event_transition_matrix",
         "event_path_trigrams",
         "top_paths_to_purchase",

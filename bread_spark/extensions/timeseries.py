@@ -449,3 +449,134 @@ def event_cusum_df(ev: DataFrame, baseline: DataFrame) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric distribution drift (PSI over the HDR lattice)
+# ---------------------------------------------------------------------------
+
+PSI_REF_DAYS = 14  # reference period: each type's first 14 days
+
+
+def value_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each type's VALUE distribution,
+    reference period vs the rest — the numeric-drift twin of
+    `source_kl_divergence` (which watches token distributions) and the
+    DISTRIBUTION-shape complement of CUSUM (which watches the level):
+    a fee restructure that leaves the daily total flat but moves mass
+    between price points alarms here and nowhere else.
+
+        PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+
+    over HDR-lattice buckets (`_hdr_bucket_expr` — the same integer
+    log-histogram the quantile sketch uses: engine-agnostic bucketing,
+    no learned cut points to disagree about), with add-1 smoothing
+    over each type's occupied-bucket union so empty cells are finite
+    without dropping them. The reference period is each type's first
+    `PSI_REF_DAYS` distinct days (rank over the tiny type×day table,
+    broadcast back — the CUSUM baseline convention, DECISIONS #15).
+    Bucket counts are exact integers; ln touches only final smoothed
+    ratios and the result rounds to 6 (the `source_kl_divergence`
+    float policy). Industry reading: PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted.
+
+    Output: (event_type, psi, n_buckets, n_ref, n_cur)."""
+    from .sketch import _hdr_bucket_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "value",
+    )
+    day_rank = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("day")
+    )
+    ref_days = (
+        ev.select("event_type", "day")
+        .distinct()
+        .withColumn("rk", day_rank)
+        .filter(F.col("rk") <= PSI_REF_DAYS)
+        .select("event_type", "day", F.lit(1).alias("is_ref"))
+    )
+    binned = (
+        ev.join(F.broadcast(ref_days), ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.coalesce("is_ref", F.lit(0)).alias("is_ref"),
+            F.expr(_hdr_bucket_expr("value")).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.expr("is_ref")).alias("n_ref_b"),
+            F.sum(F.expr("1 - is_ref")).alias("n_cur_b"),
+        )
+    )
+    totals = binned.groupBy("event_type").agg(
+        F.sum("n_ref_b").alias("n_ref"),
+        F.sum("n_cur_b").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    p = (F.col("n_ref_b") + 1) / (F.col("n_ref") + F.col("n_buckets"))
+    q = (F.col("n_cur_b") + 1) / (F.col("n_cur") + F.col("n_buckets"))
+    return (
+        binned.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+            F.max("n_buckets").cast("long").alias("n_buckets"),
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+        )
+    )
+
+
+# DuckDB mirror of _hdr_bucket_expr (the sketch family's proven form)
+_HDR_BUCKET_DUCK_TS = (
+    "list_transform([CAST(floor(value * 100 + 0.5) AS BIGINT)], iv -> "
+    "  list_transform([greatest(0, length(bin(iv)) - 1 - 4)], sh -> "
+    "    sh * 16 + (iv >> sh) "
+    "  )[1] "
+    ")[1]"
+)
+
+ORACLE_SQL["value_psi_by_type"] = f"""
+    WITH ranked_days AS (
+        SELECT event_type, day,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day) AS rk
+        FROM (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+              FROM events)
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CASE WHEN r.rk <= {PSI_REF_DAYS} THEN 1 ELSE 0 END AS is_ref,
+               {_HDR_BUCKET_DUCK_TS} AS bucket
+        FROM events e
+        JOIN ranked_days r
+          ON r.event_type = e.event_type
+         AND r.day = CAST(e.ts AS DATE)
+    ),
+    cnt AS (
+        SELECT event_type, bucket,
+               SUM(is_ref) AS n_ref_b,
+               SUM(1 - is_ref) AS n_cur_b
+        FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(n_ref_b) AS n_ref, SUM(n_cur_b) AS n_cur,
+               COUNT(1) AS n_buckets
+        FROM cnt GROUP BY 1
+    )
+    SELECT c.event_type,
+           ROUND(SUM(
+               ((c.n_ref_b + 1.0) / (t.n_ref + t.n_buckets)
+                - (c.n_cur_b + 1.0) / (t.n_cur + t.n_buckets))
+               * ln(((c.n_ref_b + 1.0) / (t.n_ref + t.n_buckets))
+                    / ((c.n_cur_b + 1.0) / (t.n_cur + t.n_buckets)))
+           ), 6) AS psi,
+           CAST(MAX(t.n_buckets) AS BIGINT) AS n_buckets,
+           CAST(MAX(t.n_ref) AS BIGINT) AS n_ref,
+           CAST(MAX(t.n_cur) AS BIGINT) AS n_cur
+    FROM cnt c JOIN tot t USING (event_type)
+    GROUP BY 1
+"""

