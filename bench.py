@@ -211,6 +211,8 @@ def main() -> None:
         "embedding_covariance",
         "pca_components",
         "fd_sketch",
+        "unigram_vocab",
+        "unigram_token_counts",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -376,6 +378,8 @@ def main() -> None:
         "embedding_covariance",
         "pca_components",
         "fd_sketch",
+        "unigram_vocab",
+        "unigram_token_counts",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -29,6 +29,7 @@ from .extensions import (
     sketch,
     spectral,
     training,
+    unigram,
 )
 from .functions import text
 from .operators import asof, interval
@@ -150,6 +151,13 @@ _register(
         "corpus_checksum_by_source": audit.corpus_checksum_by_source,  # audit row
     },
     audit.ORACLE_SQL,
+)
+_register(
+    {
+        "unigram_vocab": unigram.unigram_vocab,  # rows-only (iterative EM)
+        "unigram_token_counts": unigram.unigram_token_counts,  # rows-only (applied)
+    },
+    {},
 )
 _register(
     {
