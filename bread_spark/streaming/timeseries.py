@@ -49,7 +49,15 @@ def cusum_stream_against_base(
 
     def fold(key, pdfs, state):
         etype = key[0]
-        mu, k, h = base.get(etype, (0, 0, 0))
+        if etype not in base:
+            # an unscoreable type: a zero baseline would turn every
+            # value into a huge "deviation" and alarm-storm — drain
+            # the batch, keep no state, emit nothing (gate unseen
+            # types upstream or retrain the baseline to admit them)
+            for _ in pdfs:
+                pass
+            return
+        mu, k, h = base[etype]
         s_pos, s_neg = (
             (state.get[0], state.get[1]) if state.exists else (0, 0)
         )

@@ -97,3 +97,30 @@ def test_stream_cusum_agrees_with_batch(spark, tmp_path):
     a_alarms = {i for i, (_, _, al) in got.items() if al == 1 and i < 1000}
     assert a_alarms and min(a_alarms) >= 40
     assert not any(al for i, (_, _, al) in got.items() if i >= 1000)
+
+
+def test_stream_cusum_ignores_unseen_types(spark, tmp_path):
+    """A type absent from the frozen baseline must emit NOTHING — a
+    zero baseline would turn every value into a huge deviation and
+    alarm-storm. Scored types in the same batch are unaffected."""
+    from bread_spark.extensions.timeseries import cusum_baseline
+    from bread_spark.streaming.timeseries import cusum_stream_against_base
+
+    m = datetime.timedelta(minutes=1)
+    base_df = spark.createDataFrame(
+        [(i, BASE + i * m, "a", 100.0) for i in range(20)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    baseline = cusum_baseline(base_df).localCheckpoint()
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    _write(
+        src, "b1.json",
+        [(1, BASE, "a", 100.0), (2, BASE + m, "ghost", 9999.0),
+         (3, BASE + 2 * m, "a", 101.0)],
+    )
+    _run(spark, src, ckpt, sink, lambda s: cusum_stream_against_base(s, baseline))
+    rows = spark.read.parquet(sink).collect()
+    assert {r["event_type"] for r in rows} == {"a"}
+    assert {r["event_id"] for r in rows} == {1, 3}
