@@ -701,3 +701,24 @@ def test_covariance_partials_ride_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_psi_and_checksum_plan_shapes(spark, sf_dir):
+    """value_psi_by_type: one full-data pass (map-side bucket expr +
+    keyed count with partials), reference-day flags and totals joined
+    back as broadcasts, no sort-merge join. corpus_checksum_by_source:
+    a single rollup aggregate with map-side partials and no join at
+    all."""
+    from bread_spark.extensions.audit import corpus_checksum_by_source
+    from bread_spark.extensions.timeseries import value_psi_by_type
+
+    p = physical_plan(value_psi_by_type(spark, sf_dir))
+    assert "partial_sum" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p2 = physical_plan(corpus_checksum_by_source(spark, sf_dir))
+    assert "partial_" in p2
+    assert "Join" not in p2
+    assert "Expand" in p2  # the ROLLUP grouping-sets operator
