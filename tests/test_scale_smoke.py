@@ -779,3 +779,87 @@ def test_authority_rank_invariant_on_disjoint_replica_graphs(spark):
     assert len(big) == 6 * REPS
     for r in big:
         assert r["rank_micro"] == small[r["doc_id"] % 1_000_000]
+
+
+def test_cusum_alarms_invariant_under_event_replication(spark, big_events):
+    """Replicating every event REPS× within the same days multiplies
+    every daily sum by exactly REPS; the derived stats scale by REPS up
+    to floor-division residue (mu = (R·Σx) div n differs from R·(Σx
+    div n) by at most R−1 — floors do not commute with scaling), so
+    the statistics are pinned within the accumulated residue bound and
+    the ALARM verdicts — whose h margin dwarfs that residue — must be
+    identical."""
+    from bread_spark.extensions.timeseries import _daily_micro, cusum_df
+
+    small = {
+        (r["event_type"], r["day"]): (r["x"], r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_df(
+            _daily_micro(load_table(spark, SF_DIR, "events"))
+        ).collect()
+    }
+    # big_events replicates users/ids but keeps ts and type — same days
+    big = {
+        (r["event_type"], r["day"]): (r["x"], r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_df(_daily_micro(big_events)).collect()
+    }
+    assert set(big) == set(small)
+    slack = 4 * REPS * 31  # per-day floor residue x days, generous
+    for key, (x, sp, sn, al) in small.items():
+        bx, bsp, bsn, bal = big[key]
+        assert bx == x * REPS  # daily sums scale exactly
+        assert abs(bsp - sp * REPS) <= slack
+        assert abs(bsn - sn * REPS) <= slack
+        assert bal == al
+
+
+def test_transition_probs_invariant_under_user_replication(spark, big_events):
+    """Disjoint-user replication multiplies every transition count by
+    exactly REPS while the integer probabilities stay bit-identical:
+    (R·n·1e6) div (R·tot) = (n·1e6) div tot — the R cancels in the
+    exact rational before the floor."""
+    from bread_spark.extensions import paths as P
+
+    ev = load_table(spark, SF_DIR, "events")
+    small = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_micro"])
+        for r in _matrix(spark, P, ev).collect()
+    }
+    big = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob_micro"])
+        for r in _matrix(spark, P, big_events).collect()
+    }
+    assert set(big) == set(small)
+    for key, (n, p) in small.items():
+        assert big[key] == (n * REPS, p)
+
+
+def _matrix(spark, P, ev):
+    t = P.transitions_df(ev)
+    totals = t.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return t.join(F.broadcast(totals), "from_type").select(
+        "from_type", "to_type", "n",
+        F.expr(f"(n * {P.PROB_SCALE}) div tot").alias("prob_micro"),
+    )
+
+
+def test_covariance_scales_exactly_quadratically(spark):
+    """Replicating every vector REPS×: n and the linear sums scale by
+    R, so cov_num = n·sxy − sx·sy scales by exactly R² — an integer
+    identity, pinned bit-for-bit."""
+    from bread_spark.extensions.spectral import covariance_sums_df
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+    )
+    small = {
+        (r["i"], r["j"]): (r["n"], r["sxy"], r["cov_num"])
+        for r in covariance_sums_df(emb).collect()
+    }
+    for r in covariance_sums_df(big).collect():
+        n, sxy, cov = small[(r["i"], r["j"])]
+        assert r["n"] == n * REPS
+        assert r["sxy"] == sxy * REPS
+        assert r["cov_num"] == cov * REPS * REPS
