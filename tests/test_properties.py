@@ -425,3 +425,73 @@ def test_silhouette_bounds_and_self_consistency(spark, points):
             assert r["silhouette"] >= 0.0, r
         elif r["intra_dist"] > r["nearest_dist"]:
             assert r["silhouette"] <= 0.0, r
+
+
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    n_edits=st.integers(1, 10),
+)
+def test_fuzzy_finds_randomly_mutated_copy(spark, seed, n_edits):
+    """Property: for a random long string and a copy with n random
+    single-char substitutions (n <= 10), the blocked fuzzy pipeline
+    finds the pair and reports dist <= n (each substitution costs at
+    most one edit; fewer if two edits collide on one position)."""
+    import random
+
+    from bread_spark.extensions.fuzzy import fuzzy_pairs_df
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = ["".join(rng.choices(alpha, k=rng.randint(3, 8))) for _ in range(40)]
+    base = " ".join(words)
+    chars = list(base)
+    positions = rng.sample(
+        [i for i, c in enumerate(chars) if c != " "], n_edits
+    )
+    for p in positions:
+        chars[p] = rng.choice([c for c in alpha if c != chars[p]])
+    mutated = "".join(chars)
+    docs = spark.createDataFrame(
+        [(0, base), (1, mutated)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_pairs_df(docs).collect()
+    }
+    assert (0, 1) in got
+    assert 1 <= got[(0, 1)] <= n_edits
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    n_nodes=st.integers(2, 12),
+)
+def test_authority_rank_matches_reference_on_random_graphs(spark, seed, n_nodes):
+    """Property: on arbitrary random weighted DAG-ish edge sets, the
+    distributed integer PageRank equals the plain-Python recurrence
+    bit for bit — every floor-division leak included."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.graph import authority_rank_df
+    from tests.test_graph import _reference_rank
+
+    rng = random.Random(seed)
+    edges = []
+    for s in range(n_nodes):
+        for d in range(n_nodes):
+            if s != d and rng.random() < 0.3:
+                edges.append((s, d, rng.randint(1, 9)))
+    nodes = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+    if edges:
+        edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long, w long")
+    got = {
+        r["doc_id"]: r["rank_micro"]
+        for r in authority_rank_df(nodes, edf).collect()
+    }
+    assert got == _reference_rank(n_nodes, edges)
