@@ -155,3 +155,91 @@ def hll_windowed_register_stream(
             "max_rho",
         )
     )
+
+
+def fd_sketch_stream(
+    emb_stream: DataFrame, ell: int | None = None
+) -> DataFrame:
+    """Running per-source Frequent-Directions sketch over a
+    (source, embedding) vector stream — the MATRIX member of the
+    streaming sketch monitors (CMS/HLL/HDR/KMV twins above): keeps a
+    live low-rank summary of each source's Gram matrix while the crawl
+    runs, so covariance/subspace drift is answerable without storing
+    vectors.
+
+    Custom-stateful form (`applyInPandasWithState` keyed by source):
+    the state IS the sketch — the flattened ell x d row matrix,
+    STRICTLY bounded at ell*d doubles per source regardless of stream
+    length. Each micro-batch stacks its vectors under the carried
+    rows and re-shrinks (the same `shrink` step the batch partials
+    use), which is exactly FD's merge operator — so the state after
+    any prefix is a VALID sketch of that prefix with the
+    ||A^T A - B^T B||_2 <= ||A||_F^2 / ell guarantee. Row VALUES are
+    arrival-order-dependent (SVD floats) — the twin contract here is
+    the BOUND, pinned in tests incl. a checkpoint restart, not row
+    equality (same posture as `merge_mg_summaries`).
+
+    Output per updated source: the full current sketch (source, ver,
+    row_idx, vector), `ver` a per-source monotone update counter so a
+    consumer keeps MAX(ver). Append mode (each versioned row emits
+    once)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..extensions.spectral import FD_ELL
+
+    L = FD_ELL if ell is None else ell
+
+    def shrink(mat, ell_):
+        u, s, vt = np.linalg.svd(mat, full_matrices=False)
+        if len(s) < ell_:
+            return mat
+        delta = s[ell_ - 1] ** 2
+        s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
+        return (s2[:, None] * vt)[:ell_]
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            flat, d, ver = state.get
+            buf = (
+                np.array(flat, dtype=np.float64).reshape(-1, d)
+                if d > 0
+                else None
+            )
+        else:
+            buf, d, ver = None, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d = a.shape[1]
+            buf = a if buf is None else np.vstack([buf, a])
+            while len(buf) >= 2 * L:
+                buf = shrink(buf, L)
+        if buf is None:
+            state.update(([], 0, ver))
+            return
+        if len(buf) > L:
+            buf = shrink(buf, L)
+        ver += 1
+        state.update(([float(x) for x in buf.ravel()], int(d), ver))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(buf),
+                "ver": [ver] * len(buf),
+                "row_idx": list(range(len(buf))),
+                "vector": [list(map(float, r)) for r in buf],
+            }
+        )
+
+    return emb_stream.select("source", "embedding").groupBy("source").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "source string, ver long, row_idx int, vector array<double>"
+        ),
+        stateStructType="flat array<double>, d int, ver long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

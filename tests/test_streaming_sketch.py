@@ -297,3 +297,74 @@ def test_kmv_stream_matches_batch_and_folds_on_restart(spark, tmp_path):
     }
     assert got2 == want2
     assert any(k[0] == "s3" for k in got2)  # the new source surfaced
+
+
+def test_fd_sketch_stream_bound_holds_across_restart(spark, tmp_path):
+    """Streaming FD: after two micro-batches (checkpoint restart
+    between them), each source's MAX(ver) sketch satisfies the FD
+    guarantee ||A^T A - B^T B||_2 <= ||A||_F^2 / ell against that
+    source's FULL vector history — the state carried across the
+    restart is a valid sketch of everything seen (row values are
+    arrival-order-dependent; the BOUND is the contract, as with the
+    lossy MG merge)."""
+    import numpy as np
+
+    from bread_spark.extensions.spectral import FD_ELL
+    from bread_spark.streaming.sketch import fd_sketch_stream
+
+    rng = np.random.default_rng(3)
+    d = 16
+    vecs = {
+        "s1": rng.normal(0, 1.0, (120, d)) + rng.normal(0, 4.0, (120, 1)),
+        "s2": rng.normal(0, 2.0, (90, d)),
+    }
+    rows = [
+        (s, [float(x) for x in v])
+        for s, m in vecs.items()
+        for v in m
+    ]
+    src, ckpt, sink = (str(tmp_path / p) for p in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+
+    def write_batch(name, batch_rows):
+        with open(os.path.join(src, name), "w") as f:
+            for s, v in batch_rows:
+                f.write(json.dumps({"source": s, "embedding": v}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(
+            "source string, embedding array<double>"
+        ).json(src)
+        q = (
+            fd_sketch_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(rows) // 2
+    write_batch("b1.json", rows[:half])
+    run()
+    write_batch("b2.json", rows[half:])
+    run()
+
+    out = spark.read.parquet(sink).collect()
+    for s, a in vecs.items():
+        latest = max(r["ver"] for r in out if r["source"] == s)
+        b = np.array(
+            [
+                r["vector"]
+                for r in sorted(
+                    (r for r in out if r["source"] == s and r["ver"] == latest),
+                    key=lambda r: r["row_idx"],
+                )
+            ]
+        )
+        assert len(b) <= FD_ELL
+        err = np.linalg.norm(a.T @ a - b.T @ b, 2)
+        bound = (a**2).sum() / FD_ELL
+        assert err <= bound, (s, err, bound)
