@@ -70,6 +70,15 @@ _NORM_SQL = (
     r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
 )
 
+# Cross-engine scope note (review finding): DuckDB's levenshtein counts
+# BYTE edits while Spark's counts CHARACTER edits — they agree exactly
+# on ASCII text (the synthetic corpora, verified at three scales) and
+# diverge on multi-byte codepoints ('héllo' vs 'hello': Spark 1, DuckDB
+# 2). Same scope boundary the normalization rule already declares for
+# Unicode whitespace: ASCII corpora are in contract; a multilingual
+# corpus needs a byte-based Spark distance (or a char-based oracle)
+# before these oracles transfer.
+
 
 def _norm_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, s, len) — normalized text plus its length."""

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..plans.materialize import materialized_frame
 
 TOP_PATHS = 10
 PROB_SCALE = 1_000_000
@@ -74,6 +75,20 @@ def transitions_df(ev: DataFrame) -> DataFrame:
             F.col("event_type").alias("from_type"), "to_type"
         )
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def trigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once trigram aggregate — the user-keyed shuffle + window
+    pass over all events, shared by `event_path_trigrams` and
+    `top_paths_to_purchase` (review finding: each entry was repeating
+    it). Plan asserts target the unmaterialized `path_trigrams_df`
+    core per the seams convention."""
+    return materialized_frame(
+        spark,
+        "paths.trigrams",
+        sf_dir,
+        lambda: path_trigrams_df(load_table(spark, sf_dir, "events")),
     )
 
 
@@ -111,9 +126,9 @@ def path_trigrams_df(ev: DataFrame) -> DataFrame:
 
 def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every consecutive three-step user journey with its frequency:
-    (t1, t2, t3, n) — the n-gram trick on the event stream."""
-    ev = load_table(spark, sf_dir, "events")
-    return path_trigrams_df(ev)
+    (t1, t2, t3, n) — the n-gram trick on the event stream. Serves the
+    compute-once seam."""
+    return trigram_frame(spark, sf_dir)
 
 
 def top_paths_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,8 +136,7 @@ def top_paths_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase — (rank, t1, t2, n): what users did right before
     converting. Rank order (n DESC, t1, t2) is total, so the top-k cut
     is engine-deterministic."""
-    ev = load_table(spark, sf_dir, "events")
-    tri = path_trigrams_df(ev).filter(F.col("t3") == "purchase")
+    tri = trigram_frame(spark, sf_dir).filter(F.col("t3") == "purchase")
     w = Window.orderBy(F.desc("n"), F.asc("t1"), F.asc("t2"))
     return (
         tri.withColumn("rank", F.row_number().over(w))

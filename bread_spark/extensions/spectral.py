@@ -201,10 +201,15 @@ def fd_sketch_df(emb: DataFrame, ell: int = FD_ELL) -> DataFrame:
     import pandas as pd
 
     def shrink(mat, ell_):
-        # SVD -> soft-shrink by sigma_ell^2 -> keep ell-1 live rows
+        # SVD -> soft-shrink by sigma_ell^2 -> keep ell-1 live rows.
+        # Fewer singular values than ell (d < ell, or a thin buffer):
+        # rank <= len(s), so s*vt IS the matrix with ZERO Gram error in
+        # <= len(s) rows — returning `mat` unchanged here would leave
+        # the fold loop unable to ever reduce the buffer (infinite
+        # loop when d < FD_ELL; review finding, regression-tested)
         u, s, vt = np.linalg.svd(mat, full_matrices=False)
         if len(s) < ell_:
-            return mat
+            return s[:, None] * vt
         delta = s[ell_ - 1] ** 2
         s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
         return (s2[:, None] * vt)[:ell_]

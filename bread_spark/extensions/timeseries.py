@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..plans.materialize import materialized_frame
 
 CUSUM_K_DIV = 100  # allowance k = |mu| / 100 (1% of the baseline level)
 CUSUM_H_MAD = 5  # alarm when S exceeds 5 mean-absolute-deviations
@@ -86,6 +87,22 @@ def _daily_micro(ev: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "day")
         .agg(F.sum("v_u").alias("x"))
+    )
+
+
+def daily_micro_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once daily micro-sum table — the ONLY full-data pass of
+    the whole time-series family, shared by four catalog entries
+    (cusum x2, seasonal x2; review finding: each was re-scanning events
+    from scratch, and inside one cusum plan the unmaterialized `daily`
+    fed three subtrees). At 100 TB this is the staged daily-rollup
+    table every monitor reads. Plan asserts target the unmaterialized
+    `cusum_df(_daily_micro(...))` core per the seams convention."""
+    return materialized_frame(
+        spark,
+        "timeseries.daily_micro",
+        sf_dir,
+        lambda: _daily_micro(load_table(spark, sf_dir, "events")),
     )
 
 
@@ -150,8 +167,7 @@ def value_cusum_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM over daily per-type value totals (module
     docstring): (event_type, day, x, s_pos, s_neg, h, alarm) — x and
     both statistics in exact integer micro-units."""
-    ev = load_table(spark, sf_dir, "events")
-    return cusum_df(_daily_micro(ev))
+    return cusum_df(daily_micro_frame(spark, sf_dir))
 
 
 def cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,9 +201,6 @@ def seasonal_df(daily: DataFrame) -> DataFrame:
     same frame both engines), seasonal = per-(type, dow) mean of the
     detrended series, residual = x - trend - seasonal. dow follows
     DuckDB's convention (0 = Sunday)."""
-    wtrend = (
-        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-    )
     trend = F.expr(
         "sum(x) over (partition by event_type order by day "
         "rows between 3 preceding and 3 following) div "
@@ -224,8 +237,7 @@ def seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive trend + day-of-week + residual decomposition of daily
     per-type value totals, exact micro-integers throughout (module
     docstring): (event_type, day, dow, x, trend, seasonal, residual)."""
-    ev = load_table(spark, sf_dir, "events")
-    return seasonal_df(_daily_micro(ev))
+    return seasonal_df(daily_micro_frame(spark, sf_dir))
 
 
 def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,14 +542,10 @@ def value_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB mirror of _hdr_bucket_expr (the sketch family's proven form)
-_HDR_BUCKET_DUCK_TS = (
-    "list_transform([CAST(floor(value * 100 + 0.5) AS BIGINT)], iv -> "
-    "  list_transform([greatest(0, length(bin(iv)) - 1 - 4)], sh -> "
-    "    sh * 16 + (iv >> sh) "
-    "  )[1] "
-    ")[1]"
-)
+# The DuckDB bucket mirror is IMPORTED from the sketch family (review
+# finding: a hardcoded copy here would silently stay behind if
+# HDR_SCALE/HDR_SUB_BITS were ever tuned — one definition, two oracles)
+from .sketch import _HDR_BUCKET_DUCK as _HDR_BUCKET_DUCK_TS  # noqa: E402
 
 ORACLE_SQL["value_psi_by_type"] = f"""
     WITH ranked_days AS (

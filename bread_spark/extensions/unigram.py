@@ -138,12 +138,14 @@ def _viterbi(word: str, scores: dict[str, int]) -> list[str]:
     return out[::-1]
 
 
-def _em_counts(
-    words: DataFrame, scores: dict[str, int]
-) -> dict[str, int]:
-    """One E-step: Viterbi-segment every distinct word, fold piece
-    usages weighted by word count. Runs in mapInPandas with the
-    (bounded) score table captured in the closure."""
+def _segment_fold(scores: dict[str, int], out_col: str):
+    """THE segmentation fold (review finding: three near-copies of this
+    logic risked desynchronizing tie-break semantics) — a mapInPandas
+    function Viterbi-segmenting each distinct word and emitting one
+    (out_col, n) row per used piece, weighted by word count. Every
+    consumer (E-step counts, the applied tokenizer, the corpus-score
+    trace) goes through this one closure and therefore through the one
+    `_viterbi` implementation."""
     import pandas as pd
 
     def seg(it):
@@ -153,10 +155,18 @@ def _em_counts(
                 for p in _viterbi(w, scores):
                     pieces.append(p)
                     cnts.append(int(c))
-            yield pd.DataFrame({"piece": pieces, "n": cnts})
+            yield pd.DataFrame({out_col: pieces, "n": cnts})
 
+    return seg
+
+
+def _em_counts(
+    words: DataFrame, scores: dict[str, int]
+) -> dict[str, int]:
+    """One E-step: Viterbi-segment every distinct word, fold piece
+    usages weighted by word count."""
     rows = (
-        words.mapInPandas(seg, "piece string, n long")
+        words.mapInPandas(_segment_fold(scores, "piece"), "piece string, n long")
         .groupBy("piece")
         .agg(F.sum("n").alias("n"))
         .collect()
@@ -205,26 +215,20 @@ _TRAINED: dict = {}
 
 def _corpus_score(words: DataFrame, scores: dict[str, int]) -> int:
     """Total Viterbi corpus score (Σ word_cnt · best_score) — the
-    exact-integer likelihood surrogate the EM trace records."""
+    exact-integer likelihood surrogate the EM trace records. Scored
+    through the SAME `_viterbi` as segmentation (review finding: an
+    inline DP copy here omitted the tie-break and could silently score
+    under different semantics): the best score is by definition the
+    sum of the chosen pieces' scores."""
     import pandas as pd
 
     def sc(it):
         for pdf in it:
             tot = 0
             for w, c in zip(pdf["w"], pdf["cnt"]):
-                n = len(w)
-                NEG = -(1 << 60)
-                best = [NEG] * (n + 1)
-                best[0] = 0
-                for i in range(1, n + 1):
-                    for j in range(max(0, i - MAX_PIECE_LEN), i):
-                        if best[j] == NEG:
-                            continue
-                        s = scores.get(w[j:i])
-                        if s is not None and best[j] + s > best[i]:
-                            best[i] = best[j] + s
-                if best[n] > NEG:
-                    tot += int(c) * best[n]
+                pieces = _viterbi(w, scores)
+                if all(p in scores for p in pieces):
+                    tot += int(c) * sum(scores[p] for p in pieces)
             yield pd.DataFrame({"t": [tot]})
 
     rows = words.mapInPandas(sc, "t long").agg(F.sum("t")).collect()
@@ -254,19 +258,10 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     piece counts weighted by word frequency — (token, n)."""
     counts, scores, _ = _train(spark, sf_dir)
     words = _word_freq_frame(spark, sf_dir)
-    import pandas as pd
-
-    def seg(it):
-        for pdf in it:
-            pieces, cnts = [], []
-            for w, c in zip(pdf["w"], pdf["cnt"]):
-                for p in _viterbi(w, scores):
-                    pieces.append(p)
-                    cnts.append(int(c))
-            yield pd.DataFrame({"token": pieces, "n": cnts})
-
     return (
-        words.mapInPandas(seg, "token string, n long")
+        words.mapInPandas(
+            _segment_fold(scores, "token"), "token string, n long"
+        )
         .groupBy("token")
         .agg(F.sum("n").alias("n"))
     )

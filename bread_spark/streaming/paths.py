@@ -51,20 +51,31 @@ def transition_stream(
             .sort_values(["__ts", "__id"])
             .reset_index(drop=True)
         )
-        out = {"user_id": [], "from_type": [], "to_type": [],
-               "prev2_type": [], "event_id": []}
-        for _, row in batch.iterrows():
-            cur = row["__type"]
-            if last_type is not None:
-                out["user_id"].append(int(key[0]))
-                out["from_type"].append(last_type)
-                out["to_type"].append(cur)
-                out["prev2_type"].append(prev_type)
-                out["event_id"].append(int(row["__id"]))
-            prev_type, last_type = last_type, cur
+        # vectorized (review finding): from/prev2 are shift(1)/shift(2)
+        # seeded with the carried last two types
+        cur = batch["__type"]
+        frm = cur.shift(1)
+        prev2 = cur.shift(2)
+        frm.iloc[0:1] = last_type
+        if len(batch) >= 1:
+            prev2.iloc[0:1] = prev_type
+        if len(batch) >= 2:
+            prev2.iloc[1:2] = last_type
+        n = len(batch)
+        prev_type = cur.iloc[-2] if n >= 2 else last_type
+        last_type = cur.iloc[-1]
         state.update((last_type, prev_type))
-        if out["user_id"]:
-            yield pd.DataFrame(out)
+        mask = frm.notna()
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * int(mask.sum()),
+                    "from_type": frm[mask].tolist(),
+                    "to_type": cur[mask].tolist(),
+                    "prev2_type": prev2[mask].tolist(),
+                    "event_id": batch["__id"][mask].astype("int64").tolist(),
+                }
+            )
 
     prepped = stream.select(
         F.col(user_col).cast("long").alias("user_id"),

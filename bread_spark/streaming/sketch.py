@@ -193,9 +193,12 @@ def fd_sketch_stream(
     L = FD_ELL if ell is None else ell
 
     def shrink(mat, ell_):
+        # thin case (d < ell): s*vt is exact in <= len(s) rows — see
+        # the batch kernel's comment; returning mat unchanged would
+        # stall the stack-and-shrink fold
         u, s, vt = np.linalg.svd(mat, full_matrices=False)
         if len(s) < ell_:
-            return mat
+            return s[:, None] * vt
         delta = s[ell_ - 1] ** 2
         s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
         return (s2[:, None] * vt)[:ell_]

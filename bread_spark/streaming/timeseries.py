@@ -70,25 +70,28 @@ def cusum_stream_against_base(
             .sort_values(["__ts", "__id"])
             .reset_index(drop=True)
         )
-        out_id, out_v, out_sp, out_sn, out_al = [], [], [], [], []
-        for _, row in batch.iterrows():
-            v = int(row["__v"])
-            s_pos = max(0, s_pos + (v - mu - k))
-            s_neg = max(0, s_neg - (v - mu + k))
-            out_id.append(int(row["__id"]))
-            out_v.append(v)
-            out_sp.append(s_pos)
-            out_sn.append(s_neg)
-            out_al.append(1 if (s_pos > h or s_neg > h) else 0)
+        # vectorized clamped recurrence with carried state (review
+        # finding: iterrows was ~100x slower): seed the prefix sums
+        # with the carried S, then the same reflection identity the
+        # batch core uses — S_t = Q_t - min(0, running_min(Q)) where
+        # Q_t = S_carried + cumsum(d). Exact int64 throughout.
+        import numpy as np
+
+        v = batch["__v"].to_numpy(dtype=np.int64)
+        qp = s_pos + np.cumsum(v - mu - k)
+        qn = s_neg + np.cumsum(-(v - mu + k))
+        sp = qp - np.minimum(np.minimum.accumulate(qp), 0)
+        sn = qn - np.minimum(np.minimum.accumulate(qn), 0)
+        s_pos, s_neg = int(sp[-1]), int(sn[-1])
         state.update((s_pos, s_neg))
         yield pd.DataFrame(
             {
-                "event_type": [etype] * len(out_id),
-                "event_id": out_id,
-                "v_u": out_v,
-                "s_pos": out_sp,
-                "s_neg": out_sn,
-                "alarm": out_al,
+                "event_type": [etype] * len(v),
+                "event_id": batch["__id"].to_numpy(dtype=np.int64),
+                "v_u": v,
+                "s_pos": sp,
+                "s_neg": sn,
+                "alarm": ((sp > h) | (sn > h)).astype("int32"),
             }
         )
 

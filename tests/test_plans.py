@@ -665,10 +665,15 @@ def test_hard_negatives_plan_blocked_no_join(spark):
 def test_cusum_windows_over_aggregate_with_broadcast_stats(spark, sf_dir):
     """CUSUM: the only full-data pass is the map-side quantize + one
     keyed daily aggregate with partial sums; baseline stats join back
-    as broadcasts; no cartesian."""
-    from bread_spark.extensions.timeseries import value_cusum_by_type
+    as broadcasts; no cartesian. Targets the unmaterialized df core —
+    the catalog entry serves the compute-once daily seam (seams
+    convention)."""
+    from bread_spark.extensions.timeseries import _daily_micro, cusum_df
+    from bread_spark.io import load_table
 
-    p = physical_plan(value_cusum_by_type(spark, sf_dir))
+    p = physical_plan(
+        cusum_df(_daily_micro(load_table(spark, sf_dir, "events")))
+    )
     assert "partial_sum" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
@@ -680,9 +685,12 @@ def test_path_trigrams_single_user_exchange(spark, sf_dir):
     derivation must run over a SINGLE user-keyed exchange (one Window
     operator serves every offset), with map-side partial counts on the
     path aggregate."""
-    from bread_spark.extensions.paths import event_path_trigrams
+    from bread_spark.extensions.paths import path_trigrams_df
+    from bread_spark.io import load_table
 
-    p = physical_plan(event_path_trigrams(spark, sf_dir))
+    p = physical_plan(
+        path_trigrams_df(load_table(spark, sf_dir, "events"))
+    )
     assert p.count("Exchange hashpartitioning(user_id") == 1
     assert p.count("Window") == 1
     assert "partial_count" in p

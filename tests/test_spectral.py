@@ -131,3 +131,28 @@ def test_fd_sketch_captures_planted_low_rank(spark):
     # principal angles between sketch top-2 and planted basis
     s = np.linalg.svd(top2 @ basis.T)[1]
     assert s.min() > 0.99
+
+
+def test_fd_sketch_handles_low_dimension(spark):
+    """Regression (review finding): with d < FD_ELL the shrink step
+    used to return the buffer unchanged and the fold looped forever.
+    The thin case now reduces exactly (rank <= d, zero Gram error) and
+    must terminate with a valid, exact sketch."""
+    rng = np.random.default_rng(2)
+    d = 4  # < FD_ELL
+    data = rng.normal(0, 1.0, (200, d))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = fd_sketch_df(emb.select("embedding")).collect()
+    b = np.array(
+        [r["vector"] for r in sorted(rows, key=lambda r: r["row_idx"])]
+    )
+    a = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert len(b) <= FD_ELL
+    # rank <= d < ell: the sketch is EXACT, not just bounded
+    assert np.linalg.norm(a.T @ a - b.T @ b, 2) < 1e-6 * (a**2).sum()
