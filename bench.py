@@ -204,6 +204,7 @@ def main() -> None:
         "seasonal_decomposition",
         "seasonal_anomalies",
         "value_psi_by_type",
+        "events_monitoring_dashboard",
         "event_transition_matrix",
         "event_path_trigrams",
         "top_paths_to_purchase",
@@ -371,6 +372,7 @@ def main() -> None:
         "seasonal_decomposition",
         "seasonal_anomalies",
         "value_psi_by_type",
+        "events_monitoring_dashboard",
         "event_transition_matrix",
         "event_path_trigrams",
         "top_paths_to_purchase",

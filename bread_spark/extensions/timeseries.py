@@ -588,3 +588,87 @@ ORACLE_SQL["value_psi_by_type"] = f"""
     FROM cnt c JOIN tot t USING (event_type)
     GROUP BY 1
 """
+
+
+def events_monitoring_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE per-type monitoring rollup — the events-side twin of the
+    corpus `source_dashboard`: one row per event_type joining the
+    CUSUM changepoint report (first alarm day, alarm-day count), the
+    PSI distribution drift, the seasonal-anomaly tally (count + peak
+    severity), and the volume context (days observed, total value) —
+    the single page an on-call engineer reads before drilling into any
+    member entry.
+
+    Composition proof, not new math: every cell is the MEMBER
+    operator's own value (the oracle chains the members' SQL, so a
+    driver-green dashboard re-pins each member through the join), and
+    a frame-level member-equality test guards against silent drift if
+    a member later changes rounding or gains a seam (the VERDICT r7 #4
+    convention). All joins are LEFT from the complete type list so a
+    silent type shows null cells rather than disappearing (ADVICE r7
+    convention); join keys are O(types) rows — broadcast, no
+    data-volume shuffle added by the composition."""
+    daily = daily_micro_frame(spark, sf_dir)
+    types = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum("x") / 1_000_000.0, 4).alias("total_value"),
+    )
+    alarms = cusum_alarms(spark, sf_dir).select(
+        "event_type", "first_alarm_day", "n_alarm_days"
+    )
+    psi = value_psi_by_type(spark, sf_dir).select("event_type", "psi")
+    anom = (
+        seasonal_anomalies(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_seasonal_anomalies"),
+            F.max("severity_pct").alias("peak_severity_pct"),
+        )
+    )
+    return (
+        types.join(F.broadcast(alarms), "event_type", "left")
+        .join(F.broadcast(psi), "event_type", "left")
+        .join(F.broadcast(anom), "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "total_value",
+            "first_alarm_day",
+            "n_alarm_days",
+            "psi",
+            F.coalesce("n_seasonal_anomalies", F.lit(0)).alias(
+                "n_seasonal_anomalies"
+            ),
+            "peak_severity_pct",
+        )
+    )
+
+
+ORACLE_SQL["events_monitoring_dashboard"] = f"""
+    WITH alarms AS ({ORACLE_SQL["cusum_alarms"]}),
+    psi AS ({ORACLE_SQL["value_psi_by_type"]}),
+    anom AS ({ORACLE_SQL["seasonal_anomalies"]}),
+    types AS (
+        SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n_days,
+               ROUND(SUM(x) / 1000000.0, 4) AS total_value
+        FROM (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS x
+            FROM events GROUP BY 1, 2
+        ) GROUP BY 1
+    ),
+    anom_agg AS (
+        SELECT event_type, CAST(COUNT(1) AS BIGINT) AS n_seasonal_anomalies,
+               CAST(MAX(severity_pct) AS BIGINT) AS peak_severity_pct
+        FROM anom GROUP BY 1
+    )
+    SELECT t.event_type, t.n_days, t.total_value,
+           a.first_alarm_day, a.n_alarm_days,
+           p.psi,
+           COALESCE(g.n_seasonal_anomalies, 0) AS n_seasonal_anomalies,
+           g.peak_severity_pct
+    FROM types t
+    LEFT JOIN alarms a USING (event_type)
+    LEFT JOIN psi p USING (event_type)
+    LEFT JOIN anom_agg g USING (event_type)
+"""

@@ -182,6 +182,7 @@ _register(
         "seasonal_decomposition": timeseries.seasonal_decomposition,  # trend+dow+resid
         "seasonal_anomalies": timeseries.seasonal_anomalies,  # seasonality-aware outliers
         "value_psi_by_type": timeseries.value_psi_by_type,  # distribution drift (PSI)
+        "events_monitoring_dashboard": timeseries.events_monitoring_dashboard,  # rollup
     },
     timeseries.ORACLE_SQL,
 )
@@ -333,12 +334,12 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk —
-# PLUS the 13 r8-registered oracle-backed entries that missed this
+# PLUS the 14 r8-registered oracle-backed entries that missed this
 # window entirely and have NO driver row yet: doc_provenance_edges,
 # doc_authority_rank, hard_negatives, value_cusum_by_type,
 # cusum_alarms, seasonal_decomposition, seasonal_anomalies,
-# value_psi_by_type, event_transition_matrix, event_path_trigrams,
-# top_paths_to_purchase,
+# value_psi_by_type, events_monitoring_dashboard,
+# event_transition_matrix, event_path_trigrams, top_paths_to_purchase,
 # corpus_checksum_by_source, embedding_covariance (pca_components and
 # fd_sketch are rows-only — keep them OUT of the window per the r6
 # no-oracle rule), then any new r9 entries, then re-warm the oldest of

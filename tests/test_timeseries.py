@@ -168,3 +168,40 @@ def test_psi_flags_planted_distribution_shift(spark, monkeypatch):
     assert got["a"]["psi"] > 0.25
     assert got["b"]["psi"] < 0.1
     assert got["a"]["n_ref"] == T.PSI_REF_DAYS * 40
+
+
+def test_monitoring_dashboard_cells_equal_members(spark):
+    """VERDICT r7 #4 convention: the dashboard's cells must EQUAL the
+    member operators' outputs joined on event_type — frame-level
+    equality, not just both passing their own oracles — so a member
+    changing rounding or gaining a seam can never drift silently."""
+    from bread_spark.extensions.timeseries import (
+        cusum_alarms,
+        events_monitoring_dashboard,
+        seasonal_anomalies,
+        value_psi_by_type,
+    )
+
+    dash = {
+        r["event_type"]: r
+        for r in events_monitoring_dashboard(spark, SF_DIR).collect()
+    }
+    alarms = {
+        r["event_type"]: r for r in cusum_alarms(spark, SF_DIR).collect()
+    }
+    psi = {
+        r["event_type"]: r for r in value_psi_by_type(spark, SF_DIR).collect()
+    }
+    anom: dict = {}
+    for r in seasonal_anomalies(spark, SF_DIR).collect():
+        a = anom.setdefault(r["event_type"], {"n": 0, "peak": 0})
+        a["n"] += 1
+        a["peak"] = max(a["peak"], r["severity_pct"])
+    assert set(dash) == set(alarms) == set(psi)
+    for t, row in dash.items():
+        assert row["first_alarm_day"] == alarms[t]["first_alarm_day"]
+        assert row["n_alarm_days"] == alarms[t]["n_alarm_days"]
+        assert row["psi"] == psi[t]["psi"]
+        got_anom = anom.get(t, {"n": 0, "peak": None})
+        assert row["n_seasonal_anomalies"] == got_anom["n"]
+        assert row["peak_severity_pct"] == got_anom["peak"]
