@@ -111,3 +111,144 @@ def cusum_stream_against_base(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_reference(ev: DataFrame) -> DataFrame:
+    """Frozen reference bucket distribution from a reference window:
+    (event_type, bucket, n_ref_b) over the HDR lattice — the static
+    side the streaming drift monitor compares each window against."""
+    from ..extensions.sketch import _hdr_bucket_expr
+
+    return (
+        ev.select(
+            "event_type",
+            F.expr(_hdr_bucket_expr("value")).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_ref_b"))
+    )
+
+
+def psi_stream_against_base(
+    stream: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """The streaming twin of `value_psi_by_type`: per (event-time
+    window, type), the PSI of that window's value distribution against
+    the FROZEN reference (`psi_reference` over the training period) —
+    the online distribution-drift alarm next to the online CUSUM
+    (which watches the level).
+
+    Shape: two chained stateful stages — a windowed (window, type,
+    bucket) count (state: one long per occupied lattice bucket, and
+    the HDR lattice bounds occupied buckets at O(log(max)·16) per type
+    regardless of volume), then a windowed collect of the ≤O(log·16)
+    bucket structs per (window, type). The PSI itself is ONE in-array
+    expression over the collected list: the reference counts ride as a
+    compile-time map LITERAL (bounded by construction — types×buckets
+    rows), the bucket union is array_union(window buckets, reference
+    buckets), and add-1 smoothing over that union matches the batch
+    operator's rule exactly. Emits (window, event_type, psi, n_buckets,
+    n_cur) in append mode once the watermark passes.
+
+    Same smoothing, same lattice, same union rule as the batch PSI —
+    agreement with a from-first-principles batch computation over each
+    window's events is pinned in tests/test_streaming_timeseries.py."""
+    from ..extensions.sketch import _hdr_bucket_expr
+
+    ref_rows = reference.collect()
+    ref_counts: dict[str, dict[int, int]] = {}
+    for r in ref_rows:
+        ref_counts.setdefault(r["event_type"], {})[r["bucket"]] = r["n_ref_b"]
+
+    # compile the frozen reference into literal expressions
+    type_entries = []
+    for t, buckets in sorted(ref_counts.items()):
+        n_ref = sum(buckets.values())
+        pairs = ", ".join(
+            f"struct({b}L as b, {n}L as n)"
+            for b, n in sorted(buckets.items())
+        )
+        type_entries.append((t, n_ref, f"array({pairs})"))
+    ref_arr_expr = (
+        "CASE "
+        + " ".join(
+            f"WHEN event_type = '{t}' THEN {arr}"
+            for t, _, arr in type_entries
+        )
+        + " ELSE array() END"
+    )
+    ref_tot_expr = (
+        "CASE "
+        + " ".join(
+            f"WHEN event_type = '{t}' THEN {n}L"
+            for t, n, _ in type_entries
+        )
+        + " ELSE 0L END"
+    )
+
+    wm = stream.withWatermark(ts_col, lateness)
+    binned = wm.select(
+        ts_col,
+        F.col(type_col).alias("event_type"),
+        F.expr(_hdr_bucket_expr(value_col)).alias("bucket"),
+    )
+    counts = binned.groupBy(
+        F.window(ts_col, window).alias("window"),
+        "event_type",
+        "bucket",
+    ).agg(F.count(F.lit(1)).alias("n_cur_b"))
+    collected = counts.groupBy(
+        F.window(F.window_time("window"), window).alias("window"),
+        "event_type",
+    ).agg(
+        F.collect_list(F.struct("bucket", "n_cur_b")).alias("cur"),
+    )
+    # the PSI fold: union of window + reference buckets, add-1 smoothing
+    psi_expr = f"""
+        transform(array(struct(
+            map_from_entries(transform(cur, c -> struct(c.bucket, c.n_cur_b))) as cm,
+            {ref_arr_expr} as ra,
+            {ref_tot_expr} as nref,
+            aggregate(cur, 0L, (a, c) -> a + c.n_cur_b) as ncur
+        )), s -> struct(
+            array_union(
+                transform(s.ra, r -> r.b),
+                transform(cur, c -> c.bucket)
+            ) as keys, s.cm as cm,
+            map_from_entries(transform(s.ra, r -> struct(r.b, r.n))) as rm,
+            s.nref as nref, s.ncur as ncur
+        ))[0]
+    """
+    staged = collected.withColumn("st", F.expr(psi_expr))
+    psi = F.expr(
+        """
+        round(aggregate(st.keys, cast(0.0 as double), (acc, b) ->
+            acc + (
+                ((coalesce(element_at(st.rm, b), 0L) + 1) /
+                 cast(st.nref + size(st.keys) as double))
+                -
+                ((coalesce(element_at(st.cm, b), 0L) + 1) /
+                 cast(st.ncur + size(st.keys) as double))
+            ) * ln(
+                ((coalesce(element_at(st.rm, b), 0L) + 1) /
+                 cast(st.nref + size(st.keys) as double))
+                /
+                ((coalesce(element_at(st.cm, b), 0L) + 1) /
+                 cast(st.ncur + size(st.keys) as double))
+            )
+        ), 6)
+        """
+    )
+    return staged.select(
+        "window",
+        "event_type",
+        psi.alias("psi"),
+        F.size("st.keys").alias("n_buckets"),
+        F.col("st.ncur").alias("n_cur"),
+    )

@@ -124,3 +124,71 @@ def test_stream_cusum_ignores_unseen_types(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert {r["event_type"] for r in rows} == {"a"}
     assert {r["event_id"] for r in rows} == {1, 3}
+
+
+def test_stream_psi_agrees_with_first_principles(spark, tmp_path):
+    """Streaming PSI per window vs the frozen reference must equal a
+    plain-Python computation with the same lattice, union and add-1
+    smoothing — for a window whose distribution matches the reference
+    (psi ~ 0) and one whose mass shifted (psi large)."""
+    import math
+
+    from bread_spark.streaming.timeseries import (
+        psi_reference,
+        psi_stream_against_base,
+    )
+
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+    ref_df = spark.createDataFrame(
+        [(i, BASE, "a", 100.0) for i in range(30)]
+        + [(100 + i, BASE, "a", 200.0) for i in range(10)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    reference = psi_reference(ref_df).localCheckpoint()
+
+    # window 1: same shape as reference; window 2: mass moved to 400
+    w1 = [(1000 + i, BASE, "a", 100.0) for i in range(15)] + [
+        (1100 + i, BASE, "a", 200.0) for i in range(5)
+    ]
+    w2 = [(2000 + i, BASE + 20 * m, "a", 400.0) for i in range(20)]
+    closer = [(9999, BASE + 5 * h, "a", 100.0)]
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    _write(src, "b1.json", w1 + w2)
+    fn = lambda s: psi_stream_against_base(s, reference)
+    _run(spark, src, ckpt, sink, fn)
+    _write(src, "b2.json", closer)
+    _run(spark, src, ckpt, sink, fn)
+
+    rows = {
+        r["window"]["start"].minute: r
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert 0 in rows and 20 in rows
+
+    def bucket(v):
+        iv = int(math.floor(v * 100 + 0.5))
+        sh = max(0, iv.bit_length() - 1 - 4)
+        return sh * 16 + (iv >> sh)
+
+    def psi_py(ref_vals, cur_vals):
+        rm, cm = {}, {}
+        for v in ref_vals:
+            rm[bucket(v)] = rm.get(bucket(v), 0) + 1
+        for v in cur_vals:
+            cm[bucket(v)] = cm.get(bucket(v), 0) + 1
+        keys = set(rm) | set(cm)
+        nb, nr, nc = len(keys), sum(rm.values()), sum(cm.values())
+        tot = 0.0
+        for b in keys:
+            p = (rm.get(b, 0) + 1) / (nr + nb)
+            q = (cm.get(b, 0) + 1) / (nc + nb)
+            tot += (p - q) * math.log(p / q)
+        return round(tot, 6)
+
+    ref_vals = [100.0] * 30 + [200.0] * 10
+    assert rows[0]["psi"] == psi_py(ref_vals, [100.0] * 15 + [200.0] * 5)
+    assert rows[20]["psi"] == psi_py(ref_vals, [400.0] * 20)
+    assert rows[0]["psi"] < 0.05 < rows[20]["psi"]
