@@ -25,6 +25,40 @@ PARSE_N_BLOCKS = int(os.environ.get("SPARK_GRAFT_PARSE_BLOCKS", "30000"))
 WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
 
 
+def _md5_loop(n: int) -> float:
+    """Chained-md5 CPU loop — the DECISIONS.md #13 raw-CPU probe unit."""
+    import hashlib
+
+    h = b"x" * 64
+    t0 = time.perf_counter()
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return time.perf_counter() - t0
+
+
+def _host_probes() -> tuple[float, float]:
+    """Host-noise self-adjudication (DECISIONS.md #13), measured
+    immediately before the timed warm passes and emitted INTO the
+    summary so a judge can read noise without re-running:
+
+    - ``probe_1c``: one thread chaining 2M md5 digests. Clean-host
+      reference ~1.0-1.2 s; single-core throttling reads high here.
+    - ``probe_mc``: the same work split across SPARK_GRAFT_CPUS forked
+      processes (1M digests each), wall seconds. Clean-host reference
+      ~1.0-1.1 s on this 32-thread box; multi-core contention (the r8
+      noise mode — all bench subtotals move in lockstep while probe_1c
+      stays clean) reads high here ONLY.
+    """
+    import concurrent.futures as cf
+
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    one = _md5_loop(2_000_000)
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(ncpu) as ex:
+        list(ex.map(_md5_loop, [1_000_000] * ncpu))
+    return round(one, 3), round(time.perf_counter() - t0, 3)
+
+
 def _ensure_parse_fixture(n_blocks: int) -> str:
     """Raw blockchain JSON at bench scale (cached in /tmp, built once,
     OUTSIDE the timed region): ~n_blocks blocks + ~n_blocks txs written as
@@ -214,6 +248,12 @@ def main() -> None:
         "fd_sketch",
         "unigram_vocab",
         "unigram_token_counts",
+        # round-9 additions: exact-integer ranking/calibration metrics
+        # for the learned gates (Mann-Whitney ROC-AUC over NB margins,
+        # precision/recall at fixed gates, margin-decile calibration)
+        "nb_margin_auc",
+        "nb_pr_curve",
+        "nb_calibration_bins",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -384,6 +424,13 @@ def main() -> None:
         "unigram_token_counts",
     }
 
+    # Queries first benched in round 9 — same exclusion rules.
+    R9_ADDITIONS = {
+        "nb_margin_auc",
+        "nb_pr_curve",
+        "nb_calibration_bins",
+    }
+
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
     # of r5 + parse_events_wide) are the official perf denominator from
@@ -447,6 +494,9 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    # host-noise probes, UNTIMED, immediately before the warm passes
+    probe_1c, probe_mc = _host_probes()
+
     samples: dict[str, list[float]] = {}
     parse_rows = 0
     for name in bench_queries:
@@ -477,6 +527,7 @@ def main() -> None:
                 and k not in R6_ADDITIONS
                 and k not in R7_ADDITIONS
                 and k not in R8_ADDITIONS
+                and k not in R9_ADDITIONS
             ),
             3,
         ),
@@ -491,6 +542,9 @@ def main() -> None:
         ),
         "r8_additions": round(
             sum(v for k, v in timings.items() if k in R8_ADDITIONS), 3
+        ),
+        "r9_additions": round(
+            sum(v for k, v in timings.items() if k in R9_ADDITIONS), 3
         ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3
@@ -524,6 +578,8 @@ def main() -> None:
                 "unit": "sec",
                 "cold_total": cold_total,
                 "warm_passes": WARM_PASSES,
+                "probe_1c": probe_1c,
+                "probe_mc": probe_mc,
                 "n_queries": len(timings),
                 "subtotals": subtotals,
                 "queries": dict(ranked[:n_slowest]),

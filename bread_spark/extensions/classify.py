@@ -301,6 +301,250 @@ def nb_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ranking / calibration metrics over the classifier margins (r9) — the
+# threshold-choosing toolkit for every learned gate: a production
+# pipeline keeps docs whose margin clears a cut, and these three entries
+# are how that cut is chosen (CCNet picks 0.5 on the fastText score;
+# RefinedWeb/FineWeb sweep quality-classifier thresholds the same way).
+#
+# All three are EXACT-INTEGER rank statistics: the margin is already an
+# integer micro-log (score_u - s2_u) rounded to 6 decimals for display,
+# so ``round(margin * 1e6)`` recovers the original bigint exactly
+# (|margin_u| < 2^52, double round-trip lossless) and every rank,
+# threshold comparison, and tie is engine-stable by construction — no
+# float ever enters a comparison (DECISIONS.md #12).
+#
+# Batch-only family: these are corpus-level OFFLINE evaluation over the
+# frozen held-out split (the population is the whole eval set by
+# definition); online scoring is covered by the NB streaming twins in
+# streaming/classify.py, and a windowed "AUC so far" would measure a
+# different (window-local) population, not this statistic.
+# ---------------------------------------------------------------------------
+
+AUC_STRIPE = 1_000_000  # cum-window coarse stripe: 1.0 log10 unit of margin
+# fixed margin gates a production filter would sweep (log10 units, with
+# the exact micro-integer each compiles to — one constant, both engines)
+PR_THRESHOLDS = (
+    (0.0, 0),
+    (0.5, 500_000),
+    (1.0, 1_000_000),
+    (1.5, 1_500_000),
+    (2.0, 2_000_000),
+    (2.5, 2_500_000),
+    (3.0, 3_000_000),
+    (4.0, 4_000_000),
+)
+CAL_BINS = 10  # margin deciles
+
+
+def _margin_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_correct, margin_u) off the materialized scores seam —
+    margin_u is the exact integer micro-log margin (recovery round-trip
+    documented above). Rows with a null margin (impossible with ≥2
+    trained classes, guarded anyway) are excluded on both engines."""
+    scores = nb_lang_scores(spark, sf_dir)
+    return scores.filter(F.col("margin").isNotNull()).select(
+        "doc_id", "is_correct", _micro(F.col("margin")).alias("margin_u")
+    )
+
+
+def _margin_cum_df(rows: DataFrame) -> DataFrame:
+    """Per-distinct-margin counts with EXCLUSIVE cumulative counts below:
+    (margin_u, n_m, pos_m, neg_m, n_below, neg_below).
+
+    Scale shape: one (margin_u)-keyed aggregate, then the cumulative is
+    split two-level so no single-reducer window ever sees O(n) rows —
+    within-stripe windows partition by ``margin_u div AUC_STRIPE``
+    (≤ AUC_STRIPE distinct margins per stripe by construction) and the
+    cross-stripe offsets come from a window over the stripe TOTALS,
+    whose row count is bounded by the margin range in log10 units
+    (physically ≤ max-doc-token-count × the largest likelihood gap —
+    corpus-size-independent), then join back broadcast."""
+    per = (
+        rows.groupBy("margin_u")
+        .agg(
+            F.count(F.lit(1)).alias("n_m"),
+            F.sum("is_correct").alias("pos_m"),
+        )
+        .withColumn("neg_m", F.col("n_m") - F.col("pos_m"))
+        .withColumn("stripe", F.expr(f"margin_u div {AUC_STRIPE}"))
+    )
+    stripes = per.groupBy("stripe").agg(
+        F.sum("n_m").alias("sn"), F.sum("neg_m").alias("sneg")
+    )
+    w_s = Window.orderBy("stripe").rowsBetween(Window.unboundedPreceding, -1)
+    stripe_off = stripes.select(
+        "stripe",
+        F.coalesce(F.sum("sn").over(w_s), F.lit(0)).alias("n_off"),
+        F.coalesce(F.sum("sneg").over(w_s), F.lit(0)).alias("neg_off"),
+    )
+    w_f = (
+        Window.partitionBy("stripe")
+        .orderBy("margin_u")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per.withColumns(
+            {
+                "n_in": F.coalesce(F.sum("n_m").over(w_f), F.lit(0)),
+                "neg_in": F.coalesce(F.sum("neg_m").over(w_f), F.lit(0)),
+            }
+        )
+        .join(F.broadcast(stripe_off), "stripe")
+        .select(
+            "margin_u",
+            "n_m",
+            "pos_m",
+            "neg_m",
+            (F.col("n_off") + F.col("n_in")).alias("n_below"),
+            (F.col("neg_off") + F.col("neg_in")).alias("neg_below"),
+        )
+    )
+
+
+def nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the margin as a correct-vs-incorrect discriminator —
+    the Mann-Whitney U statistic, computed as pair counts from the
+    margin-grouped cumulative frame (`_margin_cum_df`), never from
+    O(n²) pairs or a global per-row sort: concordant = Σ pos_m ·
+    neg_below, tied = Σ pos_m · neg_m, and the midrank tie convention
+    gives AUC = (2·concordant + tied) / (2·n_pos·n_neg) — a ratio of
+    exact integers, rounded to 6 for display on both engines.
+
+    One row: (n_pos, n_neg, n_concordant, n_tied, auc). A degenerate
+    eval set (all correct or all incorrect) yields a null auc instead
+    of an ANSI divide-by-zero."""
+    return margin_auc_df(_margin_rows(spark, sf_dir))
+
+
+def margin_auc_df(rows: DataFrame) -> DataFrame:
+    """`nb_margin_auc` core over any (doc_id, is_correct, margin_u)
+    frame — tests drive it with constructed separations and ties."""
+    cum = _margin_cum_df(rows)
+    agg = cum.agg(
+        F.sum("pos_m").alias("n_pos"),
+        F.sum("neg_m").alias("n_neg"),
+        F.sum(F.col("pos_m") * F.col("neg_below")).alias("n_concordant"),
+        F.sum(F.col("pos_m") * F.col("neg_m")).alias("n_tied"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_concordant",
+        "n_tied",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (2 * F.col("n_concordant") + F.col("n_tied"))
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the margin gate at the fixed PR_THRESHOLDS:
+    keeping docs with margin ≥ t, precision = correctly-classified share
+    of the kept set, recall = kept share of all correctly-classified
+    docs. One conditional aggregate over the margin rows (8 filtered
+    sums, all map-side partials) unpivoted with ``stack`` — no join, no
+    window, one shuffle to a single combiner row.
+
+    (threshold, n_kept, n_correct_kept, precision, recall) per gate;
+    empty-kept gates surface with n_kept = 0 and a null precision."""
+    return pr_curve_df(_margin_rows(spark, sf_dir))
+
+
+def pr_curve_df(rows: DataFrame) -> DataFrame:
+    """`nb_pr_curve` core over any (doc_id, is_correct, margin_u) frame."""
+    aggs = [F.sum("is_correct").alias("nc_total")]
+    for i, (_, t_u) in enumerate(PR_THRESHOLDS):
+        kept = F.when(F.col("margin_u") >= t_u, 1).otherwise(0)
+        aggs.append(F.sum(kept).alias(f"k{i}"))
+        aggs.append(F.sum(kept * F.col("is_correct")).alias(f"c{i}"))
+    one = rows.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), k{i}, c{i}"
+        for i, (t, _) in enumerate(PR_THRESHOLDS)
+    )
+    unpivoted = one.select(
+        "nc_total",
+        F.expr(
+            f"stack({len(PR_THRESHOLDS)}, {stack_args}) "
+            "AS (threshold, n_kept, n_correct_kept)"
+        ),
+    )
+    return unpivoted.select(
+        "threshold",
+        "n_kept",
+        "n_correct_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(F.col("n_correct_kept") / F.col("n_kept"), 4),
+        ).alias("precision"),
+        F.when(
+            F.col("nc_total") > 0,
+            F.round(F.col("n_correct_kept") / F.col("nc_total"), 4),
+        ).alias("recall"),
+    )
+
+
+def nb_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-decile calibration: rank the held-out docs by margin (the
+    model's confidence), cut into CAL_BINS equal-count bins, and compare
+    each bin's mean margin against its empirical accuracy — the table a
+    threshold-picker reads to see whether higher confidence actually
+    means more-often-correct.
+
+    Scale shape: the global rank is NOT a single-reducer window — it is
+    ``n_below`` from the margin-grouped cumulative frame plus a
+    row_number partitioned BY margin value (ties broken by doc_id, the
+    repo-wide convention, so bin membership of tied margins is engine-
+    stable). Bin = (rank-1)·CAL_BINS div n — integer arithmetic, bins
+    within ±1 row of equal.
+
+    (bin, n_docs, n_correct, accuracy, avg_margin, lo_margin,
+    hi_margin) — avg/lo/hi are the exact integer stats divided back to
+    log10 units for display."""
+    return calibration_bins_df(_margin_rows(spark, sf_dir))
+
+
+def calibration_bins_df(rows: DataFrame) -> DataFrame:
+    """`nb_calibration_bins` core over any (doc_id, is_correct,
+    margin_u) frame — the decile assignment is deterministic under any
+    tie pattern (margin_u then doc_id)."""
+    cum = _margin_cum_df(rows)
+    total = rows.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("margin_u").orderBy("doc_id")
+    ranked = (
+        rows.join(cum.select("margin_u", "n_below"), "margin_u")
+        .join(F.broadcast(total))
+        .withColumn("rk", F.col("n_below") + F.row_number().over(w))
+        .withColumn("bin", F.expr(f"((rk - 1) * {CAL_BINS}) div n_total").cast("int"))
+    )
+    return (
+        ranked.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_correct").alias("n_correct"),
+            F.sum("margin_u").alias("sum_mu"),
+            F.min("margin_u").alias("min_mu"),
+            F.max("margin_u").alias("max_mu"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_docs"), 4).alias("accuracy"),
+            F.round(F.col("sum_mu") / F.col("n_docs") / 1e6, 6).alias("avg_margin"),
+            F.round(F.col("min_mu") / 1e6, 6).alias("lo_margin"),
+            F.round(F.col("max_mu") / 1e6, 6).alias("hi_margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles — every CTE mirrors the Spark arithmetic on identical
 # integers; log10 is applied to the same rationals and rounded to the
 # same 6 decimals, so even the float columns compare exactly.
@@ -406,7 +650,97 @@ _NB_SCORES_CTE = (
 """
 )
 
+# shared metric base: exact integer margins off the preds CTE — the SAME
+# round-trip recovery the Spark side does (round(margin·1e6) as bigint),
+# so both engines rank the identical integers
+_NB_MARGIN_CTE = (
+    _NB_SCORES_CTE
+    + """,
+    mrows AS (
+        SELECT doc_id, is_correct,
+               CAST(ROUND(margin * 1000000, 0) AS BIGINT) AS margin_u
+        FROM preds WHERE margin IS NOT NULL
+    )
+"""
+)
+
+_PR_THRESHOLD_VALUES = ", ".join(
+    f"(CAST({t} AS DOUBLE), {t_u})" for t, t_u in PR_THRESHOLDS
+)
+
 ORACLE_SQL: dict[str, str] = {
+    "nb_margin_auc": _NB_MARGIN_CTE
+    + """,
+    per AS (
+        SELECT margin_u, COUNT(1) AS n_m,
+               CAST(SUM(is_correct) AS BIGINT) AS pos_m
+        FROM mrows GROUP BY 1
+    ),
+    cum AS (
+        SELECT margin_u, pos_m, n_m - pos_m AS neg_m,
+               COALESCE(SUM(n_m - pos_m) OVER (
+                   ORDER BY margin_u
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS neg_below
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos_m) AS BIGINT) AS n_pos,
+               CAST(SUM(neg_m) AS BIGINT) AS n_neg,
+               CAST(SUM(pos_m * neg_below) AS BIGINT) AS n_concordant,
+               CAST(SUM(pos_m * neg_m) AS BIGINT) AS n_tied
+        FROM cum
+    )
+    SELECT n_pos, n_neg, n_concordant, n_tied,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND((2 * n_concordant + n_tied) * 1.0
+                     / (2 * n_pos * n_neg), 6) END AS auc
+    FROM tot
+""",
+    "nb_pr_curve": _NB_MARGIN_CTE
+    + f""",
+    thr(threshold, t_u) AS (VALUES {_PR_THRESHOLD_VALUES}),
+    tot AS (SELECT CAST(SUM(is_correct) AS BIGINT) AS nc_total FROM mrows)
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+           CAST(SUM(CASE WHEN m.margin_u >= t.t_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN m.margin_u >= t.t_u THEN m.is_correct
+                         ELSE 0 END) AS BIGINT) AS n_correct_kept,
+           CASE WHEN SUM(CASE WHEN m.margin_u >= t.t_u THEN 1 ELSE 0 END) > 0
+                THEN ROUND(
+                    SUM(CASE WHEN m.margin_u >= t.t_u THEN m.is_correct
+                             ELSE 0 END) * 1.0
+                    / SUM(CASE WHEN m.margin_u >= t.t_u THEN 1 ELSE 0 END), 4)
+           END AS precision,
+           CASE WHEN tt.nc_total > 0
+                THEN ROUND(
+                    SUM(CASE WHEN m.margin_u >= t.t_u THEN m.is_correct
+                             ELSE 0 END) * 1.0 / tt.nc_total, 4)
+           END AS recall
+    FROM thr t CROSS JOIN mrows m CROSS JOIN tot tt
+    GROUP BY t.threshold, tt.nc_total
+""",
+    "nb_calibration_bins": _NB_MARGIN_CTE
+    + f""",
+    tot AS (SELECT COUNT(1) AS n_total FROM mrows),
+    rk AS (
+        SELECT m.is_correct, m.margin_u, t.n_total,
+               ROW_NUMBER() OVER (ORDER BY m.margin_u, m.doc_id) AS rk
+        FROM mrows m CROSS JOIN tot t
+    ),
+    binned AS (
+        SELECT CAST(((rk - 1) * {CAL_BINS}) // n_total AS INT) AS bin,
+               is_correct, margin_u
+        FROM rk
+    )
+    SELECT bin, COUNT(1) AS n_docs,
+           CAST(SUM(is_correct) AS BIGINT) AS n_correct,
+           ROUND(SUM(is_correct) * 1.0 / COUNT(1), 4) AS accuracy,
+           ROUND(SUM(margin_u) * 1.0 / COUNT(1) / 1000000, 6) AS avg_margin,
+           ROUND(MIN(margin_u) / 1000000.0, 6) AS lo_margin,
+           ROUND(MAX(margin_u) / 1000000.0, 6) AS hi_margin
+    FROM binned GROUP BY 1
+""",
     "nb_lang_model": _NB_MODEL_CTE
     + """
     SELECT lang, bucket, cnt, log_lik FROM model

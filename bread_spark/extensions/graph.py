@@ -25,12 +25,15 @@ integer micro-units and is bit-for-bit reproducible on any engine:
 
 - every node starts at ``R0 = 1_000_000`` micro-units;
 - per iteration, a node keeps ``R0 - DAMP`` (the teleport base) and
-  ships ``share = rank * DAMP_NUM // DAMP_DEN`` (integer floor) to its
-  out-neighbors, split as ``share * w // W`` per edge (W = the node's
-  total out-weight, again integer floor);
+  ships ``share = rank * DAMP_NUM // DAMP_DEN`` (integer division) to
+  its out-neighbors, split as ``share * w // W`` per edge (W = the
+  node's total out-weight, again integer division);
 - ``new_rank = BASE + sum(incoming)`` — a plain bigint sum.
 
-Floor division leaks a deterministic few micro-units per split instead
+Both engines TRUNCATE toward zero (Spark ``div``, DuckDB ``//`` —
+neither floors for negative operands, but every operand here is a
+non-negative rank/weight, where truncation and floor coincide).
+Integer division leaks a deterministic few micro-units per split instead
 of renormalizing — the price of exactness, identical on both engines.
 Dangling mass (nodes with no out-edges keep only BASE; their share
 vanishes) uses the standard "leaked" PageRank variant, documented
@@ -131,9 +134,10 @@ def authority_rank_df(
             ranks.join(edges, ranks["doc_id"] == edges["src"])
             .join(outw, "src")
             # share = rank*85 div 100, then split share*w div W — two
-            # explicit INTEGER floor divisions (SQL `div`, never `/`:
-            # float division + cast could mis-floor near-integer
-            # quotients), mirrored by the oracle's `//`
+            # explicit INTEGER divisions (SQL `div`, never `/`: float
+            # division + cast could mis-round near-integer quotients),
+            # mirrored by the oracle's `//` (both truncate toward zero;
+            # operands are non-negative so that equals floor)
             .select(
                 "dst",
                 F.expr(
@@ -208,8 +212,9 @@ _EDGES_CTE = f"""
 
 
 def _rank_iteration_sql(prev: str, out: str) -> str:
-    """One integer power iteration as SQL CTE text (DuckDB // is
-    integer floor-division on BIGINT operands)."""
+    """One integer power iteration as SQL CTE text. DuckDB ``//`` on
+    BIGINT operands truncates toward zero — same as Spark's ``div``
+    (equal to floor here because ranks/weights are non-negative)."""
     return f"""
     {out} AS (
         SELECT n.doc_id,

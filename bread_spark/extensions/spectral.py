@@ -190,68 +190,126 @@ def pca_components(
     )
 
 
-def fd_sketch_df(emb: DataFrame, ell: int = FD_ELL) -> DataFrame:
+FD_MERGE_FANOUT = 32  # tree-fold width: level-1 groups, level-2 roots
+
+
+def _fd_shrink(mat, ell_):
+    """SVD -> soft-shrink by sigma_ell^2 -> keep ell live rows.
+    Fewer singular values than ell (d < ell, or a thin buffer):
+    rank <= len(s), so s*vt IS the matrix with ZERO Gram error in
+    <= len(s) rows — returning `mat` unchanged here would leave
+    the fold loop unable to ever reduce the buffer (infinite
+    loop when d < FD_ELL; review finding, regression-tested)."""
+    import numpy as np
+
+    u, s, vt = np.linalg.svd(mat, full_matrices=False)
+    if len(s) < ell_:
+        return s[:, None] * vt
+    delta = s[ell_ - 1] ** 2
+    s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
+    return (s2[:, None] * vt)[:ell_]
+
+
+def _fd_fold(matrices, ell):
+    """Vstack-and-shrink fold of an iterable of sketch blocks — the FD
+    merge operator (associative up to the shared error bound), applied
+    identically at every tree level."""
+    import numpy as np
+
+    buf = None
+    for m in matrices:
+        block = np.asarray(m, dtype=np.float64)
+        if block.size == 0:
+            continue
+        buf = block if buf is None else np.vstack([buf, block])
+        while len(buf) >= 2 * ell:
+            buf = _fd_shrink(buf, ell)
+    if buf is not None and len(buf) > ell:
+        buf = _fd_shrink(buf, ell)
+    return buf
+
+
+def fd_sketch_df(
+    emb: DataFrame, ell: int = FD_ELL, fanout: int = FD_MERGE_FANOUT
+) -> DataFrame:
     """Frequent-Directions sketch of the (quantize-free, raw double)
     embedding matrix: `ell` rows (row_idx, vector) such that
-    ||A^T A - B^T B||_2 <= ||A||_F^2 / ell. Per-partition fold in
-    mapInPandas, bounded partials merged on the driver with the same
-    shrink (FD's merge theorem). Returns the sketch plus each row's
-    singular value as `sv` for downstream subspace use."""
-    import numpy as np
+    ||A^T A - B^T B||_2 <= ||A||_F^2 / ell. Returns the sketch plus
+    each row's singular value as `sv` for downstream subspace use.
+
+    Fully distributed tree-fold (r9 — the merge used to be a
+    sequential O(partitions) driver vstack loop): each partition folds
+    its rows through the shrink step in `mapInPandas`, the bounded
+    per-partition sketches (ell x d each) key by ``pmod(partition_id,
+    fanout)`` and shrink-merge per group in an `applyInPandas` stage,
+    and the <= fanout group sketches merge in ONE final task that also
+    canonicalizes (final SVD, 6-decimal rounding). FD's merge theorem
+    makes every tree shape a valid sketch of the whole corpus, so two
+    levels suffice at any real partition count (10^5 partitions ->
+    level-1 tasks fold ~3e3 ell x d blocks each, executor-side). No
+    driver-side compute at all; nothing is ever collected."""
     import pandas as pd
 
-    def shrink(mat, ell_):
-        # SVD -> soft-shrink by sigma_ell^2 -> keep ell-1 live rows.
-        # Fewer singular values than ell (d < ell, or a thin buffer):
-        # rank <= len(s), so s*vt IS the matrix with ZERO Gram error in
-        # <= len(s) rows — returning `mat` unchanged here would leave
-        # the fold loop unable to ever reduce the buffer (infinite
-        # loop when d < FD_ELL; review finding, regression-tested)
-        u, s, vt = np.linalg.svd(mat, full_matrices=False)
-        if len(s) < ell_:
-            return s[:, None] * vt
-        delta = s[ell_ - 1] ** 2
-        s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
-        return (s2[:, None] * vt)[:ell_]
-
     def part_sketch(it):
+        import numpy as np
+
         buf = None
         for pdf in it:
             if not len(pdf):
                 continue
             a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             buf = a if buf is None else np.vstack([buf, a])
-            while len(buf) >= 2 * FD_ELL:
-                buf = shrink(buf, FD_ELL)
+            while len(buf) >= 2 * ell:
+                buf = _fd_shrink(buf, ell)
         if buf is None:
             return
-        buf = shrink(buf, FD_ELL) if len(buf) > FD_ELL else buf
-        yield pd.DataFrame(
-            {"rows": [buf.tolist()]}
+        if len(buf) > ell:
+            buf = _fd_shrink(buf, ell)
+        yield pd.DataFrame({"rows": [buf.tolist()]})
+
+    def merge_group(pdf):
+        buf = _fd_fold(
+            (list(m) for m in pdf["rows"]), ell
+        )
+        if buf is None:
+            return pd.DataFrame({"rows": []})
+        return pd.DataFrame({"rows": [buf.tolist()]})
+
+    def finalize_group(pdf):
+        import numpy as np
+
+        buf = _fd_fold((list(m) for m in pdf["rows"]), ell)
+        if buf is None:
+            return pd.DataFrame(
+                {"row_idx": [], "sv": [], "vector": []}
+            )
+        u, s, vt = np.linalg.svd(buf, full_matrices=False)
+        b = s[:, None] * vt
+        k = min(ell, len(b))
+        return pd.DataFrame(
+            {
+                "row_idx": range(k),
+                "sv": [round(float(s[i]), 6) for i in range(k)],
+                "vector": [
+                    [round(float(x), 6) for x in b[i]] for i in range(k)
+                ],
+            }
         )
 
-    parts = (
-        emb.select("embedding")
-        .mapInPandas(part_sketch, "rows array<array<double>>")
-        .collect()
+    parts = emb.select("embedding").mapInPandas(
+        part_sketch, "rows array<array<double>>"
     )
-    merged = None
-    for p in parts:
-        block = np.array(p["rows"], dtype=np.float64)
-        merged = block if merged is None else np.vstack([merged, block])
-        if len(merged) > ell:
-            merged = shrink(merged, ell)
-    if merged is None:
-        merged = np.zeros((0, 0))
-    u, s, vt = np.linalg.svd(merged, full_matrices=False)
-    b = s[:, None] * vt
-    spark = emb.sparkSession
-    rows = [
-        (i, round(float(s[i]), 6), [round(float(x), 6) for x in b[i]])
-        for i in range(min(ell, len(b)))
-    ]
-    return spark.createDataFrame(
-        rows, "row_idx int, sv double, vector array<double>"
+    level1 = (
+        parts.withColumn("g", F.pmod(F.spark_partition_id(), F.lit(fanout)))
+        .groupBy("g")
+        .applyInPandas(merge_group, "rows array<array<double>>")
+    )
+    return (
+        level1.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(
+            finalize_group, "row_idx int, sv double, vector array<double>"
+        )
     )
 
 

@@ -29,7 +29,10 @@ These two operators cover what point tests cannot see:
 **Exact-integer discipline** (DECISIONS.md #12: anything DIFFERENCED
 or thresholded must come from exact integers): per-event values
 micro-quantize map-side (``round(value * 1e6)`` as bigint), daily
-sums, prefix sums, running mins, frame means (SUM div COUNT — floor),
+sums, prefix sums, running mins, frame means (SUM div COUNT — integer
+division; Spark ``div`` and DuckDB ``//`` both truncate toward zero,
+which coincides with floor only for non-negative quotients — frame
+means of negative micro-sums truncate up, identically on both engines),
 MAD, and every threshold comparison stay in int64 — both engines
 compute bit-identical verdicts, no float ever crosses a boundary.
 Policy constants (the allowance k = |mu|/20, alarm h = 5 MAD, seasonal

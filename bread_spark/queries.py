@@ -191,6 +191,9 @@ _register(
         "nb_lang_model": classify.nb_lang_model,  # hashed NB: bounded model table
         "nb_lang_scores": classify.nb_lang_scores,  # held-out doc predictions
         "nb_lang_report": classify.nb_lang_report,  # per-class accuracy/precision
+        "nb_margin_auc": classify.nb_margin_auc,  # Mann-Whitney ROC-AUC (exact ints)
+        "nb_pr_curve": classify.nb_pr_curve,  # precision/recall at fixed gates
+        "nb_calibration_bins": classify.nb_calibration_bins,  # decile calibration
     },
     classify.ORACLE_SQL,
 )
@@ -306,109 +309,103 @@ _register(
 # after the r8 close-out — the ledger below is the control that keeps
 # worst-case staleness bounded).
 #
-# ROUND-8 window (per VERDICT r7 #1): all 50 slots oracle-backed —
-#   1. the 17 r7-registered entries with NO driver row ever (registered
-#      after the r7 window froze; green in the in-repo differential)
-#   2. the 17 new r8 entries (curated_corpus_v2, HDR, KMV, NB,
-#      silhouette, media plans, Misra-Gries, fuzzy edit-distance)
-#   3. the 15 r5-last-green deferrals (3 rounds stale after r8 if
-#      skipped — mandatory now)
-#   4. re-warm 1 of the 48 r6-last-green entries (the other 16
-#      originally here were displaced by group 2's growth —
-#      see the round-9 note)
+# ROUND-9 window (per VERDICT r8 #1): all 50 slots oracle-backed.
+# Arithmetic note, stated honestly: 164 oracle-backed entries / 50
+# slots makes a ≤3-round staleness bound impossible (period 3.3);
+# the ledger therefore always spends slots on (a) never-sampled
+# entries first, (b) the stalest cohort next, and records EXACTLY
+# which entries defer to the next round.
+#   1. the 14 r8-registered entries with NO driver row ever
+#      (registered after the r8 window froze; green in the in-repo
+#      differential; pca_components and fd_sketch stay OUT per the
+#      r6 no-oracle rule)
+#   2. the 3 new r9 gate-metric entries (never sampled)
+#   3. 33 of the 47 r6-last-green entries (3 rounds stale after r9
+#      otherwise): the 16 VERDICT-r8-named displaced set first, then
+#      the alphabetical first 17 of the remaining 31.
 #
-# ROUND-9 ROTATION NOTE: lead with the REMAINING 47 r6-last-green
-# entries (3 rounds stale after r9 otherwise): value_per_day,
-# daily_value_by_type, bm25_search, trigram_logprob_scores,
-# props_json_extract, deduped_corpus, embedding_cosine_dups,
-# distinct_users_per_day, duplicate_spans, brand_number_extract,
-# centroid_by_label, orders_by_nation, events_pivot_by_type,
-# revenue_by_segment, base64_roundtrip, customers_without_orders
-# (displaced from this window), char_entropy,
-# contamination_report, corpus_stats_by_source, cross_dedup_spans,
-# curated_corpus, dedup_exact_hash, doc_chunks, doc_fingerprints,
-# domain_quota_sample, domain_token_quota, gopher_quality_gate,
-# label_mix_by_source, lang_id_scores, media_features,
-# perplexity_buckets_distributed, quality_by_source, quality_filter,
-# quality_scores, quantize_embeddings, redact_pii, repetition_scores,
-# shuffle_order, source_kl_divergence, span_dedup_report,
-# stratified_sample, temperature_mix_weights, tfidf_keywords,
-# token_stats, unigram_logprob_scores, vocab_growth, vocab_topk —
-# PLUS the 14 r8-registered oracle-backed entries that missed this
-# window entirely and have NO driver row yet: doc_provenance_edges,
-# doc_authority_rank, hard_negatives, value_cusum_by_type,
-# cusum_alarms, seasonal_decomposition, seasonal_anomalies,
-# value_psi_by_type, events_monitoring_dashboard,
-# event_transition_matrix, event_path_trigrams, top_paths_to_purchase,
-# corpus_checksum_by_source, embedding_covariance (pca_components and
-# fd_sketch are rows-only — keep them OUT of the window per the r6
-# no-oracle rule), then any new r9 entries, then re-warm the oldest of
-# the r7-green cohort (they go 3-rounds-stale in r10, so r10 must take
-# the rest).
+# ROUND-10 ROTATION NOTE: lead with the 14 r6-last-green entries
+# deferred from THIS window (4 rounds stale after r10 otherwise —
+# mandatory): quality_scores, quantize_embeddings, redact_pii,
+# repetition_scores, shuffle_order, source_kl_divergence,
+# span_dedup_report, stratified_sample, temperature_mix_weights,
+# tfidf_keywords, token_stats, unigram_logprob_scores, vocab_growth,
+# vocab_topk. Then fill the remaining ~36 slots from the 50
+# r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
+# centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
+# cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
+# daily_twap_by_type, daily_value_moving_avg, dataset_splits,
+# decontaminate, dedup_normalized, doc_word_counts,
+# embedding_dedup_corpus, event_flows_union, events_near_errors,
+# gas_used_per_day, hourly_ohlc_by_type, ibc_transfers,
+# ibc_transfers_in, importance_sample, key_skew_report,
+# last_purchase_asof, lineitem_flag_status_key, nation_revenue_rollup,
+# ngram5_logprob_scores, ngram_jaccard_pairs, orders_with_returns,
+# pack_sequences, paragraph_dedup, perplexity_buckets,
+# perplexity_buckets_ngram5, pricing_summary, project_embeddings,
+# retention_cohorts, returned_items_topk, session_stats, snapshot_diff,
+# span_dedup_corpus, training_corpus, txs_per_day,
+# txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
+# value_histogram_by_type, value_percentiles_by_type,
+# value_zscore_outliers, windowed_value_by_type, winsorize_values —
+# whichever ~14 of those r10 cannot fit defer to r11 and must be
+# named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
-    # 1 — first driver rows for the r7 sketch/CDC/sampling wave (17)
-    "cdc_chunks",
-    "cdc_chunk_dedup",
-    "cms_sketch",
-    "cms_heavy_hitters",
-    "cms_probe_report",
-    "bootstrap_source_stats",
-    "boilerplate_chunks",
-    "boilerplate_filtered_corpus",
-    "hll_registers",
-    "hll_distinct_by_source",
-    "hll_total_distinct",
-    "zipf_fit_by_source",
-    "weighted_sample_docs",
-    "weighted_sample_by_source",
-    "embedding_cosine_dups_tiled",
-    "source_dashboard",
-    "split_leakage_report",
-    # 2 — new r8 oracle-backed entries (14)
-    "curated_corpus_v2",  # r7-gate chain end-to-end
-    "hdr_value_sketch",  # log-histogram quantile sketch (mergeable)
-    "hdr_value_quantiles",  # sketch estimates vs true percentiles
-    "kmv_sketch",  # bottom-k theta sketch (set algebra)
-    "kmv_source_overlap",  # pairwise Jaccard estimates vs true
-    "nb_lang_model",  # hashed NB classifier: bounded model table
-    "nb_lang_scores",  # held-out predictions (integer micro-log exact)
-    "nb_lang_report",  # per-class accuracy/precision rollup
-    "silhouette_scores",  # per-point embedding cluster QC
-    "cluster_quality_report",  # per-label cluster-health rollup
-    "media_resize_plan",  # oracle-checked decode + aspect-fit plan
-    "media_frame_samples",  # oracle-checked frame schedule
-    "mg_summary",  # Misra-Gries mergeable heavy-hitter summary
-    "mg_heavy_hitters",  # summary vs true counts calibration
-    "fuzzy_dup_pairs",  # edit-distance near-dup pairs (prefix filter)
-    "fuzzy_dedup_corpus",  # greedy keep-earliest fuzzy gate
-    "cross_fuzzy_matches",  # probe-vs-base nearest fuzzy match
-    # 3 — the 15 r5-last-green deferrals (mandatory this round)
-    "top_parts_by_revenue",
-    "regional_supplier_revenue",
-    "cum_value_by_type",
-    "day_over_day_txs",
-    "hourly_value_by_type",
-    "ibc_transfers_out",
-    "daily_ibc_transfers",
-    "hourly_ibc_transfers",
-    "hourly_cum_ibc_transfers",
-    "corpus_mix_tokens",
-    "training_corpus_neardup",
-    "media_dedup",
-    "dedup_clusters",
-    "deterministic_sample",
-    "shuffle_order_distributed",
-    # 4 — re-warm 1 of the 48 r6-last-green (value_per_day,
-    # daily_value_by_type, bm25_search, trigram_logprob_scores,
-    # props_json_extract, deduped_corpus, embedding_cosine_dups,
-    # distinct_users_per_day, duplicate_spans, brand_number_extract,
-    # centroid_by_label, orders_by_nation, events_pivot_by_type,
-    # revenue_by_segment, base64_roundtrip and customers_without_orders
-    # moved to the r9 lead group — displaced by the HDR/KMV/NB/
-    # silhouette/media/MG/fuzzy entries; all sixteen only 2 rounds
-    # stale after r8)
-    # dedup / spans
-    "dedup_exact",
+    # 1 — first driver rows for the r8 close-out wave (14)
+    "doc_provenance_edges",  # content-flow shingle graph
+    "doc_authority_rank",  # exact-integer PageRank table
+    "hard_negatives",  # contrastive-pair mining (tile kernel)
+    "value_cusum_by_type",  # clamped-recurrence changepoint stat
+    "cusum_alarms",  # per-type changepoint report
+    "seasonal_decomposition",  # trend + day-of-week + residual
+    "seasonal_anomalies",  # seasonality-aware outliers
+    "value_psi_by_type",  # PSI distribution drift
+    "events_monitoring_dashboard",  # wide per-type rollup
+    "event_transition_matrix",  # Markov transition counts
+    "event_path_trigrams",  # 3-step journey counts
+    "top_paths_to_purchase",  # pre-conversion path ranking
+    "corpus_checksum_by_source",  # XOR-merge audit fingerprint
+    "embedding_covariance",  # exact d×d integer moments
+    # 2 — new r9 gate-metric entries (3, never sampled)
+    "nb_margin_auc",  # Mann-Whitney ROC-AUC over NB margins
+    "nb_pr_curve",  # precision/recall at fixed margin gates
+    "nb_calibration_bins",  # margin deciles vs empirical accuracy
+    # 3a — the 16 VERDICT-r8-named r6-last-green displaced set
+    "value_per_day",
+    "daily_value_by_type",
+    "bm25_search",
+    "trigram_logprob_scores",
+    "props_json_extract",
+    "deduped_corpus",
+    "embedding_cosine_dups",
+    "distinct_users_per_day",
+    "duplicate_spans",
+    "brand_number_extract",
+    "centroid_by_label",
+    "orders_by_nation",
+    "events_pivot_by_type",
+    "revenue_by_segment",
+    "base64_roundtrip",
+    "customers_without_orders",
+    # 3b — alphabetical first 17 of the remaining 31 r6-last-green
+    # (the alphabetical last 14 defer to r10 — named in the note above)
+    "char_entropy",
+    "contamination_report",
+    "corpus_stats_by_source",
+    "cross_dedup_spans",
+    "curated_corpus",
+    "dedup_exact_hash",
+    "doc_chunks",
+    "doc_fingerprints",
+    "domain_quota_sample",
+    "domain_token_quota",
+    "gopher_quality_gate",
+    "label_mix_by_source",
+    "lang_id_scores",
+    "media_features",
+    "perplexity_buckets_distributed",
+    "quality_by_source",
+    "quality_filter",
     # — 50-row window ends here —
 )
 

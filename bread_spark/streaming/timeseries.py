@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sql_str(s: str) -> str:
+    """Quote a data-derived string as a Spark SQL literal, escaping
+    backslashes and single quotes (type names come from event DATA —
+    an unescaped quote would malform the compiled CASE expression)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def cusum_stream_against_base(
     stream: DataFrame,
     baseline: DataFrame,
@@ -166,7 +173,8 @@ def psi_stream_against_base(
     for r in ref_rows:
         ref_counts.setdefault(r["event_type"], {})[r["bucket"]] = r["n_ref_b"]
 
-    # compile the frozen reference into literal expressions
+    # compile the frozen reference into literal expressions; type names
+    # are escaped via _sql_str (they come from data)
     type_entries = []
     for t, buckets in sorted(ref_counts.items()):
         n_ref = sum(buckets.values())
@@ -178,7 +186,7 @@ def psi_stream_against_base(
     ref_arr_expr = (
         "CASE "
         + " ".join(
-            f"WHEN event_type = '{t}' THEN {arr}"
+            f"WHEN event_type = {_sql_str(t)} THEN {arr}"
             for t, _, arr in type_entries
         )
         + " ELSE array() END"
@@ -186,7 +194,7 @@ def psi_stream_against_base(
     ref_tot_expr = (
         "CASE "
         + " ".join(
-            f"WHEN event_type = '{t}' THEN {n}L"
+            f"WHEN event_type = {_sql_str(t)} THEN {n}L"
             for t, n, _ in type_entries
         )
         + " ELSE 0L END"

@@ -173,3 +173,127 @@ def test_empty_token_docs_score_on_prior_alone(spark):
     )
     for r in empties:
         assert r["pred_lang"] == majority_prior
+
+# ---------------------------------------------------------------------------
+# Margin-metric family (r9): ROC-AUC / PR curve / calibration bins.
+# The oracle differential pins the catalog entries; these pin the
+# statistics themselves against brute force and constructed edge cases.
+# ---------------------------------------------------------------------------
+
+
+def _metric_rows(spark, triples):
+    """(doc_id, is_correct, margin_u) constructed metric input."""
+    return spark.createDataFrame(
+        triples, "doc_id long, is_correct int, margin_u long"
+    )
+
+
+def _brute_auc(triples):
+    """O(n^2) reference: concordant + half-ties over all (pos, neg)
+    pairs — the definition the rank statistic must reproduce."""
+    pos = [m for _, c, m in triples if c == 1]
+    neg = [m for _, c, m in triples if c == 0]
+    if not pos or not neg:
+        return None
+    num = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    return round(num / (2.0 * len(pos) * len(neg)), 6)
+
+
+def test_auc_matches_brute_force_on_real_scores(spark):
+    from bread_spark.extensions.classify import nb_margin_auc
+
+    scores = nb_lang_scores(spark, SF_DIR)
+    triples = [
+        (r["doc_id"], r["is_correct"], int(round(r["margin"] * 1e6)))
+        for r in scores.collect()
+    ]
+    got = nb_margin_auc(spark, SF_DIR).first()
+    assert got["n_pos"] == sum(c for _, c, _ in triples)
+    assert got["n_pos"] + got["n_neg"] == len(triples)
+    assert got["auc"] == _brute_auc(triples)
+
+
+def test_auc_constructed_cases(spark):
+    from bread_spark.extensions.classify import margin_auc_df
+
+    # perfect separation → 1.0; inverted → 0.0; all tied → 0.5
+    sep = [(i, 1, 1_000_000 + i) for i in range(20)] + [
+        (100 + i, 0, i) for i in range(20)
+    ]
+    inv = [(d, 1 - c, m) for d, c, m in sep]
+    tied = [(i, i % 2, 7_000_000) for i in range(30)]
+    for triples, want in [(sep, 1.0), (inv, 0.0), (tied, 0.5)]:
+        row = margin_auc_df(_metric_rows(spark, triples)).first()
+        assert row["auc"] == want, (want, row)
+        assert row["auc"] == _brute_auc(triples)
+    # degenerate single-class input → null auc, not a divide error
+    row = margin_auc_df(
+        _metric_rows(spark, [(i, 1, i) for i in range(5)])
+    ).first()
+    assert row["auc"] is None and row["n_neg"] == 0
+
+
+def test_auc_tie_mix_matches_brute_force(spark):
+    """Heavy tie structure across the stripe boundary — midrank math and
+    the two-level cumulative must agree with the O(n^2) definition."""
+    from bread_spark.extensions.classify import margin_auc_df
+
+    triples = []
+    k = 0
+    for m in [0, 999_999, 1_000_000, 1_000_001, 2_500_000]:
+        for c in (0, 0, 1, 0, 1, 1):
+            triples.append((k, c, m))
+            k += 1
+    row = margin_auc_df(_metric_rows(spark, triples)).first()
+    assert row["auc"] == _brute_auc(triples)
+
+
+def test_pr_curve_invariants(spark):
+    from bread_spark.extensions.classify import PR_THRESHOLDS, nb_pr_curve
+
+    scores = nb_lang_scores(spark, SF_DIR)
+    n = scores.count()
+    nc = scores.agg(F.sum("is_correct")).first()[0]
+    rows = {r["threshold"]: r for r in nb_pr_curve(spark, SF_DIR).collect()}
+    assert set(rows) == {t for t, _ in PR_THRESHOLDS}
+    # threshold 0 keeps everything: precision = accuracy, recall = 1
+    assert rows[0.0]["n_kept"] == n
+    assert rows[0.0]["recall"] == 1.0
+    assert rows[0.0]["precision"] == round(nc / n, 4)
+    # kept counts and recall are non-increasing in the threshold
+    ordered = [rows[t] for t, _ in PR_THRESHOLDS]
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["n_kept"] >= b["n_kept"]
+        assert a["n_correct_kept"] >= b["n_correct_kept"]
+
+
+def test_calibration_bins_partition_evenly_and_order(spark):
+    from bread_spark.extensions.classify import CAL_BINS, nb_calibration_bins
+
+    scores = nb_lang_scores(spark, SF_DIR)
+    n = scores.count()
+    nc = scores.agg(F.sum("is_correct")).first()[0]
+    bins = sorted(
+        nb_calibration_bins(spark, SF_DIR).collect(), key=lambda r: r["bin"]
+    )
+    assert [r["bin"] for r in bins] == list(range(min(CAL_BINS, n)))
+    assert sum(r["n_docs"] for r in bins) == n
+    assert sum(r["n_correct"] for r in bins) == nc
+    sizes = [r["n_docs"] for r in bins]
+    assert max(sizes) - min(sizes) <= 1
+    # bins are margin-ordered and non-overlapping (ties may touch)
+    for a, b in zip(bins, bins[1:]):
+        assert a["hi_margin"] <= b["lo_margin"]
+        assert a["lo_margin"] <= a["avg_margin"] <= a["hi_margin"]
+
+
+def test_calibration_all_tied_margins_split_by_doc_id(spark):
+    """Every margin equal → bins are decided purely by the doc_id
+    tie-break; the split must still be exhaustive and ±1-even."""
+    from bread_spark.extensions.classify import calibration_bins_df
+
+    rows = _metric_rows(spark, [(i, i % 3 == 0 and 1 or 0, 42) for i in range(25)])
+    bins = sorted(calibration_bins_df(rows).collect(), key=lambda r: r["bin"])
+    assert sum(r["n_docs"] for r in bins) == 25
+    assert max(r["n_docs"] for r in bins) - min(r["n_docs"] for r in bins) <= 1
+    assert all(r["avg_margin"] == 4.2e-05 for r in bins)

@@ -730,3 +730,42 @@ def test_psi_and_checksum_plan_shapes(spark, sf_dir):
     assert "partial_" in p2
     assert "Join" not in p2
     assert "Expand" in p2  # the ROLLUP grouping-sets operator
+
+
+def test_margin_metric_plans_are_grouped_never_globally_sorted(spark):
+    """The r9 metric family must never run a single-reducer window over
+    per-doc rows: the AUC cumulative aggregates per distinct margin
+    FIRST, partitions its fine window by the coarse stripe, and takes
+    cross-stripe offsets from a broadcast of the stripe-total table; the
+    calibration rank is n_below + a row_number partitioned BY margin.
+    The PR curve is one conditional aggregate + stack — no join, no
+    window at all."""
+    from bread_spark.extensions.classify import (
+        calibration_bins_df,
+        margin_auc_df,
+        pr_curve_df,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, i % 2, i * 7) for i in range(64)],
+        "doc_id long, is_correct int, margin_u long",
+    )
+    auc = physical_plan(margin_auc_df(rows))
+    assert "CartesianProduct" not in auc
+    assert "SortMergeJoin" not in auc
+    # fine cumulative window partitioned by stripe, offsets broadcast
+    assert "windowspecdefinition(stripe" in auc
+    assert "BroadcastHashJoin [stripe" in auc
+
+    cal = physical_plan(calibration_bins_df(rows))
+    assert "CartesianProduct" not in cal
+    # the intra-tie ordinal partitions by margin_u — the only row_number
+    assert "row_number() windowspecdefinition(margin_u" in cal
+    # any sort-merge must be the margin_u-keyed rows<->cum join
+    smj = [line for line in cal.splitlines() if "SortMergeJoin" in line]
+    assert all("margin_u" in line for line in smj), smj
+
+    pr = physical_plan(pr_curve_df(rows))
+    assert "Window" not in pr
+    assert "Join" not in pr
+    assert "partial_sum" in pr  # map-side combine feeds the one row
