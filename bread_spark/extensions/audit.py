@@ -20,7 +20,8 @@ docs (A xor A = 0), so the xor lane alone cannot distinguish "corpus"
 from "corpus + two copies of some doc" — but `n_docs` and `char_sum`
 both move in that case, so the ROW as a whole still detects it. A
 sum-mod lane would close even that gap at the cost of a modulus
-discipline; the three-field row is the standard practical tradeoff.
+discipline; the three-field row is the standard practical tradeoff
+(DIVERGENCES.md "oracle scope boundaries" #5).
 
 Scale shape: map-side digest + one partial-aggregated rollup — the
 cheapest whole-corpus pass possible; at 100 TB this is the nightly

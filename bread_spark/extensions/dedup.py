@@ -107,7 +107,8 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Explicit character class, NOT \s: Java's \s includes \x0B while RE2's
 # (DuckDB's) does not — the class below means the same bytes in both
 # engines. ASCII whitespace only; Unicode spaces (NBSP etc.) are out of
-# scope for this normalization level.
+# scope for this normalization level (DIVERGENCES.md "oracle scope
+# boundaries" #2).
 _WS_CLASS = r"[ \t\n\r\f\x0B]+"
 
 

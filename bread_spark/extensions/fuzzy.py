@@ -77,7 +77,8 @@ _NORM_SQL = (
 # 2). Same scope boundary the normalization rule already declares for
 # Unicode whitespace: ASCII corpora are in contract; a multilingual
 # corpus needs a byte-based Spark distance (or a char-based oracle)
-# before these oracles transfer.
+# before these oracles transfer. Promoted to DIVERGENCES.md ("oracle
+# scope boundaries" #1).
 
 
 def _norm_docs(docs: DataFrame) -> DataFrame:

@@ -1261,7 +1261,8 @@ def silhouette_scores_df(emb: DataFrame) -> DataFrame:
     A corpus with a SINGLE label emits no rows — a silhouette needs at
     least one OTHER centroid to compare against (the same inner-join
     semantics the DuckDB oracle has; an unfiltered aggregate would emit
-    null-silhouette rows here and diverge on degenerate corpora)."""
+    null-silhouette rows here and diverge on degenerate corpora —
+    DIVERGENCES.md "oracle scope boundaries" #4)."""
     dims = _quantized_dims(emb, "vec_id", "label")
     cent = silhouette_centroids_df(emb)
     per_pair = (

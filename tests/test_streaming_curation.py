@@ -299,3 +299,277 @@ def test_boilerplate_gate_stream_strips_base_furniture(spark, tmp_path):
     assert rows[10]["n_chunks"] == 2 and rows[10]["n_kept"] == 1
     assert rows[10]["text"] == fresh
     assert rows[12]["n_chunks"] == 2 and rows[12]["n_kept"] == 2
+
+
+# ---------------------------------------------------------------------------
+# The incremental curated_corpus_v2 composition (VERDICT r8 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_v2_member_gate_chain_composes(spark, tmp_path):
+    """The incremental path of `curated_corpus_v2` composes: chain the
+    member gates' STREAMING twins in production order — boilerplate
+    gate → span gate + frozen-base 5-gram scorer (both reading the
+    rebuilt text) → threshold verdict → split assignment — over an
+    arriving batch, each stage a real availableNow streaming query
+    whose output feeds the next stage's source. The surviving-doc set,
+    rebuilt text, and split labels must equal the batch chain (the
+    same member exprs evaluated as plain DataFrames) on the same input
+    against the SAME staged base tables — so any member twin whose
+    stream execution drifts from its batch form now fails the
+    COMPOSITION, not just its own pin.
+
+    v2's corpus-global stages (quantile bucket split, within-corpus
+    first-occurrence dedup, packing) are batch-only by design and
+    re-run on snapshots (the v2 docstring's division of labor); the
+    frozen-base threshold stands in for the bucket gate exactly as the
+    streaming scorer's docstring prescribes.
+
+    Analytic facts hard-coded so a both-sides drift cannot slip by:
+    101 has its base-boilerplate chunk stripped and survives on the
+    rebuilt remainder; 102 is all boilerplate and emits no row at
+    stage 1; 103 is recycled base content — span coverage 1.0, killed;
+    104 is shorter than the span width (passes the span stage by
+    absence, the documented semantics) and survives; 105 is all-OOV —
+    floored at exactly log10(LM_OOV_FLOOR), killed by the threshold."""
+    import datetime
+    import math
+
+    from bread_spark.extensions.curation import (
+        CHUNK_TOKENS as W,
+        _chunk_expr,
+        _doc_toks,
+        _gram_stream,
+        lm_bigram_frame,
+        lm_quadgram_frame,
+        lm_trigram_frame,
+        lm_unigram_frame,
+    )
+    from bread_spark.extensions.dedup import (
+        SPAN_W,
+        _span_windows,
+        span_keep_expr,
+    )
+    from bread_spark.functions.text import _split_assignment
+    from bread_spark.streaming.curation import (
+        LM_OOV_FLOOR,
+        base_boilerplate_table,
+        boilerplate_gate_stream_against_base,
+        ngram5_score_stream_against_base,
+    )
+    from bread_spark.streaming.dedup import (
+        base_span_table,
+        span_gate_stream_against_base,
+    )
+
+    tok = lambda pfx, k: " ".join(f"{pfx}{i}" for i in range(k))
+    boiler_chunk = tok("nav", W)
+    recycled = tok("recycled", W)
+    permuted = " ".join(reversed(recycled.split()))  # in-vocab, span-fresh
+    base = spark.createDataFrame(
+        [
+            (1, boiler_chunk + " " + tok("pageone", W)),
+            (2, boiler_chunk + " " + tok("pagetwo", W)),
+            (3, recycled),
+        ],
+        "doc_id long, text string",
+    )
+    # staged base tables — one freeze shared by stream AND batch sides
+    boiler = base_boilerplate_table(base).localCheckpoint()
+    spans = base_span_table(base).localCheckpoint()
+    uni_f = (
+        _doc_toks(base)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    big_f = (
+        _gram_stream(_doc_toks(base), 2, ("w1", "w2"), with_doc=False)
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+        .localCheckpoint()
+    )
+    tri_f = (
+        _gram_stream(_doc_toks(base), 3, ("w1", "w2", "w3"), with_doc=False)
+        .groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
+        .localCheckpoint()
+    )
+    quad_f = (
+        _gram_stream(_doc_toks(base), 4, ("w1", "w2", "w3", "w4"), with_doc=False)
+        .groupBy("w1", "w2", "w3", "w4").agg(F.count(F.lit(1)).alias("n1234"))
+        .localCheckpoint()
+    )
+    quint_f = (
+        _gram_stream(
+            _doc_toks(base), 5, ("w1", "w2", "w3", "w4", "w5"), with_doc=False
+        )
+        .groupBy("w1", "w2", "w3", "w4", "w5")
+        .agg(F.count(F.lit(1)).alias("n12345"))
+        .localCheckpoint()
+    )
+
+    deltas = [
+        (101, boiler_chunk + " " + permuted),  # stripped, survives
+        (102, boiler_chunk),  # all boilerplate -> no stage-1 row
+        (103, recycled),  # recycled base content -> span-killed
+        (104, "recycled0 recycled5 recycled9"),  # < SPAN_W, survives
+        (105, tok("zxqoov", 20)),  # all OOV -> floored -> killed
+    ]
+    T = datetime.datetime(2024, 5, 1, 12, 0)
+    H3 = datetime.timedelta(hours=3)
+    CUT = round(math.log10(LM_OOV_FLOOR), 6)  # keep iff mean_logp > CUT
+
+    def _stream_stage(tag, rows, fn, schema, late_payload):
+        """Run one member twin as a REAL streaming query: json source,
+        availableNow, parquet sink, rerun after a late sentinel row so
+        the watermark finalizes the real windows (the idiom every
+        individual twin test uses)."""
+        src = str(tmp_path / f"{tag}_src")
+        ckpt = str(tmp_path / f"{tag}_ckpt")
+        sink = str(tmp_path / f"{tag}_sink")
+        os.makedirs(src)
+
+        def run():
+            q = (
+                fn(spark.readStream.schema(schema).json(src))
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        run()
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": 900,
+                        "ts": (T + H3).isoformat(),
+                        "payload": late_payload,
+                    }
+                )
+                + "\n"
+            )
+        run()
+        return spark.read.parquet(sink).filter("doc_id < 900")
+
+    # stage 1: boilerplate gate over the arriving batch
+    s1 = _stream_stage(
+        "bp",
+        [
+            {"doc_id": d, "ts": (T + datetime.timedelta(minutes=i)).isoformat(),
+             "payload": text}
+            for i, (d, text) in enumerate(deltas)
+        ],
+        lambda st: boilerplate_gate_stream_against_base(
+            st, base_boiler=boiler, id_col="doc_id"
+        ),
+        "doc_id long, ts timestamp, payload string",
+        tok("latefill", 3),
+    ).select("doc_id", "text").localCheckpoint()
+
+    # stages 2+3 both consume stage 1's STREAM OUTPUT (the rebuilt text)
+    s1_rows = [
+        {"doc_id": r["doc_id"], "ts": T.isoformat(), "payload": r["text"]}
+        for r in s1.collect()
+    ]
+    s2 = _stream_stage(
+        "span",
+        s1_rows,
+        lambda st: span_gate_stream_against_base(
+            st, base_spans=spans, id_col="doc_id"
+        ),
+        "doc_id long, ts timestamp, payload string",
+        tok("latespan", SPAN_W),
+    ).select("doc_id", "keep").localCheckpoint()
+    s3 = _stream_stage(
+        "lm",
+        s1_rows,
+        lambda st: ngram5_score_stream_against_base(
+            st, uni_f, big_f, tri_f, quad_f, quint_f
+        ),
+        "doc_id long, ts timestamp, payload string",
+        tok("latelm", 2),
+    ).select("doc_id", "mean_logp").localCheckpoint()
+
+    # verdict combination + split assignment (pure projections)
+    streamed = (
+        s1.join(s2, "doc_id", "left")
+        .join(s3, "doc_id", "left")
+        .filter(F.coalesce("keep", F.lit(True)) & (F.col("mean_logp") > CUT))
+    )
+    streamed_final = {
+        r["doc_id"]: (r["split"], r["text"])
+        for r in _split_assignment(streamed).select(
+            "doc_id", "split", "text"
+        ).collect()
+    }
+
+    # ---- the batch chain: same member exprs, same staged bases ----
+    delta_df = spark.createDataFrame(deltas, "doc_id long, text string")
+    chunked = (
+        delta_df.select(
+            "doc_id",
+            F.posexplode(F.expr(_chunk_expr("text", W))).alias("idx", "chunk"),
+        )
+        .withColumn("chash", F.unhex(F.md5(F.col("chunk").cast("binary"))))
+    )
+    rebuilt = (
+        chunked.join(F.broadcast(boiler), "chash", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(idx, chunk))), "
+                    "s -> s.chunk)"
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+    span_verdict = (
+        _span_windows(rebuilt)
+        .join(spans.withColumn("__hit", F.lit(1)), "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            span_keep_expr(
+                F.sum(F.coalesce("__hit", F.lit(0))), F.count(F.lit(1))
+            ).alias("keep")
+        )
+    )
+    # frozen-base scorer evaluated as a plain batch DataFrame (watermark
+    # and event-time window are inert on batch input — same arithmetic)
+    batch_scores = ngram5_score_stream_against_base(
+        rebuilt.withColumn("ts", F.lit(T).cast("timestamp")).select(
+            "doc_id", "ts", F.col("text").alias("payload")
+        ),
+        uni_f, big_f, tri_f, quad_f, quint_f,
+    ).select("doc_id", "mean_logp")
+    batch_surv = (
+        rebuilt.join(span_verdict, "doc_id", "left")
+        .join(batch_scores, "doc_id", "left")
+        .filter(F.coalesce("keep", F.lit(True)) & (F.col("mean_logp") > CUT))
+    )
+    batch_final = {
+        r["doc_id"]: (r["split"], r["text"])
+        for r in _split_assignment(batch_surv).select(
+            "doc_id", "split", "text"
+        ).collect()
+    }
+
+    assert streamed_final == batch_final
+    # the analytic facts (guard against a both-sides drift)
+    assert set(streamed_final) == {101, 104}
+    assert streamed_final[101][1] == permuted  # boilerplate stripped
+    s1_ids = {r["doc_id"] for r in s1.collect()}
+    assert 102 not in s1_ids  # all-boilerplate doc emits no row
+    assert {r["doc_id"]: r["keep"] for r in s2.collect()}[103] is False
+    s3_scores = {r["doc_id"]: r["mean_logp"] for r in s3.collect()}
+    assert s3_scores[105] == CUT  # every position floored exactly
+    assert 104 not in {r["doc_id"] for r in s2.collect()}  # < SPAN_W
