@@ -250,10 +250,16 @@ def main() -> None:
         "unigram_token_counts",
         # round-9 additions: exact-integer ranking/calibration metrics
         # for the learned gates (Mann-Whitney ROC-AUC over NB margins,
-        # precision/recall at fixed gates, margin-decile calibration)
+        # precision/recall at fixed gates, margin-decile calibration),
+        # the classifier agreement rollups (confusion matrix + Cohen's
+        # kappa), and the packing-efficiency / dedup-impact dashboards
         "nb_margin_auc",
         "nb_pr_curve",
         "nb_calibration_bins",
+        "nb_confusion_matrix",
+        "nb_cohens_kappa",
+        "pack_efficiency",
+        "dedup_impact_report",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -429,6 +435,10 @@ def main() -> None:
         "nb_margin_auc",
         "nb_pr_curve",
         "nb_calibration_bins",
+        "nb_confusion_matrix",
+        "nb_cohens_kappa",
+        "pack_efficiency",
+        "dedup_impact_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -650,6 +650,71 @@ _NB_SCORES_CTE = (
 """
 )
 
+def nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (true, predicted) count table over the held-out scores —
+    the error-ANATOMY view the scalar report can't give (which pairs of
+    classes the model confuses, not just how often it is right). Sparse:
+    only observed pairs emit rows; O(classes²) worst case by
+    construction. One grouped integer aggregate off the scores seam."""
+    scores = nb_lang_scores(spark, sf_dir)
+    return scores.groupBy(
+        "true_lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def nb_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the classifier against the true labels —
+    chance-corrected agreement, the honest scalar for an imbalanced
+    label set (plain accuracy reads high when one class dominates;
+    kappa subtracts exactly the agreement a label-marginal-matching
+    random guesser would get).
+
+    Exact integers end to end: with N docs, A = Σ diagonal counts,
+    PE_num = Σ_k rowtotal_k · coltotal_k, kappa = (A·N − PE_num) /
+    (N² − PE_num) — a ratio of bigints, rounded to 6 for display.
+    All inputs are O(classes)-row aggregates of the scores seam; the
+    marginal join is a broadcast. Degenerate corpus (both sides all one
+    class → N² = PE_num) yields null, not an ANSI divide error."""
+    scores = nb_lang_scores(spark, sf_dir)
+    by_true = scores.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    by_pred = scores.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    marg = (
+        by_true.join(F.broadcast(by_pred), "lang", "full")
+        .select(
+            (
+                F.coalesce("n_t", F.lit(0)) * F.coalesce("n_p", F.lit(0))
+            ).alias("tp")
+        )
+        .agg(F.sum("tp").alias("pe_num"))
+    )
+    tot = scores.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_correct").alias("n_agree"),
+    )
+    return (
+        tot.join(F.broadcast(marg))
+        .select(
+            "n_docs",
+            "n_agree",
+            "pe_num",
+            F.when(
+                F.col("n_docs") * F.col("n_docs") != F.col("pe_num"),
+                F.round(
+                    (F.col("n_agree") * F.col("n_docs") - F.col("pe_num"))
+                    / (
+                        F.col("n_docs") * F.col("n_docs") - F.col("pe_num")
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )
+
+
 # shared metric base: exact integer margins off the preds CTE — the SAME
 # round-trip recovery the Spark side does (round(margin·1e6) as bigint),
 # so both engines rank the identical integers
@@ -669,6 +734,30 @@ _PR_THRESHOLD_VALUES = ", ".join(
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "nb_confusion_matrix": _NB_SCORES_CTE
+    + """
+    SELECT true_lang, pred_lang, COUNT(1) AS n_docs
+    FROM preds GROUP BY 1, 2
+""",
+    "nb_cohens_kappa": _NB_SCORES_CTE
+    + """,
+    by_true AS (SELECT true_lang AS lang, COUNT(1) AS n_t FROM preds GROUP BY 1),
+    by_pred AS (SELECT pred_lang AS lang, COUNT(1) AS n_p FROM preds GROUP BY 1),
+    marg AS (
+        SELECT CAST(SUM(COALESCE(t.n_t, 0) * COALESCE(p.n_p, 0)) AS BIGINT)
+                   AS pe_num
+        FROM by_true t FULL JOIN by_pred p ON p.lang = t.lang
+    ),
+    tot AS (
+        SELECT COUNT(1) AS n_docs, CAST(SUM(is_correct) AS BIGINT) AS n_agree
+        FROM preds
+    )
+    SELECT t.n_docs, t.n_agree, m.pe_num,
+           CASE WHEN t.n_docs * t.n_docs <> m.pe_num
+                THEN ROUND((t.n_agree * t.n_docs - m.pe_num) * 1.0
+                     / (t.n_docs * t.n_docs - m.pe_num), 6) END AS kappa
+    FROM tot t CROSS JOIN marg m
+""",
     "nb_margin_auc": _NB_MARGIN_CTE
     + """,
     per AS (

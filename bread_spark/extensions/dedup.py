@@ -576,6 +576,51 @@ def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source impact of near-duplicate removal — the dashboard row a
+    curation owner reads to see WHERE the duplication lives (a crawl
+    source with a high dup_rate is re-crawling itself; one with heavy
+    tokens_removed is syndicating): (source, n_docs, n_kept, n_removed,
+    dup_rate, tokens_removed). A doc is kept iff it is its cluster's
+    canonical (min doc_id) member — the same verdict `deduped_corpus`
+    materializes, re-aggregated per source, with the token mass of the
+    dropped members (what dedup actually saves the training run).
+
+    Scale shape: the cluster label frame is O(docs) doc_id-keyed (the
+    components loop's own output); the join to (source, n_tokens) is
+    doc_id-keyed; the rollup is O(sources) rows. Oracle composed from
+    `dedup_clusters`' own recursive-CTE SQL, so the report can never
+    drift from the certified clustering.
+
+    Batch-only because the clustering it reports on is a corpus-global
+    connected-components pass (its own batch-only note); the streaming
+    dedup story is the against-base gates in streaming/dedup.py."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    joined = docs.join(clusters.select("doc_id", "is_canonical"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(F.col("is_canonical").cast("long"))).alias(
+            "n_removed"
+        ),
+        F.round(
+            (F.count(F.lit(1)) - F.sum(F.col("is_canonical").cast("long")))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_rate"),
+        F.sum(
+            F.when(~F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))
+        ).alias("tokens_removed"),
+    )
+
+
 def minhash_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus after APPROXIMATE near-dup removal — `deduped_corpus`
     with the MinHash-LSH candidate graph in place of the exact jaccard
@@ -696,6 +741,27 @@ ORACLE_SQL["deduped_corpus"] = f"""
     SELECT d.doc_id, d.lang, d.source, s.cluster_size,
            CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_removed
     FROM documents d JOIN survivors s USING (doc_id)
+"""
+
+ORACLE_SQL["dedup_impact_report"] = f"""
+    WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+    sized AS (
+        SELECT d.doc_id, d.source,
+               len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+                   AS n_tokens,
+               c.is_canonical
+        FROM documents d JOIN clusters c USING (doc_id)
+    )
+    SELECT source, COUNT(1) AS n_docs,
+           CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+           ROUND(SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) * 1.0
+                 / COUNT(1), 4) AS dup_rate,
+           CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE n_tokens END) AS BIGINT)
+               AS tokens_removed
+    FROM sized GROUP BY 1
 """
 
 

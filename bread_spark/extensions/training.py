@@ -611,6 +611,29 @@ def pack_sequences_df(
     )
 
 
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack utilization of the greedy packing — the table a training
+    throughput owner reads before picking a sequence budget: every pad
+    token is wasted FLOPs, so fill_frac distribution IS the packing
+    quality metric (sample-packing papers report exactly this). One
+    grouped integer aggregate over `pack_sequences`' assignment:
+    (pack_id, bucket, n_docs, n_tokens, fill_frac) with fill_frac =
+    tokens/budget rounded 4 — > 1.0 flags the oversized-single-doc
+    packs the greedy rule deliberately gives their own pack.
+
+    Batch-only because the packing assignment it reports on is itself a
+    batch fold over a frozen corpus order (pack_sequences' own note);
+    re-run on snapshots."""
+    packed = pack_sequences(spark, sf_dir)
+    return packed.groupBy("pack_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(PACK_BUDGET).cast("double"), 4).alias(
+            "fill_frac"
+        ),
+    )
+
+
 def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the pipeline a 100 TB pre-training
     data build actually runs, composed from this repo's own operators:
@@ -782,6 +805,16 @@ ORACLE_SQL["pack_sequences"] = _pack_sql(
               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
        FROM documents"""
 )
+
+# composed from the packing oracle itself, so the efficiency report can
+# never drift from the certified assignment rule
+ORACLE_SQL["pack_efficiency"] = f"""
+    WITH packing AS ({ORACLE_SQL["pack_sequences"]})
+    SELECT pack_id, bucket, COUNT(1) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_tokens) * 1.0 / {PACK_BUDGET}, 4) AS fill_frac
+    FROM packing GROUP BY 1, 2
+"""
 
 
 # Composed from the member operators' own oracle fragments (quality_scores

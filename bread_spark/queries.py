@@ -99,6 +99,7 @@ _register(
         "span_dedup_report": dedup.span_dedup_report,  # span-coverage verdicts
         "cross_dedup_spans": dedup.cross_dedup_spans,  # incremental span gate
         "span_dedup_corpus": dedup.span_dedup_corpus,  # surviving corpus
+        "dedup_impact_report": dedup.dedup_impact_report,  # per-source rollup (r9)
     },
     dedup.ORACLE_SQL,
 )
@@ -194,6 +195,8 @@ _register(
         "nb_margin_auc": classify.nb_margin_auc,  # Mann-Whitney ROC-AUC (exact ints)
         "nb_pr_curve": classify.nb_pr_curve,  # precision/recall at fixed gates
         "nb_calibration_bins": classify.nb_calibration_bins,  # decile calibration
+        "nb_confusion_matrix": classify.nb_confusion_matrix,  # (true, pred) counts
+        "nb_cohens_kappa": classify.nb_cohens_kappa,  # chance-corrected agreement
     },
     classify.ORACLE_SQL,
 )
@@ -239,6 +242,7 @@ _register(
         "contamination_report": training.contamination_report,
         "decontaminate_bloom": training.decontaminate_bloom,  # rows-only (bloom ⊇ exact)
         "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
+        "pack_efficiency": training.pack_efficiency,  # per-pack fill report (r9)
         "training_corpus": training.training_corpus,  # end-to-end curation composite
         "bpe_merges": training.bpe_merges,  # rows-only (iterative tokenizer training)
         "bpe_token_counts": training.bpe_token_counts,  # rows-only (train→apply loop)
@@ -310,8 +314,8 @@ _register(
 # worst-case staleness bounded).
 #
 # ROUND-9 window (per VERDICT r8 #1): all 50 slots oracle-backed.
-# Arithmetic note, stated honestly: 164 oracle-backed entries / 50
-# slots makes a ≤3-round staleness bound impossible (period 3.3);
+# Arithmetic note, stated honestly: 168 oracle-backed entries / 50
+# slots makes a ≤3-round staleness bound impossible (period 3.4);
 # the ledger therefore always spends slots on (a) never-sampled
 # entries first, (b) the stalest cohort next, and records EXACTLY
 # which entries defer to the next round.
@@ -319,18 +323,21 @@ _register(
 #      (registered after the r8 window froze; green in the in-repo
 #      differential; pca_components and fd_sketch stay OUT per the
 #      r6 no-oracle rule)
-#   2. the 3 new r9 gate-metric entries (never sampled)
-#   3. 33 of the 47 r6-last-green entries (3 rounds stale after r9
+#   2. the 7 new r9 entries (never sampled): 3 gate metrics, 2
+#      classifier-agreement rollups, packing efficiency, dedup impact
+#   3. 29 of the 47 r6-last-green entries (3 rounds stale after r9
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
-#      the alphabetical first 17 of the remaining 31.
+#      the alphabetical first 13 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with the 14 r6-last-green entries
+# ROUND-10 ROTATION NOTE: lead with the 18 r6-last-green entries
 # deferred from THIS window (4 rounds stale after r10 otherwise —
-# mandatory): quality_scores, quantize_embeddings, redact_pii,
-# repetition_scores, shuffle_order, source_kl_divergence,
-# span_dedup_report, stratified_sample, temperature_mix_weights,
-# tfidf_keywords, token_stats, unigram_logprob_scores, vocab_growth,
-# vocab_topk. Then fill the remaining ~36 slots from the 50
+# mandatory): media_features, perplexity_buckets_distributed,
+# quality_by_source, quality_filter, quality_scores,
+# quantize_embeddings, redact_pii, repetition_scores, shuffle_order,
+# source_kl_divergence, span_dedup_report, stratified_sample,
+# temperature_mix_weights, tfidf_keywords, token_stats,
+# unigram_logprob_scores, vocab_growth, vocab_topk.
+# Then fill the remaining ~32 slots from the 50
 # r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -348,7 +355,7 @@ _register(
 # txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# whichever ~14 of those r10 cannot fit defer to r11 and must be
+# whichever ~18 of those r10 cannot fit defer to r11 and must be
 # named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)
@@ -366,10 +373,14 @@ _SAMPLE_PRIORITY = (
     "top_paths_to_purchase",  # pre-conversion path ranking
     "corpus_checksum_by_source",  # XOR-merge audit fingerprint
     "embedding_covariance",  # exact d×d integer moments
-    # 2 — new r9 gate-metric entries (3, never sampled)
+    # 2 — new r9 entries (7, never sampled)
     "nb_margin_auc",  # Mann-Whitney ROC-AUC over NB margins
     "nb_pr_curve",  # precision/recall at fixed margin gates
     "nb_calibration_bins",  # margin deciles vs empirical accuracy
+    "nb_confusion_matrix",  # (true, pred) count table
+    "nb_cohens_kappa",  # chance-corrected agreement scalar
+    "pack_efficiency",  # per-pack fill-fraction report
+    "dedup_impact_report",  # per-source near-dup removal rollup
     # 3a — the 16 VERDICT-r8-named r6-last-green displaced set
     "value_per_day",
     "daily_value_by_type",
@@ -387,8 +398,8 @@ _SAMPLE_PRIORITY = (
     "revenue_by_segment",
     "base64_roundtrip",
     "customers_without_orders",
-    # 3b — alphabetical first 17 of the remaining 31 r6-last-green
-    # (the alphabetical last 14 defer to r10 — named in the note above)
+    # 3b — alphabetical first 13 of the remaining 31 r6-last-green
+    # (the alphabetical last 18 defer to r10 — named in the note above)
     "char_entropy",
     "contamination_report",
     "corpus_stats_by_source",
@@ -402,10 +413,6 @@ _SAMPLE_PRIORITY = (
     "gopher_quality_gate",
     "label_mix_by_source",
     "lang_id_scores",
-    "media_features",
-    "perplexity_buckets_distributed",
-    "quality_by_source",
-    "quality_filter",
     # — 50-row window ends here —
 )
 

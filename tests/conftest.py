@@ -10,6 +10,36 @@ from bread_spark.session import get_spark
 # reproduces the driver's correctness gate exactly.
 SF_DIR = os.environ.get("BREAD_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Two test tiers (r9, VERDICT r8 #2): the DEFAULT tier must stay under
+# 600 s on 32 cores; the slowest streaming checkpoint-restart twins
+# (their cost is real micro-batch/watermark WAITS, not computation)
+# carry @pytest.mark.nightly and are skipped by default. A full
+# certification pass runs them all: BREAD_TEST_NIGHTLY=1 python -m
+# pytest tests/  (or -m nightly for the nightly tier alone). Every
+# nightly-marked test still guards a pin that the default tier covers
+# at lower depth (each twin keeps a default-tier agreement test; only
+# the restart / multi-batch variants move to nightly).
+NIGHTLY = os.environ.get("BREAD_TEST_NIGHTLY", "") not in ("", "0")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "nightly: slow streaming restart/multi-batch pins — default tier "
+        "skips these; run with BREAD_TEST_NIGHTLY=1 (or -m nightly)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if NIGHTLY or config.getoption("markexpr", default=""):
+        return
+    skip = pytest.mark.skip(
+        reason="nightly tier (BREAD_TEST_NIGHTLY=1 to run)"
+    )
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -20,3 +50,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def catalog_plans(spark, sf_dir):
+    """Physical-plan text of EVERY catalog entry, compiled ONCE per
+    session (VERDICT r8 #2: the whole-catalog cartesian sweep and the
+    per-entry plan pins used to each rebuild their frames — at 183
+    entries that is the O(catalog) cost worth paying exactly once).
+    Building a frame also primes its materialized seams, so later
+    correctness tests reuse them."""
+    from bread_spark.queries import QUERIES
+
+    return {
+        name: fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for name, fn in QUERIES.items()
+    }

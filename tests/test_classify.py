@@ -297,3 +297,36 @@ def test_calibration_all_tied_margins_split_by_doc_id(spark):
     assert sum(r["n_docs"] for r in bins) == 25
     assert max(r["n_docs"] for r in bins) - min(r["n_docs"] for r in bins) <= 1
     assert all(r["avg_margin"] == 4.2e-05 for r in bins)
+
+
+def test_confusion_matrix_and_kappa_consistent_with_scores(spark):
+    """The confusion matrix must re-aggregate the scores exactly (cell
+    sums = report counts, diagonal = total correct) and kappa must equal
+    the hand-computed chance-corrected statistic on the collected
+    confusion counts."""
+    from collections import Counter
+
+    from bread_spark.extensions.classify import (
+        nb_cohens_kappa,
+        nb_confusion_matrix,
+    )
+
+    scores = nb_lang_scores(spark, SF_DIR).collect()
+    want = Counter((r["true_lang"], r["pred_lang"]) for r in scores)
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in nb_confusion_matrix(spark, SF_DIR).collect()
+    }
+    assert got == dict(want)
+
+    n = len(scores)
+    agree = sum(1 for r in scores if r["true_lang"] == r["pred_lang"])
+    row = Counter(r["true_lang"] for r in scores)
+    col = Counter(r["pred_lang"] for r in scores)
+    pe_num = sum(row[k] * col.get(k, 0) for k in row)
+    k = nb_cohens_kappa(spark, SF_DIR).first()
+    assert (k["n_docs"], k["n_agree"], k["pe_num"]) == (n, agree, pe_num)
+    assert k["kappa"] == round((agree * n - pe_num) / (n * n - pe_num), 6)
+    # kappa is chance-corrected: strictly below raw accuracy when the
+    # guesser's marginals earn any chance agreement
+    assert k["kappa"] < agree / n

@@ -62,6 +62,7 @@ def connect_server(tmp_path_factory):
         proc.kill()
 
 
+@pytest.mark.nightly  # server-spawn probe; default tier keeps the serve.py registry pins (r9 tier split)
 def test_connect_endpoint_listens(connect_server):
     """Test-at-distance without grpcio: the gRPC port accepts TCP."""
     with socket.create_connection(("127.0.0.1", connect_server), timeout=5):

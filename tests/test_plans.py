@@ -20,11 +20,9 @@ def physical_plan(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    def get(name):
-        return physical_plan(QUERIES[name](spark, sf_dir))
-
-    return get
+def plans(catalog_plans):
+    """Per-name plan text, served from the session-wide cache."""
+    return catalog_plans.__getitem__
 
 
 def test_pricing_summary_pushdown_and_partial_agg(plans):
@@ -90,11 +88,13 @@ def test_aggregations_have_map_side_partials(plans):
         assert "partial_" in plans(name), name
 
 
-def test_no_cartesian_anywhere(spark, sf_dir):
+def test_no_cartesian_anywhere(catalog_plans):
     # embedding_cosine_dups is a deliberate BroadcastNestedLoopJoin
     # (all-pairs semantics); everything else must be keyed or broadcast.
-    for name, fn in QUERIES.items():
-        p = physical_plan(fn(spark, sf_dir))
+    # Asserts over the session-cached plan texts — the catalog compiles
+    # once per session, not once per plan test (VERDICT r8 #2).
+    assert len(catalog_plans) == len(QUERIES)
+    for name, p in catalog_plans.items():
         assert "CartesianProduct" not in p, name
 
 

@@ -14,6 +14,16 @@ from bread_spark.streaming.sessions import SESSION_GAP_MIN, session_stats
 
 EPOCH = datetime.datetime(2024, 1, 1)
 
+# Tiered example budget (r9): each example costs real Spark jobs, so the
+# DEFAULT tier runs 2 randomized examples per property and the nightly
+# certification pass (BREAD_TEST_NIGHTLY=1) restores the full 5 — the
+# properties themselves run in BOTH tiers, only the random-input depth
+# differs. Hypothesis seeds fresh examples per run, so successive default
+# runs still accumulate coverage over time.
+from tests.conftest import NIGHTLY
+
+EXAMPLES = 5 if NIGHTLY else 2
+
 # events per user: gaps in minutes (0..180), values
 user_events = st.lists(
     st.tuples(st.integers(min_value=0, max_value=180), st.integers(min_value=0, max_value=100)),
@@ -44,7 +54,7 @@ def python_sessionize(per_user: dict[int, list[tuple[int, int]]]):
     return out
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(user_events, min_size=1, max_size=4))
 def test_sessionize_matches_python_reference(spark, users):
     per_user = {uid: gaps for uid, gaps in enumerate(users)}
@@ -68,7 +78,7 @@ def test_sessionize_matches_python_reference(spark, users):
     assert got == {k: (n, s, e, pytest.approx(v)) for k, (n, s, e, v) in expected.items()}
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.text(alphabet="abcdef ", min_size=10, max_size=60),
@@ -175,7 +185,7 @@ def test_pivot_roundtrip_random_occurrences(spark):
     assert sorted(map(tuple, melted.collect())) == sorted(map(tuple, eav.collect()))
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=15),
     st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=8),
@@ -227,7 +237,7 @@ def python_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, i
     return {v: find(v) for v in range(n_nodes)}
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.integers(min_value=2, max_value=25).flatmap(
         lambda n: st.tuples(
@@ -300,7 +310,7 @@ def test_minhash_signatures_duplicate_insensitive(spark, sf_dir):
     assert a == b
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.text(alphabet="abc ", min_size=1, max_size=40),
@@ -326,7 +336,7 @@ def test_trigram_lm_is_a_probability_model(spark, texts):
             assert out[i]["mean_logp"] <= 1e-9
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
         st.text(alphabet="xyz ", min_size=1, max_size=40),
@@ -358,7 +368,7 @@ nb_doc = st.tuples(
 )
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(nb_doc, min_size=2, max_size=24), st.integers(2, 4))
 def test_nb_merge_equals_retrain_on_arbitrary_corpora(spark, docs, n_shards):
     """For ANY corpus and ANY shard split, folding per-shard NB models
@@ -401,7 +411,7 @@ emb_point = st.tuples(
 )
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(emb_point, min_size=4, max_size=20))
 def test_silhouette_bounds_and_self_consistency(spark, points):
     """For ANY labeled point set with ≥2 labels: every silhouette lies in
@@ -427,7 +437,7 @@ def test_silhouette_bounds_and_self_consistency(spark, points):
             assert r["silhouette"] <= 0.0, r
 
 
-@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=min(3, EXAMPLES), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     seed=st.integers(0, 10_000),
     n_edits=st.integers(1, 10),
@@ -463,7 +473,7 @@ def test_fuzzy_finds_randomly_mutated_copy(spark, seed, n_edits):
     assert 1 <= got[(0, 1)] <= n_edits
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     seed=st.integers(0, 10_000),
     n_nodes=st.integers(2, 12),

@@ -678,3 +678,36 @@ def test_hard_negatives_tile_count_invariance(spark):
     a = {r["vec_id"]: r for r in hard_negatives(spark, SF_DIR, tiles=2).collect()}
     b = {r["vec_id"]: r for r in hard_negatives(spark, SF_DIR, tiles=8).collect()}
     assert a == b
+
+
+def test_dedup_impact_report_conserves_cluster_verdicts(spark, sf_dir):
+    """The per-source rollup must re-aggregate the cluster verdicts
+    exactly: kept + removed = docs per source, kept equals the
+    canonical count per source, and tokens_removed is the token mass of
+    exactly the non-canonical members."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.dedup import dedup_clusters, dedup_impact_report
+    from bread_spark.io import load_table
+
+    clusters = {r["doc_id"]: r["is_canonical"] for r in dedup_clusters(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n")
+    ).collect()
+    want = {}
+    for r in docs:
+        s = want.setdefault(r["source"], [0, 0, 0])
+        s[0] += 1
+        if clusters[r["doc_id"]]:
+            s[1] += 1
+        else:
+            s[2] += r["n"]
+    got = {r["source"]: r for r in dedup_impact_report(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for src, (n_docs, n_kept, toks_rm) in want.items():
+        g = got[src]
+        assert (g["n_docs"], g["n_kept"], g["n_removed"]) == (
+            n_docs, n_kept, n_docs - n_kept
+        )
+        assert g["tokens_removed"] == toks_rm
+        assert g["dup_rate"] == round((n_docs - n_kept) / n_docs, 4)

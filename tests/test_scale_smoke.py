@@ -335,6 +335,7 @@ def test_retention_cohorts_scale_exactly(spark, big_events):
     assert all(big_cells[k] == v * REPS for k, v in small_cells.items())
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the reference-pinned BPE tests (r9 tier split)
 def test_bpe_merges_invariant_under_corpus_replication(spark, tmp_path):
     """Doubling the corpus doubles every pair count but must not change
     the learned merge SEQUENCE — the trainer's decisions depend on
@@ -364,6 +365,7 @@ def test_bpe_merges_invariant_under_corpus_replication(spark, tmp_path):
     assert all(t[3] == 2 * o[3] for o, t in zip(one, two))
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the ngram5 oracle + seam-equality pins (r9 tier split)
 def test_ngram5_invariant_under_replication(spark, big_docs_r6):
     """Replicating every doc REPS× scales every n-gram count AND the
     total token mass by REPS, so each count ratio — and therefore every
@@ -722,6 +724,7 @@ def test_mg_summary_scales_exactly_linearly(spark, big_docs_r6):
     assert big == {t: (c * REPS, b * REPS) for t, (c, b) in small.items()}
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the fuzzy recall-1.0 pins (r9 tier split)
 def test_fuzzy_blocking_never_loses_exact_dups_at_scale(spark, big_docs_r6):
     """x10 replication makes every doc an exact (dist-0) duplicate of
     its 9 replicas. Replicas share ALL grams, so their selected prefix

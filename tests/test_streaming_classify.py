@@ -7,6 +7,8 @@ availableNow run resumes from the first's offsets)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import json
 import os
@@ -88,6 +90,7 @@ def test_nb_stream_scores_agree_with_batch(spark, tmp_path):
         assert got[doc_id] == (r["pred_lang"], r["logp"], r["margin"]), doc_id
 
 
+@pytest.mark.nightly  # restart/multi-batch wait dominates (r9 tier split)
 def test_nb_model_stream_counts_match_batch_and_fold_on_restart(spark, tmp_path):
     """The streaming count table after any prefix equals the batch count
     table over that prefix, and a snapshot through nb_counts_to_model

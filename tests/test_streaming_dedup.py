@@ -3,6 +3,8 @@ across micro-batches; state evicted beyond it."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import json
 import os
@@ -131,6 +133,7 @@ def test_stream_span_gate_scores_recycled_content(spark, tmp_path):
     assert rows[13]["n_base_windows"] == 0 and rows[13]["keep"] is True
 
 
+@pytest.mark.nightly  # staging-form variant; default tier keeps the span-gate semantics pin (r9 tier split)
 def test_stream_span_gate_prestaged_base_spans(spark, tmp_path):
     """The production form: the base span table is built once
     (`base_span_table` + localCheckpoint) and passed via `base_spans`, so

@@ -6,6 +6,8 @@ click that precedes its late-arriving qualifying view)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 import json
 import os
@@ -112,6 +114,7 @@ def test_stream_funnel_agrees_with_batch_stages(spark, tmp_path):
     assert got[1] == (BASE, BASE + 2 * H, BASE + 3 * H)
 
 
+@pytest.mark.nightly  # restart/multi-batch wait dominates (r9 tier split)
 def test_tombstone_survives_straggler_and_self_evicts(spark, tmp_path):
     """The documented GroupState contract resets a pending timeout on
     every invocation for the key, so a straggler delivered to a

@@ -6,6 +6,8 @@ row, including across a checkpoint restart."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -67,6 +69,7 @@ def _run(spark, src, ckpt, out, k):
     }
 
 
+@pytest.mark.nightly  # restart/multi-batch wait dominates (r9 tier split)
 def test_reservoir_stream_matches_batch_and_folds_on_restart(spark, tmp_path):
     from bread_spark.functions.text import weighted_sample_by_source_df
 

@@ -6,6 +6,8 @@ micro-batch), and must keep folding new batches in on restart."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -265,6 +267,7 @@ def _run_kmv(spark, src, ckpt, out):
     }
 
 
+@pytest.mark.nightly  # restart/multi-batch wait dominates (r9 tier split)
 def test_kmv_stream_matches_batch_and_folds_on_restart(spark, tmp_path):
     """The bottom-k state after any stream prefix equals the batch
     sketch over that prefix — including across a checkpoint restart
@@ -299,6 +302,7 @@ def test_kmv_stream_matches_batch_and_folds_on_restart(spark, tmp_path):
     assert any(k[0] == "s3" for k in got2)  # the new source surfaced
 
 
+@pytest.mark.nightly  # restart/multi-batch wait dominates (r9 tier split)
 def test_fd_sketch_stream_bound_holds_across_restart(spark, tmp_path):
     """Streaming FD: after two micro-batches (checkpoint restart
     between them), each source's MAX(ver) sketch satisfies the FD

@@ -4,6 +4,8 @@ parametrized differential sweep)."""
 
 from __future__ import annotations
 
+import pytest
+
 from bread_spark.extensions import training
 from bread_spark.extensions.training import PACK_BUDGET, PROBE_MAX_DOC_ID
 from bread_spark.queries import QUERIES
@@ -476,6 +478,7 @@ def test_bpe_token_counts_conserve_mass_and_merge(spark, tmp_path):
     assert counts == ref
 
 
+@pytest.mark.nightly  # edge-alphabet variant; default tier keeps the reference-implementation pin (r9 tier split)
 def test_bpe_merges_literal_space_boundary_with_tab_symbols(spark, tmp_path):
     """Regression: symbols may contain tabs/newlines (words split on ' '
     only), so merge boundaries must be LITERAL spaces — a \\s boundary
@@ -558,3 +561,33 @@ def test_split_leakage_is_structurally_zero_and_detects_id_keyed_splits(spark):
         .collect()[0]["n"]
     )
     assert leaked == 1
+
+
+def test_pack_efficiency_partitions_and_flags_oversize(spark):
+    """The efficiency report must conserve the packing exactly: every
+    pack accounted once, doc and token sums equal to the assignment's,
+    fill ≤ 1 for every multi-doc pack (only an oversized single doc may
+    exceed the budget — the greedy rule's own-pack case)."""
+    from bread_spark.extensions.training import (
+        PACK_BUDGET,
+        pack_efficiency,
+        pack_sequences,
+    )
+    from tests.conftest import SF_DIR
+
+    packed = pack_sequences(spark, SF_DIR).collect()
+    eff = pack_efficiency(spark, SF_DIR).collect()
+    assert {r["pack_id"] for r in eff} == {r["pack_id"] for r in packed}
+    assert sum(r["n_docs"] for r in eff) == len(packed)
+    assert sum(r["n_tokens"] for r in eff) == sum(r["n_tokens"] for r in packed)
+    # Spark/DuckDB round HALF-UP; Python rounds half-even — a pack of
+    # 232/256 tokens is a real tie (0.90625), so mirror half-up here
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def half_up4(x):
+        return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    for r in eff:
+        if r["n_docs"] > 1:
+            assert r["n_tokens"] <= PACK_BUDGET, r
+        assert r["fill_frac"] == half_up4(Decimal(r["n_tokens"]) / PACK_BUDGET)
