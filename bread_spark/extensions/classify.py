@@ -413,7 +413,12 @@ def nb_margin_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row: (n_pos, n_neg, n_concordant, n_tied, auc). A degenerate
     eval set (all correct or all incorrect) yields a null auc instead
-    of an ANSI divide-by-zero."""
+    of an ANSI divide-by-zero.
+
+    Overflow bound under ANSI mode: n_concordant ≤ n_pos·n_neg ≤ n²/4,
+    inside int64 for eval sets to ~4e9 docs — far beyond any holdout
+    split; past that, cast the pair-count partials to DECIMAL(38,0)
+    (same plan shape, the silhouette family's convention)."""
     return margin_auc_df(_margin_rows(spark, sf_dir))
 
 
@@ -674,7 +679,9 @@ def nb_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N² − PE_num) — a ratio of bigints, rounded to 6 for display.
     All inputs are O(classes)-row aggregates of the scores seam; the
     marginal join is a broadcast. Degenerate corpus (both sides all one
-    class → N² = PE_num) yields null, not an ANSI divide error."""
+    class → N² = PE_num) yields null, not an ANSI divide error.
+    ANSI overflow bound: every term is ≤ N², inside int64 to ~2e9 eval
+    docs; past that cast the marginals to DECIMAL(38,0)."""
     scores = nb_lang_scores(spark, sf_dir)
     by_true = scores.groupBy(F.col("true_lang").alias("lang")).agg(
         F.count(F.lit(1)).alias("n_t")

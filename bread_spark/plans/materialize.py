@@ -30,11 +30,21 @@ re-deriving). The cache contract:
 from __future__ import annotations
 
 import os
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
+# One lock for the build-and-store section: concurrent consumers (the
+# test suite's 4-way oracle differential; any future threaded driver)
+# must never stampede the same seam into two parallel builds. Spark
+# actions themselves are thread-safe; the lock only serializes SEAM
+# materialization, which is a small minority of any pass's work.
+# RLock, NOT Lock: seam builds nest (nb_lang_scores' build reads the
+# nb_lang_model seam; curated_corpus_v2 chains several) — a plain Lock
+# self-deadlocks on the same thread's nested materialized_frame call.
+_LOCK = threading.RLock()
 
 
 def materialized_frame(
@@ -54,8 +64,11 @@ def materialized_frame(
     )
     df = _CACHE.get(key)
     if df is None:
-        df = build().localCheckpoint()  # eager: materializes here
-        _CACHE[key] = df
+        with _LOCK:
+            df = _CACHE.get(key)
+            if df is None:
+                df = build().localCheckpoint()  # eager: materializes here
+                _CACHE[key] = df
     return df
 
 

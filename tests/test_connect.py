@@ -5,6 +5,7 @@ the Python client stack)."""
 
 from __future__ import annotations
 
+import importlib.util
 import os
 import signal
 import socket
@@ -69,6 +70,13 @@ def test_connect_endpoint_listens(connect_server):
         pass
 
 
+@pytest.mark.nightly  # spawns the server; pairs with the listen probe (r9 tier split)
+@pytest.mark.skipif(
+    # skipif BEFORE fixture resolution: the old importorskip inside the
+    # body paid the full 10 s server spawn just to skip (r9 finding)
+    importlib.util.find_spec("grpc") is None,
+    reason="grpcio not installed",
+)
 def test_connect_client_round_trip(connect_server):
     """Full SQL round-trip over the wire (needs the grpcio client stack)."""
     pytest.importorskip("grpc")

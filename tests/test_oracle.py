@@ -20,10 +20,43 @@ def con():
     c.close()
 
 
+@pytest.fixture(scope="session")
+def oracle_results(spark, sf_dir):
+    """Every differential computed ONCE with a 4-way thread pool (r9:
+    the serial sweep was the suite's single largest block at ~100 s —
+    latency-bound, 32 cores idle). Spark actions are thread-safe on the
+    shared session (FIFO scheduler overlaps the jobs), seam builds are
+    serialized by `materialized_frame`'s lock, and each worker thread
+    owns a private DuckDB connection. The parameterized tests below
+    assert the cached verdicts, so per-oracle reporting granularity is
+    unchanged — only the wall clock shrinks."""
+    import concurrent.futures as cf
+    import threading
+
+    local = threading.local()
+    cons = []
+
+    def one(name):
+        con = getattr(local, "con", None)
+        if con is None:
+            con = local.con = duckdb_con(SF_DIR)
+            cons.append(con)
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            return name, compare(df, con, ORACLES[name])
+        except Exception as e:  # surface as a red row, not a crashed pool
+            return name, (False, f"exception while comparing: {e!r}")
+
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        results = dict(ex.map(one, ORACLE_CHECKED))
+    for c in cons:
+        c.close()
+    return results
+
+
 @pytest.mark.parametrize("name", ORACLE_CHECKED)
-def test_query_matches_oracle(spark, sf_dir, con, name):
-    df = QUERIES[name](spark, sf_dir)
-    ok, msg = compare(df, con, ORACLES[name])
+def test_query_matches_oracle(oracle_results, name):
+    ok, msg = oracle_results[name]
     assert ok, f"{name}: {msg}"
 
 

@@ -479,24 +479,34 @@ def test_v2_member_gate_chain_composes(spark, tmp_path):
         {"doc_id": r["doc_id"], "ts": T.isoformat(), "payload": r["text"]}
         for r in s1.collect()
     ]
-    s2 = _stream_stage(
-        "span",
-        s1_rows,
-        lambda st: span_gate_stream_against_base(
-            st, base_spans=spans, id_col="doc_id"
-        ),
-        "doc_id long, ts timestamp, payload string",
-        tok("latespan", SPAN_W),
-    ).select("doc_id", "keep").localCheckpoint()
-    s3 = _stream_stage(
-        "lm",
-        s1_rows,
-        lambda st: ngram5_score_stream_against_base(
-            st, uni_f, big_f, tri_f, quad_f, quint_f
-        ),
-        "doc_id long, ts timestamp, payload string",
-        tok("latelm", 2),
-    ).select("doc_id", "mean_logp").localCheckpoint()
+    # the two gates are independent consumers of s1 — run their
+    # streaming queries CONCURRENTLY (separate sources/checkpoints/
+    # sinks; structured-streaming queries coexist on one session)
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        f2 = ex.submit(
+            _stream_stage,
+            "span",
+            s1_rows,
+            lambda st: span_gate_stream_against_base(
+                st, base_spans=spans, id_col="doc_id"
+            ),
+            "doc_id long, ts timestamp, payload string",
+            tok("latespan", SPAN_W),
+        )
+        f3 = ex.submit(
+            _stream_stage,
+            "lm",
+            s1_rows,
+            lambda st: ngram5_score_stream_against_base(
+                st, uni_f, big_f, tri_f, quad_f, quint_f
+            ),
+            "doc_id long, ts timestamp, payload string",
+            tok("latelm", 2),
+        )
+        s2 = f2.result().select("doc_id", "keep").localCheckpoint()
+        s3 = f3.result().select("doc_id", "mean_logp").localCheckpoint()
 
     # verdict combination + split assignment (pure projections)
     streamed = (
