@@ -260,6 +260,7 @@ def main() -> None:
         "nb_cohens_kappa",
         "pack_efficiency",
         "dedup_impact_report",
+        "semantic_decontaminate",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -439,6 +440,7 @@ def main() -> None:
         "nb_cohens_kappa",
         "pack_efficiency",
         "dedup_impact_report",
+        "semantic_decontaminate",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

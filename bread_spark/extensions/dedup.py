@@ -490,7 +490,28 @@ def dedup_clusters(
     halve long paths); the loop harness stays the same.
 
     Oracle: DuckDB recursive CTE computing the same transitive min-label.
+
+    Compute-once seam (r9): the label frame now has THREE catalog
+    consumers (this entry, `deduped_corpus`, `dedup_impact_report`), so
+    the default-parameter call materializes via `materialized_frame` —
+    the components loop runs once per (session, sf). A non-default
+    `max_iters` bypasses the seam (it changes convergence semantics).
     """
+    if max_iters is not None:
+        return _cluster_labels_build(spark, sf_dir, max_iters)
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "dedup_clusters",
+        sf_dir,
+        lambda: _cluster_labels_build(spark, sf_dir, None),
+    )
+
+
+def _cluster_labels_build(
+    spark: SparkSession, sf_dir: str, max_iters: int | None
+) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return connected_components(docs, pairs, max_iters=max_iters)

@@ -1647,3 +1647,133 @@ ORACLE_SQL["hard_negatives"] = f"""
     LEFT JOIN best p ON p.vec_id = v.vec_id AND p.is_pos
     LEFT JOIN best n ON n.vec_id = v.vec_id AND NOT n.is_pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-space eval overlap)
+# ---------------------------------------------------------------------------
+
+SEM_CONTAM_THRESHOLD = 0.35  # same scale as COSINE_DUP_THRESHOLD
+
+
+def semantic_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEM_CONTAM_THRESHOLD,
+) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC sibling of
+    `training.decontaminate` (which catches n-gram overlap): flag every
+    corpus vector whose cosine against ANY benchmark-probe vector
+    (vec_id < PROBE_MAX_DOC_ID, the shared probe convention) clears the
+    threshold. Catches the leak class shingles miss entirely —
+    paraphrased or translated copies of eval items that share no
+    16-token window with the original (the SemDeDup observation applied
+    to decontamination).
+
+    One row per CORPUS vector: (vec_id, n_probe_hits, top_probe,
+    top_cosine, contaminated) — the report form, so the gate (`WHERE
+    NOT contaminated`) and the audit (which probe leaked, how hard)
+    read the same frame.
+
+    Plan: the probe matrix is bounded BY CONSTRUCTION (an eval suite is
+    thousands of items, not corpus-scale) — it collects once,
+    unit-normalizes, and rides a Spark broadcast into ONE stateless
+    `mapInPandas` pass over the corpus: scan → BLAS block × probeᵀ →
+    per-row reduce. Zero shuffle, no join, no state; at 100 TB this is
+    a pure map job. Scores round to 4 INSIDE the kernel before any
+    threshold/argmax (the `embedding_cosine_dups` convention), and the
+    top probe is the lexicographic MAX of (cosine, probe_id) — same
+    rule in the kernel and the oracle's ranked form, so ties never
+    diverge across engines.
+
+    Streaming twin: `streaming/similarity.py::semantic_decontam_stream`
+    applies the IDENTICAL kernel to arriving vectors (stateless map —
+    the strongest batch/stream agreement possible: same function)."""
+    from .training import PROBE_MAX_DOC_ID
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter(F.col("vec_id") < PROBE_MAX_DOC_ID)
+    corpus = emb.filter(F.col("vec_id") >= PROBE_MAX_DOC_ID)
+    return semantic_decontam_df(corpus, probes, threshold)
+
+
+def semantic_decontam_df(
+    corpus: DataFrame, probes: DataFrame, threshold: float = SEM_CONTAM_THRESHOLD
+) -> DataFrame:
+    """`semantic_decontaminate` core over any (vec_id, embedding) corpus
+    and probe frames — tests drive it with planted paraphrase vectors,
+    and the streaming twin wraps the same kernel around a stream."""
+    kernel = make_probe_kernel(probes, threshold)
+    return corpus.mapInPandas(
+        kernel,
+        "vec_id long, n_probe_hits long, top_probe long, "
+        "top_cosine double, contaminated boolean",
+    )
+
+
+def make_probe_kernel(probes: DataFrame, threshold: float):
+    """Collect + unit-normalize the probe matrix (bounded by
+    construction) and return the mapInPandas kernel both the batch
+    operator and the streaming twin apply. Raises on an empty probe set
+    — a silent all-clean verdict from a misconfigured probe filter is
+    the one failure mode this operator must never have."""
+    import numpy as np
+    import pandas as pd
+
+    rows = probes.select("vec_id", "embedding").collect()
+    if not rows:
+        raise ValueError(
+            "semantic decontamination needs a non-empty probe set "
+            "(an empty one would silently pass every document)"
+        )
+    ids_p = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    unit_p = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = probes.sparkSession.sparkContext
+    bc = sc.broadcast((ids_p, unit_p))
+
+    def kernel(it):
+        p_ids, p_unit = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+            scores = np.round(a_unit @ p_unit.T, 4)
+            m = scores.max(axis=1)
+            # lexicographic argmax (cosine, probe_id): among tied-max
+            # columns take the LARGEST probe id — engine-stable
+            top = np.where(scores == m[:, None], p_ids[None, :], -1).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "n_probe_hits": (scores >= threshold).sum(axis=1),
+                    "top_probe": top,
+                    "top_cosine": m,
+                    "contaminated": m >= threshold,
+                }
+            )
+
+    return kernel
+
+
+from .training import PROBE_MAX_DOC_ID as _SEM_PROBE_MAX  # noqa: E402
+
+ORACLE_SQL["semantic_decontaminate"] = f"""
+    WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS probe_id, {_HN_COS} AS c
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id >= {_SEM_PROBE_MAX} AND b.vec_id < {_SEM_PROBE_MAX}
+    ),
+    ranked AS (
+        SELECT vec_id, probe_id, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY c DESC, probe_id DESC) AS rk,
+               CAST(SUM(CASE WHEN c >= {SEM_CONTAM_THRESHOLD} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY vec_id) AS BIGINT) AS n_probe_hits
+        FROM pairs
+    )
+    SELECT vec_id, n_probe_hits, probe_id AS top_probe, c AS top_cosine,
+           c >= {SEM_CONTAM_THRESHOLD} AS contaminated
+    FROM ranked WHERE rk = 1
+"""

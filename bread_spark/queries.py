@@ -122,6 +122,7 @@ _register(
         "silhouette_scores": similarity.silhouette_scores,  # per-point cluster QC
         "cluster_quality_report": similarity.cluster_quality_report,  # per-label health
         "hard_negatives": similarity.hard_negatives,  # contrastive-pair mining
+        "semantic_decontaminate": similarity.semantic_decontaminate,  # eval-leak gate (r9)
     },
     similarity.ORACLE_SQL,
 )
@@ -314,7 +315,7 @@ _register(
 # worst-case staleness bounded).
 #
 # ROUND-9 window (per VERDICT r8 #1): all 50 slots oracle-backed.
-# Arithmetic note, stated honestly: 168 oracle-backed entries / 50
+# Arithmetic note, stated honestly: 169 oracle-backed entries / 50
 # slots makes a ≤3-round staleness bound impossible (period 3.4);
 # the ledger therefore always spends slots on (a) never-sampled
 # entries first, (b) the stalest cohort next, and records EXACTLY
@@ -323,21 +324,22 @@ _register(
 #      (registered after the r8 window froze; green in the in-repo
 #      differential; pca_components and fd_sketch stay OUT per the
 #      r6 no-oracle rule)
-#   2. the 7 new r9 entries (never sampled): 3 gate metrics, 2
-#      classifier-agreement rollups, packing efficiency, dedup impact
-#   3. 29 of the 47 r6-last-green entries (3 rounds stale after r9
+#   2. the 8 new r9 entries (never sampled): 3 gate metrics, 2
+#      classifier-agreement rollups, packing efficiency, dedup impact,
+#      semantic decontamination
+#   3. 28 of the 47 r6-last-green entries (3 rounds stale after r9
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
-#      the alphabetical first 13 of the remaining 31.
+#      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with the 18 r6-last-green entries
+# ROUND-10 ROTATION NOTE: lead with the 19 r6-last-green entries
 # deferred from THIS window (4 rounds stale after r10 otherwise —
-# mandatory): media_features, perplexity_buckets_distributed,
-# quality_by_source, quality_filter, quality_scores,
-# quantize_embeddings, redact_pii, repetition_scores, shuffle_order,
-# source_kl_divergence, span_dedup_report, stratified_sample,
-# temperature_mix_weights, tfidf_keywords, token_stats,
-# unigram_logprob_scores, vocab_growth, vocab_topk.
-# Then fill the remaining ~32 slots from the 50
+# mandatory): lang_id_scores, media_features,
+# perplexity_buckets_distributed, quality_by_source, quality_filter,
+# quality_scores, quantize_embeddings, redact_pii, repetition_scores,
+# shuffle_order, source_kl_divergence, span_dedup_report,
+# stratified_sample, temperature_mix_weights, tfidf_keywords,
+# token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
+# Then fill the remaining ~31 slots from the 50
 # r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -373,7 +375,7 @@ _SAMPLE_PRIORITY = (
     "top_paths_to_purchase",  # pre-conversion path ranking
     "corpus_checksum_by_source",  # XOR-merge audit fingerprint
     "embedding_covariance",  # exact d×d integer moments
-    # 2 — new r9 entries (7, never sampled)
+    # 2 — new r9 entries (8, never sampled)
     "nb_margin_auc",  # Mann-Whitney ROC-AUC over NB margins
     "nb_pr_curve",  # precision/recall at fixed margin gates
     "nb_calibration_bins",  # margin deciles vs empirical accuracy
@@ -381,6 +383,7 @@ _SAMPLE_PRIORITY = (
     "nb_cohens_kappa",  # chance-corrected agreement scalar
     "pack_efficiency",  # per-pack fill-fraction report
     "dedup_impact_report",  # per-source near-dup removal rollup
+    "semantic_decontaminate",  # embedding-space eval-leak gate
     # 3a — the 16 VERDICT-r8-named r6-last-green displaced set
     "value_per_day",
     "daily_value_by_type",
@@ -398,8 +401,8 @@ _SAMPLE_PRIORITY = (
     "revenue_by_segment",
     "base64_roundtrip",
     "customers_without_orders",
-    # 3b — alphabetical first 13 of the remaining 31 r6-last-green
-    # (the alphabetical last 18 defer to r10 — named in the note above)
+    # 3b — alphabetical first 12 of the remaining 31 r6-last-green
+    # (the alphabetical last 19 defer to r10 — named in the note above)
     "char_entropy",
     "contamination_report",
     "corpus_stats_by_source",
@@ -412,7 +415,6 @@ _SAMPLE_PRIORITY = (
     "domain_token_quota",
     "gopher_quality_gate",
     "label_mix_by_source",
-    "lang_id_scores",
     # — 50-row window ends here —
 )
 

@@ -75,3 +75,35 @@ def silhouette_stream_against_base(
     return agg.filter(F.col("nb").isNotNull()).select(
         "window", id_col, label_col, *_sil_projection()
     )
+
+
+def semantic_decontam_stream(
+    stream: DataFrame,
+    probes: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Streaming twin of `extensions.similarity.semantic_decontaminate`:
+    score arriving (vec_id, embedding) rows against the FROZEN probe
+    matrix on arrival — the eval-leak gate a crawl ingest runs before a
+    document's embedding ever enters the training corpus.
+
+    The batch operator is a STATELESS map (broadcast probe matrix, one
+    BLAS block per Arrow batch), so the twin IS the batch kernel applied
+    to a streaming frame — `make_probe_kernel` returns the identical
+    function both wrap, which is the strongest batch/stream agreement
+    possible: not two implementations pinned equal, one implementation.
+    No watermark, no state, append mode; each row is scored exactly once
+    on arrival."""
+    from ..extensions.similarity import (
+        SEM_CONTAM_THRESHOLD,
+        make_probe_kernel,
+    )
+
+    if threshold is None:
+        threshold = SEM_CONTAM_THRESHOLD
+    kernel = make_probe_kernel(probes, threshold)
+    return stream.select("vec_id", "embedding").mapInPandas(
+        kernel,
+        "vec_id long, n_probe_hits long, top_probe long, "
+        "top_cosine double, contaminated boolean",
+    )

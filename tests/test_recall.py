@@ -711,3 +711,39 @@ def test_dedup_impact_report_conserves_cluster_verdicts(spark, sf_dir):
         )
         assert g["tokens_removed"] == toks_rm
         assert g["dup_rate"] == round((n_docs - n_kept) / n_docs, 4)
+
+
+def test_semantic_decontaminate_flags_planted_paraphrase(spark):
+    """A corpus vector nearly parallel to a probe is flagged with that
+    probe as top hit; an orthogonal vector passes clean; two identical
+    probes tie on cosine and the top_probe is the LARGER id (the
+    lexicographic (cosine, probe_id) rule); an empty probe set raises
+    instead of silently passing everything."""
+    import pytest
+
+    from bread_spark.extensions.similarity import (
+        SEM_CONTAM_THRESHOLD,
+        semantic_decontam_df,
+    )
+
+    d = 8
+    base = [0.0] * d
+    ax0 = list(base); ax0[0] = 1.0
+    ax1 = list(base); ax1[1] = 1.0
+    near = list(ax0); near[1] = 0.2  # cosine vs ax0 ≈ 0.98
+    probes = spark.createDataFrame(
+        [(1, ax0), (2, ax0), (3, ax1)], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(100, near), (101, [0.0] * (d - 1) + [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontam_df(corpus, probes).collect()}
+    flagged = out[100]
+    assert flagged["contaminated"] and flagged["n_probe_hits"] == 2
+    assert flagged["top_probe"] == 2  # ids 1 and 2 tie on cosine → max id
+    assert flagged["top_cosine"] >= SEM_CONTAM_THRESHOLD
+    clean = out[101]
+    assert not clean["contaminated"] and clean["n_probe_hits"] == 0
+    with pytest.raises(ValueError, match="probe set"):
+        semantic_decontam_df(corpus, probes.filter("vec_id < 0"))

@@ -92,3 +92,49 @@ def test_silhouette_stream_agrees_with_batch(spark, tmp_path):
             r["nearest_dist"],
             r["silhouette"],
         ), vec_id
+
+
+def test_semantic_decontam_stream_is_the_batch_kernel(spark, tmp_path):
+    """The twin wraps the SAME kernel function as the batch operator —
+    streamed verdicts over arriving vectors must equal the batch frame
+    row for row (availableNow over a json file source)."""
+    import json
+    import os
+
+    from bread_spark.extensions.similarity import semantic_decontam_df
+    from bread_spark.io import load_table
+    from bread_spark.streaming.similarity import semantic_decontam_stream
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    probes = emb.filter("vec_id < 20").localCheckpoint()
+    sample = emb.filter("vec_id >= 20").limit(40).collect()
+
+    src, ckpt, sink = (str(tmp_path / x) for x in ("src", "ck", "sink"))
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in sample:
+            f.write(
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+                )
+                + "\n"
+            )
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").json(src)
+    q = (
+        semantic_decontam_stream(stream, probes)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch_in = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in sample],
+        "vec_id long, embedding array<float>",
+    )
+    want = sorted(map(tuple, semantic_decontam_df(batch_in, probes).collect()))
+    assert got == want and len(got) == 40
