@@ -261,6 +261,13 @@ def main() -> None:
         "pack_efficiency",
         "dedup_impact_report",
         "semantic_decontaminate",
+        # round-9 additions, second wave: the data-quality expectation
+        # suite (per-column profiles + declared constraint verdicts) and
+        # PMI collocation mining off the shared LM count seams
+        "table_profile",
+        "constraint_checks",
+        "pmi_collocations",
+        "top_collocations_by_source",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -441,6 +448,10 @@ def main() -> None:
         "pack_efficiency",
         "dedup_impact_report",
         "semantic_decontaminate",
+        "table_profile",
+        "constraint_checks",
+        "pmi_collocations",
+        "top_collocations_by_source",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -769,3 +769,37 @@ def test_margin_metric_plans_are_grouped_never_globally_sorted(spark):
     assert "Window" not in pr
     assert "Join" not in pr
     assert "partial_sum" in pr  # map-side combine feeds the one row
+
+
+def test_table_profile_distinct_expands_before_exchange(plans):
+    """The profiler's only wide stage must partial-aggregate on
+    (table, column, canon) BEFORE the shuffle — the distinct expand is
+    what keeps the 17-value group key from hot-spotting — and the whole
+    profile is scans + one union, never a join."""
+    p = plans("table_profile")
+    assert "partial_count(distinct" in p
+    assert "hashpartitioning(table_name" in p
+    assert "canon" in p.split("Exchange hashpartitioning")[1]
+    assert "Join" not in p
+    assert "Union" in p
+
+
+def test_constraint_checks_joins_are_keyed(plans):
+    """The expectation suite's only joins are the two FK probes — each
+    keyed (broadcast or hash) on the FK column; scan-type checks share
+    per-table multi-aggregate passes (map-side partials present)."""
+    p = plans("constraint_checks")
+    assert p.count("Join") <= 4  # 2 FK joins; strategy is size-decided
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_pmi_collocations_take_ordered_not_global_sort(plans):
+    """The top-100 must be a distributed TakeOrderedAndProject over the
+    keyed-join result — no global Sort materializes, no cartesian; the
+    only condition-free join is the broadcast of the 1-row corpus
+    total."""
+    p = plans("pmi_collocations")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row total, nothing else
+    assert p.count("BroadcastNestedLoopJoin") == 1
