@@ -268,6 +268,8 @@ def main() -> None:
         "constraint_checks",
         "pmi_collocations",
         "top_collocations_by_source",
+        # semi-supervised label spread over the shared provenance-edge seam
+        "doc_label_propagation",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -452,6 +454,7 @@ def main() -> None:
         "constraint_checks",
         "pmi_collocations",
         "top_collocations_by_source",
+        "doc_label_propagation",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

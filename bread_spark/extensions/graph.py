@@ -260,10 +260,179 @@ def _rank_sql() -> str:
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+LP_ITERS = 2  # fixed propagation rounds (plan depth is compile-time)
+SEED_MOD, SEED_KEEP = 5, 2  # doc_id % 5 < 2 → ~40% labeled seeds
+
+
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    """Undirected view of the provenance graph: each (src, dst, w) edge
+    contributes both (node, nbr) directions. The edge build emits only
+    src > dst pairs, so the union cannot create duplicate rows."""
+    return edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"), "w"
+    ).unionByName(
+        edges.select(
+            F.col("dst").alias("node"), F.col("src").alias("nbr"), "w"
+        )
+    )
+
+
+def label_propagation_df(
+    docs: DataFrame, edges: DataFrame, iters: int = LP_ITERS
+) -> DataFrame:
+    """`doc_label_propagation` core over (doc_id, lang) nodes and
+    (src, dst, w) edges. Semi-supervised label spread: docs with
+    ``doc_id % SEED_MOD < SEED_KEEP`` (and a non-null lang) are CLAMPED
+    seeds; every other doc adopts, per round, the weighted-majority
+    label of its already-labeled neighbors over the undirected graph.
+
+    The argmax is the repo's lexicographic-MAX convention in its
+    engine-agnostic string form (models.py's lpad lane): candidate =
+    MAX(lpad(w_sum, 18, '0') || label), then strip the 18-char weight
+    prefix — ties on weight resolve to the lexicographically LARGEST
+    label, identically in Spark and DuckDB. A node with no labeled
+    neighbor keeps its previous label (NULL stays NULL), so labels only
+    ever spread outward from seeds; a clamped seed never changes.
+
+    Scale shape: each round is one keyed join (labels x undirected
+    edges on the neighbor id) + a (node, label) weight sum + a per-node
+    MAX — all doc_id-keyed shuffles, no collect, no broadcast of
+    anything unbounded; `iters` is a compile-time constant so the whole
+    spread is ONE Catalyst plan of fixed depth, exactly the PageRank
+    discipline above.
+
+    Streaming: batch-only by design, the PageRank rationale — the
+    spread is a fixed-point over the WHOLE graph with no per-arrival
+    incremental form; the incremental path is the shared edge seam.
+    """
+    seed_cond = (F.col("doc_id") % SEED_MOD < SEED_KEEP) & F.col(
+        "lang"
+    ).isNotNull()
+    nodes = docs.select(
+        "doc_id",
+        F.when(seed_cond, F.col("lang")).alias("seed_label"),
+    )
+    sym = _sym_edges(edges)
+    labels = nodes.select("doc_id", F.col("seed_label").alias("label"))
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.filter(F.col("label").isNotNull()).select(
+                    F.col("doc_id").alias("nbr"), "label"
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("w_sum"))
+        )
+        cand = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.concat(
+                        F.lpad(F.col("w_sum").cast("string"), 18, "0"),
+                        F.col("label"),
+                    )
+                ).alias("lane")
+            )
+            .select(
+                F.col("node").alias("doc_id"),
+                F.substring("lane", 19, 1_000_000).alias("cand"),
+            )
+        )
+        labels = (
+            nodes.join(labels, "doc_id")
+            .join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("seed_label", "cand", "label").alias("label"),
+            )
+        )
+    return (
+        nodes.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            F.when(F.col("seed_label").isNotNull(), F.lit("seed"))
+            .when(F.col("label").isNotNull(), F.lit("propagated"))
+            .otherwise(F.lit("unlabeled"))
+            .alias("origin"),
+        )
+    )
+
+
+def doc_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised language-label spread over the provenance graph
+    (docstring of `label_propagation_df`): (doc_id, label, origin)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return label_propagation_df(docs, edge_frame(spark, sf_dir))
+
+
+def _lp_iteration_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.doc_id,
+               COALESCE(n.seed_label, c.cand, p.label) AS label
+        FROM lp_nodes n
+        JOIN {prev} p USING (doc_id)
+        LEFT JOIN (
+            SELECT node AS doc_id,
+                   substring(MAX(lpad(CAST(w_sum AS VARCHAR), 18, '0')
+                                 || label), 19) AS cand
+            FROM (
+                SELECT s.node, p2.label, SUM(s.w) AS w_sum
+                FROM sym s
+                JOIN {prev} p2 ON s.nbr = p2.doc_id
+                WHERE p2.label IS NOT NULL
+                GROUP BY s.node, p2.label
+            )
+            GROUP BY node
+        ) c USING (doc_id)
+    )"""
+
+
+def _lp_sql() -> str:
+    parts = [
+        _EDGES_CTE,
+        f""",
+    sym AS (
+        SELECT src AS node, dst AS nbr, w FROM edges
+        UNION ALL
+        SELECT dst AS node, src AS nbr, w FROM edges
+    ),
+    lp_nodes AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {SEED_MOD} < {SEED_KEEP}
+                         AND lang IS NOT NULL
+                    THEN lang END AS seed_label
+        FROM documents
+    ),
+    lp0 AS (SELECT doc_id, seed_label AS label FROM lp_nodes),""",
+    ]
+    for i in range(LP_ITERS):
+        parts.append(_lp_iteration_sql(f"lp{i}", f"lp{i + 1}") + ",")
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"""
+    SELECT n.doc_id, r.label,
+           CASE WHEN n.seed_label IS NOT NULL THEN 'seed'
+                WHEN r.label IS NOT NULL THEN 'propagated'
+                ELSE 'unlabeled' END AS origin
+    FROM lp_nodes n JOIN lp{LP_ITERS} r USING (doc_id)
+"""
+    )
+    return "".join(parts)
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_provenance_edges": _EDGES_CTE
     + """
     SELECT src, dst, w FROM edges
 """,
     "doc_authority_rank": _rank_sql(),
+    "doc_label_propagation": _lp_sql(),
 }

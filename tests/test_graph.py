@@ -106,3 +106,70 @@ def test_edges_respect_posting_cap_and_direction(spark):
         .filter(F.col("tw") > F.col("max_sh"))
     )
     assert over.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def _lp(spark, docs_rows, edge_rows, iters=2):
+    from bread_spark.extensions.graph import label_propagation_df
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, lang string")
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    return {
+        r["doc_id"]: (r["label"], r["origin"])
+        for r in label_propagation_df(docs, edges, iters=iters).collect()
+    }
+
+
+def test_label_propagation_hand_computed(spark):
+    """Seeds clamp; weight majority beats lexicographic preference;
+    exact weight ties resolve to the lexicographically larger label;
+    labels reach 2 hops in 2 rounds; isolated nodes stay unlabeled."""
+    docs = [(1, "en"), (2, "fr"), (3, "de"), (4, "es"), (7, "fr"), (10, "zh")]
+    # seeds: doc_id % 5 < 2 → 1 (en), 10 (zh); non-seed langs are ignored
+    edges = [(2, 1, 3), (10, 2, 1), (3, 1, 1), (10, 3, 1), (4, 3, 5)]
+    got = _lp(spark, docs, edges)
+    assert got[1] == ("en", "seed")
+    assert got[10] == ("zh", "seed")
+    # en wins by weight 3:1 even though 'zh' > 'en' lexicographically
+    assert got[2] == ("en", "propagated")
+    # exact tie (en:1, zh:1) → lexicographically larger label
+    assert got[3] == ("zh", "propagated")
+    # 2-hop spread: node 4's only neighbor was unlabeled in round 1
+    assert got[4] == ("zh", "propagated")
+    assert got[7] == (None, "unlabeled")
+
+
+def test_label_propagation_one_round_reaches_one_hop(spark):
+    """With iters=1 the 2-hop node must still be unlabeled — the spread
+    frontier advances exactly one hop per round."""
+    docs = [(1, "en"), (3, "de"), (4, "es")]
+    edges = [(3, 1, 1), (4, 3, 1)]
+    got = _lp(spark, docs, edges, iters=1)
+    assert got[3] == ("en", "propagated")
+    assert got[4] == (None, "unlabeled")
+
+
+def test_label_propagation_real_corpus_origins(spark, sf_dir):
+    from bread_spark.extensions.graph import doc_label_propagation
+    from bread_spark.io import load_table
+
+    rows = {
+        r["doc_id"]: r for r in doc_label_propagation(spark, sf_dir).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert set(rows) == set(langs)
+    for doc_id, r in rows.items():
+        if doc_id % 5 < 2:
+            assert r["origin"] == "seed" and r["label"] == langs[doc_id]
+        else:
+            assert r["origin"] in ("propagated", "unlabeled")
+            assert (r["label"] is None) == (r["origin"] == "unlabeled")
