@@ -270,6 +270,9 @@ def main() -> None:
         "top_collocations_by_source",
         # semi-supervised label spread over the shared provenance-edge seam
         "doc_label_propagation",
+        # tokenizer-fit diagnostics: OOV vs frozen vocab, doubling-bucket lengths
+        "oov_rate_by_source",
+        "doc_length_histogram",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -455,6 +458,8 @@ def main() -> None:
         "pmi_collocations",
         "top_collocations_by_source",
         "doc_label_propagation",
+        "oov_rate_by_source",
+        "doc_length_histogram",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
