@@ -273,6 +273,8 @@ def main() -> None:
         # tokenizer-fit diagnostics: OOV vs frozen vocab, doubling-bucket lengths
         "oov_rate_by_source",
         "doc_length_histogram",
+        # first-seen content ratio off the shared capped-shingle seam
+        "doc_novelty_scores",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -460,6 +462,7 @@ def main() -> None:
         "doc_label_propagation",
         "oov_rate_by_source",
         "doc_length_histogram",
+        "doc_novelty_scores",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -428,6 +428,63 @@ def _lp_sql() -> str:
     return "".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Content novelty
+# ---------------------------------------------------------------------------
+
+
+def novelty_scores_df(shingles: DataFrame) -> DataFrame:
+    """`doc_novelty_scores` core over the (doc_id, shingle) posting
+    index: per doc, how many of its capped shingles are FIRST-SEEN here
+    (this doc is the min-doc_id holder — the same keep-earliest
+    convention the edge build uses) vs inherited from an earlier doc.
+
+    The per-doc complement of `doc_authority_rank`: rank measures how
+    much OTHERS copy you (global fixed point over the edges); novelty
+    measures how much of YOU is original (one local ratio per doc) —
+    the crawl-prioritization signal for incremental ingest, where a
+    new shard's low-novelty docs are dropped before any pairwise
+    dedup runs. novelty_micro = (n_novel · 1e6) div n_shingles, the
+    exact integer micro-ratio. Docs with zero capped shingles (shorter
+    than the shingle width, or all-stopword content) have no defined
+    ratio and are absent from the output, stated rather than NULLed.
+
+    Scale shape: one groupBy(shingle) MIN (already computed for the
+    edge build — same first-holder table), one shingle-keyed join back
+    onto the postings, one groupBy(doc_id). No collect, nothing
+    broadcast."""
+    canon = shingles.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_holder")
+    )
+    return (
+        shingles.join(canon, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_holder"), 1).otherwise(
+                    0
+                )
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").alias(
+                "novelty_micro"
+            ),
+        )
+    )
+
+
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-seen content ratio over the shared capped-shingle
+    seam (docstring of `novelty_scores_df`): (doc_id, n_shingles,
+    n_novel, novelty_micro)."""
+    return novelty_scores_df(capped_shingle_frame(spark, sf_dir, MAX_DF))
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_provenance_edges": _EDGES_CTE
     + """
@@ -435,4 +492,15 @@ ORACLE_SQL: dict[str, str] = {
 """,
     "doc_authority_rank": _rank_sql(),
     "doc_label_propagation": _lp_sql(),
+    "doc_novelty_scores": _EDGES_CTE
+    + """
+    SELECT s.doc_id,
+           CAST(COUNT(1) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN s.doc_id = c.dst THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((SUM(CASE WHEN s.doc_id = c.dst THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(1) AS BIGINT) AS novelty_micro
+    FROM sh s JOIN canon c USING (shingle)
+    GROUP BY s.doc_id
+""",
 }

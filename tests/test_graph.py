@@ -173,3 +173,42 @@ def test_label_propagation_real_corpus_origins(spark, sf_dir):
         else:
             assert r["origin"] in ("propagated", "unlabeled")
             assert (r["label"] is None) == (r["origin"] == "unlabeled")
+
+
+# ---------------------------------------------------------------------------
+# Novelty scores
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_hand_computed(spark):
+    """First-holder attribution: doc1 originates both its shingles,
+    doc2 inherits one of two, doc3 inherits everything."""
+    from bread_spark.extensions.graph import novelty_scores_df
+
+    postings = spark.createDataFrame(
+        [(1, "s1"), (1, "s2"), (2, "s1"), (2, "s3"), (3, "s2"), (3, "s3")],
+        "doc_id long, shingle string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_micro"])
+        for r in novelty_scores_df(postings).collect()
+    }
+    assert got[1] == (2, 2, 1_000_000)
+    assert got[2] == (2, 1, 500_000)
+    assert got[3] == (2, 0, 0)
+
+
+def test_novelty_real_corpus_consistency(spark, sf_dir):
+    from bread_spark.extensions.graph import doc_novelty_scores
+
+    rows = doc_novelty_scores(spark, sf_dir).collect()
+    assert rows
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert r["novelty_micro"] == r["n_novel"] * 1_000_000 // r["n_shingles"]
+    # keep-earliest: the globally smallest doc_id in the index is fully novel
+    first = min(ids)
+    first_row = next(r for r in rows if r["doc_id"] == first)
+    assert first_row["novelty_micro"] == 1_000_000
