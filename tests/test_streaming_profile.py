@@ -1,12 +1,15 @@
 """Streaming profile twin: the mergeable lanes (counts + XOR
 fingerprint) maintained over a document stream must equal the batch
-profile of the same rows, and must keep folding after more data lands
-on the same checkpoint."""
+profile of the same rows (default tier), and must keep folding after
+more data lands on the same checkpoint (nightly — the multi-batch
+wait is the cost, DECISIONS #17)."""
 
 from __future__ import annotations
 
 import json
 import os
+
+import pytest
 
 from bread_spark.extensions.profile import table_profile_df
 from bread_spark.io import load_table
@@ -71,7 +74,7 @@ def _batch_lanes(spark, rows):
     }
 
 
-def test_profile_stream_matches_batch_and_folds(spark, tmp_path):
+def test_profile_stream_matches_batch(spark, tmp_path):
     src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
     os.makedirs(src)
     _write(src, "b1.json", BATCH1)
@@ -80,7 +83,14 @@ def test_profile_stream_matches_batch_and_folds(spark, tmp_path):
     # NULL lang accounted: n_nonnull < n_rows for exactly that column
     assert got1[("documents", "lang")][1] == got1[("documents", "lang")][0] - 1
 
+
+@pytest.mark.nightly
+def test_profile_stream_folds_more_batches(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    _run(spark, src, ckpt, "prof_n1")
     # more rows land; the SAME checkpoint folds them in
     _write(src, "b2.json", BATCH2)
-    got2 = _run(spark, src, ckpt, "prof_t2")
+    got2 = _run(spark, src, ckpt, "prof_n2")
     assert got2 == _batch_lanes(spark, BATCH1 + BATCH2)

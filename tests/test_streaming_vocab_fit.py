@@ -1,15 +1,18 @@
 """Streaming tokenizer-fit twins: running OOV (frozen vocab) and
-length histogram must equal their batch forms over the same rows and
-keep folding on the same checkpoint."""
+length histogram must equal their batch forms over the same rows
+(default tier) and keep folding on the same checkpoint (nightly —
+the multi-batch wait is the cost, DECISIONS #17)."""
 
 from __future__ import annotations
 
 import json
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 
-from bread_spark.extensions.vocab_fit import doc_length_histogram_df, oov_rate_df
+from bread_spark.extensions.vocab_fit import doc_length_histogram_df
 from bread_spark.streaming.vocab_fit import (
     length_histogram_stream,
     oov_stream_against_vocab,
@@ -51,25 +54,28 @@ def _run(spark, src, ckpt, table, fn):
     return spark.sql(f"SELECT * FROM {table}")
 
 
-def test_both_twins_match_batch_and_fold(spark, tmp_path):
-    src = str(tmp_path / "src")
-    ck_o, ck_h = str(tmp_path / "cko"), str(tmp_path / "ckh")
-    os.makedirs(src)
-    _write(src, "b1.json", BATCH1)
+def _frozen_vocab(spark):
+    """Top-2 of batch1's counts — frozen across batches."""
     batch1 = spark.createDataFrame(BATCH1, DOCS_SCHEMA)
-    # the frozen vocab: top-2 of batch1's counts — frozen across batches
-    vocab = (
+    return (
         _uni(spark, batch1)
         .orderBy(F.desc("n"), F.desc("token"))
         .limit(2)
         .select("token", F.lit(1).alias("in_vocab"))
     )
 
+
+def test_both_twins_match_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck_o, ck_h = str(tmp_path / "cko"), str(tmp_path / "ckh")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    batch1 = spark.createDataFrame(BATCH1, DOCS_SCHEMA)
+    vocab = _frozen_vocab(spark)
+
     got = _run(
         spark, src, ck_o, "oov_t1", lambda s: oov_stream_against_vocab(s, vocab)
     )
-    # batch form against the same frozen vocab = oov_rate_df with the
-    # vocab's own source counts: compare via the shared join+agg shape
     want = oov_stream_against_vocab(batch1, vocab)
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()
@@ -81,16 +87,26 @@ def test_both_twins_match_batch_and_fold(spark, tmp_path):
         tuple(r) for r in want_h.collect()
     }
 
-    # fold: a second batch lands on the same checkpoints
+
+@pytest.mark.nightly
+def test_both_twins_fold_on_the_same_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ck_o, ck_h = str(tmp_path / "cko"), str(tmp_path / "ckh")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    vocab = _frozen_vocab(spark)
+    _run(spark, src, ck_o, "oov_n1", lambda s: oov_stream_against_vocab(s, vocab))
+    _run(spark, src, ck_h, "hist_n1", length_histogram_stream)
+
     _write(src, "b2.json", BATCH2)
     both = spark.createDataFrame(BATCH1 + BATCH2, DOCS_SCHEMA)
     got2 = _run(
-        spark, src, ck_o, "oov_t2", lambda s: oov_stream_against_vocab(s, vocab)
+        spark, src, ck_o, "oov_n2", lambda s: oov_stream_against_vocab(s, vocab)
     )
     assert {tuple(r) for r in got2.collect()} == {
         tuple(r) for r in oov_stream_against_vocab(both, vocab).collect()
     }
-    got_h2 = _run(spark, src, ck_h, "hist_t2", length_histogram_stream)
+    got_h2 = _run(spark, src, ck_h, "hist_n2", length_histogram_stream)
     assert {tuple(r) for r in got_h2.collect()} == {
         tuple(r) for r in doc_length_histogram_df(both).collect()
     }
