@@ -275,6 +275,8 @@ def main() -> None:
         "doc_length_histogram",
         # first-seen content ratio off the shared capped-shingle seam
         "doc_novelty_scores",
+        # per-source centroid cosine matrix (corpus cartography)
+        "source_similarity_matrix",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -463,6 +465,7 @@ def main() -> None:
         "oov_rate_by_source",
         "doc_length_histogram",
         "doc_novelty_scores",
+        "source_similarity_matrix",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
