@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .curation import BIGRAM_PAIRS_EXPR
 
 MIN_PAIR = 3
 TOP_K = 100
@@ -103,8 +104,7 @@ def top_collocations_by_source_df(docs: DataFrame) -> DataFrame:
         "source",
         F.explode(
             F.expr(
-                "transform(slice(toks, 2, size(toks) - 1), "
-                "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                BIGRAM_PAIRS_EXPR
             )
         ).alias("p"),
     ).select("source", "p.w1", "p.w2")

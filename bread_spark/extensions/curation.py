@@ -793,8 +793,7 @@ def lm_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.select(
                 F.explode(
                     F.expr(
-                        "transform(slice(toks, 2, size(toks) - 1), "
-                        "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                        BIGRAM_PAIRS_EXPR
                     )
                 ).alias("p")
             )
@@ -804,6 +803,16 @@ def lm_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return materialized_frame(spark, "lm_big", sf_dir, build)
+
+
+# The adjacent-pair construction shared by every bigram count build —
+# batch LM seam, per-source collocation counts, and the streaming twin
+# (which must produce the IDENTICAL pair stream for its snapshot to
+# equal the batch tables). One definition so the contract cannot drift.
+BIGRAM_PAIRS_EXPR = (
+    "transform(slice(toks, 2, size(toks) - 1), "
+    "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+)
 
 
 def _gram_stream(w: DataFrame, k: int, names: tuple, with_doc: bool = True) -> DataFrame:
@@ -883,8 +892,7 @@ def bigram_logprob_scores_df(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(toks, 2, size(toks) - 1), "
-                "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                BIGRAM_PAIRS_EXPR
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
@@ -993,8 +1001,7 @@ def trigram_logprob_scores_df(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(toks, 2, size(toks) - 1), "
-                "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                BIGRAM_PAIRS_EXPR
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")

@@ -452,7 +452,16 @@ def novelty_scores_df(shingles: DataFrame) -> DataFrame:
     Scale shape: one groupBy(shingle) MIN (already computed for the
     edge build — same first-holder table), one shingle-keyed join back
     onto the postings, one groupBy(doc_id). No collect, nothing
-    broadcast."""
+    broadcast.
+
+    Streaming: batch-only by design, the graph family's rationale —
+    the first-holder table is a MIN over the WHOLE corpus, so a doc's
+    novelty is only final once every earlier doc_id has been seen.
+    The incremental path is the appendable shingle seam: an
+    append-only ingest (doc_ids increasing) can gate each new shard
+    against the EXISTING first-holder table — exactly the
+    cross-corpus-gate pattern `cross_dedup_spans` certifies — and
+    re-score on the schedule the edge table already re-ranks on."""
     canon = shingles.groupBy("shingle").agg(
         F.min("doc_id").alias("first_holder")
     )

@@ -6,7 +6,7 @@ structured streaming forbids in one query — and doesn't need: like the
 NB classifier (`nb_model_count_stream`), the collocation family's
 sufficient statistic is a count table, and count tables maintain
 themselves as ONE grouped streaming aggregation (SUM merge, complete
-mode). `collocation_counts_stream` emits the running (w1, w2, n12)
+mode). `collocation_bigram_stream` emits the running (w1, w2, n12)
 bigram table and `collocation_unigram_stream` the (token, n) table; a
 snapshot of the two fed through the BATCH scorer
 (`pmi_collocations_df`) IS the batch report over everything seen —
@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..extensions.curation import BIGRAM_PAIRS_EXPR
 
 
 def collocation_unigram_stream(stream: DataFrame) -> DataFrame:
@@ -39,8 +40,7 @@ def collocation_bigram_stream(stream: DataFrame) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "transform(slice(toks, 2, size(toks) - 1), "
-                    "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                    BIGRAM_PAIRS_EXPR
                 )
             ).alias("p")
         )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..extensions.profile import _long_form
+from ..extensions.profile import _LANE, _long_form
 
 
 def profile_stream(stream: DataFrame, table: str) -> DataFrame:
@@ -29,7 +29,9 @@ def profile_stream(stream: DataFrame, table: str) -> DataFrame:
     over a stream of `table`-shaped rows (complete output mode)."""
     from pyspark.sql import functions as F
 
-    lane = "cast(conv(substring(md5(canon), 1, 15), 16, 10) as bigint)"
+    # the batch profiler's OWN lane expression — the twin's equality
+    # with the batch fingerprint must survive any future lane change
+    lane = _LANE.format(c="canon")
     return (
         _long_form(stream, table)
         .groupBy("table_name", "column_name")

@@ -11,6 +11,7 @@ from bread_spark.extensions.collocations import (
     pmi_collocations_df,
     top_collocations_by_source_df,
 )
+from bread_spark.extensions.curation import BIGRAM_PAIRS_EXPR
 
 DOCS_SCHEMA = "doc_id long, source string, text string"
 
@@ -32,8 +33,7 @@ def _counts(spark, rows):
         w.select(
             F.explode(
                 F.expr(
-                    "transform(slice(toks, 2, size(toks) - 1), "
-                    "(t, i) -> struct(toks[i] AS w1, t AS w2))"
+                    BIGRAM_PAIRS_EXPR
                 )
             ).alias("p")
         )
