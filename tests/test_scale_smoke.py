@@ -866,3 +866,189 @@ def test_covariance_scales_exactly_quadratically(spark):
         assert r["n"] == n * REPS
         assert r["sxy"] == sxy * REPS
         assert r["cov_num"] == cov * REPS * REPS
+
+
+# ---------------------------------------------------------------------------
+# r9 second wave: replication invariants for the new families
+# ---------------------------------------------------------------------------
+
+
+def _colloc_counts(docs):
+    """(uni, big) count tables from a (doc_id, text, ...) frame — the
+    shared tokenization + BIGRAM_PAIRS_EXPR contract."""
+    from bread_spark.extensions.curation import BIGRAM_PAIRS_EXPR
+
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    w = docs.select(toks_arr.alias("toks")).filter(F.size("toks") >= 1)
+    uni = (
+        w.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = (
+        w.select(F.explode(F.expr(BIGRAM_PAIRS_EXPR)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    return uni, big
+
+
+@pytest.mark.nightly  # replication smoke; default tier keeps the hand-computed score pins
+def test_pmi_scores_exactly_replication_invariant(spark, big_docs_r6):
+    """Every count scales by REPS and the two-step floor score is a
+    floor of REPS-cancelling rationals — so for every pair ranked in
+    BOTH top-100s the score is EXACTLY equal and the count exactly
+    REPS×. The pair SETS legitimately differ: MIN_PAIR is an absolute
+    count gate (deliberately not scaled — a bigger corpus admits rarer
+    pairs), so replication lets base-count-1/2 pairs into the
+    candidate pool."""
+    from bread_spark.extensions.collocations import pmi_collocations_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_lift_micro"])
+        for r in pmi_collocations_df(*_colloc_counts(docs)).collect()
+    }
+    big = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_lift_micro"])
+        for r in pmi_collocations_df(*_colloc_counts(big_docs_r6)).collect()
+    }
+    shared = set(base) & set(big)
+    assert len(shared) >= 50  # the stable head of the ranking
+    for k in shared:
+        n, score = base[k]
+        assert big[k] == (n * REPS, score)
+    # every newly-admitted pair was under the MIN_PAIR gate at base scale
+    from bread_spark.extensions.collocations import MIN_PAIR
+
+    for k in set(big) - set(base):
+        assert big[k][0] < MIN_PAIR * REPS
+
+
+@pytest.mark.nightly  # replication smoke; default tier keeps the tied-cut pins
+def test_oov_rate_exactly_replication_invariant(spark, big_docs_r6):
+    """The vocab cut survives ×REPS (every count scales together) and
+    (R·a·1e6) div (R·b) == (a·1e6) div b exactly."""
+    from bread_spark.extensions.vocab_fit import oov_rate_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text")
+    base = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_micro"])
+        for r in oov_rate_df(docs, _colloc_counts(docs)[0]).collect()
+    }
+    big = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_micro"])
+        for r in oov_rate_df(
+            big_docs_r6, _colloc_counts(big_docs_r6)[0]
+        ).collect()
+    }
+    assert set(base) == set(big)
+    for s, (nt, no, micro) in base.items():
+        assert big[s] == (nt * REPS, no * REPS, micro)
+
+
+@pytest.mark.nightly  # replication smoke; default tier keeps the boundary pins
+def test_length_histogram_scales_exactly_linearly(spark, big_docs_r6):
+    from bread_spark.extensions.vocab_fit import doc_length_histogram_df
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text")
+    base = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["token_mass"])
+        for r in doc_length_histogram_df(docs).collect()
+    }
+    big = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["token_mass"])
+        for r in doc_length_histogram_df(big_docs_r6).collect()
+    }
+    assert set(base) == set(big)
+    for k, (n, m) in base.items():
+        assert big[k] == (n * REPS, m * REPS)
+
+
+@pytest.mark.nightly  # replication smoke; default tier keeps tamper/invariance pins
+def test_profile_replication_row_counts_and_xor_cancellation(spark, big_docs_r6):
+    """×REPS documents: n_rows scales exactly; text n_distinct is
+    invariant (same texts); with EVEN REPS the text xor lane cancels
+    to 0 — the audit family's documented pair-cancellation, asserted
+    here on purpose."""
+    from bread_spark.extensions.profile import table_profile_df
+
+    assert REPS % 2 == 0
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    empty_orders = load_table(spark, SF_DIR, "orders").limit(0)
+    empty_events = load_table(spark, SF_DIR, "events").limit(0)
+    base = {
+        r["column_name"]: r
+        for r in table_profile_df(empty_orders, docs, empty_events).collect()
+        if r["table_name"] == "documents"
+    }
+    big = {
+        r["column_name"]: r
+        for r in table_profile_df(
+            empty_orders, big_docs_r6.withColumn("n_chars", F.length("text")), empty_events
+        ).collect()
+        if r["table_name"] == "documents"
+    }
+    for col in base:
+        assert big[col]["n_rows"] == base[col]["n_rows"] * REPS
+    assert big["text"]["n_distinct"] == base["text"]["n_distinct"]
+    assert big["doc_id"]["n_distinct"] == base["doc_id"]["n_distinct"] * REPS
+    assert big["text"]["xor_lane"] == 0  # even-REPS cancellation
+
+
+@pytest.mark.nightly  # replication smoke; default tier keeps hand-computed attribution pins
+def test_novelty_replicas_inherit_everything(spark):
+    """Disjoint-id replicas of a posting index share every shingle with
+    the base copy, so every replica doc scores novelty 0 and every
+    base doc's row is unchanged."""
+    from bread_spark.extensions.graph import novelty_scores_df
+
+    postings = spark.createDataFrame(
+        [(1, "s1"), (1, "s2"), (2, "s1"), (2, "s3")],
+        "doc_id long, shingle string",
+    )
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = postings.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 1_000).alias("doc_id"), "shingle"
+    )
+    base = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in novelty_scores_df(postings).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in novelty_scores_df(big).collect()
+    }
+    assert len(got) == len(base) * REPS
+    for doc_id, (n, novel) in base.items():
+        assert got[doc_id] == (n, novel)  # base rows unchanged
+    for doc_id, (n, novel) in got.items():
+        if doc_id >= 1_000:
+            assert novel == 0  # replicas inherit everything
+
+
+@pytest.mark.nightly  # replication smoke; default tier keeps hand-computed cosine pins
+def test_source_cosines_exactly_replication_invariant(spark):
+    """Sum vectors scale ×REPS and cosine is scale-invariant — the
+    matrix must be bit-identical."""
+    from bread_spark.extensions.source_sim import (
+        similarity_matrix_df,
+        source_sums_df,
+    )
+
+    emb = spark.createDataFrame(
+        [("s1", [1.0, 0.2]), ("s2", [0.3, 0.9]), ("s3", [-0.5, 0.4])],
+        "source string, embedding array<float>",
+    )
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select("source", "embedding")
+    base = sorted(
+        map(tuple, similarity_matrix_df(source_sums_df(emb)).collect())
+    )
+    got = sorted(
+        map(tuple, similarity_matrix_df(source_sums_df(big)).collect())
+    )
+    assert got == base
