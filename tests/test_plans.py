@@ -803,3 +803,24 @@ def test_pmi_collocations_take_ordered_not_global_sort(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 1-row total, nothing else
     assert p.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_r9_second_wave_plans_are_keyed_and_partial_aggregated(plans):
+    """The five remaining second-wave entries: every join keyed
+    (broadcast or hash/sort-merge — never nested-loop, never
+    cartesian), map-side partials present; the OOV probe's one join is
+    the bounded-by-construction vocab broadcast, and the histogram is
+    join-free."""
+    for name in [
+        "doc_label_propagation",
+        "oov_rate_by_source",
+        "doc_length_histogram",
+        "source_similarity_matrix",
+        "doc_novelty_scores",
+    ]:
+        p = plans(name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "partial_" in p, name
+    assert plans("oov_rate_by_source").count("BroadcastHashJoin") == 1
+    assert "Join" not in plans("doc_length_histogram")
