@@ -277,6 +277,9 @@ def main() -> None:
         "doc_novelty_scores",
         # per-source centroid cosine matrix (corpus cartography)
         "source_similarity_matrix",
+        # easy→hard curriculum order (window + distributed two-pass forms)
+        "curriculum_order",
+        "curriculum_order_distributed",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -466,6 +469,8 @@ def main() -> None:
         "doc_length_histogram",
         "doc_novelty_scores",
         "source_similarity_matrix",
+        "curriculum_order",
+        "curriculum_order_distributed",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -824,3 +824,16 @@ def test_r9_second_wave_plans_are_keyed_and_partial_aggregated(plans):
         assert "partial_" in p, name
     assert plans("oov_rate_by_source").count("BroadcastHashJoin") == 1
     assert "Join" not in plans("doc_length_histogram")
+
+
+def test_curriculum_distributed_has_no_window(plans):
+    """The distributed curriculum twin must rank without any Window
+    operator: its visible plan is exactly the Arrow two-pass ordinal
+    over the checkpointed range layout (localCheckpoint truncates the
+    upstream lineage, so the range exchange and the stage member live
+    behind the ExistingRDD scan). The ranking window exists only in
+    the oracle-gate form."""
+    p = plans("curriculum_order_distributed")
+    assert "Window" not in p
+    assert "MapInPandas" in p
+    assert "Scan ExistingRDD" in p
