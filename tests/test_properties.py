@@ -505,3 +505,132 @@ def test_authority_rank_matches_reference_on_random_graphs(spark, seed, n_nodes)
         for r in authority_rank_df(nodes, edf).collect()
     }
     assert got == _reference_rank(n_nodes, edges)
+
+
+# ---------------------------------------------------------------------------
+# r9 second wave: collocations, constraint checks, novelty vs Python
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["a", "b", "c", "d", "e"])
+_doc_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _python_pmi(texts):
+    """Independent reference: counts, MIN_PAIR gate, the two-step floor
+    score, (score, w1, w2) DESC order, TOP_K cut."""
+    from bread_spark.extensions.collocations import MIN_PAIR, TOP_K
+
+    uni, big = {}, {}
+    for t in texts:
+        toks = [w for w in t.split(" ") if w != ""]
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for w1, w2 in zip(toks, toks[1:]):
+            big[(w1, w2)] = big.get((w1, w2), 0) + 1
+    n_total = sum(uni.values())
+    rows = [
+        (w1, w2, c12, uni[w1], uni[w2], ((c12 * 1_000_000) // uni[w1]) * n_total // uni[w2])
+        for (w1, w2), c12 in big.items()
+        if c12 >= MIN_PAIR
+    ]
+    rows.sort(key=lambda r: (r[5], r[0], r[1]), reverse=True)
+    return rows[:TOP_K]
+
+
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_texts)
+def test_pmi_matches_python_reference(spark, texts):
+    from bread_spark.extensions.collocations import pmi_collocations_df
+    from tests.test_collocations import _counts
+
+    rows = [(i, "s", t) for i, t in enumerate(texts)]
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["n_w1"], r["n_w2"], r["pmi_lift_micro"])
+        for r in pmi_collocations_df(*_counts(spark, rows)).collect()
+    ]
+    assert got == _python_pmi(texts)
+
+
+_shingle_postings = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.sampled_from(["s1", "s2", "s3", "s4"]),
+    ),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_shingle_postings)
+def test_novelty_matches_python_reference(spark, postings):
+    from bread_spark.extensions.graph import novelty_scores_df
+
+    first = {}
+    per_doc = {}
+    for doc_id, sh in postings:
+        first[sh] = min(first.get(sh, doc_id), doc_id)
+        per_doc.setdefault(doc_id, set()).add(sh)
+    want = {
+        d: (
+            len(shs),
+            sum(1 for sh in shs if first[sh] == d),
+            sum(1 for sh in shs if first[sh] == d) * 1_000_000 // len(shs),
+        )
+        for d, shs in per_doc.items()
+    }
+    df = spark.createDataFrame(postings, "doc_id long, shingle string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_micro"])
+        for r in novelty_scores_df(df).collect()
+    }
+    assert got == want
+
+
+_orders_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # o_orderkey (dupes possible)
+        st.integers(min_value=1, max_value=4),  # o_custkey (orphans possible)
+        st.sampled_from(["O", "F", "P", "X"]),  # X = domain violation
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=EXAMPLES, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_orders_rows, st.sets(st.integers(min_value=1, max_value=4), min_size=0, max_size=4))
+def test_constraint_checks_match_python_reference(spark, orders_rows, cust_keys):
+    from bread_spark.extensions.profile import constraint_checks_df
+
+    orders = spark.createDataFrame(
+        [(k, c, s, 1.0) for k, c, s in orders_rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(k,) for k in sorted(cust_keys)] or [(None,)],
+        "c_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1.0, 0.05)], "l_orderkey long, l_quantity double, l_discount double"
+    )
+    documents = spark.createDataFrame([(1, "ab", 2)], "doc_id long, text string, n_chars long")
+    events = spark.createDataFrame([(1, 0.0)], "event_id long, value double")
+    got = {
+        r["check_name"]: (r["n_checked"], r["n_violations"], r["passed"])
+        for r in constraint_checks_df(
+            orders, customer, lineitem, documents, events
+        ).collect()
+    }
+    n = len(orders_rows)
+    pk_viol = n - len({k for k, _, _ in orders_rows})
+    status_viol = sum(1 for _, _, s in orders_rows if s not in ("O", "F", "P"))
+    fk_viol = sum(1 for _, c, _ in orders_rows if c not in cust_keys)
+    assert got["orders_pk_unique"] == (n, pk_viol, int(pk_viol == 0))
+    assert got["orders_status_domain"] == (n, status_viol, int(status_viol == 0))
+    assert got["orders_custkey_fk"] == (n, fk_viol, int(fk_viol == 0))
