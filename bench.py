@@ -280,6 +280,8 @@ def main() -> None:
         # easy→hard curriculum order (window + distributed two-pass forms)
         "curriculum_order",
         "curriculum_order_distributed",
+        # A/B variant comparison from exact integer moments
+        "ab_variant_report",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -471,6 +473,7 @@ def main() -> None:
         "source_similarity_matrix",
         "curriculum_order",
         "curriculum_order_distributed",
+        "ab_variant_report",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
