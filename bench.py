@@ -282,6 +282,9 @@ def main() -> None:
         "curriculum_order_distributed",
         # A/B variant comparison from exact integer moments
         "ab_variant_report",
+        # RFM quartile segmentation + MAD robust outlier QC
+        "rfm_segments",
+        "value_mad_outliers",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -474,6 +477,8 @@ def main() -> None:
         "curriculum_order",
         "curriculum_order_distributed",
         "ab_variant_report",
+        "rfm_segments",
+        "value_mad_outliers",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -29,6 +29,7 @@ from .extensions import (
     multimodal,
     profile,
     search,
+    segments,
     similarity,
     sketch,
     source_sim,
@@ -201,6 +202,13 @@ _register(
         "ab_variant_report": abtest.ab_variant_report,  # Welch from exact moments
     },
     abtest.ORACLE_SQL,
+)
+_register(
+    {
+        "rfm_segments": segments.rfm_segments,  # RFM quartile segmentation
+        "value_mad_outliers": segments.value_mad_outliers,  # robust z QC
+    },
+    segments.ORACLE_SQL,
 )
 _register(
     {
@@ -379,13 +387,14 @@ _register(
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
 #      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 12 oracle-backed entries
+# ROUND-10 ROTATION NOTE: lead with (a) the 14 oracle-backed entries
 # registered AFTER this round's window froze and therefore never
 # sampled — table_profile, constraint_checks, pmi_collocations,
 # top_collocations_by_source, doc_label_propagation,
 # oov_rate_by_source, doc_length_histogram, doc_novelty_scores,
 # source_similarity_matrix, curriculum_order,
-# curriculum_order_distributed, ab_variant_report — then (b) the 19
+# curriculum_order_distributed, ab_variant_report, rfm_segments,
+# value_mad_outliers — then (b) the 19
 # r6-last-green entries deferred from THIS window (4 rounds stale
 # after r10 otherwise — mandatory): lang_id_scores, media_features,
 # perplexity_buckets_distributed, quality_by_source, quality_filter,
@@ -393,7 +402,7 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Then fill the remaining ~19 slots from the 50
+# Then fill the remaining ~17 slots from the 50
 # r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -411,7 +420,7 @@ _register(
 # txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# whichever ~31 of those r10 cannot fit defer to r11 and must be
+# whichever ~33 of those r10 cannot fit defer to r11 and must be
 # named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)
