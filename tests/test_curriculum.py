@@ -4,6 +4,8 @@ is partition-count invariant."""
 
 from __future__ import annotations
 
+import pytest
+
 from bread_spark.extensions.curriculum import (
     curriculum_order,
     curriculum_order_distributed,
@@ -40,6 +42,7 @@ def test_stages_consumed_in_order_with_shuffled_interior(spark, sf_dir):
     assert [r["doc_id"] for r in stage1] != sorted(r["doc_id"] for r in stage1)
 
 
+@pytest.mark.nightly  # two extra distributed builds; default keeps the forms-identical pin
 def test_distributed_rank_is_partition_count_invariant(spark, sf_dir):
     a = _table(curriculum_order_distributed(spark, sf_dir, num_partitions=3))
     b = _table(curriculum_order_distributed(spark, sf_dir, num_partitions=17))

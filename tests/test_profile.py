@@ -4,6 +4,7 @@ constraint verdicts on both clean and deliberately-broken inputs."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from bread_spark.extensions.profile import (
     _PROFILE_COLUMNS,
@@ -40,6 +41,7 @@ def test_profile_covers_declared_surface(spark):
     assert len(orders_counts) == 1
 
 
+@pytest.mark.nightly  # builds two full profiles; default tier keeps the coverage + constraint pins
 def test_profile_is_partitioning_invariant(spark):
     """Counts and the XOR lane are commutative folds — shuffling input
     partitioning/order must reproduce the identical profile table."""
@@ -59,6 +61,7 @@ def test_profile_is_partitioning_invariant(spark):
     assert base == shuffled
 
 
+@pytest.mark.nightly  # builds two full profiles; tamper sensitivity is certification, not smoke
 def test_profile_detects_single_value_tamper(spark):
     """Perturbing one double in one column must move exactly that
     column's fingerprint (counts unchanged; sibling columns unchanged)."""
