@@ -285,6 +285,14 @@ def main() -> None:
         # RFM quartile segmentation + MAD robust outlier QC
         "rfm_segments",
         "value_mad_outliers",
+        # exact-moment statistics wave: OLS trend + Pearson matrix off the
+        # daily seam, Benford first-digit QC, Gini/HHI concentration,
+        # trailing-7d distinct users via the bounded x7 fan-out
+        "value_trend_by_type",
+        "type_correlation_matrix",
+        "benford_digit_qc",
+        "source_concentration",
+        "rolling_7d_distinct_users",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -479,6 +487,11 @@ def main() -> None:
         "ab_variant_report",
         "rfm_segments",
         "value_mad_outliers",
+        "value_trend_by_type",
+        "type_correlation_matrix",
+        "benford_digit_qc",
+        "source_concentration",
+        "rolling_7d_distinct_users",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

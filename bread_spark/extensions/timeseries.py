@@ -95,8 +95,9 @@ def _daily_micro(ev: DataFrame) -> DataFrame:
 
 def daily_micro_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-once daily micro-sum table — the ONLY full-data pass of
-    the whole time-series family, shared by four catalog entries
-    (cusum x2, seasonal x2; review finding: each was re-scanning events
+    the whole time-series family, shared by six catalog entries
+    (cusum x2, seasonal x2, and the stats.py trend + correlation
+    matrix; review finding: each was re-scanning events
     from scratch, and inside one cusum plan the unmaterialized `daily`
     fed three subtrees). At 100 TB this is the staged daily-rollup
     table every monitor reads. Plan asserts target the unmaterialized

@@ -34,6 +34,7 @@ from .extensions import (
     sketch,
     source_sim,
     spectral,
+    stats,
     training,
     unigram,
     vocab_fit,
@@ -212,6 +213,16 @@ _register(
 )
 _register(
     {
+        "value_trend_by_type": stats.value_trend_by_type,  # OLS from exact moments
+        "type_correlation_matrix": stats.type_correlation_matrix,  # pairwise Pearson
+        "benford_digit_qc": stats.benford_digit_qc,  # first-digit QC (exact ppm)
+        "source_concentration": stats.source_concentration,  # Gini/HHI report
+        "rolling_7d_distinct_users": stats.rolling_7d_distinct_users,  # x7 fan-out
+    },
+    stats.ORACLE_SQL,
+)
+_register(
+    {
         "unigram_vocab": unigram.unigram_vocab,  # rows-only (iterative EM)
         "unigram_token_counts": unigram.unigram_token_counts,  # rows-only (applied)
     },
@@ -387,14 +398,16 @@ _register(
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
 #      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 14 oracle-backed entries
+# ROUND-10 ROTATION NOTE: lead with (a) the 19 oracle-backed entries
 # registered AFTER this round's window froze and therefore never
 # sampled — table_profile, constraint_checks, pmi_collocations,
 # top_collocations_by_source, doc_label_propagation,
 # oov_rate_by_source, doc_length_histogram, doc_novelty_scores,
 # source_similarity_matrix, curriculum_order,
 # curriculum_order_distributed, ab_variant_report, rfm_segments,
-# value_mad_outliers — then (b) the 19
+# value_mad_outliers, value_trend_by_type, type_correlation_matrix,
+# benford_digit_qc, source_concentration, rolling_7d_distinct_users —
+# then (b) the 19
 # r6-last-green entries deferred from THIS window (4 rounds stale
 # after r10 otherwise — mandatory): lang_id_scores, media_features,
 # perplexity_buckets_distributed, quality_by_source, quality_filter,
@@ -402,7 +415,7 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Then fill the remaining ~17 slots from the 50
+# Then fill the remaining ~12 slots from the 50
 # r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -420,7 +433,7 @@ _register(
 # txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# whichever ~33 of those r10 cannot fit defer to r11 and must be
+# whichever ~38 of those r10 cannot fit defer to r11 and must be
 # named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)

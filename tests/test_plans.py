@@ -837,3 +837,32 @@ def test_curriculum_distributed_has_no_window(plans):
     assert "Window" not in p
     assert "MapInPandas" in p
     assert "Scan ExistingRDD" in p
+
+
+def test_stats_family_plans_are_keyed_and_partial_aggregated(plans):
+    """The r9 stats wave: Benford and the concentration report are
+    join-free single-aggregate plans with map-side partials; the
+    correlation matrix self-joins day-keyed AGGREGATES (hash or
+    sort-merge — never nested-loop); the rolling-distinct fan-out joins
+    equi on the anchor day. Nothing cartesian anywhere (the catalog-
+    wide test re-proves that, this pins the join kinds)."""
+    for name in [
+        "value_trend_by_type",
+        "type_correlation_matrix",
+        "benford_digit_qc",
+        "source_concentration",
+        "rolling_7d_distinct_users",
+    ]:
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "partial_" in p, name
+    assert "Join" not in plans("benford_digit_qc")
+    assert "Join" not in plans("source_concentration")
+    # correlation join keyed on the renamed day columns, post-aggregation
+    pc = plans("type_correlation_matrix")
+    assert "SortMergeJoin" in pc or "ShuffledHashJoin" in pc or "BroadcastHashJoin" in pc
+    # rolling: explode fan-out present, semi-join back to real days
+    pr = plans("rolling_7d_distinct_users")
+    assert "Generate explode" in pr
+    assert "LeftSemi" in pr

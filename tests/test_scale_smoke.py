@@ -1052,3 +1052,91 @@ def test_source_cosines_exactly_replication_invariant(spark):
         map(tuple, similarity_matrix_df(source_sums_df(big)).collect())
     )
     assert got == base
+
+
+def test_stats_family_replication_invariants(spark, big_events):
+    """One pass over the ×REPS events corpus pins all three events-side
+    stats entries at once. Same ts/type/value per replica, disjoint
+    users, so: Benford counts scale exactly ×REPS (shares unchanged);
+    the trend's exact slope numerator scales ×REPS against an unchanged
+    denominator (daily sums ×REPS, day grid unchanged) with r²
+    invariant; pairwise correlation's exact covariance numerator scales
+    ×REPS² with r invariant; rolling distinct users scale exactly
+    ×REPS."""
+    from bread_spark.extensions.stats import (
+        benford_counts_df,
+        benford_report_df,
+        correlation_from_daily,
+        rolling_distinct_df,
+        trend_from_daily,
+    )
+    from bread_spark.extensions.timeseries import _daily_micro
+
+    base_ev = load_table(spark, SF_DIR, "events")
+
+    # Benford: counts ×REPS, exact ppm shares identical
+    base_b = {
+        (r["event_type"], r["digit"]): r
+        for r in benford_report_df(benford_counts_df(base_ev)).collect()
+    }
+    big_b = {
+        (r["event_type"], r["digit"]): r
+        for r in benford_report_df(benford_counts_df(big_events)).collect()
+    }
+    assert set(big_b) == set(base_b)
+    for k, r in base_b.items():
+        assert big_b[k]["cnt"] == r["cnt"] * REPS
+        assert big_b[k]["obs_ppm"] == r["obs_ppm"]
+        assert big_b[k]["excess_ppm"] == r["excess_ppm"]
+
+    # Trend: slope_num ×REPS, slope_den unchanged, r² bit-identical
+    base_daily = _daily_micro(base_ev)
+    big_daily = _daily_micro(big_events)
+    base_t = {r["event_type"]: r for r in trend_from_daily(base_daily).collect()}
+    big_t = {r["event_type"]: r for r in trend_from_daily(big_daily).collect()}
+    assert set(big_t) == set(base_t)
+    for k, r in base_t.items():
+        assert big_t[k]["n_days"] == r["n_days"]
+        assert int(big_t[k]["slope_num"]) == int(r["slope_num"]) * REPS
+        assert big_t[k]["slope_den"] == r["slope_den"]
+        assert big_t[k]["r2"] == r["r2"]
+
+    # Correlation: cov_num ×REPS², r bit-identical
+    base_c = {
+        (r["type_a"], r["type_b"]): r
+        for r in correlation_from_daily(base_daily).collect()
+    }
+    big_c = {
+        (r["type_a"], r["type_b"]): r
+        for r in correlation_from_daily(big_daily).collect()
+    }
+    assert set(big_c) == set(base_c)
+    for k, r in base_c.items():
+        assert int(big_c[k]["cov_num"]) == int(r["cov_num"]) * REPS * REPS
+        assert big_c[k]["r"] == r["r"]
+
+    # Rolling distinct: disjoint replica users → exactly ×REPS per day
+    base_roll = {r["day"]: r for r in rolling_distinct_df(base_ev).collect()}
+    big_roll = {r["day"]: r for r in rolling_distinct_df(big_events).collect()}
+    assert set(big_roll) == set(base_roll)
+    for day, r in base_roll.items():
+        assert big_roll[day]["users_1d"] == r["users_1d"] * REPS
+        assert big_roll[day]["users_7d"] == r["users_7d"] * REPS
+
+
+def test_concentration_invariant_under_replication(spark):
+    """Per-source char mass ×REPS: the exact Gini numerator scales
+    ×REPS while gini/hhi/top-share stay bit-identical."""
+    from bread_spark.extensions.stats import concentration_df
+
+    base_docs = load_table(spark, SF_DIR, "documents").select("source", "n_chars")
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big_docs = base_docs.crossJoin(reps).select("source", "n_chars")
+    base = concentration_df(base_docs).collect()[0]
+    big = concentration_df(big_docs).collect()[0]
+    assert big["n_sources"] == base["n_sources"]
+    assert big["total_chars"] == base["total_chars"] * REPS
+    assert int(big["gini_num"]) == int(base["gini_num"]) * REPS
+    assert big["gini"] == base["gini"]
+    assert big["hhi"] == base["hhi"]
+    assert big["top_share_ppm"] == base["top_share_ppm"]
