@@ -293,6 +293,10 @@ def main() -> None:
         "benford_digit_qc",
         "source_concentration",
         "rolling_7d_distinct_users",
+        # behavioral timing + within-source percentile normalization
+        "time_to_conversion",
+        "inter_event_gap_stats",
+        "quality_rank_by_source",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -492,6 +496,9 @@ def main() -> None:
         "benford_digit_qc",
         "source_concentration",
         "rolling_7d_distinct_users",
+        "time_to_conversion",
+        "inter_event_gap_stats",
+        "quality_rank_by_source",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 
@@ -538,6 +539,73 @@ def quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_rank_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, stop_ppm, rank_ppm) — per-source percentile
+    rank of the EXACT-integer stopword-density score.
+
+    The per-source normalization step of cross-source curation: raw
+    quality signals have source-specific distributions (a forum dump
+    and an encyclopedia dump don't share a stopword-ratio scale), so
+    thresholds must be set on the within-source percentile, not the
+    raw score. The float discipline forbids ranking rounded doubles,
+    so the ranked key is exact: stop_ppm = (n_stop·1e6) div n_tokens,
+    and the rank is ROW_NUMBER over the engine-stable
+    (stop_ppm, doc_id) order; rank_ppm = ((rk−1)·1e6) div (n−1)
+    maps it onto [0, 1e6] (0 for a single-doc source — guarded, not a
+    divide error). Zero-token docs have no rankable density and are
+    filtered on BOTH engines.
+
+    Scale shape: map-side token counts, then ONE per-source window
+    sort (the canonical ranking exchange — partitioned by source, so
+    no global sort); output O(docs). Batch-only: a within-source
+    percentile rank is a total order over the source's history —
+    recomputed per snapshot (the `quality_filter` adaptive-threshold
+    note), not an incremental fold."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            n_stop.cast("long").alias("n_stop"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(n_stop * 1000000) div n_tokens").alias("stop_ppm"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy("stop_ppm", "doc_id")
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    return scored.select(
+        "doc_id", "source", "stop_ppm", rk.alias("rk"), n.alias("n")
+    ).select(
+        "doc_id",
+        "source",
+        "stop_ppm",
+        F.when(
+            F.col("n") > 1,
+            F.expr("((rk - 1) * 1000000) div (n - 1)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("rank_ppm"),
+    )
+
+
+def quality_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile rank of the exact stopword-density
+    score (see `quality_rank_df`)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return quality_rank_df(docs)
+
+
 # Gopher-rule fixed thresholds (Rae et al. 2021, §A1.1 shape — bounds
 # tuned to the synthetic corpus so the gate discriminates at test scale)
 GOPHER_MIN_TOKENS = 30
@@ -891,4 +959,30 @@ ORACLE_SQL["split_leakage_report"] = f"""
            l.n_leaked_digests
     FROM tagged t, leaked l
     GROUP BY t.split, l.n_leaked_digests
+"""
+
+ORACLE_SQL["quality_rank_by_source"] = """
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, source,
+               (len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','to','in','is','it')))
+                * 1000000) // len(toks) AS stop_ppm
+        FROM t WHERE len(toks) > 0
+    ),
+    r AS (
+        SELECT doc_id, source, stop_ppm,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY stop_ppm, doc_id) AS rk,
+               COUNT(1) OVER (PARTITION BY source) AS n
+        FROM s
+    )
+    SELECT doc_id, source, CAST(stop_ppm AS BIGINT) AS stop_ppm,
+           CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
+                     ELSE 0 END AS BIGINT) AS rank_ppm
+    FROM r
 """

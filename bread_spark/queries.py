@@ -17,6 +17,7 @@ from . import models, models_ibc_catalog
 from .extensions import (
     abtest,
     audit,
+    behavior,
     classify,
     collocations,
     curation,
@@ -213,6 +214,13 @@ _register(
 )
 _register(
     {
+        "time_to_conversion": behavior.time_to_conversion,  # latency report
+        "inter_event_gap_stats": behavior.inter_event_gap_stats,  # cadence
+    },
+    behavior.ORACLE_SQL,
+)
+_register(
+    {
         "value_trend_by_type": stats.value_trend_by_type,  # OLS from exact moments
         "type_correlation_matrix": stats.type_correlation_matrix,  # pairwise Pearson
         "benford_digit_qc": stats.benford_digit_qc,  # first-digit QC (exact ppm)
@@ -365,6 +373,7 @@ _register(
         "dataset_splits": text.dataset_splits,  # content-keyed train/val/test
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
         "quality_by_source": text.quality_by_source,  # per-source rollup
+        "quality_rank_by_source": text.quality_rank_by_source,  # exact pctl rank
     },
     text.ORACLE_SQL,
 )
@@ -398,7 +407,7 @@ _register(
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
 #      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 19 oracle-backed entries
+# ROUND-10 ROTATION NOTE: lead with (a) the 22 oracle-backed entries
 # registered AFTER this round's window froze and therefore never
 # sampled — table_profile, constraint_checks, pmi_collocations,
 # top_collocations_by_source, doc_label_propagation,
@@ -406,7 +415,8 @@ _register(
 # source_similarity_matrix, curriculum_order,
 # curriculum_order_distributed, ab_variant_report, rfm_segments,
 # value_mad_outliers, value_trend_by_type, type_correlation_matrix,
-# benford_digit_qc, source_concentration, rolling_7d_distinct_users —
+# benford_digit_qc, source_concentration, rolling_7d_distinct_users,
+# time_to_conversion, inter_event_gap_stats, quality_rank_by_source —
 # then (b) the 19
 # r6-last-green entries deferred from THIS window (4 rounds stale
 # after r10 otherwise — mandatory): lang_id_scores, media_features,
@@ -415,7 +425,7 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Then fill the remaining ~12 slots from the 50
+# Then fill the remaining ~9 slots from the 50
 # r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -433,7 +443,7 @@ _register(
 # txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# whichever ~38 of those r10 cannot fit defer to r11 and must be
+# whichever ~41 of those r10 cannot fit defer to r11 and must be
 # named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)

@@ -866,3 +866,22 @@ def test_stats_family_plans_are_keyed_and_partial_aggregated(plans):
     pr = plans("rolling_7d_distinct_users")
     assert "Generate explode" in pr
     assert "LeftSemi" in pr
+
+
+def test_behavior_and_rank_plans_are_join_free(plans):
+    """time_to_conversion: one conditional aggregate to O(users), one
+    fold — no joins. inter_event_gap_stats: ONE user×type window
+    exchange, then one aggregate — no joins. quality_rank_by_source:
+    map-side token counts + ONE per-source ranking window — no joins,
+    no global sort above the window."""
+    for name in [
+        "time_to_conversion",
+        "inter_event_gap_stats",
+        "quality_rank_by_source",
+    ]:
+        p = plans(name)
+        assert "Join" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "partial_" in p or "Window" in p, name
+    assert "Window" in plans("inter_event_gap_stats")
+    assert "Window" in plans("quality_rank_by_source")

@@ -1140,3 +1140,62 @@ def test_concentration_invariant_under_replication(spark):
     assert big["gini"] == base["gini"]
     assert big["hhi"] == base["hhi"]
     assert big["top_share_ppm"] == base["top_share_ppm"]
+
+
+def test_behavior_family_replication_invariants(spark, big_events):
+    """Disjoint replica users: conversion counts scale ×REPS while the
+    exact ratio fields are bit-identical (numerator and denominator
+    scale together, so the truncating quotient is unchanged); gap
+    counts scale ×REPS with identical exact means. Interpolated
+    percentiles are NOT replication-invariant in general (order-stat
+    interpolation shifts at the tails) and are pinned by the oracle
+    instead."""
+    from bread_spark.extensions.behavior import (
+        conversion_firsts_df,
+        conversion_report_df,
+        gap_stats_df,
+    )
+
+    base_ev = load_table(spark, SF_DIR, "events")
+    base_r = conversion_report_df(conversion_firsts_df(base_ev)).collect()[0]
+    big_r = conversion_report_df(conversion_firsts_df(big_events)).collect()[0]
+    assert big_r["n_signup_users"] == base_r["n_signup_users"] * REPS
+    assert big_r["n_purchase_users"] == base_r["n_purchase_users"] * REPS
+    assert big_r["n_converted"] == base_r["n_converted"] * REPS
+    assert big_r["conversion_ppm"] == base_r["conversion_ppm"]
+    assert big_r["mean_delay_s"] == base_r["mean_delay_s"]
+
+    base_g = {r["event_type"]: r for r in gap_stats_df(base_ev).collect()}
+    big_g = {r["event_type"]: r for r in gap_stats_df(big_events).collect()}
+    assert set(big_g) == set(base_g)
+    for k, r in base_g.items():
+        assert big_g[k]["n_gaps"] == r["n_gaps"] * REPS
+        assert big_g[k]["mean_gap_s"] == r["mean_gap_s"]
+
+
+def test_quality_rank_replication_keeps_score_distribution(spark, big_docs_r6):
+    """Replicated docs (same texts, disjoint ids) keep each source's
+    exact score multiset: per-(source, stop_ppm) counts scale ×REPS,
+    and the rank range still spans [0, 1e6]."""
+    from bread_spark.functions.text import quality_rank_df
+
+    base_docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    base = {}
+    for r in quality_rank_df(base_docs).collect():
+        base[(r["source"], r["stop_ppm"])] = (
+            base.get((r["source"], r["stop_ppm"]), 0) + 1
+        )
+    big = {}
+    big_rows = quality_rank_df(
+        big_docs_r6.select("doc_id", "source", "text")
+    ).collect()
+    for r in big_rows:
+        big[(r["source"], r["stop_ppm"])] = (
+            big.get((r["source"], r["stop_ppm"]), 0) + 1
+        )
+    assert set(big) == set(base)
+    for k, n in base.items():
+        assert big[k] == n * REPS
+    assert all(0 <= r["rank_ppm"] <= 1_000_000 for r in big_rows)
