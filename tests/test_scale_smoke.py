@@ -1054,6 +1054,7 @@ def test_source_cosines_exactly_replication_invariant(spark):
     assert got == base
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the hand-computed OLS/Pearson/Benford pins + oracles
 def test_stats_family_replication_invariants(spark, big_events):
     """One pass over the ×REPS events corpus pins all three events-side
     stats entries at once. Same ts/type/value per replica, disjoint
@@ -1124,6 +1125,7 @@ def test_stats_family_replication_invariants(spark, big_events):
         assert big_roll[day]["users_7d"] == r["users_7d"] * REPS
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the uniform/dominant Gini pins + oracle
 def test_concentration_invariant_under_replication(spark):
     """Per-source char mass ×REPS: the exact Gini numerator scales
     ×REPS while gini/hhi/top-share stay bit-identical."""
@@ -1142,6 +1144,7 @@ def test_concentration_invariant_under_replication(spark):
     assert big["top_share_ppm"] == base["top_share_ppm"]
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the hand-computed latency/cadence pins + oracles
 def test_behavior_family_replication_invariants(spark, big_events):
     """Disjoint replica users: conversion counts scale ×REPS while the
     exact ratio fields are bit-identical (numerator and denominator
@@ -1173,6 +1176,7 @@ def test_behavior_family_replication_invariants(spark, big_events):
         assert big_g[k]["mean_gap_s"] == r["mean_gap_s"]
 
 
+@pytest.mark.nightly  # replication smoke; default tier keeps the rank-lattice pins + oracle
 def test_quality_rank_replication_keeps_score_distribution(spark, big_docs_r6):
     """Replicated docs (same texts, disjoint ids) keep each source's
     exact score multiset: per-(source, stop_ppm) counts scale ×REPS,
