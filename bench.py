@@ -297,6 +297,9 @@ def main() -> None:
         "time_to_conversion",
         "inter_event_gap_stats",
         "quality_rank_by_source",
+        # SCD2 temporalization + provenance triangle census
+        "scd2_user_state",
+        "provenance_triangles",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -499,6 +502,8 @@ def main() -> None:
         "time_to_conversion",
         "inter_event_gap_stats",
         "quality_rank_by_source",
+        "scd2_user_state",
+        "provenance_triangles",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

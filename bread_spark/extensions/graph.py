@@ -494,6 +494,76 @@ def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_scores_df(capped_shingle_frame(spark, sf_dir, MAX_DF))
 
 
+# ---------------------------------------------------------------------------
+# Triangle census
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts_df(edges: DataFrame) -> DataFrame:
+    """(doc_id, degree, n_triangles) — per-node triangle census of the
+    UNDIRECTED provenance graph.
+
+    Graph-density QC for the dedup pipeline: an edge says two docs
+    share capped-shingle content, so a triangle is a three-way mutual
+    content overlap — triangle-rich neighborhoods are template/mirror
+    families (one canonical survives), while a high-degree node with
+    zero triangles is a hub stitching UNRELATED docs together (the
+    boilerplate signature — its shared content is generic, not a copy
+    lineage). Degree alone cannot tell those two apart; the triangle
+    count is the cheapest signal that can.
+
+    Mechanics: edges arrive canonical (dst < src by construction), so
+    each undirected edge is one (lo, hi) row. Wedges = edges joined to
+    edges on the middle vertex (lo=b joined to hi=b gives a<b<c for
+    free); triangles = wedges semi-verified against the edge set on
+    (a, c). All join keys renamed on both sides (DECISIONS #18). Each
+    triangle credits its three corners once; nodes in no triangle
+    report 0 via the degree LEFT join (every node has ≥1 edge by
+    construction of the edge table).
+
+    Scale shape: the wedge join costs Σ deg(b)² rows — the canonical
+    distributed triangle-enumeration bound; the capped-shingle build
+    (per-shingle holders ≤ MAX_DF) keeps the provenance graph's degree
+    from the pathological all-pairs regime, and the final verify is an
+    equi-join against the edge table, not a cartesian. Streaming:
+    batch-only by the graph family's rationale — the edge set is only
+    final once every earlier doc_id has been seen (the novelty note);
+    the incremental path re-censuses on the schedule the edge table
+    re-ranks on."""
+    e = edges.select(F.col("dst").alias("lo"), F.col("src").alias("hi"))
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, F.col("b") == F.col("b2")).select("a", "b", "c")
+    ac = e.select(F.col("lo").alias("a2"), F.col("hi").alias("c2"))
+    tri = wedges.join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")), "left_semi"
+    )
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionByName(tri.select(F.col("b").alias("doc_id")))
+        .unionByName(tri.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    degree = (
+        e.select(F.col("lo").alias("doc_id"))
+        .unionByName(e.select(F.col("hi").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degree.join(corners, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def provenance_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle census of the shared provenance edge seam
+    (docstring of `triangle_counts_df`)."""
+    return triangle_counts_df(edge_frame(spark, sf_dir))
+
+
 ORACLE_SQL: dict[str, str] = {
     "doc_provenance_edges": _EDGES_CTE
     + """
@@ -511,5 +581,34 @@ ORACLE_SQL: dict[str, str] = {
                  * 1000000) // COUNT(1) AS BIGINT) AS novelty_micro
     FROM sh s JOIN canon c USING (shingle)
     GROUP BY s.doc_id
+""",
+    "provenance_triangles": _EDGES_CTE
+    + """,
+    e AS (
+        SELECT dst AS lo, src AS hi FROM edges
+    ),
+    tri AS (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM e ab
+        JOIN e bc ON bc.lo = ab.hi
+        WHERE EXISTS (
+            SELECT 1 FROM e ac WHERE ac.lo = ab.lo AND ac.hi = bc.hi
+        )
+    ),
+    corners AS (
+        SELECT doc_id, COUNT(1) AS n_triangles FROM (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY doc_id
+    ),
+    degree AS (
+        SELECT doc_id, COUNT(1) AS degree FROM (
+            SELECT lo AS doc_id FROM e UNION ALL SELECT hi FROM e
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.degree,
+           CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM degree d LEFT JOIN corners c USING (doc_id)
 """,
 }

@@ -41,7 +41,7 @@ from .extensions import (
     vocab_fit,
 )
 from .functions import text
-from .operators import asof, interval
+from .operators import asof, interval, scd
 from .streaming import sessions, windows
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -152,6 +152,7 @@ _register(
 )
 _register(
     {
+        "provenance_triangles": graph.provenance_triangles,  # triangle census
         "doc_provenance_edges": graph.doc_provenance_edges,  # content-flow graph
         "doc_authority_rank": graph.doc_authority_rank,  # integer PageRank
         "doc_label_propagation": graph.doc_label_propagation,  # label spread
@@ -298,6 +299,7 @@ _register({"session_stats": sessions.session_stats_query}, sessions.ORACLE_SQL)
 _register({"windowed_value_by_type": windows.windowed_value_query}, windows.ORACLE_SQL)
 _register({"last_purchase_asof": asof.last_purchase_asof}, asof.ORACLE_SQL)
 _register({"events_near_errors": interval.events_near_errors}, interval.ORACLE_SQL)
+_register({"scd2_user_state": scd.scd2_user_state}, scd.ORACLE_SQL)
 _register(
     {
         "media_features": multimodal.media_features_query,
@@ -407,7 +409,7 @@ _register(
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
 #      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 22 oracle-backed entries
+# ROUND-10 ROTATION NOTE: lead with (a) the 24 oracle-backed entries
 # registered AFTER this round's window froze and therefore never
 # sampled — table_profile, constraint_checks, pmi_collocations,
 # top_collocations_by_source, doc_label_propagation,
@@ -416,8 +418,8 @@ _register(
 # curriculum_order_distributed, ab_variant_report, rfm_segments,
 # value_mad_outliers, value_trend_by_type, type_correlation_matrix,
 # benford_digit_qc, source_concentration, rolling_7d_distinct_users,
-# time_to_conversion, inter_event_gap_stats, quality_rank_by_source —
-# then (b) the 19
+# time_to_conversion, inter_event_gap_stats, quality_rank_by_source,
+# scd2_user_state, provenance_triangles — then (b) the 19
 # r6-last-green entries deferred from THIS window (4 rounds stale
 # after r10 otherwise — mandatory): lang_id_scores, media_features,
 # perplexity_buckets_distributed, quality_by_source, quality_filter,
@@ -425,7 +427,7 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Then fill the remaining ~9 slots from the 50
+# Then fill the remaining ~7 slots from the 50
 # r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -443,7 +445,7 @@ _register(
 # txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# whichever ~41 of those r10 cannot fit defer to r11 and must be
+# whichever ~43 of those r10 cannot fit defer to r11 and must be
 # named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)

@@ -212,3 +212,43 @@ def test_novelty_real_corpus_consistency(spark, sf_dir):
     first = min(ids)
     first_row = next(r for r in rows if r["doc_id"] == first)
     assert first_row["novelty_micro"] == 1_000_000
+
+
+def test_triangle_census_hand_graph(spark):
+    """Edges (canonical dst<src): {1,2,3} and {1,2,5} are triangles
+    sharing edge (1,2); node 4 hangs off node 1 with no triangle.
+    Corner credits and degrees are exact."""
+    from bread_spark.extensions.graph import triangle_counts_df
+
+    edges = spark.createDataFrame(
+        [(2, 1, 1), (3, 1, 1), (3, 2, 1), (4, 1, 1), (5, 1, 1), (5, 2, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r["doc_id"]: r for r in triangle_counts_df(edges).collect()}
+    assert {d: got[d]["n_triangles"] for d in got} == {
+        1: 2, 2: 2, 3: 1, 4: 0, 5: 1,
+    }
+    assert {d: got[d]["degree"] for d in got} == {1: 4, 2: 3, 3: 2, 4: 1, 5: 2}
+
+
+def test_triangle_census_no_triangles_and_corpus(spark, sf_dir):
+    """A path graph has zero triangles everywhere; on the real corpus
+    every edge endpoint reports a row and 3·Σtriangles ≡ Σ corner
+    credits (each triangle credits exactly 3 corners)."""
+    from bread_spark.extensions.graph import (
+        provenance_triangles,
+        triangle_counts_df,
+    )
+
+    path = spark.createDataFrame(
+        [(2, 1, 1), (3, 2, 1), (4, 3, 1)], "src long, dst long, w long"
+    )
+    rows = triangle_counts_df(path).collect()
+    assert len(rows) == 4
+    assert all(r["n_triangles"] == 0 for r in rows)
+
+    corpus = provenance_triangles(spark, sf_dir).collect()
+    assert corpus
+    credits = sum(r["n_triangles"] for r in corpus)
+    assert credits % 3 == 0  # every triangle credits exactly 3 corners
+    assert all(r["degree"] >= 1 for r in corpus)

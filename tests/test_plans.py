@@ -885,3 +885,16 @@ def test_behavior_and_rank_plans_are_join_free(plans):
         assert "partial_" in p or "Window" in p, name
     assert "Window" in plans("inter_event_gap_stats")
     assert "Window" in plans("quality_rank_by_source")
+
+
+def test_scd2_and_triangle_plans(plans):
+    """scd2_user_state: ONE user-keyed window, join-free. The triangle
+    census: wedge join and closing check are KEYED (hash/sort-merge
+    equi joins + one LeftSemi) — never nested-loop, never cartesian."""
+    p = plans("scd2_user_state")
+    assert "Window" in p
+    assert "Join" not in p
+    t = plans("provenance_triangles")
+    assert "CartesianProduct" not in t
+    assert "BroadcastNestedLoopJoin" not in t
+    assert "LeftSemi" in t
