@@ -300,6 +300,9 @@ def main() -> None:
         # SCD2 temporalization + provenance triangle census
         "scd2_user_state",
         "provenance_triangles",
+        # positional IR probes: exact phrase + bounded proximity
+        "phrase_search",
+        "proximity_search",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -504,6 +507,8 @@ def main() -> None:
         "quality_rank_by_source",
         "scd2_user_state",
         "provenance_triangles",
+        "phrase_search",
+        "proximity_search",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

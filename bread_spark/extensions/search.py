@@ -159,9 +159,119 @@ def tfidf_keywords_df(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Positional search: exact phrase + bounded proximity
+# ---------------------------------------------------------------------------
+
+# Deterministic fixed probes (both words present in the synthetic
+# corpus) — the catalog/oracle anchors; the _df kernels take any pair.
+PHRASE = ("table", "scan")
+PROX_WINDOW = 5  # "w2 within ≤5 positions AFTER w1"
+
+
+def _positional_postings(docs: DataFrame, words: tuple[str, str]) -> DataFrame:
+    """(doc_id, pos, token) for ONLY the probe words — the positional
+    inverted-index rows a phrase query touches. The word filter runs
+    map-side on the exploded stream, so nothing else ever shuffles
+    (the bm25 probe discipline); positions are 0-based ordinals AFTER
+    empty-token filtering, identical to the oracle's
+    generate_subscripts − 1."""
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token").isin(*words))
+
+
+def phrase_match_df(
+    docs: DataFrame, words: tuple[str, str] = PHRASE, max_gap: int = 1
+) -> DataFrame:
+    """(doc_id, n_matches, first_pos) — docs containing `words[1]`
+    exactly `max_gap=1` position after `words[0]` (an exact bigram
+    phrase), or within ≤max_gap positions for the proximity form.
+
+    The adjacency join is EQUI at any gap bound: the left posting
+    explodes offsets 1..max_gap (bounded fan-out, the rolling-window
+    trick), so candidates meet on (doc, exact position) — no range
+    join, no nested loop. Both join keys renamed (DECISIONS #18).
+
+    Scale shape: postings are pre-filtered to the two probe words
+    map-side; the fan-out is ≤max_gap× the (tiny) left posting list;
+    one keyed join + one groupBy(doc_id). The classic positional-index
+    probe a search engine runs, in DataFrame form."""
+    p = _positional_postings(docs, words)
+    a = (
+        p.filter(F.col("token") == words[0])
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("pos").alias("pos_a"),
+            F.explode(F.sequence(F.lit(1), F.lit(max_gap))).alias("off"),
+        )
+        .select("doc_a", "pos_a", (F.col("pos_a") + F.col("off")).alias("pos_hit"))
+    )
+    b = p.filter(F.col("token") == words[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_a") == F.col("doc_b"))
+            & (F.col("pos_hit") == F.col("pos_b")),
+        )
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("pos_a").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: exact-phrase ("table scan") match table —
+    (doc_id, n_matches, first_pos)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match_df(docs, PHRASE, max_gap=1)
+
+
+def proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: bounded-proximity co-occurrence — "scan" within
+    ≤PROX_WINDOW positions after "table"; same kernel, wider gap."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_match_df(docs, PHRASE, max_gap=PROX_WINDOW)
+
+
 _terms_sql = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
+
+def _positional_sql(max_gap: int) -> str:
+    w1, w2 = PHRASE
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, unnest(toks) AS token,
+               generate_subscripts(toks, 1) - 1 AS pos
+        FROM t
+    ),
+    a AS (SELECT doc_id, pos FROM p WHERE token = '{w1}'),
+    b AS (SELECT doc_id, pos FROM p WHERE token = '{w2}')
+    SELECT a.doc_id,
+           COUNT(1) AS n_matches,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM a
+    JOIN b ON b.doc_id = a.doc_id
+          AND b.pos BETWEEN a.pos + 1 AND a.pos + {max_gap}
+    GROUP BY a.doc_id
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "phrase_search": _positional_sql(1),
+    "proximity_search": _positional_sql(PROX_WINDOW),
     "tfidf_keywords": f"""
         WITH toks AS (
             SELECT doc_id, unnest(list_filter(string_split(text, ' '),

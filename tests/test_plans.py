@@ -898,3 +898,15 @@ def test_scd2_and_triangle_plans(plans):
     assert "CartesianProduct" not in t
     assert "BroadcastNestedLoopJoin" not in t
     assert "LeftSemi" in t
+
+
+def test_positional_search_plans_are_filtered_and_keyed(plans):
+    """The probe-word filter must land before the join (only probe
+    postings shuffle), the adjacency join must be keyed equi (offset
+    fan-out, no range/nested-loop), nothing cartesian."""
+    for name in ["phrase_search", "proximity_search"]:
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "Generate explode" in p, name  # bounded offset fan-out
+        assert "posexplode" in p, name

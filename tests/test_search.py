@@ -260,3 +260,58 @@ def test_mix_by_source_shares_sum_to_one(spark, sf_dir):
         assert sum(docs.values()) == 500 * (
             1 if "0.01" in sf_dir else 10
         ) or sum(docs.values()) > 0
+
+
+def test_phrase_match_hand_positions(spark):
+    """'table scan' matches only adjacency; proximity(5) also catches
+    the gapped co-occurrence; first_pos is the earliest left-word hit;
+    reversed order ('scan table') never matches."""
+    from bread_spark.extensions.search import phrase_match_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan merge table scan"),  # 2 adjacent hits
+            (2, "table merge sort scan"),  # gap 3: proximity only
+            (3, "scan table"),  # wrong order
+            (4, "table x x x x x scan"),  # gap 6: outside both
+        ],
+        "doc_id long, text string",
+    )
+    phrase = {r["doc_id"]: r for r in phrase_match_df(docs, max_gap=1).collect()}
+    assert set(phrase) == {1}
+    assert phrase[1]["n_matches"] == 2 and phrase[1]["first_pos"] == 0
+    prox = {r["doc_id"]: r for r in phrase_match_df(docs, max_gap=5).collect()}
+    assert set(prox) == {1, 2}
+    assert prox[2]["n_matches"] == 1 and prox[2]["first_pos"] == 0
+    # pairs for doc 1 at gap≤5: (0,1), (0,4), (3,4) — pair semantics
+    assert prox[1]["n_matches"] == 3
+
+
+def test_phrase_cross_boundary_pairs_count_each(spark):
+    """Multiple left-word occurrences each pair with every in-window
+    right occurrence (the oracle's pair semantics)."""
+    from bread_spark.extensions.search import phrase_match_df
+
+    docs = spark.createDataFrame(
+        [(1, "table table scan scan")], "doc_id long, text string"
+    )
+    # pairs within gap ≤2: (0,2) (1,2) (1,3) and (0,3)? gap 3 — no.
+    r = phrase_match_df(docs, max_gap=2).collect()[0]
+    assert r["n_matches"] == 3
+    assert r["first_pos"] == 0
+
+
+def test_positional_probes_real_corpus(spark, sf_dir):
+    """Proximity is a superset of the exact phrase: every phrase doc
+    appears in the proximity table with at least as many matches."""
+    from bread_spark.extensions.search import phrase_search, proximity_search
+
+    ph = {r["doc_id"]: r["n_matches"] for r in phrase_search(spark, sf_dir).collect()}
+    px = {
+        r["doc_id"]: r["n_matches"]
+        for r in proximity_search(spark, sf_dir).collect()
+    }
+    assert ph  # the probe phrase exists in the synthetic corpus
+    assert set(ph) <= set(px)
+    for d, n in ph.items():
+        assert px[d] >= n
