@@ -17,13 +17,18 @@ windows over small aggregates, the raw stream never sorts globally.
 `value_mad_outliers` — the robust sibling of `value_zscore_outliers`:
 mean/stddev QC is itself corrupted by the outliers it hunts; the
 median/MAD form (modified z = 0.6745·(x − med)/MAD, flag |z| > 3.5,
-Iglewicz–Hoaglin) survives heavy tails. Per-type median and MAD are
-two tiny aggregates (`percentile` ↔ `quantile_cont`, the certified
-percentile parity) ROUNDED 6 before any deviation is computed, and
-the verdict cuts on the ROUNDED modified z (round 4) — both engines
-decide every row at the identical boundary, the `value_zscore_outliers`
-convention. Types whose MAD rounds to 0 (over half the values at the
-median) emit NO rows rather than a divide error, documented.
+Iglewicz–Hoaglin) survives heavy tails. EXACT-LATTICE form (r9
+hardening — the original rounded-double med/MAD drifted one ulp
+between engines on ONE sf0.1 row, flipping the round-4 z at a
+.00005 tie): values micro-quantize to integers; the per-type median
+doubles to the exact bigint med2 = 2·median(v_u) (a p=0.5
+interpolation of integers lands on the half lattice — ×2 is exact on
+BOTH engines); deviations dev2 = 2·v_u − med2 are exact bigints;
+mad4 = 2·median(|dev2|) is again an exact bigint. The modified z is
+then the SAME double expression over IDENTICAL integer operands on
+both engines — z = K·2·dev2/mad4 — so the round-4 boundary cannot
+diverge. Types whose mad4 is 0 (over half the values at the median)
+emit NO rows rather than a divide error, documented.
 
 Scale shape: both entries keep the big side shuffle-free against
 broadcast stat rows (MAD) or aggregate once to O(users) (RFM); at
@@ -105,27 +110,33 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mad_outliers_df(events: DataFrame) -> DataFrame:
-    ev = events.filter(F.col("value").isNotNull())
+    vu = F.round(F.col("value").cast("double") * 1_000_000).cast("long")
+    ev = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value", vu.alias("vu")
+    )
     med = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        F.round(F.expr("percentile(vu, 0.5) * 2")).cast("long").alias("med2")
+    )
+    deva = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.lit(2) * F.col("vu") - F.col("med2")).alias("dev2"),
     )
     mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
+        deva.groupBy("event_type")
         .agg(
-            F.round(
-                F.expr("percentile(abs(value - med), 0.5)"), 6
-            ).alias("mad"),
-            F.first("med").alias("med"),
+            F.round(F.expr("percentile(abs(dev2), 0.5) * 2"))
+            .cast("long")
+            .alias("mad4")
         )
-        .filter(F.col("mad") > 0)
+        .filter(F.col("mad4") > 0)
     )
     z = F.round(
-        F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.col("mad"), 4
+        F.lit(MAD_K) * 2 * F.col("dev2") / F.col("mad4"), 4
     )
     return (
-        ev.select("event_id", "event_type", "value")
-        .join(F.broadcast(mad), "event_type")
+        deva.join(F.broadcast(mad), "event_type")
         .filter(F.abs(z) > MAD_CUT)
         .select("event_id", "event_type", "value", z.alias("robust_z"))
     )
@@ -178,24 +189,31 @@ ORACLE_SQL: dict[str, str] = {
 """,
     "value_mad_outliers": f"""
     WITH ev AS MATERIALIZED (
-        SELECT event_id, event_type, value FROM events
+        SELECT event_id, event_type, value,
+               CAST(ROUND(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS vu
+        FROM events
         WHERE value IS NOT NULL
     ),
     med AS MATERIALIZED (
-        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        SELECT event_type,
+               CAST(ROUND(quantile_cont(vu, 0.5) * 2) AS BIGINT) AS med2
         FROM ev GROUP BY event_type
     ),
-    mad AS MATERIALIZED (
-        SELECT e.event_type,
-               ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
-               ANY_VALUE(m.med) AS med
+    deva AS MATERIALIZED (
+        SELECT e.event_id, e.event_type, e.value,
+               2 * e.vu - m.med2 AS dev2
         FROM ev e JOIN med m USING (event_type)
-        GROUP BY e.event_type
-        HAVING ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) > 0
+    ),
+    mad AS MATERIALIZED (
+        SELECT event_type,
+               CAST(ROUND(quantile_cont(abs(dev2), 0.5) * 2) AS BIGINT)
+                   AS mad4
+        FROM deva GROUP BY event_type
+        HAVING CAST(ROUND(quantile_cont(abs(dev2), 0.5) * 2) AS BIGINT) > 0
     )
-    SELECT e.event_id, e.event_type, e.value,
-           ROUND({MAD_K} * (e.value - s.med) / s.mad, 4) AS robust_z
-    FROM ev e JOIN mad s USING (event_type)
-    WHERE abs(ROUND({MAD_K} * (e.value - s.med) / s.mad, 4)) > {MAD_CUT}
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND({MAD_K} * 2 * d.dev2 / s.mad4, 4) AS robust_z
+    FROM deva d JOIN mad s USING (event_type)
+    WHERE abs(ROUND({MAD_K} * 2 * d.dev2 / s.mad4, 4)) > {MAD_CUT}
 """,
 }
