@@ -303,6 +303,10 @@ def main() -> None:
         # positional IR probes: exact phrase + bounded proximity
         "phrase_search",
         "proximity_search",
+        # daily operations rollups: bands, composition, growth accounting
+        "daily_value_percentiles",
+        "type_share_by_day",
+        "new_vs_returning_users",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -509,6 +513,9 @@ def main() -> None:
         "provenance_triangles",
         "phrase_search",
         "proximity_search",
+        "daily_value_percentiles",
+        "type_share_by_day",
+        "new_vs_returning_users",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..extensions.daily import daily_type_counts_df
 from ..extensions.stats import benford_counts_df
 from ..extensions.timeseries import _daily_micro
 
@@ -26,6 +27,13 @@ def daily_micro_stream(stream: DataFrame) -> DataFrame:
     """Running (event_type, day, x) daily micro-sums — the identical
     fold expression as the batch `_daily_micro`."""
     return _daily_micro(stream)
+
+
+def daily_type_counts_stream(stream: DataFrame) -> DataFrame:
+    """Running (day, event_type, cnt) counts — the identical fold as
+    the batch `daily_type_counts_df`; a snapshot through the batch
+    `type_share_df` is the online composition monitor."""
+    return daily_type_counts_df(stream)
 
 
 def benford_counts_stream(stream: DataFrame) -> DataFrame:

@@ -910,3 +910,21 @@ def test_positional_search_plans_are_filtered_and_keyed(plans):
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "Generate explode" in p, name  # bounded offset fan-out
         assert "posexplode" in p, name
+
+
+def test_daily_family_plans(plans):
+    """Percentile bands and the count table are join-free single
+    aggregates with map-side partials (the share window runs over the
+    aggregate); new-vs-returning joins the two O(users)-scale tables
+    user-keyed — no nested loop, no cartesian."""
+    for name in [
+        "daily_value_percentiles",
+        "type_share_by_day",
+        "new_vs_returning_users",
+    ]:
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "partial_" in p, name
+    assert "Join" not in plans("daily_value_percentiles")
+    assert "Join" not in plans("type_share_by_day")

@@ -115,3 +115,20 @@ def test_daily_stream_folds_on_the_same_checkpoint(spark, tmp_path):
     snap = trend_from_daily(got2).collect()
     ref = trend_from_daily(both).collect()
     assert sorted(map(tuple, snap)) == sorted(map(tuple, ref))
+
+
+def test_type_counts_stream_matches_batch_and_feeds_shares(spark, tmp_path):
+    from bread_spark.extensions.daily import daily_type_counts_df, type_share_df
+    from bread_spark.streaming.stats import daily_type_counts_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1)
+    got = _run(spark, src, ckpt, "stats_c1", daily_type_counts_stream)
+    batch = daily_type_counts_df(_batch_df(spark, BATCH1))
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in batch.collect()
+    }
+    snap = type_share_df(got).collect()
+    ref = type_share_df(batch).collect()
+    assert sorted(map(tuple, snap)) == sorted(map(tuple, ref))
