@@ -307,6 +307,8 @@ def main() -> None:
         "daily_value_percentiles",
         "type_share_by_day",
         "new_vs_returning_users",
+        # TPC-H Q12-shaped fulfilment SLA
+        "late_shipment_rate_by_priority",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -516,6 +518,7 @@ def main() -> None:
         "daily_value_percentiles",
         "type_share_by_day",
         "new_vs_returning_users",
+        "late_shipment_rate_by_priority",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -412,6 +412,52 @@ def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_shipment_rate_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-tier conditional count over the
+    lineitem⋈orders key join: per order priority, how many lineitems
+    shipped LATE (more than 30 days after the order date) vs total,
+    with the exact truncating-division late_ppm. The fulfilment-SLA
+    table ops reads next to `orders_with_returns`' Q4 shape.
+
+    Scale shape: both sides keyed on the order key (the natural
+    co-partitioning at warehouse scale — bucketed tables make this
+    join exchange-free); ONE conditional aggregate after the join,
+    output O(priorities). Date arithmetic is integer days on DATE
+    columns — identical on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return late_shipment_df(li, orders)
+
+
+def late_shipment_df(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """`late_shipment_rate_by_priority` core over any (l_orderkey,
+    l_shipdate) × (o_orderkey, o_orderdate, o_orderpriority) frames."""
+    # both columns are TIMESTAMP in the parquet — compare on the DATE
+    # grain explicitly so Spark and DuckDB bind the identical predicate
+    late_pred = (
+        "CAST(l_shipdate AS DATE) > date_add(CAST(o_orderdate AS DATE), 30)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {late_pred} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_late"),
+            F.expr(
+                f"CAST((CAST(sum(CASE WHEN {late_pred} THEN 1 ELSE 0 END)"
+                " AS DECIMAL(38,0)) * 1000000) div count(1) AS BIGINT)"
+            ).alias("late_ppm"),
+        )
+    )
+
+
 def approx_distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct (SURVEY §2.5 lists approximate aggregates as
     a Spark-free extension). At 100 TB this replaces exact distinct for
@@ -1074,6 +1120,20 @@ ORACLE_SQL: dict[str, str] = {
         )
         GROUP BY o_orderpriority
     """,
+    "late_shipment_rate_by_priority": """
+        SELECT o_orderpriority,
+               COUNT(1) AS n_lines,
+               CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                  > CAST(o_orderdate AS DATE) + 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               CAST((CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+                                        > CAST(o_orderdate AS DATE) + 30
+                                   THEN 1 ELSE 0 END) AS HUGEINT)
+                     * 1000000) // COUNT(1) AS BIGINT) AS late_ppm
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "regional_supplier_revenue": """
         SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
         FROM lineitem
@@ -1311,4 +1371,5 @@ MODELS = {
     "returned_items_topk": returned_items_topk,
     "approx_distinct_users_per_day": approx_distinct_users_per_day,  # rows-only (HLL)
     "orders_with_returns": orders_with_returns,
+    "late_shipment_rate_by_priority": late_shipment_rate_by_priority,
 }

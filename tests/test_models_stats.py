@@ -284,3 +284,43 @@ def test_key_skew_report_flags_planted_hot_key(spark, tmp_path):
     assert top["row_share"] == 0.8
     assert top["skew_ratio"] == round(80 * 6 / 100, 4)  # 4.8
     assert all(r["skew_ratio"] == top["skew_ratio"] for r in out)
+
+
+def test_late_shipment_rate_hand_case(spark):
+    """One order per priority: day-31 ship is late, day-30 is not
+    (strict >30-day boundary); ppm is the exact truncating ratio."""
+    import datetime
+
+    from bread_spark.models import late_shipment_df
+
+    orders = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1), "1-URGENT"),
+            (2, datetime.datetime(2024, 1, 1), "2-HIGH"),
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 2, 1)),  # +31 days -> late
+            (1, datetime.datetime(2024, 1, 31)),  # +30 days -> on time
+            (2, datetime.datetime(2024, 1, 5)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    got = {
+        r["o_orderpriority"]: r for r in late_shipment_df(li, orders).collect()
+    }
+    assert (got["1-URGENT"]["n_lines"], got["1-URGENT"]["n_late"]) == (2, 1)
+    assert got["1-URGENT"]["late_ppm"] == 500_000
+    assert got["2-HIGH"]["n_late"] == 0 and got["2-HIGH"]["late_ppm"] == 0
+
+
+def test_late_shipment_rate_corpus(spark, sf_dir):
+    from bread_spark.models import late_shipment_rate_by_priority
+
+    rows = late_shipment_rate_by_priority(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_late"] <= r["n_lines"]
+        assert 0 <= r["late_ppm"] <= 1_000_000

@@ -928,3 +928,10 @@ def test_daily_family_plans(plans):
         assert "partial_" in p, name
     assert "Join" not in plans("daily_value_percentiles")
     assert "Join" not in plans("type_share_by_day")
+
+
+def test_late_shipment_join_is_keyed_with_partials(plans):
+    p = plans("late_shipment_rate_by_priority")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_" in p
