@@ -309,6 +309,8 @@ def main() -> None:
         "new_vs_returning_users",
         # TPC-H Q12-shaped fulfilment SLA
         "late_shipment_rate_by_priority",
+        # dedup-QC: cluster-size doubling histogram off the cluster seam
+        "dedup_cluster_sizes",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -519,6 +521,7 @@ def main() -> None:
         "type_share_by_day",
         "new_vs_returning_users",
         "late_shipment_rate_by_priority",
+        "dedup_cluster_sizes",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -597,6 +597,48 @@ def deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph in DOUBLING
+    buckets — the dedup-QC histogram read before choosing thresholds:
+    a healthy corpus is dominated by singletons with a thin tail of
+    small clusters; a fat tail of large clusters means the threshold
+    is merging unrelated content (or the corpus is template spam).
+
+    (bucket, bucket_lo, n_clusters, n_docs) with bucket =
+    LENGTH(bin(size)) — the `doc_length_histogram` doubling-bucket
+    trick (binary-string length, no float log, no boundary-ulp risk);
+    bucket 1 = singletons, bucket 2 = size 2-3, etc. All exact
+    integers. FOURTH consumer of the `dedup_clusters` materialized
+    seam — the components loop still runs once per (session, sf);
+    this adds one O(docs) aggregate and one O(clusters) aggregate.
+    Oracle composed from `dedup_clusters`' own recursive-CTE SQL."""
+    return cluster_size_histogram_df(dedup_clusters(spark, sf_dir))
+
+
+def cluster_size_histogram_df(clusters: DataFrame) -> DataFrame:
+    """`dedup_cluster_sizes` core over any (doc_id, cluster_id) frame."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    bucket = F.length(F.bin(F.col("sz"))).cast("long")
+    return (
+        sizes.select("sz", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(bucket - 1 as int))"
+            ).alias("bucket_lo"),
+            "n_clusters",
+            "n_docs",
+        )
+    )
+
+
 def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source impact of near-duplicate removal — the dashboard row a
     curation owner reads to see WHERE the duplication lives (a crawl
@@ -762,6 +804,19 @@ ORACLE_SQL["deduped_corpus"] = f"""
     SELECT d.doc_id, d.lang, d.source, s.cluster_size,
            CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_removed
     FROM documents d JOIN survivors s USING (doc_id)
+"""
+
+ORACLE_SQL["dedup_cluster_sizes"] = f"""
+    WITH clusters AS ({ORACLE_SQL["dedup_clusters"]}),
+    sizes AS (
+        SELECT cluster_id, COUNT(1) AS sz FROM clusters GROUP BY cluster_id
+    )
+    SELECT CAST(LENGTH(bin(sz)) AS BIGINT) AS bucket,
+           CAST(1 << (CAST(LENGTH(bin(sz)) AS INTEGER) - 1) AS BIGINT)
+               AS bucket_lo,
+           COUNT(1) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY LENGTH(bin(sz))
 """
 
 ORACLE_SQL["dedup_impact_report"] = f"""

@@ -110,6 +110,7 @@ _register(
         "cross_dedup_spans": dedup.cross_dedup_spans,  # incremental span gate
         "span_dedup_corpus": dedup.span_dedup_corpus,  # surviving corpus
         "dedup_impact_report": dedup.dedup_impact_report,  # per-source rollup (r9)
+        "dedup_cluster_sizes": dedup.dedup_cluster_sizes,  # doubling histogram (r9)
     },
     dedup.ORACLE_SQL,
 )
@@ -420,7 +421,7 @@ _register(
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
 #      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 30 oracle-backed entries
+# ROUND-10 ROTATION NOTE: lead with (a) the 31 oracle-backed entries
 # registered AFTER this round's window froze and therefore never
 # sampled — table_profile, constraint_checks, pmi_collocations,
 # top_collocations_by_source, doc_label_propagation,
@@ -432,8 +433,8 @@ _register(
 # time_to_conversion, inter_event_gap_stats, quality_rank_by_source,
 # scd2_user_state, provenance_triangles, phrase_search,
 # proximity_search, daily_value_percentiles, type_share_by_day,
-# new_vs_returning_users, late_shipment_rate_by_priority — then (b)
-# the 19
+# new_vs_returning_users, late_shipment_rate_by_priority,
+# dedup_cluster_sizes — then (b) the 19
 # r6-last-green entries deferred from THIS window (4 rounds stale
 # after r10 otherwise — mandatory): lang_id_scores, media_features,
 # perplexity_buckets_distributed, quality_by_source, quality_filter,
@@ -441,8 +442,9 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Then fill the remaining ~1 slot from the 50
-# r7-last-green entries (3 rounds stale in r10): bigram_logprob_scores,
+# Groups (a) 31 + (b) 19 fill the 50-slot window EXACTLY — no slots
+# remain for the 50 r7-last-green entries (3 rounds stale in r10):
+# bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
 # daily_twap_by_type, daily_value_moving_avg, dataset_splits,
@@ -459,8 +461,9 @@ _register(
 # txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# whichever ~49 of those r10 cannot fit defer to r11 and must be
-# named in r10's ledger exactly as this note names its own.
+# ALL 50 of those defer to r11 (4 rounds stale there — mandatory
+# leads) and must be named in r10's ledger exactly as this note names
+# its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)
     "doc_provenance_edges",  # content-flow shingle graph

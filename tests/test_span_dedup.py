@@ -188,3 +188,37 @@ def test_span_dedup_corpus_is_exactly_the_keepers(spark, sf_dir):
     corpus_ids = {r["doc_id"] for r in dedup.span_dedup_corpus(spark, sf_dir).collect()}
     assert corpus_ids == keep_ids
     clear_materialized_frames()
+
+
+def test_cluster_size_histogram_hand_case(spark):
+    """Sizes 1,1,2,3,4,8 → buckets 1:{1,1}, 2:{2,3}, 3:{4}, 4:{8};
+    bucket_lo is the exact power of two; doc mass conserves."""
+    from bread_spark.extensions.dedup import cluster_size_histogram_df
+
+    rows = []
+    did = 0
+    for cid, size in [(100, 1), (200, 1), (300, 2), (400, 3), (500, 4), (600, 8)]:
+        for _ in range(size):
+            rows.append((did, cid))
+            did += 1
+    clusters = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    got = {r["bucket"]: r for r in cluster_size_histogram_df(clusters).collect()}
+    assert {b: (got[b]["n_clusters"], got[b]["n_docs"]) for b in got} == {
+        1: (2, 2), 2: (2, 5), 3: (1, 4), 4: (1, 8),
+    }
+    assert {b: got[b]["bucket_lo"] for b in got} == {1: 1, 2: 2, 3: 4, 4: 8}
+
+
+def test_cluster_size_histogram_corpus_conserves(spark, sf_dir):
+    """Σ n_docs over buckets ≡ corpus size; singleton bucket count is
+    the number of clusters of size exactly 1."""
+    from bread_spark.extensions.dedup import dedup_cluster_sizes
+    from bread_spark.io import load_table
+
+    rows = dedup_cluster_sizes(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_clusters"] <= r["n_docs"]
+        assert r["bucket_lo"] == 1 << (r["bucket"] - 1)
