@@ -311,6 +311,9 @@ def main() -> None:
         "late_shipment_rate_by_priority",
         # dedup-QC: cluster-size doubling histogram off the cluster seam
         "dedup_cluster_sizes",
+        # hour-of-week heatmap + embedding norm-bucket QC
+        "activity_heatmap",
+        "embedding_norm_stats",
         "bm25_search",
         "gopher_quality_gate",
         "tfidf_keywords",
@@ -522,6 +525,8 @@ def main() -> None:
         "new_vs_returning_users",
         "late_shipment_rate_by_priority",
         "dedup_cluster_sizes",
+        "activity_heatmap",
+        "embedding_norm_stats",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -138,7 +138,50 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_vs_returning_df(ev)
 
 
+def activity_heatmap_df(ev: DataFrame) -> DataFrame:
+    """(dow, hour, n, share_ppm) — the hour-of-week activity heatmap.
+    dow uses the certified seasonal mapping (Spark dayofweek−1 ↔
+    DuckDB dayofweek, 0 = Sunday); shares are exact ppm of the whole
+    corpus. ONE map-side-combined aggregate to ≤168 rows; the share
+    window runs on that aggregate."""
+    cells = (
+        ev.select(
+            (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return cells.select("dow", "hour", "n", total.alias("total")).select(
+        "dow",
+        "hour",
+        "n",
+        F.expr("(n * 1000000) div total").alias("share_ppm"),
+    )
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity heatmap over events (module docstring)."""
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    return activity_heatmap_df(ev)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "activity_heatmap": """
+    WITH cells AS (
+        SELECT dayofweek(CAST(ts AS DATE)) AS dow,
+               CAST(hour(ts) AS INT) AS hour,
+               COUNT(1) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT dow, hour, n, SUM(n) OVER () AS total FROM cells)
+    SELECT CAST(dow AS INT) AS dow, hour,
+           CAST(n AS BIGINT) AS n,
+           CAST((CAST(n AS HUGEINT) * 1000000) // total AS BIGINT)
+               AS share_ppm
+    FROM t
+""",
     "daily_value_percentiles": """
     WITH v AS (
         SELECT event_type, CAST(ts AS DATE) AS day,

@@ -321,7 +321,69 @@ def fd_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_sketch_df(emb)
 
 
+def norm_stats_df(emb: DataFrame) -> DataFrame:
+    """`embedding_norm_stats` core: (label, bucket, bucket_lo,
+    n_vectors) — squared-norm distribution per label in doubling
+    buckets.
+
+    The embedding-QC gate before any cosine/centroid work: zero or
+    near-zero vectors poison cosine (undefined direction), and a
+    label whose norm distribution sits in different buckets than the
+    rest signals a scale-drifted embedding batch. norm2 is the EXACT
+    bigint Σ q_i² of the micro-quantized components, computed with a
+    JVM-side `aggregate` lambda over the array — no explode, no
+    shuffle until the ≤(labels × ~50)-row aggregate; bucket =
+    LENGTH(bin(norm2)), the engine-exact binary-string trick (norm2=0
+    lands in bucket 1 with [1,2), the documented `bin(0)` edge).
+    Per-component q ≤ ~2e6 → q² ≤ 4e12, ×64 dims ≤ 2.6e14 — far
+    inside int64 at any embedding scale that fits a float."""
+    norm2 = F.expr(
+        f"aggregate(embedding, cast(0 as bigint), (acc, x) -> "
+        f"acc + cast(round(cast(x as double) * {QSCALE}) as bigint)"
+        f" * cast(round(cast(x as double) * {QSCALE}) as bigint))"
+    )
+    bucket = F.length(F.bin(F.col("norm2"))).cast("long")
+    return (
+        emb.select("label", norm2.alias("norm2"))
+        .select("label", bucket.alias("bucket"))
+        .groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "label",
+            "bucket",
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(bucket - 1 as int))"
+            ).alias("bucket_lo"),
+            "n_vectors",
+        )
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-norm doubling histogram (docstring of
+    `norm_stats_df`)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return norm_stats_df(emb)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "embedding_norm_stats": f"""
+    WITH n2 AS (
+        SELECT label,
+               CAST(list_sum(list_transform(embedding, x ->
+                    CAST(ROUND(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)
+                    * CAST(ROUND(CAST(x AS DOUBLE) * {QSCALE}) AS BIGINT)))
+                    AS BIGINT) AS norm2
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(LENGTH(bin(norm2)) AS BIGINT) AS bucket,
+           CAST(CAST(1 AS BIGINT)
+                << (CAST(LENGTH(bin(norm2)) AS INTEGER) - 1) AS BIGINT)
+               AS bucket_lo,
+           COUNT(1) AS n_vectors
+    FROM n2 GROUP BY label, LENGTH(bin(norm2))
+""",
     "embedding_covariance": f"""
     WITH flat AS (
         SELECT e.vec_id, d.i,

@@ -229,6 +229,7 @@ _register(
         "daily_value_percentiles": daily.daily_value_percentiles,  # int-lattice bands
         "type_share_by_day": daily.type_share_by_day,  # composition ppm
         "new_vs_returning_users": daily.new_vs_returning_users,  # growth accounting
+        "activity_heatmap": daily.activity_heatmap,  # hour-of-week cells
     },
     daily.ORACLE_SQL,
 )
@@ -252,6 +253,7 @@ _register(
 _register(
     {
         "embedding_covariance": spectral.embedding_covariance,  # exact d x d moments
+        "embedding_norm_stats": spectral.embedding_norm_stats,  # norm-bucket QC (r9)
         "pca_components": spectral.pca_components,  # rows-only (LAPACK floats)
         "fd_sketch": spectral.fd_sketch,  # rows-only (mergeable matrix sketch)
     },
@@ -421,7 +423,7 @@ _register(
 #      otherwise): the 16 VERDICT-r8-named displaced set first, then
 #      the alphabetical first 12 of the remaining 31.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 31 oracle-backed entries
+# ROUND-10 ROTATION NOTE: lead with (a) the 33 oracle-backed entries
 # registered AFTER this round's window froze and therefore never
 # sampled — table_profile, constraint_checks, pmi_collocations,
 # top_collocations_by_source, doc_label_propagation,
@@ -434,7 +436,8 @@ _register(
 # scd2_user_state, provenance_triangles, phrase_search,
 # proximity_search, daily_value_percentiles, type_share_by_day,
 # new_vs_returning_users, late_shipment_rate_by_priority,
-# dedup_cluster_sizes — then (b) the 19
+# dedup_cluster_sizes, activity_heatmap, embedding_norm_stats — then
+# (b) the 19
 # r6-last-green entries deferred from THIS window (4 rounds stale
 # after r10 otherwise — mandatory): lang_id_scores, media_features,
 # perplexity_buckets_distributed, quality_by_source, quality_filter,
@@ -442,8 +445,13 @@ _register(
 # shuffle_order, source_kl_divergence, span_dedup_report,
 # stratified_sample, temperature_mix_weights, tfidf_keywords,
 # token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Groups (a) 31 + (b) 19 fill the 50-slot window EXACTLY — no slots
-# remain for the 50 r7-last-green entries (3 rounds stale in r10):
+# Groups (a) 33 + (b) 19 = 52 OVERFLOW the 50-slot window by 2. The
+# mandatory (b) 19 keep their slots (bumping them makes r6 entries 5
+# rounds stale — strictly worse than a certified never-sampled entry
+# waiting one round); the TWO deferred from (a) are the last-registered
+# pair — activity_heatmap and embedding_norm_stats (both 3-SF-certified
+# on registration) — which must LEAD r11's window. No slots remain for
+# the 50 r7-last-green entries (3 rounds stale in r10):
 # bigram_logprob_scores,
 # centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
 # cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
@@ -462,8 +470,8 @@ _register(
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
 # ALL 50 of those defer to r11 (4 rounds stale there — mandatory
-# leads) and must be named in r10's ledger exactly as this note names
-# its own.
+# leads, together with the two deferred group-(a) entries above) and
+# must be named in r10's ledger exactly as this note names its own.
 _SAMPLE_PRIORITY = (
     # 1 — first driver rows for the r8 close-out wave (14)
     "doc_provenance_edges",  # content-flow shingle graph

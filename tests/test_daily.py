@@ -110,3 +110,34 @@ def test_daily_family_corpus_invariants(spark, sf_dir):
     assert sum(r["n_new"] for r in growth) == n_users
     for r in growth:
         assert r["n_active"] == r["n_new"] + r["n_returning"]
+
+
+def test_activity_heatmap_hand_case(spark):
+    """2024-01-01 was a Monday → dow 1 (0=Sunday, the certified
+    seasonal mapping); hours split exactly; ppm is the truncating
+    corpus share."""
+    rows = [
+        (1, "t", 1, datetime.datetime(2024, 1, 1, 9, 5), 1.0),
+        (2, "t", 1, datetime.datetime(2024, 1, 1, 9, 55), 1.0),
+        (3, "t", 1, datetime.datetime(2024, 1, 7, 23, 0), 1.0),  # Sunday
+    ]
+    from bread_spark.extensions.daily import activity_heatmap_df
+
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    got = {(r["dow"], r["hour"]): r for r in activity_heatmap_df(ev).collect()}
+    assert set(got) == {(1, 9), (0, 23)}
+    assert got[(1, 9)]["n"] == 2 and got[(1, 9)]["share_ppm"] == 666_666
+    assert got[(0, 23)]["share_ppm"] == 333_333
+
+
+def test_activity_heatmap_corpus(spark, sf_dir):
+    from bread_spark.extensions.daily import activity_heatmap
+    from bread_spark.io import load_table
+
+    rows = activity_heatmap(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000

@@ -156,3 +156,36 @@ def test_fd_sketch_handles_low_dimension(spark):
     assert len(b) <= FD_ELL
     # rank <= d < ell: the sketch is EXACT, not just bounded
     assert np.linalg.norm(a.T @ a - b.T @ b, 2) < 1e-6 * (a**2).sum()
+
+
+def test_norm_stats_hand_buckets(spark):
+    """Zero vector → norm2 0 → bucket 1 (the bin(0) edge); a unit
+    component → norm2 = 1e12 → bucket = len(bin(1e12)) = 40 with
+    bucket_lo 2^39; mass conserves per label."""
+    from bread_spark.extensions.spectral import norm_stats_df
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (0, [1.0, 0.0]),
+            (1, [1.0, 1.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {(r["label"], r["bucket"]): r for r in norm_stats_df(emb).collect()}
+    assert (0, 1) in got and got[(0, 1)]["n_vectors"] == 1  # zero vec
+    assert (0, 40) in got and got[(0, 40)]["bucket_lo"] == 1 << 39
+    assert (1, 41) in got  # 2e12 → 41 bits
+    assert sum(r["n_vectors"] for r in got.values()) == 3
+
+
+def test_norm_stats_corpus_conserves(spark, sf_dir):
+    from bread_spark.extensions.spectral import embedding_norm_stats
+    from bread_spark.io import load_table
+
+    rows = embedding_norm_stats(spark, sf_dir).collect()
+    assert rows
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n_vec
+    for r in rows:
+        assert r["bucket_lo"] == 1 << (r["bucket"] - 1)
