@@ -812,7 +812,8 @@ ORACLE_SQL["dedup_cluster_sizes"] = f"""
         SELECT cluster_id, COUNT(1) AS sz FROM clusters GROUP BY cluster_id
     )
     SELECT CAST(LENGTH(bin(sz)) AS BIGINT) AS bucket,
-           CAST(1 << (CAST(LENGTH(bin(sz)) AS INTEGER) - 1) AS BIGINT)
+           CAST(CAST(1 AS BIGINT)
+                << (CAST(LENGTH(bin(sz)) AS INTEGER) - 1) AS BIGINT)
                AS bucket_lo,
            COUNT(1) AS n_clusters,
            CAST(SUM(sz) AS BIGINT) AS n_docs

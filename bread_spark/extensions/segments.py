@@ -27,7 +27,12 @@ BOTH engines); deviations dev2 = 2·v_u − med2 are exact bigints;
 mad4 = 2·median(|dev2|) is again an exact bigint. The modified z is
 then the SAME double expression over IDENTICAL integer operands on
 both engines — z = K·2·dev2/mad4 — so the round-4 boundary cannot
-diverge. Types whose mad4 is 0 (over half the values at the median)
+diverge. One trap inside that claim (review catch): DuckDB parses a
+bare `0.6745` literal as DECIMAL(5,4) and would evaluate the numerator
+EXACTLY before one final cast — a different (more precise) path than
+Spark's chained doubles, ulp-apart for ~10% of operand pairs — so the
+oracle CASTs the constant to DOUBLE first, making both engines run
+double arithmetic end-to-end. Types whose mad4 is 0 (over half the values at the median)
 emit NO rows rather than a divide error, documented.
 
 Scale shape: both entries keep the big side shuffle-free against
@@ -212,8 +217,10 @@ ORACLE_SQL: dict[str, str] = {
         HAVING CAST(ROUND(quantile_cont(abs(dev2), 0.5) * 2) AS BIGINT) > 0
     )
     SELECT d.event_id, d.event_type, d.value,
-           ROUND({MAD_K} * 2 * d.dev2 / s.mad4, 4) AS robust_z
+           ROUND(CAST({MAD_K} AS DOUBLE) * 2 * d.dev2 / s.mad4, 4)
+               AS robust_z
     FROM deva d JOIN mad s USING (event_type)
-    WHERE abs(ROUND({MAD_K} * 2 * d.dev2 / s.mad4, 4)) > {MAD_CUT}
+    WHERE abs(ROUND(CAST({MAD_K} AS DOUBLE) * 2 * d.dev2 / s.mad4, 4))
+          > {MAD_CUT}
 """,
 }

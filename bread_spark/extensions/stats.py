@@ -34,8 +34,9 @@ non-ranked projection, rounded 4-6):
   trailing 7-day window. Spark windows cannot COUNT(DISTINCT) over a
   range frame; the scale shape is the bounded ×7 fan-out: distinct
   (day, user) pairs → explode to the ≤7 anchor days each pair serves →
-  one grouped count-distinct, then an equi semi-join back to real
-  event days. No range join, no per-day rescan.
+  one grouped count-distinct, then the equi join with the per-day
+  count table, which also restricts anchors to real event days.
+  No range join, no per-day rescan.
 
 Scale shape: trend and the correlation matrix read the SHARED
 `timeseries.daily_micro` materialized seam (one events pass serves six
@@ -356,7 +357,6 @@ def rolling_distinct_df(ev: DataFrame, window_days: int = 7) -> DataFrame:
         ev.select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
     )
-    anchors = du.select("day").distinct()
     fan = du.select(
         F.explode(
             F.sequence(F.lit(0), F.lit(window_days - 1))
@@ -367,12 +367,12 @@ def rolling_distinct_df(ev: DataFrame, window_days: int = 7) -> DataFrame:
     rolling = fan.groupBy("day").agg(
         F.countDistinct("user_id").alias("users_7d")
     )
-    daily = du.groupBy("day").agg(F.countDistinct("user_id").alias("users_1d"))
-    return (
-        rolling.join(anchors, "day", "left_semi")
-        .join(daily, "day")
-        .select("day", "users_1d", "users_7d")
-    )
+    # du is already distinct (day, user) pairs, so users_1d is a plain
+    # count — no second dedup exchange; and the inner join with this
+    # per-day table restricts anchors to REAL event days, so no
+    # separate anchors semi-join is needed (review simplification).
+    daily = du.groupBy("day").agg(F.count(F.lit(1)).alias("users_1d"))
+    return rolling.join(daily, "day").select("day", "users_1d", "users_7d")
 
 
 def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,7 +149,8 @@ ORACLE_SQL: dict[str, str] = {
     )
     SELECT source,
            CAST(LENGTH(bin(nt)) AS BIGINT) AS bucket,
-           CAST(1 << (CAST(LENGTH(bin(nt)) AS INTEGER) - 1) AS BIGINT)
+           CAST(CAST(1 AS BIGINT)
+                << (CAST(LENGTH(bin(nt)) AS INTEGER) - 1) AS BIGINT)
                AS bucket_lo,
            CAST(COUNT(1) AS BIGINT) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS token_mass
