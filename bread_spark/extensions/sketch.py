@@ -383,8 +383,16 @@ HLL_B = 6  # bucket bits
 HLL_M = 1 << HLL_B  # 64 registers per key
 HLL_VBITS = 26  # value bits left in the 32-bit md5 uniform after bucketing
 # alpha_m for the raw estimator, spelled as the same literal arithmetic in
-# both engines (Flajolet et al. 2007)
-HLL_ALPHA = f"(0.7213 / (1.0 + 1.079 / {HLL_M}))"
+# both engines (Flajolet et al. 2007). Every leaf constant is CAST to
+# DOUBLE (DECISIONS #20): a bare decimal literal parses as DECIMAL and
+# each engine then picks its own exact-vs-float path (Spark kept the
+# division exact, DuckDB went double — measured 3.4e-6 apart), which can
+# flip the estimator's e_raw <= 2.5m branch at the boundary even though
+# the small-corpus outputs agree.
+HLL_ALPHA = (
+    f"(CAST(0.7213 AS DOUBLE) / "
+    f"(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / {HLL_M}))"
+)
 
 
 def _rho_sql(v: str) -> str:
