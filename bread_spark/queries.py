@@ -406,55 +406,33 @@ _register(
 # after the r8 close-out — the ledger below is the control that keeps
 # worst-case staleness bounded).
 #
-# ROUND-9 window (per VERDICT r8 #1): all 50 slots oracle-backed.
-# Arithmetic note, stated honestly: 169 oracle-backed entries / 50
-# slots makes a ≤3-round staleness bound impossible (period 3.4);
-# the ledger therefore always spends slots on (a) never-sampled
-# entries first, (b) the stalest cohort next, and records EXACTLY
-# which entries defer to the next round.
-#   1. the 14 r8-registered entries with NO driver row ever
-#      (registered after the r8 window froze; green in the in-repo
-#      differential; pca_components and fd_sketch stay OUT per the
-#      r6 no-oracle rule)
-#   2. the 8 new r9 entries (never sampled): 3 gate metrics, 2
-#      classifier-agreement rollups, packing efficiency, dedup impact,
-#      semantic decontamination
-#   3. 28 of the 47 r6-last-green entries (3 rounds stale after r9
-#      otherwise): the 16 VERDICT-r8-named displaced set first, then
-#      the alphabetical first 12 of the remaining 31.
+# ROUND-10 window (per VERDICT r9 #1, executing the r9 ledger note
+# EXACTLY): all 50 slots oracle-backed. Arithmetic note, stated
+# honestly: 202 oracle-backed entries / 50 slots makes a ≤3-round
+# staleness bound impossible (period 4.04 and growing); the ledger
+# therefore always spends slots on (a) never-sampled entries first,
+# (b) the stalest cohort next, and records EXACTLY which entries
+# defer to the next round. Whole-catalog currency no longer rides
+# this window alone: CORRECTNESS_FULL_r10.json commits a full
+# 221-query differential each round (VERDICT r9 #2).
+#   1. 31 of the 33 r9-registered entries with NO driver row ever
+#      (registered after the r9 window froze; all 3-SF-certified at
+#      registration). The r9 note named all 33 and deferred the
+#      last-registered pair — activity_heatmap and
+#      embedding_norm_stats — to lead r11.
+#   2. the 19 r6-last-green entries deferred from the r9 window
+#      (4 rounds stale after r10 otherwise — mandatory, named in the
+#      r9 note): lang_id_scores ... vocab_topk, exactly as listed.
 #
-# ROUND-10 ROTATION NOTE: lead with (a) the 33 oracle-backed entries
-# registered AFTER this round's window froze and therefore never
-# sampled — table_profile, constraint_checks, pmi_collocations,
-# top_collocations_by_source, doc_label_propagation,
-# oov_rate_by_source, doc_length_histogram, doc_novelty_scores,
-# source_similarity_matrix, curriculum_order,
-# curriculum_order_distributed, ab_variant_report, rfm_segments,
-# value_mad_outliers, value_trend_by_type, type_correlation_matrix,
-# benford_digit_qc, source_concentration, rolling_7d_distinct_users,
-# time_to_conversion, inter_event_gap_stats, quality_rank_by_source,
-# scd2_user_state, provenance_triangles, phrase_search,
-# proximity_search, daily_value_percentiles, type_share_by_day,
-# new_vs_returning_users, late_shipment_rate_by_priority,
-# dedup_cluster_sizes, activity_heatmap, embedding_norm_stats — then
-# (b) the 19
-# r6-last-green entries deferred from THIS window (4 rounds stale
-# after r10 otherwise — mandatory): lang_id_scores, media_features,
-# perplexity_buckets_distributed, quality_by_source, quality_filter,
-# quality_scores, quantize_embeddings, redact_pii, repetition_scores,
-# shuffle_order, source_kl_divergence, span_dedup_report,
-# stratified_sample, temperature_mix_weights, tfidf_keywords,
-# token_stats, unigram_logprob_scores, vocab_growth, vocab_topk.
-# Groups (a) 33 + (b) 19 = 52 OVERFLOW the 50-slot window by 2. The
-# mandatory (b) 19 keep their slots (bumping them makes r6 entries 5
-# rounds stale — strictly worse than a certified never-sampled entry
-# waiting one round); the TWO deferred from (a) are the last-registered
-# pair — activity_heatmap and embedding_norm_stats (both 3-SF-certified
-# on registration) — which must LEAD r11's window. No slots remain for
-# the 50 r7-last-green entries (3 rounds stale in r10):
-# bigram_logprob_scores,
-# centroid_drift_by_label, conversion_funnel, corpus_mix, cosine_topk,
-# cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
+# ROUND-11 ROTATION NOTE: mandatory leads, in this order — (a) the
+# two group-(a) deferrals above: activity_heatmap,
+# embedding_norm_stats; (b) the oracle-backed entries registered
+# DURING r10 and therefore never sampled: quality_gate_auc,
+# quality_gate_pr_curve, quality_gate_calibration,
+# fuzzy_dedup_unicode; (c) 44 of the 50 r7-last-green entries
+# (4 rounds stale at r11 — mandatory): bigram_logprob_scores,
+# centroid_drift_by_label, conversion_funnel, corpus_mix,
+# cosine_topk, cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
 # daily_twap_by_type, daily_value_moving_avg, dataset_splits,
 # decontaminate, dedup_normalized, doc_word_counts,
 # embedding_dedup_corpus, event_flows_union, events_near_errors,
@@ -464,70 +442,70 @@ _register(
 # ngram5_logprob_scores, ngram_jaccard_pairs, orders_with_returns,
 # pack_sequences, paragraph_dedup, perplexity_buckets,
 # perplexity_buckets_ngram5, pricing_summary, project_embeddings,
-# retention_cohorts, returned_items_topk, session_stats, snapshot_diff,
-# span_dedup_corpus, training_corpus, txs_per_day,
-# txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
+# retention_cohorts, returned_items_topk, session_stats,
+# snapshot_diff, span_dedup_corpus, training_corpus, txs_per_day,
+# txs_per_day_gapfilled, user_activity_span. Groups
+# (a) 2 + (b) 4 + (c) 44 = 50 fill the window exactly; the
+# alphabetical LAST SIX of the r7 cohort — value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# ALL 50 of those defer to r11 (4 rounds stale there — mandatory
-# leads, together with the two deferred group-(a) entries above) and
-# must be named in r10's ledger exactly as this note names its own.
+# defer to r12 (5 rounds stale there — mandatory r12 leads, ahead of
+# everything else), and the r8-last-green cohort (the 50 names in
+# CORRECTNESS_r08.json, 3 rounds stale at r11) queues behind them.
 _SAMPLE_PRIORITY = (
-    # 1 — first driver rows for the r8 close-out wave (14)
-    "doc_provenance_edges",  # content-flow shingle graph
-    "doc_authority_rank",  # exact-integer PageRank table
-    "hard_negatives",  # contrastive-pair mining (tile kernel)
-    "value_cusum_by_type",  # clamped-recurrence changepoint stat
-    "cusum_alarms",  # per-type changepoint report
-    "seasonal_decomposition",  # trend + day-of-week + residual
-    "seasonal_anomalies",  # seasonality-aware outliers
-    "value_psi_by_type",  # PSI distribution drift
-    "events_monitoring_dashboard",  # wide per-type rollup
-    "event_transition_matrix",  # Markov transition counts
-    "event_path_trigrams",  # 3-step journey counts
-    "top_paths_to_purchase",  # pre-conversion path ranking
-    "corpus_checksum_by_source",  # XOR-merge audit fingerprint
-    "embedding_covariance",  # exact d×d integer moments
-    # 2 — new r9 entries (8, never sampled)
-    "nb_margin_auc",  # Mann-Whitney ROC-AUC over NB margins
-    "nb_pr_curve",  # precision/recall at fixed margin gates
-    "nb_calibration_bins",  # margin deciles vs empirical accuracy
-    "nb_confusion_matrix",  # (true, pred) count table
-    "nb_cohens_kappa",  # chance-corrected agreement scalar
-    "pack_efficiency",  # per-pack fill-fraction report
-    "dedup_impact_report",  # per-source near-dup removal rollup
-    "semantic_decontaminate",  # embedding-space eval-leak gate
-    # 3a — the 16 VERDICT-r8-named r6-last-green displaced set
-    "value_per_day",
-    "daily_value_by_type",
-    "bm25_search",
-    "trigram_logprob_scores",
-    "props_json_extract",
-    "deduped_corpus",
-    "embedding_cosine_dups",
-    "distinct_users_per_day",
-    "duplicate_spans",
-    "brand_number_extract",
-    "centroid_by_label",
-    "orders_by_nation",
-    "events_pivot_by_type",
-    "revenue_by_segment",
-    "base64_roundtrip",
-    "customers_without_orders",
-    # 3b — alphabetical first 12 of the remaining 31 r6-last-green
-    # (the alphabetical last 19 defer to r10 — named in the note above)
-    "char_entropy",
-    "contamination_report",
-    "corpus_stats_by_source",
-    "cross_dedup_spans",
-    "curated_corpus",
-    "dedup_exact_hash",
-    "doc_chunks",
-    "doc_fingerprints",
-    "domain_quota_sample",
-    "domain_token_quota",
-    "gopher_quality_gate",
-    "label_mix_by_source",
+    # 1 — first driver rows for the 31 never-sampled r9-wave entries
+    "table_profile",  # per-column profiling rollup
+    "constraint_checks",  # declarative data-test verdicts
+    "pmi_collocations",  # global PMI bigram ranking
+    "top_collocations_by_source",  # per-source PMI window rank
+    "doc_label_propagation",  # iterative label spreading
+    "oov_rate_by_source",  # tokenizer-fit OOV diagnostic
+    "doc_length_histogram",  # log2-bucket length spectrum
+    "doc_novelty_scores",  # arrival-order shingle novelty
+    "source_similarity_matrix",  # source×source vocab cosine
+    "curriculum_order",  # difficulty-ordered curriculum
+    "curriculum_order_distributed",  # partition-map global ordinal
+    "ab_variant_report",  # A/B lift + Welch t components
+    "rfm_segments",  # exact-quantile RFM segmentation
+    "value_mad_outliers",  # MAD robust outliers (lattice ties)
+    "value_trend_by_type",  # exact-moment OLS trend
+    "type_correlation_matrix",  # Pearson over daily integer sums
+    "benford_digit_qc",  # leading-digit Benford QC
+    "source_concentration",  # Gini/HHI concentration
+    "rolling_7d_distinct_users",  # bounded ×7 fan-out distinct
+    "time_to_conversion",  # view→purchase latency quantiles
+    "inter_event_gap_stats",  # per-user gap moments
+    "quality_rank_by_source",  # exact per-source pctl rank
+    "scd2_user_state",  # type-2 slowly-changing dimension
+    "provenance_triangles",  # triangle motif count
+    "phrase_search",  # positional exact-phrase match
+    "proximity_search",  # bounded token-distance search
+    "daily_value_percentiles",  # exact per-day percentiles
+    "type_share_by_day",  # per-day type share
+    "new_vs_returning_users",  # first-seen cohort split
+    "late_shipment_rate_by_priority",  # TPC-H-Q12-shaped SLA
+    "dedup_cluster_sizes",  # near-dup cluster histogram
+    # 2 — the 19 r6-last-green entries the r9 note deferred here
+    # (mandatory: 4 rounds stale otherwise)
+    "lang_id_scores",
+    "media_features",
+    "perplexity_buckets_distributed",
+    "quality_by_source",
+    "quality_filter",
+    "quality_scores",
+    "quantize_embeddings",
+    "redact_pii",
+    "repetition_scores",
+    "shuffle_order",
+    "source_kl_divergence",
+    "span_dedup_report",
+    "stratified_sample",
+    "temperature_mix_weights",
+    "tfidf_keywords",
+    "token_stats",
+    "unigram_logprob_scores",
+    "vocab_growth",
+    "vocab_topk",
     # — 50-row window ends here —
 )
 
