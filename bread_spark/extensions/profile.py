@@ -148,8 +148,11 @@ def _check_rows(agg_row: DataFrame, checks: list[tuple[str, str, str]]) -> DataF
         agg_row.select(F.explode(F.array(*kvs)).alias("kv"))
         .select("kv.*")
         .withColumn(
-            # 0/1 bigint rather than boolean: the repo's oracle surface has
-            # no boolean precedent, and integer lanes hash engine-agnostically.
+            # 0/1 bigint rather than boolean: verdict columns feed SUM/COUNT
+            # rollups downstream, so they stay on the integer lane. (Booleans
+            # themselves hash engine-agnostically — scd2_user_state.is_current
+            # and semantic_decontaminate.contaminated are green precedents —
+            # this is an arithmetic-convenience choice, not a hashing one.)
             "passed",
             (F.col("n_violations") == F.lit(0)).cast("long"),
         )

@@ -1711,26 +1711,42 @@ def semantic_decontam_df(
     )
 
 
+_PROBE_BC_CACHE: dict = {}
+
+
 def make_probe_kernel(probes: DataFrame, threshold: float):
     """Collect + unit-normalize the probe matrix (bounded by
     construction) and return the mapInPandas kernel both the batch
     operator and the streaming twin apply. Raises on an empty probe set
     — a silent all-clean verdict from a misconfigured probe filter is
-    the one failure mode this operator must never have."""
+    the one failure mode this operator must never have.
+
+    The (collect + broadcast) is cached per (application, semantic plan):
+    the catalog_plans fixture, driver plan sampling, and each streaming
+    twin all re-CONSTRUCT the frame without executing it, and without the
+    cache every construction paid an eager Spark job plus a fresh
+    broadcast. semanticHash is plan analysis only (no job); the paired
+    sameSemantics check guards hash collisions."""
     import numpy as np
     import pandas as pd
 
-    rows = probes.select("vec_id", "embedding").collect()
-    if not rows:
-        raise ValueError(
-            "semantic decontamination needs a non-empty probe set "
-            "(an empty one would silently pass every document)"
-        )
-    ids_p = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    unit_p = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     sc = probes.sparkSession.sparkContext
-    bc = sc.broadcast((ids_p, unit_p))
+    key = (sc.applicationId, probes.semanticHash())
+    hit = _PROBE_BC_CACHE.get(key)
+    if hit is not None and probes.sameSemantics(hit[0]):
+        bc = hit[1]
+    else:
+        rows = probes.select("vec_id", "embedding").collect()
+        if not rows:
+            raise ValueError(
+                "semantic decontamination needs a non-empty probe set "
+                "(an empty one would silently pass every document)"
+            )
+        ids_p = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        unit_p = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bc = sc.broadcast((ids_p, unit_p))
+        _PROBE_BC_CACHE[key] = (probes, bc)
 
     def kernel(it):
         p_ids, p_unit = bc.value

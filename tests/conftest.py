@@ -31,7 +31,10 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if NIGHTLY or config.getoption("markexpr", default=""):
+    # Only an explicit nightly selection bypasses the auto-skip: an
+    # unrelated -m expression (e.g. -m 'not foo') must NOT silently pull
+    # the slow restart/multi-batch pins into a default-tier run.
+    if NIGHTLY or "nightly" in config.getoption("markexpr", default=""):
         return
     skip = pytest.mark.skip(
         reason="nightly tier (BREAD_TEST_NIGHTLY=1 to run)"
