@@ -366,6 +366,11 @@ def main() -> None:
         "lsh_bucket_pairs",
         "lsh_bucket_topk",
         "cluster_quota_sample",
+        # round-10 additions: quality-gate tuning metrics (label frame
+        # recomputes dedup survivorship + contamination off their seams)
+        "quality_gate_auc",
+        "quality_gate_pr_curve",
+        "quality_gate_calibration",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -529,6 +534,12 @@ def main() -> None:
         "embedding_norm_stats",
     }
 
+    R10_ADDITIONS = {
+        "quality_gate_auc",
+        "quality_gate_pr_curve",
+        "quality_gate_calibration",
+    }
+
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
     # of r5 + parse_events_wide) are the official perf denominator from
@@ -626,6 +637,7 @@ def main() -> None:
                 and k not in R7_ADDITIONS
                 and k not in R8_ADDITIONS
                 and k not in R9_ADDITIONS
+                and k not in R10_ADDITIONS
             ),
             3,
         ),
@@ -644,6 +656,9 @@ def main() -> None:
         "r9_additions": round(
             sum(v for k, v in timings.items() if k in R9_ADDITIONS), 3
         ),
+        "r10_additions": round(
+            sum(v for k, v in timings.items() if k in R10_ADDITIONS), 3
+        ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3
         ),
@@ -653,15 +668,23 @@ def main() -> None:
     # only the last ~2000 chars of stdout and json-parses what it finds
     # there; at 90+ queries this detail line alone is >3 kB (BENCH_r06
     # shipped parsed:null because of it), so it must NOT be last.
-    print(
-        json.dumps(
-            {
-                "detail": "per_query_medians_sec",
-                "queries": timings,
-                "parse_input_blocks": PARSE_N_BLOCKS,
-            }
-        )
-    )
+    detail = {
+        "detail": "per_query_medians_sec",
+        "queries": timings,
+        "probe_1c": probe_1c,
+        "probe_mc": probe_mc,
+        "sf": sf_val,
+        "parse_input_blocks": PARSE_N_BLOCKS,
+    }
+    print(json.dumps(detail))
+    # Adjudicating a single-query regression across rounds needs the FULL
+    # per-query map, and the driver's stdout tail only keeps the compact
+    # summary — so persist the detail to a committed file too.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1)
     # Compact machine-readable summary LAST — the driver's record. The
     # per-query map is capped to the slowest entries, and if the line
     # still exceeds the ~2000-char tail capture (longer names, more

@@ -461,22 +461,24 @@ def nb_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve_df(_margin_rows(spark, sf_dir))
 
 
-def pr_curve_df(rows: DataFrame) -> DataFrame:
-    """`nb_pr_curve` core over any (doc_id, is_correct, margin_u) frame."""
+def pr_curve_df(rows: DataFrame, thresholds=PR_THRESHOLDS) -> DataFrame:
+    """`nb_pr_curve` core over any (doc_id, is_correct, margin_u) frame.
+    `thresholds` is a ((display, micro_units), ...) gate ladder — the NB
+    margins by default; the quality-gate family passes its own."""
     aggs = [F.sum("is_correct").alias("nc_total")]
-    for i, (_, t_u) in enumerate(PR_THRESHOLDS):
+    for i, (_, t_u) in enumerate(thresholds):
         kept = F.when(F.col("margin_u") >= t_u, 1).otherwise(0)
         aggs.append(F.sum(kept).alias(f"k{i}"))
         aggs.append(F.sum(kept * F.col("is_correct")).alias(f"c{i}"))
     one = rows.agg(*aggs)
     stack_args = ", ".join(
         f"CAST({t} AS DOUBLE), k{i}, c{i}"
-        for i, (t, _) in enumerate(PR_THRESHOLDS)
+        for i, (t, _) in enumerate(thresholds)
     )
     unpivoted = one.select(
         "nc_total",
         F.expr(
-            f"stack({len(PR_THRESHOLDS)}, {stack_args}) "
+            f"stack({len(thresholds)}, {stack_args}) "
             "AS (threshold, n_kept, n_correct_kept)"
         ),
     )

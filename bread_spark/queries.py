@@ -30,6 +30,7 @@ from .extensions import (
     timeseries,
     multimodal,
     profile,
+    quality_gates,
     search,
     segments,
     similarity,
@@ -290,6 +291,14 @@ _register(
         "nb_cohens_kappa": classify.nb_cohens_kappa,  # chance-corrected agreement
     },
     classify.ORACLE_SQL,
+)
+_register(
+    {
+        "quality_gate_auc": quality_gates.quality_gate_auc,  # score vs curation AUC
+        "quality_gate_pr_curve": quality_gates.quality_gate_pr_curve,  # gate ladder P/R
+        "quality_gate_calibration": quality_gates.quality_gate_calibration,  # deciles
+    },
+    quality_gates.ORACLE_SQL,
 )
 _register(
     {
