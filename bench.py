@@ -371,6 +371,8 @@ def main() -> None:
         "quality_gate_auc",
         "quality_gate_pr_curve",
         "quality_gate_calibration",
+        # byte-semantics certification fixture (bounded 300-doc input)
+        "fuzzy_dedup_unicode",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -538,6 +540,7 @@ def main() -> None:
         "quality_gate_auc",
         "quality_gate_pr_curve",
         "quality_gate_calibration",
+        "fuzzy_dedup_unicode",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

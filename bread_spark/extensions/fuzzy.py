@@ -20,9 +20,11 @@ within a bounded Levenshtein distance without ever comparing all pairs:
    similarity-join literature (PPJoin family): index each record's
    least-frequent signature subset, meet only in those postings.
 2. **Verify** — fetch the two normalized texts per candidate, prefilter
-   on the length-difference necessary condition (|la - lb| <= D), then
-   one JVM `levenshtein(a, b, threshold=D)` — the threshold form bails
-   out of the DP early once a row minimum exceeds D.
+   on the BYTE-length-difference necessary condition (|ba - bb| <= D),
+   then one JVM `levenshtein(a, b, threshold=D)` over `byte_faithful`
+   strings (UTF-8 byte edit distance — the cross-engine contract; see
+   the semantics note below) — the threshold form bails out of the DP
+   early once a row minimum exceeds D.
 
 Gram identity is the md5-derived 60-bit lane (`'0x' || substring(md5(
 gram), 1, 15)` in DuckDB — the repo's engine-agnostic hash convention),
@@ -70,15 +72,24 @@ _NORM_SQL = (
     r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
 )
 
-# Cross-engine scope note (review finding): DuckDB's levenshtein counts
-# BYTE edits while Spark's counts CHARACTER edits — they agree exactly
-# on ASCII text (the synthetic corpora, verified at three scales) and
-# diverge on multi-byte codepoints ('héllo' vs 'hello': Spark 1, DuckDB
-# 2). Same scope boundary the normalization rule already declares for
-# Unicode whitespace: ASCII corpora are in contract; a multilingual
-# corpus needs a byte-based Spark distance (or a char-based oracle)
-# before these oracles transfer. Promoted to DIVERGENCES.md ("oracle
-# scope boundaries" #1).
+# Distance semantics (r10, closing the former DIVERGENCES.md scope
+# boundary #1): the family's contract is Levenshtein over UTF-8 BYTES —
+# encoding-explicit and identical on both engines at any input.
+# DuckDB's levenshtein is byte-based natively; Spark's counts CHARACTER
+# edits, so the verify stage runs it over `byte_faithful` strings
+# (UTF-8 encode → latin-1 decode = one char per byte, identity on
+# ASCII, zero-copy cheap). The length-difference prefilter accordingly
+# uses BYTE lengths (octet_length / strlen) — the necessary condition
+# |bytelen(a)-bytelen(b)| <= D holds for byte distance, while the char
+# form does NOT (8 ASCII chars vs 2 four-byte chars: char diff 6, byte
+# diff 0). Certified on a multi-byte fixture via `fuzzy_dedup_unicode`.
+
+
+def byte_faithful(col):
+    """One char per UTF-8 byte (latin-1 roundtrip), so Spark's
+    char-counting levenshtein computes the BYTE edit distance DuckDB's
+    levenshtein defines. Identity on ASCII strings."""
+    return F.decode(F.encode(col, "UTF-8"), "ISO-8859-1")
 
 
 def _norm_docs(docs: DataFrame) -> DataFrame:
@@ -226,11 +237,14 @@ def fuzzy_pairs_df(
     return (
         cand.join(na, "doc_a")
         .join(nb, "doc_b")
-        # necessary condition first: |len diff| > d can never verify, and
-        # the filter runs before the DP ever starts
-        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        # necessary condition first: |byte-len diff| > d can never
+        # verify, and the filter runs before the DP ever starts
+        .filter(
+            F.abs(F.octet_length("sa") - F.octet_length("sb")) <= max_dist
+        )
         .withColumn(
-            "dist", F.levenshtein("sa", "sb", max_dist)
+            "dist",
+            F.levenshtein(byte_faithful("sa"), byte_faithful("sb"), max_dist),
         )  # threshold form: -1 once the DP row minimum exceeds max_dist
         .filter(F.col("dist") >= 0)
         .select("doc_a", "doc_b", "shared_grams", "dist")
@@ -310,8 +324,11 @@ def fuzzy_matches_df(
     verified = (
         cand.join(probe_norm, "doc_id")
         .join(bn, "base_doc")
-        .filter(F.abs(F.col("len") - F.col("lb")) <= max_dist)
-        .withColumn("dist", F.levenshtein("s", "sb", max_dist))
+        .filter(F.abs(F.octet_length("s") - F.octet_length("sb")) <= max_dist)
+        .withColumn(
+            "dist",
+            F.levenshtein(byte_faithful("s"), byte_faithful("sb"), max_dist),
+        )
         .filter(F.col("dist") >= 0)
     )
     best = verified.groupBy("doc_id").agg(
@@ -412,9 +429,47 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUZZY_CAND_CTE = f"""
+UNI_FIXTURE_MAX = 150  # seed docs for the multi-byte fixture (SF-stable)
+UNI_MUT_PREFIX = 12  # chars of the prefix that get accent substitutions
+
+
+def fuzzy_dedup_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-semantics certification fixture as a catalog entry: each
+    seed doc (doc_id < UNI_FIXTURE_MAX) appears twice — verbatim at
+    doc_id·2 and with accent substitutions (e→é, a→à, o→ô) over its
+    first UNI_MUT_PREFIX characters at doc_id·2+1 — and the standard
+    blocking+verify pipeline runs over the union. Every accented
+    substitution is 1 CHARACTER edit but 2 BYTE edits (a 1-byte
+    codepoint becomes 2 bytes), so this entry is green only if both
+    engines implement the same byte-based distance contract — the pin
+    that closed the former DIVERGENCES.md oracle-scope boundary #1.
+    Bounded by construction: ≤ 2·UNI_FIXTURE_MAX docs at any SF."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < UNI_FIXTURE_MAX)
+        .select("doc_id", "text")
+    )
+    mutated = F.concat(
+        F.translate(F.substring("text", 1, UNI_MUT_PREFIX), "eao", "éàô"),
+        F.expr(f"substring(text, {UNI_MUT_PREFIX + 1})"),
+    )
+    uni = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"), mutated.alias("text")
+        )
+    )
+    return fuzzy_pairs_df(uni)
+
+
+def _fuzzy_cand_cte(src: str = "documents") -> str:
+    """The blocking+verify pipeline as a DuckDB CTE chain over any
+    (doc_id, text) relation — `fuzzy_dedup_unicode` reuses it over its
+    constructed multi-byte fixture."""
+    return f"""
     WITH n AS (
-        SELECT doc_id, {_NORM_SQL} AS s FROM documents
+        SELECT doc_id, {_NORM_SQL} AS s FROM {src}
     ),
     g AS (
         SELECT DISTINCT doc_id,
@@ -458,10 +513,13 @@ _FUZZY_CAND_CTE = f"""
         FROM cand c
         JOIN n na ON na.doc_id = c.doc_a
         JOIN n nb ON nb.doc_id = c.doc_b
-        WHERE abs(length(na.s) - length(nb.s)) <= {FUZZY_MAX_DIST}
+        WHERE abs(strlen(na.s) - strlen(nb.s)) <= {FUZZY_MAX_DIST}
           AND levenshtein(na.s, nb.s) <= {FUZZY_MAX_DIST}
     )
 """
+
+
+_FUZZY_CAND_CTE = _fuzzy_cand_cte()
 
 ORACLE_SQL: dict[str, str] = {
     "fuzzy_dup_pairs": _FUZZY_CAND_CTE
@@ -536,7 +594,7 @@ ORACLE_SQL["cross_fuzzy_matches"] = f"""
         FROM cand c
         JOIN pn ON pn.doc_id = c.doc_id
         JOIN bn ON bn.doc_id = c.base_doc
-        WHERE abs(length(pn.s) - length(bn.s)) <= {FUZZY_MAX_DIST}
+        WHERE abs(strlen(pn.s) - strlen(bn.s)) <= {FUZZY_MAX_DIST}
           AND levenshtein(pn.s, bn.s) <= {FUZZY_MAX_DIST}
     ),
     ranked AS (
@@ -551,3 +609,20 @@ ORACLE_SQL["cross_fuzzy_matches"] = f"""
            CAST(n_candidates AS BIGINT) AS n_candidates
     FROM ranked WHERE rk = 1
 """
+
+_UNI_SRC = f"""(
+        SELECT doc_id * 2 AS doc_id, text FROM documents
+        WHERE doc_id < {UNI_FIXTURE_MAX}
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS doc_id,
+               translate(substring(text, 1, {UNI_MUT_PREFIX}), 'eao', 'éàô')
+                   || substring(text, {UNI_MUT_PREFIX + 1}) AS text
+        FROM documents WHERE doc_id < {UNI_FIXTURE_MAX}
+    ) uni"""
+
+ORACLE_SQL["fuzzy_dedup_unicode"] = (
+    _fuzzy_cand_cte(_UNI_SRC)
+    + """
+    SELECT doc_a, doc_b, shared_grams, dist FROM verified
+"""
+)

@@ -152,6 +152,7 @@ _register(
         "fuzzy_dup_pairs": fuzzy.fuzzy_dup_pairs,  # edit-distance near-dup pairs
         "fuzzy_dedup_corpus": fuzzy.fuzzy_dedup_corpus,  # greedy keep-earliest gate
         "cross_fuzzy_matches": fuzzy.cross_fuzzy_matches,  # probe-vs-base nearest
+        "fuzzy_dedup_unicode": fuzzy.fuzzy_dedup_unicode,  # byte-semantics pin
     },
     fuzzy.ORACLE_SQL,
 )

@@ -219,6 +219,7 @@ def fuzzy_gate_stream_against_base(
         FUZZY_MAX_DIST,
         FUZZY_MIN_SHARED,
         FUZZY_Q,
+        byte_faithful,
         gram_array_expr,
         normalize_text_expr,
     )
@@ -265,8 +266,18 @@ def fuzzy_gate_stream_against_base(
     )
     verified = (
         cand.join(bn, "base_doc")
-        .filter(F.abs(F.col("len") - F.col("lb")) <= FUZZY_MAX_DIST)
-        .withColumn("dist", F.levenshtein("s", "sb", FUZZY_MAX_DIST))
+        # byte semantics, mirroring the batch matcher exactly (fuzzy.py
+        # byte_faithful note): byte-length prefilter + byte distance
+        .filter(
+            F.abs(F.octet_length("s") - F.octet_length("sb"))
+            <= FUZZY_MAX_DIST
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(
+                byte_faithful("s"), byte_faithful("sb"), FUZZY_MAX_DIST
+            ),
+        )
         .filter(F.col("dist") >= 0)
     )
     best = verified.groupBy(

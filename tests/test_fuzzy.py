@@ -135,3 +135,47 @@ def test_fuzzy_verify_threshold_boundary(spark):
     }
     assert got.get((0, 1)) == FUZZY_MAX_DIST
     assert (0, 2) not in got
+
+
+def test_byte_faithful_identity_on_ascii(spark):
+    from bread_spark.extensions.fuzzy import byte_faithful
+
+    df = spark.createDataFrame([("plain ascii text",)], "t string")
+    row = df.select(
+        (F.col("t") == byte_faithful("t")).alias("same"),
+        F.levenshtein("t", byte_faithful("t")).alias("d"),
+    ).collect()[0]
+    assert row["same"] and row["d"] == 0
+
+
+def test_multibyte_pair_verifies_at_byte_distance(spark):
+    # 'é' replaces 'e' at 3 sites -> 3 char edits but 6 BYTE edits; the
+    # family's contract (and DuckDB's levenshtein) counts bytes. The
+    # texts must be long + similar enough to share >= 3 selected grams.
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    mutated = base.replace("the quick", "thé quick").replace(
+        "over the", "ovér thé"
+    )
+    docs = spark.createDataFrame(
+        [(0, base), (1, mutated)], "doc_id long, text string"
+    )
+    rows = fuzzy_pairs_df(docs, min_shared=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["dist"] == 6  # byte edits, not the 3 char edits
+
+
+def test_byte_length_prefilter_keeps_equal_byte_len_pairs(spark):
+    from bread_spark.extensions.fuzzy import byte_faithful
+
+    # 24 ASCII chars (24B) vs 12 two-byte chars (24B): char-length diff
+    # 12 > 10 would WRONGLY prune under a char prefilter; byte diff is 0
+    a = "aaaaaaaaaaaaaaaaaaaaaaaa"
+    b = "é" * 12
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    row = df.select(
+        (F.octet_length("a") - F.octet_length("b")).alias("bdiff"),
+        F.levenshtein(byte_faithful("a"), byte_faithful("b")).alias("bd"),
+        (F.length("a") - F.length("b")).alias("cdiff"),
+    ).collect()[0]
+    assert row["bdiff"] == 0 and row["cdiff"] == 12
+    assert row["bd"] <= 24  # well-defined byte distance either way
