@@ -46,7 +46,17 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="bread-spark-tests", shuffle_partitions=8)
+    # local[8], not local[32], for the DEFAULT tier (r10): at sf0.001
+    # the per-stage task-scheduling overhead of 32 task slots swamps any
+    # parallel gain — measured on this host: test_models_stats 66.5 s at
+    # 32 / 48.6 at 16 / 30.8 at 8, and even the deliberately parallel
+    # brute-force fuzzy + recall files are FASTER at 8 (61 vs 71 s).
+    # bench.py and the driver keep local[$SPARK_GRAFT_CPUS]=32 (the
+    # production-shaped path); nothing in the suite asserts parallelism
+    # beyond >= 2 partitions, and shuffle_partitions stays 8 either way.
+    spark = get_spark(
+        app_name="bread-spark-tests", master="local[8]", shuffle_partitions=8
+    )
     # AQE OFF for the default test tier (r9): adaptive execution
     # finalizes stages one at a time and re-optimizes between them —
     # measured +0.08 s per tiny query (0.134 → 0.215 s on a two-agg

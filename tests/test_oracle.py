@@ -22,14 +22,15 @@ def con():
 
 @pytest.fixture(scope="session")
 def oracle_results(spark, sf_dir):
-    """Every differential computed ONCE with a 4-way thread pool (r9:
-    the serial sweep was the suite's single largest block at ~100 s —
-    latency-bound, 32 cores idle). Spark actions are thread-safe on the
-    shared session (FIFO scheduler overlaps the jobs), seam builds are
-    serialized by `materialized_frame`'s lock, and each worker thread
-    owns a private DuckDB connection. The parameterized tests below
-    assert the cached verdicts, so per-oracle reporting granularity is
-    unchanged — only the wall clock shrinks."""
+    """Every differential computed ONCE with an 8-way thread pool (r9
+    introduced the pool at 4 — the serial sweep was the suite's single
+    largest block at ~100 s, latency-bound with 32 cores idle; r10
+    measured 8 workers at 14.9 s warm vs 19.9 s for 4, all green — the
+    stampede RLock already serializes seam builds). Spark actions are
+    thread-safe on the shared session (FIFO scheduler overlaps the
+    jobs) and each worker thread owns a private DuckDB connection. The
+    parameterized tests below assert the cached verdicts, so per-oracle
+    reporting granularity is unchanged — only the wall clock shrinks."""
     import concurrent.futures as cf
     import threading
 
@@ -47,7 +48,7 @@ def oracle_results(spark, sf_dir):
         except Exception as e:  # surface as a red row, not a crashed pool
             return name, (False, f"exception while comparing: {e!r}")
 
-    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
         results = dict(ex.map(one, ORACLE_CHECKED))
     for c in cons:
         c.close()
