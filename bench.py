@@ -373,6 +373,20 @@ def main() -> None:
         "quality_gate_calibration",
         # byte-semantics certification fixture (bounded 300-doc input)
         "fuzzy_dedup_unicode",
+        # warehouse decision-support suite (TPC-H-shaped, r10)
+        "shipping_priority_topk",
+        "discount_revenue_opportunity",
+        "volume_shipping_by_year",
+        "market_share_by_year",
+        "product_profit_by_nation_year",
+        "customer_order_distribution",
+        "promo_revenue_by_month",
+        "top_supplier_by_revenue",
+        "small_order_revenue",
+        "large_volume_customers",
+        "brand_quantity_revenue",
+        "late_supplier_blame",
+        "idle_high_balance_customers",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -541,6 +555,19 @@ def main() -> None:
         "quality_gate_pr_curve",
         "quality_gate_calibration",
         "fuzzy_dedup_unicode",
+        "shipping_priority_topk",
+        "discount_revenue_opportunity",
+        "volume_shipping_by_year",
+        "market_share_by_year",
+        "product_profit_by_nation_year",
+        "customer_order_distribution",
+        "promo_revenue_by_month",
+        "top_supplier_by_revenue",
+        "small_order_revenue",
+        "large_volume_customers",
+        "brand_quantity_revenue",
+        "late_supplier_blame",
+        "idle_high_balance_customers",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

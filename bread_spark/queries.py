@@ -41,6 +41,7 @@ from .extensions import (
     training,
     unigram,
     vocab_fit,
+    warehouse,
 )
 from .functions import text
 from .operators import asof, interval, scd
@@ -88,6 +89,26 @@ def _register(fns: dict[str, QueryFn], oracles: dict[str, str]) -> None:
 
 
 _register(models.MODELS, models.ORACLE_SQL)
+# Warehouse decision-support suite (r10): the TPC-H-shaped multi-join
+# classics on the exact cents/percent lattice (module docstring).
+_register(
+    {
+        "shipping_priority_topk": warehouse.shipping_priority_topk,  # Q3
+        "discount_revenue_opportunity": warehouse.discount_revenue_opportunity,  # Q6
+        "volume_shipping_by_year": warehouse.volume_shipping_by_year,  # Q7
+        "market_share_by_year": warehouse.market_share_by_year,  # Q8
+        "product_profit_by_nation_year": warehouse.product_profit_by_nation_year,  # Q9-shaped
+        "customer_order_distribution": warehouse.customer_order_distribution,  # Q13
+        "promo_revenue_by_month": warehouse.promo_revenue_by_month,  # Q14
+        "top_supplier_by_revenue": warehouse.top_supplier_by_revenue,  # Q15
+        "small_order_revenue": warehouse.small_order_revenue,  # Q17
+        "large_volume_customers": warehouse.large_volume_customers,  # Q18
+        "brand_quantity_revenue": warehouse.brand_quantity_revenue,  # Q19-shaped
+        "late_supplier_blame": warehouse.late_supplier_blame,  # Q21-shaped
+        "idle_high_balance_customers": warehouse.idle_high_balance_customers,  # Q22-shaped
+    },
+    warehouse.ORACLE_SQL,
+)
 # The reference's own gold DAG (old_models/**) on fixture-derived legacy
 # tables — A1-A3, J2, P9-P16, S-OP1, W1 earn direct CORRECTNESS rows.
 _register(models_ibc_catalog.QUERIES, models_ibc_catalog.ORACLE_SQL)
@@ -437,26 +458,33 @@ _register(
 # ROUND-11 ROTATION NOTE: mandatory leads, in this order — (a) the
 # two group-(a) deferrals above: activity_heatmap,
 # embedding_norm_stats; (b) the oracle-backed entries registered
-# DURING r10 and therefore never sampled: quality_gate_auc,
-# quality_gate_pr_curve, quality_gate_calibration,
-# fuzzy_dedup_unicode; (c) 44 of the 50 r7-last-green entries
-# (4 rounds stale at r11 — mandatory): bigram_logprob_scores,
-# centroid_drift_by_label, conversion_funnel, corpus_mix,
-# cosine_topk, cross_dedup, cum_txs_per_day, daily_cum_ibc_transfers,
-# daily_twap_by_type, daily_value_moving_avg, dataset_splits,
-# decontaminate, dedup_normalized, doc_word_counts,
+# DURING r10 and therefore never sampled — first the early-r10 four:
+# quality_gate_auc, quality_gate_pr_curve, quality_gate_calibration,
+# fuzzy_dedup_unicode; then the 13 warehouse-suite entries:
+# shipping_priority_topk, discount_revenue_opportunity,
+# volume_shipping_by_year, market_share_by_year,
+# product_profit_by_nation_year, customer_order_distribution,
+# promo_revenue_by_month, top_supplier_by_revenue,
+# small_order_revenue, large_volume_customers,
+# brand_quantity_revenue, late_supplier_blame,
+# idle_high_balance_customers; (c) the alphabetical FIRST 31 of the 50
+# r7-last-green entries (4 rounds stale at r11 — mandatory):
+# bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
+# corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
+# daily_cum_ibc_transfers, daily_twap_by_type, daily_value_moving_avg,
+# dataset_splits, decontaminate, dedup_normalized, doc_word_counts,
 # embedding_dedup_corpus, event_flows_union, events_near_errors,
 # gas_used_per_day, hourly_ohlc_by_type, ibc_transfers,
 # ibc_transfers_in, importance_sample, key_skew_report,
 # last_purchase_asof, lineitem_flag_status_key, nation_revenue_rollup,
 # ngram5_logprob_scores, ngram_jaccard_pairs, orders_with_returns,
-# pack_sequences, paragraph_dedup, perplexity_buckets,
+# pack_sequences, paragraph_dedup. Groups
+# (a) 2 + (b) 17 + (c) 31 = 50 fill the window exactly; the
+# alphabetical LAST NINETEEN of the r7 cohort — perplexity_buckets,
 # perplexity_buckets_ngram5, pricing_summary, project_embeddings,
 # retention_cohorts, returned_items_topk, session_stats,
 # snapshot_diff, span_dedup_corpus, training_corpus, txs_per_day,
-# txs_per_day_gapfilled, user_activity_span. Groups
-# (a) 2 + (b) 4 + (c) 44 = 50 fill the window exactly; the
-# alphabetical LAST SIX of the r7 cohort — value_cube_by_type_day,
+# txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
 # value_histogram_by_type, value_percentiles_by_type,
 # value_zscore_outliers, windowed_value_by_type, winsorize_values —
 # defer to r12 (5 rounds stale there — mandatory r12 leads, ahead of

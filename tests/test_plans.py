@@ -937,3 +937,79 @@ def test_late_shipment_join_is_keyed_with_partials(plans):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_" in p
+
+
+# ---------------------------------------------------------------------------
+# Warehouse decision-support suite (r10)
+# ---------------------------------------------------------------------------
+
+WAREHOUSE_QUERIES = [
+    "shipping_priority_topk",
+    "discount_revenue_opportunity",
+    "volume_shipping_by_year",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "customer_order_distribution",
+    "promo_revenue_by_month",
+    "top_supplier_by_revenue",
+    "small_order_revenue",
+    "large_volume_customers",
+    "brand_quantity_revenue",
+    "late_supplier_blame",
+    "idle_high_balance_customers",
+]
+
+
+def test_warehouse_no_nested_loop_anywhere(plans):
+    """The suite's EXISTS/NOT-EXISTS and scalar thresholds must stay
+    hash joins — a constant-key 'scalar join' constant-folds into a
+    BroadcastNestedLoopJoin, which this pin rejects (the Q22 core uses
+    the bounded 1-row collect instead)."""
+    for name in WAREHOUSE_QUERIES:
+        assert "BroadcastNestedLoopJoin" not in plans(name), name
+
+
+def test_warehouse_date_filters_push_to_parquet(plans):
+    """Ship/order-date windows are written as direct timestamp-range
+    predicates so they reach the parquet reader as row-group pruning —
+    a CAST(col AS DATE) or year(col) spelling would scan everything."""
+    for name, col, frag in [
+        ("discount_revenue_opportunity", "l_shipdate", "GreaterThanOrEqual"),
+        ("top_supplier_by_revenue", "l_shipdate", "GreaterThanOrEqual"),
+        ("shipping_priority_topk", "o_orderdate", "LessThan"),
+        ("promo_revenue_by_month", "l_shipdate", "GreaterThanOrEqual"),
+    ]:
+        p = plans(name)
+        assert f"{frag}({col}" in p, (name, col, frag)
+
+
+def test_warehouse_topk_is_take_ordered(plans):
+    """Every suite top-k is a distributed TakeOrderedAndProject — never
+    a global sort of the aggregate."""
+    for name in (
+        "shipping_priority_topk",
+        "large_volume_customers",
+        "late_supplier_blame",
+    ):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p, name
+
+
+def test_late_supplier_blame_semi_anti_shapes(plans):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both keyed on the
+    orderkey with the supplier inequality as a residual condition."""
+    p = plans("late_supplier_blame")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
+def test_warehouse_dimension_joins_broadcast(plans):
+    """part/supplier/nation/region dimension sides broadcast (the Q5
+    precedent); the fact-fact joins stay keyed shuffles."""
+    for name in (
+        "market_share_by_year",
+        "promo_revenue_by_month",
+        "product_profit_by_nation_year",
+        "volume_shipping_by_year",
+    ):
+        assert "BroadcastHashJoin" in plans(name), name
