@@ -387,6 +387,9 @@ def main() -> None:
         "brand_quantity_revenue",
         "late_supplier_blame",
         "idle_high_balance_customers",
+        # market-basket mining (r10)
+        "copurchase_pairs",
+        "association_rules",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -568,6 +571,8 @@ def main() -> None:
         "brand_quantity_revenue",
         "late_supplier_blame",
         "idle_high_balance_customers",
+        "copurchase_pairs",
+        "association_rules",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -17,6 +17,7 @@ from . import models, models_ibc_catalog
 from .extensions import (
     abtest,
     audit,
+    basket,
     behavior,
     daily,
     classify,
@@ -108,6 +109,15 @@ _register(
         "idle_high_balance_customers": warehouse.idle_high_balance_customers,  # Q22-shaped
     },
     warehouse.ORACLE_SQL,
+)
+# Market-basket mining (r10): in-order pair generation only (bounded
+# fan-out), exact-integer confidence/lift (module docstring).
+_register(
+    {
+        "copurchase_pairs": basket.copurchase_pairs,  # co-order support top-k
+        "association_rules": basket.association_rules,  # exact ppm conf/lift
+    },
+    basket.ORACLE_SQL,
 )
 # The reference's own gold DAG (old_models/**) on fixture-derived legacy
 # tables — A1-A3, J2, P9-P16, S-OP1, W1 earn direct CORRECTNESS rows.
@@ -467,7 +477,8 @@ _register(
 # promo_revenue_by_month, top_supplier_by_revenue,
 # small_order_revenue, large_volume_customers,
 # brand_quantity_revenue, late_supplier_blame,
-# idle_high_balance_customers; (c) the alphabetical FIRST 31 of the 50
+# idle_high_balance_customers; then the 2 basket entries:
+# copurchase_pairs, association_rules; (c) the alphabetical FIRST 29 of the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
@@ -477,10 +488,11 @@ _register(
 # gas_used_per_day, hourly_ohlc_by_type, ibc_transfers,
 # ibc_transfers_in, importance_sample, key_skew_report,
 # last_purchase_asof, lineitem_flag_status_key, nation_revenue_rollup,
-# ngram5_logprob_scores, ngram_jaccard_pairs, orders_with_returns,
-# pack_sequences, paragraph_dedup. Groups
-# (a) 2 + (b) 17 + (c) 31 = 50 fill the window exactly; the
-# alphabetical LAST NINETEEN of the r7 cohort — perplexity_buckets,
+# ngram5_logprob_scores, ngram_jaccard_pairs, orders_with_returns.
+# Groups
+# (a) 2 + (b) 19 + (c) 29 = 50 fill the window exactly; the
+# alphabetical LAST TWENTY-ONE of the r7 cohort — pack_sequences,
+# paragraph_dedup, perplexity_buckets,
 # perplexity_buckets_ngram5, pricing_summary, project_embeddings,
 # retention_cohorts, returned_items_topk, session_stats,
 # snapshot_diff, span_dedup_corpus, training_corpus, txs_per_day,

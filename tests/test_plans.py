@@ -1013,3 +1013,13 @@ def test_warehouse_dimension_joins_broadcast(plans):
         "volume_shipping_by_year",
     ):
         assert "BroadcastHashJoin" in plans(name), name
+
+
+def test_basket_pairs_keyed_and_take_ordered(plans):
+    """Pair generation is an orderkey-keyed join (bounded in-order
+    fan-out, never a part-space cross product) and both top-ks are
+    distributed TakeOrderedAndProject."""
+    for name in ("copurchase_pairs", "association_rules"):
+        p = plans(name)
+        assert "TakeOrderedAndProject" in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
