@@ -390,6 +390,10 @@ def main() -> None:
         # market-basket mining (r10)
         "copurchase_pairs",
         "association_rules",
+        # search fusion + forecast baselines (r10)
+        "search_rank_fusion",
+        "seasonal_naive_error_by_type",
+        "ewma_daily_value_by_type",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -573,6 +577,9 @@ def main() -> None:
         "idle_high_balance_customers",
         "copurchase_pairs",
         "association_rules",
+        "search_rank_fusion",
+        "seasonal_naive_error_by_type",
+        "ewma_daily_value_by_type",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -269,6 +269,84 @@ def _positional_sql(max_gap: int) -> str:
 """
 
 
+
+
+# Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): combine the
+# family's rankers without score calibration. Contributions are EXACT
+# integers — 1e12 div (60 + rank) — so the fused ordering is an
+# all-integer total order and the top-k cut is engine-deterministic
+# (the member rankers' own rounded-score orderings are the certified
+# ones they already ship).
+RRF_K = 60
+RRF_SCALE = 1_000_000_000_000
+FUSION_TOP_N = 20
+
+
+def search_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: RRF fusion of three lexical rankers (BM25,
+    raw query-term frequency, query-term coverage) for the fixed
+    probe query. (doc_id, rrf_score, n_systems)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return search_rank_fusion_df(docs, list(BM25_QUERY), FUSION_TOP_N)
+
+
+def search_rank_fusion_df(
+    docs: DataFrame, terms: list[str], top_n: int = FUSION_TOP_N
+) -> DataFrame:
+    """RRF over any (doc_id, text) frame.
+
+    Member rankers, each with a fully deterministic total order:
+      1. BM25 top-n (certified rounded-score ordering, doc_id ties);
+      2. raw matched-term frequency (tf_total DESC, doc_id);
+      3. distinct-query-term coverage (coverage DESC, dl ASC, doc_id)
+         — the "matches all the words, concisely" heuristic.
+
+    Scale shape: each ranker cuts to its top-n FIRST (TakeOrdered);
+    every single-partition row_number window then runs on a ≤top_n-row
+    frame — bounded by construction (the `source_concentration`
+    precedent). The fusion aggregate is O(3·top_n) rows.
+    """
+    from pyspark.sql.window import Window
+
+    bm = bm25_search_df(docs, terms, top_n)
+    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    r1 = bm.select("doc_id", F.row_number().over(w1).alias("rank"))
+
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    matches = F.filter(toks_arr, lambda t: t.isin(list(terms)))
+    m = docs.select(
+        "doc_id",
+        F.size(toks_arr).alias("dl"),
+        F.size(matches).alias("tf_total"),
+        F.size(F.array_distinct(matches)).alias("coverage"),
+    ).filter(F.col("tf_total") > 0)
+
+    t2 = m.orderBy(F.desc("tf_total"), F.asc("doc_id")).limit(top_n)
+    w2 = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+    r2 = t2.select("doc_id", F.row_number().over(w2).alias("rank"))
+
+    t3 = m.orderBy(F.desc("coverage"), F.asc("dl"), F.asc("doc_id")).limit(top_n)
+    w3 = Window.orderBy(F.desc("coverage"), F.asc("dl"), F.asc("doc_id"))
+    r3 = t3.select("doc_id", F.row_number().over(w3).alias("rank"))
+
+    fused = (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .select(
+            "doc_id",
+            F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + rank) AS BIGINT)").alias(
+                "contrib"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_systems"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(top_n)
+
+
 ORACLE_SQL: dict[str, str] = {
     "phrase_search": _positional_sql(1),
     "proximity_search": _positional_sql(PROX_WINDOW),
@@ -295,6 +373,86 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY tfidf DESC, token ASC) AS rank
             FROM scored
         ) WHERE rank <= {TFIDF_TOP_K}
+    """,
+    "search_rank_fusion": f"""
+        WITH lens AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+            FROM documents
+        ),
+        stats AS (SELECT COUNT(1) AS n_docs, AVG(dl) AS avgdl FROM lens),
+        toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(1) AS tf FROM toks
+            WHERE token IN ({_terms_sql})
+            GROUP BY doc_id, token
+        ),
+        dfs AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY token),
+        idf AS (
+            SELECT token, ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfs CROSS JOIN stats s
+        ),
+        bm AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(idf.idf * (tf.tf * ({BM25_K1} + 1))
+                             / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                + {BM25_B} * (lens.dl / s.avgdl)))), 4) AS score
+            FROM tf
+            JOIN idf USING (token)
+            JOIN lens USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id ASC
+            LIMIT {FUSION_TOP_N}
+        ),
+        r1 AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM bm
+        ),
+        m AS (
+            SELECT t.doc_id,
+                   COUNT(*) AS tf_total,
+                   COUNT(DISTINCT t.token) AS coverage,
+                   ANY_VALUE(lens.dl) AS dl
+            FROM toks t
+            JOIN lens ON t.doc_id = lens.doc_id
+            WHERE t.token IN ({_terms_sql})
+            GROUP BY t.doc_id
+        ),
+        r2 AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id)
+                           AS rank
+                FROM m
+            ) WHERE rank <= {FUSION_TOP_N}
+        ),
+        r3 AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER
+                           (ORDER BY coverage DESC, dl ASC, doc_id) AS rank
+                FROM m
+            ) WHERE rank <= {FUSION_TOP_N}
+        ),
+        unioned AS (
+            SELECT doc_id, rank FROM r1
+            UNION ALL SELECT doc_id, rank FROM r2
+            UNION ALL SELECT doc_id, rank FROM r3
+        )
+        SELECT doc_id,
+               CAST(SUM({RRF_SCALE} // ({RRF_K} + rank)) AS BIGINT)
+                   AS rrf_score,
+               COUNT(*) AS n_systems
+        FROM unioned
+        GROUP BY doc_id
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT {FUSION_TOP_N}
     """,
     "bm25_search": f"""
         WITH lens AS (

@@ -25,6 +25,7 @@ from .extensions import (
     curation,
     curriculum,
     dedup,
+    forecast,
     fuzzy,
     graph,
     paths,
@@ -119,6 +120,15 @@ _register(
     },
     basket.ORACLE_SQL,
 )
+# Forecast baselines (r10): seasonal-naive backtest + integer-lattice
+# EWMA over the shared daily_micro seam (module docstring).
+_register(
+    {
+        "seasonal_naive_error_by_type": forecast.seasonal_naive_error_by_type,
+        "ewma_daily_value_by_type": forecast.ewma_daily_value_by_type,
+    },
+    forecast.ORACLE_SQL,
+)
 # The reference's own gold DAG (old_models/**) on fixture-derived legacy
 # tables — A1-A3, J2, P9-P16, S-OP1, W1 earn direct CORRECTNESS rows.
 _register(models_ibc_catalog.QUERIES, models_ibc_catalog.ORACLE_SQL)
@@ -175,6 +185,7 @@ _register(
         "tfidf_keywords": search.tfidf_keywords,
         "phrase_search": search.phrase_search,  # positional exact-phrase probe
         "proximity_search": search.proximity_search,  # bounded within-k probe
+        "search_rank_fusion": search.search_rank_fusion,  # exact-integer RRF (r10)
     },
     search.ORACLE_SQL,
 )
@@ -478,7 +489,9 @@ _register(
 # small_order_revenue, large_volume_customers,
 # brand_quantity_revenue, late_supplier_blame,
 # idle_high_balance_customers; then the 2 basket entries:
-# copurchase_pairs, association_rules; (c) the alphabetical FIRST 29 of the 50
+# copurchase_pairs, association_rules; then the fusion + forecast
+# trio: search_rank_fusion, seasonal_naive_error_by_type,
+# ewma_daily_value_by_type; (c) the alphabetical FIRST 26 of the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
@@ -487,11 +500,12 @@ _register(
 # embedding_dedup_corpus, event_flows_union, events_near_errors,
 # gas_used_per_day, hourly_ohlc_by_type, ibc_transfers,
 # ibc_transfers_in, importance_sample, key_skew_report,
-# last_purchase_asof, lineitem_flag_status_key, nation_revenue_rollup,
-# ngram5_logprob_scores, ngram_jaccard_pairs, orders_with_returns.
+# last_purchase_asof, lineitem_flag_status_key, nation_revenue_rollup.
 # Groups
-# (a) 2 + (b) 19 + (c) 29 = 50 fill the window exactly; the
-# alphabetical LAST TWENTY-ONE of the r7 cohort — pack_sequences,
+# (a) 2 + (b) 22 + (c) 26 = 50 fill the window exactly; the
+# alphabetical LAST TWENTY-FOUR of the r7 cohort —
+# ngram5_logprob_scores, ngram_jaccard_pairs,
+# orders_with_returns, pack_sequences,
 # paragraph_dedup, perplexity_buckets,
 # perplexity_buckets_ngram5, pricing_summary, project_embeddings,
 # retention_cohorts, returned_items_topk, session_stats,

@@ -1023,3 +1023,23 @@ def test_basket_pairs_keyed_and_take_ordered(plans):
         p = plans(name)
         assert "TakeOrderedAndProject" in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_search_rank_fusion_bounded_windows_and_take_ordered(plans):
+    """Each member ranker cuts to its top-n FIRST (TakeOrdered); the
+    single-partition row_number windows therefore run on bounded
+    <=top_n-row frames, and the fused top-k is a TakeOrdered too."""
+    p = plans("search_rank_fusion")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_forecast_plans_keyed_no_window(plans):
+    """The EWMA is the bounded fan-out, not a window over an unbounded
+    frame; the backtest is one keyed self-join of the daily seam."""
+    p = plans("ewma_daily_value_by_type")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    p2 = plans("seasonal_naive_error_by_type")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2

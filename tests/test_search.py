@@ -315,3 +315,27 @@ def test_positional_probes_real_corpus(spark, sf_dir):
     assert set(ph) <= set(px)
     for d, n in ph.items():
         assert px[d] >= n
+
+
+def test_search_rank_fusion_exact_contributions(spark):
+    """A document ranked #1 by all three lexical rankers carries the
+    exact integer RRF score 3 · (1e12 div 61); every fused row carries
+    1-3 contributing systems."""
+    from bread_spark.extensions.search import search_rank_fusion_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark hash window spark extra words here"),
+            (2, "spark alone in this one"),
+            (3, "hash and hash again"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = search_rank_fusion_df(docs, ["spark", "hash", "window"]).collect()
+    best = rows[0]
+    assert best.doc_id == 1
+    assert best.n_systems == 3
+    assert best.rrf_score == 3 * (10**12 // 61)
+    assert {r.doc_id for r in rows} == {1, 2, 3}  # doc 4 matches nothing
+    assert all(1 <= r.n_systems <= 3 for r in rows)
