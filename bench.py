@@ -394,6 +394,12 @@ def main() -> None:
         "search_rank_fusion",
         "seasonal_naive_error_by_type",
         "ewma_daily_value_by_type",
+        # lifetime analytics + product communities + IR presentation (r10)
+        "revenue_cohorts",
+        "order_interarrival_stats",
+        "copurchase_components",
+        "search_snippets",
+        "lang_id_confusion",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -580,6 +586,11 @@ def main() -> None:
         "search_rank_fusion",
         "seasonal_naive_error_by_type",
         "ewma_daily_value_by_type",
+        "revenue_cohorts",
+        "order_interarrival_stats",
+        "copurchase_components",
+        "search_snippets",
+        "lang_id_confusion",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -135,6 +135,47 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules_df(op, n_orders)
 
 
+def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities: connected components over the support>=2
+    co-purchase edges (min-label propagation — the `dedup_clusters`
+    loop reused verbatim on the part graph). Nodes are the parts that
+    appear in at least one qualifying edge, so the node set is bounded
+    by the edge list. Output: (l_partkey, community, community_size)
+    with community = the min part id of the component — the
+    "frequently bought together" groups a merchandiser reads above
+    the pairwise rules.
+
+    Scale shape: inherits the components loop's contract — each round
+    one keyed join + one keyed min-aggregate, lineage cut per round,
+    driver reads only a changed-count aggregate; rounds = component
+    diameter (co-purchase communities are small and dense). Oracle:
+    the same recursive-CTE transitive min-label as dedup_clusters.
+    Batch-only with the components family's rationale (whole-graph
+    fixed point; edges merge additively for the incremental path)."""
+    from .dedup import connected_components
+
+    op = order_part_df(load_table(spark, sf_dir, "lineitem"))
+    pairs = (
+        pair_counts_df(op)
+        .filter(F.col("pair_count") >= MIN_SUPPORT)
+        .select(F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b"))
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(nodes, pairs).select("doc_id", "cluster_id")
+    sizes = labels.groupBy(F.col("cluster_id").alias("sz_label")).agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, F.col("cluster_id") == F.col("sz_label")).select(
+        F.col("doc_id").alias("l_partkey"),
+        F.col("cluster_id").alias("community"),
+        "community_size",
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "copurchase_pairs": """
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -184,5 +225,37 @@ ORACLE_SQL: dict[str, str] = {
     CROSS JOIN n
     ORDER BY lift_micro DESC, antecedent, consequent
     LIMIT 50
+""",
+    "copurchase_components": """
+    WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM op a
+        JOIN op b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+        SELECT part_a AS src, part_b AS dst FROM pairs
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.src, w.label
+        FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    labels AS (
+        SELECT node, MIN(label) AS community FROM walk GROUP BY node
+    ),
+    sizes AS (
+        SELECT community, COUNT(*) AS community_size
+        FROM labels GROUP BY community
+    )
+    SELECT node AS l_partkey, community, community_size
+    FROM labels JOIN sizes USING (community)
 """,
 }

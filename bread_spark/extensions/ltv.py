@@ -1,0 +1,178 @@
+"""Customer-lifetime analytics over the orders fact — the
+cohort-revenue and purchase-cadence tables a growth/finance stack
+reads, in the repo's exactness discipline. The orders-side siblings of
+the events-side `retention_cohorts` / `inter_event_gap_stats`.
+
+- `revenue_cohorts` — classic cohort-LTV triangle: customers grouped
+  by FIRST-order month, revenue rolled up by (cohort_month,
+  month_offset). The month offset is exact integer arithmetic
+  (year·12+month deltas — never a float months_between), revenue sums
+  are order-totalprice cents (probed cents-exact) accumulated as
+  DECIMAL(38,0)/HUGEINT, presented once as ROUND(cents/100).
+- `order_interarrival_stats` — per-nation purchase cadence: gap =
+  LAG over (c_custkey ORDER BY o_orderdate, o_orderkey) — the
+  deterministic tie-break discipline — in exact integer days; n/mean
+  exact truncating division; p50/p90 ride the certified
+  percentile ↔ quantile_cont parity (rounded 6, the behavior.py
+  precedent).
+
+Scale shape: `revenue_cohorts` is two custkey-keyed aggregates (first
+order, then the join back) — the cohort table is O(customers) but the
+join is keyed, and the output is O(months²) — bounded by calendar
+time. `order_interarrival_stats` is ONE custkey-keyed window exchange
+then a nation aggregate; nation names arrive by broadcast. No
+crossJoin, no unbounded collect, no global sort.
+
+Streaming: batch-only family by design — cohort assignment and LAG
+need each customer's full order history (unbounded per-key state);
+the incremental path is partition-grain recompute of affected cohort
+months over the partitioned sink, the same note as the warehouse
+suite.
+
+Reference parity: the reference has no cohort/cadence analytics;
+additive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+PRICE_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+# exact month index: year·12 + (month−1)
+MONTH_IDX = "(year(o_orderdate) * 12 + month(o_orderdate) - 1)"
+
+
+def revenue_cohorts_df(orders: DataFrame) -> DataFrame:
+    """Cohort triangle over any (o_custkey, o_orderdate,
+    o_totalprice) frame (module docstring)."""
+    o = orders.select(
+        "o_custkey",
+        F.expr(MONTH_IDX).alias("m_idx"),
+        F.expr(PRICE_CENTS).alias("cents"),
+    )
+    firsts = o.groupBy(F.col("o_custkey").alias("f_custkey")).agg(
+        F.min("m_idx").alias("cohort_idx")
+    )
+    j = o.join(firsts, F.col("o_custkey") == F.col("f_custkey"))
+    return (
+        j.groupBy(
+            F.expr(
+                "make_date(cohort_idx div 12, cohort_idx % 12 + 1, 1)"
+            ).alias("cohort_month"),
+            (F.col("m_idx") - F.col("cohort_idx")).alias("month_offset"),
+        )
+        .agg(
+            F.expr("count(DISTINCT o_custkey)").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("cents_sum"),
+        )
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_customers",
+            "n_orders",
+            F.round(F.expr("CAST(cents_sum AS DOUBLE) / 100.0"), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (module docstring)."""
+    return revenue_cohorts_df(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        )
+    )
+
+
+def interarrival_df(orders: DataFrame, cust: DataFrame, nation: DataFrame) -> DataFrame:
+    """Per-nation order-gap cadence over (o_custkey, o_orderkey,
+    o_orderdate) × (c_custkey, c_nationkey) × nation frames."""
+    g = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+        )
+        .select(
+            "o_custkey",
+            F.expr("datediff(d, lag(d) OVER (PARTITION BY o_custkey"
+                   " ORDER BY d, o_orderkey))").alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    per_nation = (
+        g.join(cust, g.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("sum(gap_days) div count(gap_days)").alias("mean_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("p50_gap_days"),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias("p90_gap_days"),
+        )
+    )
+    return per_nation
+
+
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (module docstring)."""
+    return interarrival_df(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderdate"
+        ),
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "revenue_cohorts": f"""
+    WITH o AS (
+        SELECT o_custkey,
+               {MONTH_IDX} AS m_idx,
+               {PRICE_CENTS} AS cents
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey AS f_custkey, MIN(m_idx) AS cohort_idx
+        FROM o GROUP BY 1
+    )
+    SELECT make_date(CAST(cohort_idx // 12 AS INTEGER),
+                     CAST(cohort_idx % 12 + 1 AS INTEGER), 1)
+               AS cohort_month,
+           CAST(m_idx - cohort_idx AS BIGINT) AS month_offset,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+               AS revenue
+    FROM o JOIN firsts ON o_custkey = f_custkey
+    GROUP BY 1, 2
+""",
+    "order_interarrival_stats": """
+    WITH g AS (
+        SELECT o_custkey,
+               datediff('day',
+                        lag(CAST(o_orderdate AS DATE)) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    )
+    SELECT n_name AS nation,
+           COUNT(gap_days) AS n_gaps,
+           CAST(SUM(gap_days) // COUNT(gap_days) AS BIGINT) AS mean_gap_days,
+           ROUND(quantile_cont(gap_days, 0.5), 6) AS p50_gap_days,
+           ROUND(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days
+    FROM g
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE gap_days IS NOT NULL
+    GROUP BY n_name
+""",
+}

@@ -347,6 +347,63 @@ def search_rank_fusion_df(
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(top_n)
 
 
+
+
+SNIPPET_RADIUS = 2  # tokens kept each side of the first hit
+SNIPPET_TOP_N = 20
+_NO_HIT = 1_000_000_000  # sentinel: "term absent" sorts last, then drops
+
+
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: keyword-in-context snippets for the fixed probe
+    query — (doc_id, first_pos, snippet), the docs whose first query
+    hit comes earliest. The presentation half of the search family:
+    BM25 ranks, this extracts what the user sees."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return search_snippets_df(docs, list(BM25_QUERY), SNIPPET_TOP_N)
+
+
+def search_snippets_df(
+    docs: DataFrame, terms: list[str], top_n: int = SNIPPET_TOP_N
+) -> DataFrame:
+    """KWIC over any (doc_id, text) frame: first_pos = the earliest
+    1-based token position of ANY query term (array_position per term,
+    0→absent normalized to a large sentinel, LEAST across terms);
+    snippet = the +-SNIPPET_RADIUS token window around it, truncated
+    at document edges identically on both engines (Spark slice(start,
+    len) vs DuckDB list_slice(start, start+len-1)). Everything is one
+    map-side projection over the token array — no explode, no join;
+    the top-n cut is (first_pos, doc_id), an all-integer total
+    order."""
+    width = 2 * SNIPPET_RADIUS + 1
+    toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
+    per = docs.select("doc_id", toks_arr.alias("toks"))
+    pos = F.least(
+        *[
+            F.coalesce(
+                F.expr(f"NULLIF(array_position(toks, '{t}'), 0)"),
+                F.lit(_NO_HIT),
+            )
+            for t in terms
+        ]
+    )
+    m = per.select("doc_id", pos.alias("first_pos"), "toks").filter(
+        F.col("first_pos") < _NO_HIT
+    )
+    return (
+        m.select(
+            "doc_id",
+            "first_pos",
+            F.expr(
+                f"array_join(slice(toks, greatest(1, first_pos - {SNIPPET_RADIUS}),"
+                f" {width}), ' ')"
+            ).alias("snippet"),
+        )
+        .orderBy(F.asc("first_pos"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "phrase_search": _positional_sql(1),
     "proximity_search": _positional_sql(PROX_WINDOW),
@@ -453,6 +510,34 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY doc_id
         ORDER BY rrf_score DESC, doc_id ASC
         LIMIT {FUSION_TOP_N}
+    """,
+    "search_snippets": f"""
+        WITH per AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, toks,
+                   LEAST(
+                       COALESCE(NULLIF(list_position(toks, 'spark'), 0),
+                                {_NO_HIT}),
+                       COALESCE(NULLIF(list_position(toks, 'hash'), 0),
+                                {_NO_HIT}),
+                       COALESCE(NULLIF(list_position(toks, 'window'), 0),
+                                {_NO_HIT})) AS first_pos
+            FROM per
+        )
+        SELECT doc_id, first_pos,
+               array_to_string(
+                   list_slice(toks,
+                              greatest(1, first_pos - {SNIPPET_RADIUS}),
+                              greatest(1, first_pos - {SNIPPET_RADIUS})
+                                  + {2 * SNIPPET_RADIUS}), ' ') AS snippet
+        FROM m
+        WHERE first_pos < {_NO_HIT}
+        ORDER BY first_pos, doc_id
+        LIMIT {SNIPPET_TOP_N}
     """,
     "bm25_search": f"""
         WITH lens AS (

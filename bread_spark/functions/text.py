@@ -473,6 +473,26 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    corpus's ground-truth `lang` column — (lang, predicted_lang,
+    n_docs). The evaluation table that decides whether the stopword
+    heuristic is good enough per language before it gates anything
+    (its zh row is all-misses by construction: the heuristic carries
+    no zh stopword list, so zh ground truth lands in 'und'/'en' — the
+    exact blind spot this matrix exists to surface). One keyed join of
+    the prediction frame with the documents scan, one 2-key aggregate;
+    output O(langs²). Batch-only: rides lang_id_scores' map-side
+    scoring, which a stream scores row-local identically."""
+    preds = lang_id_scores(spark, sf_dir).select("doc_id", "predicted_lang")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(preds, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 QF_ALPHA_PCT = 0.25  # drop the lowest-alpha-ratio quartile
 QF_STOP_PCT = 0.10  # drop the lowest-stopword-ratio decile (gibberish)
 
@@ -985,4 +1005,12 @@ ORACLE_SQL["quality_rank_by_source"] = """
            CAST(CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1)
                      ELSE 0 END AS BIGINT) AS rank_ppm
     FROM r
+"""
+
+
+ORACLE_SQL["lang_id_confusion"] = f"""
+    WITH preds AS ({ORACLE_SQL["lang_id_scores"]})
+    SELECT d.lang, p.predicted_lang, COUNT(*) AS n_docs
+    FROM documents d JOIN preds p USING (doc_id)
+    GROUP BY 1, 2
 """

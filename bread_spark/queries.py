@@ -28,6 +28,7 @@ from .extensions import (
     forecast,
     fuzzy,
     graph,
+    ltv,
     paths,
     timeseries,
     multimodal,
@@ -129,6 +130,20 @@ _register(
     },
     forecast.ORACLE_SQL,
 )
+# Customer-lifetime analytics (r10): cohort-LTV triangle + purchase
+# cadence over orders (module docstring).
+_register(
+    {
+        "revenue_cohorts": ltv.revenue_cohorts,  # first-month cohort triangle
+        "order_interarrival_stats": ltv.order_interarrival_stats,  # cadence
+    },
+    ltv.ORACLE_SQL,
+)
+# Product communities (r10): components over the co-purchase graph.
+_register(
+    {"copurchase_components": basket.copurchase_components},
+    basket.ORACLE_SQL,
+)
 # The reference's own gold DAG (old_models/**) on fixture-derived legacy
 # tables — A1-A3, J2, P9-P16, S-OP1, W1 earn direct CORRECTNESS rows.
 _register(models_ibc_catalog.QUERIES, models_ibc_catalog.ORACLE_SQL)
@@ -186,6 +201,7 @@ _register(
         "phrase_search": search.phrase_search,  # positional exact-phrase probe
         "proximity_search": search.proximity_search,  # bounded within-k probe
         "search_rank_fusion": search.search_rank_fusion,  # exact-integer RRF (r10)
+        "search_snippets": search.search_snippets,  # KWIC presentation (r10)
     },
     search.ORACLE_SQL,
 )
@@ -442,6 +458,7 @@ _register(
         "gopher_quality_gate": text.gopher_quality_gate,  # fixed-rule verdicts
         "quality_by_source": text.quality_by_source,  # per-source rollup
         "quality_rank_by_source": text.quality_rank_by_source,  # exact pctl rank
+        "lang_id_confusion": text.lang_id_confusion,  # heuristic-vs-truth matrix (r10)
     },
     text.ORACLE_SQL,
 )
@@ -491,7 +508,10 @@ _register(
 # idle_high_balance_customers; then the 2 basket entries:
 # copurchase_pairs, association_rules; then the fusion + forecast
 # trio: search_rank_fusion, seasonal_naive_error_by_type,
-# ewma_daily_value_by_type; (c) the alphabetical FIRST 26 of the 50
+# ewma_daily_value_by_type; then the lifetime/community/IR five:
+# revenue_cohorts, order_interarrival_stats, copurchase_components,
+# search_snippets, lang_id_confusion; (c) the alphabetical FIRST 21
+# of the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
@@ -499,11 +519,12 @@ _register(
 # dataset_splits, decontaminate, dedup_normalized, doc_word_counts,
 # embedding_dedup_corpus, event_flows_union, events_near_errors,
 # gas_used_per_day, hourly_ohlc_by_type, ibc_transfers,
-# ibc_transfers_in, importance_sample, key_skew_report,
-# last_purchase_asof, lineitem_flag_status_key, nation_revenue_rollup.
+# ibc_transfers_in.
 # Groups
-# (a) 2 + (b) 22 + (c) 26 = 50 fill the window exactly; the
-# alphabetical LAST TWENTY-FOUR of the r7 cohort —
+# (a) 2 + (b) 27 + (c) 21 = 50 fill the window exactly; the
+# alphabetical LAST TWENTY-NINE of the r7 cohort —
+# importance_sample, key_skew_report, last_purchase_asof,
+# lineitem_flag_status_key, nation_revenue_rollup,
 # ngram5_logprob_scores, ngram_jaccard_pairs,
 # orders_with_returns, pack_sequences,
 # paragraph_dedup, perplexity_buckets,

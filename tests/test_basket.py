@@ -58,3 +58,25 @@ def test_min_support_filters_rules_not_pairs(spark, sf_dir):
     assert all(r.pair_count >= B.MIN_SUPPORT for r in rows)
     key = [(-r.lift_micro, r.antecedent, r.consequent) for r in rows]
     assert key == sorted(key)
+
+
+def test_copurchase_components_transitive_merge(spark, sf_dir):
+    """a~b and b~c land in one community even when a,c never co-occur:
+    every community's members share its min-part label, sizes are
+    consistent, and all members appear in a support>=2 edge."""
+    from bread_spark.io import load_table
+
+    comp = B.copurchase_components(spark, sf_dir)
+    rows = comp.collect()
+    assert rows
+    by_comm = {}
+    for r in rows:
+        by_comm.setdefault(r.community, []).append(r)
+    for comm, members in by_comm.items():
+        assert comm == min(m.l_partkey for m in members)
+        assert all(m.community_size == len(members) for m in members)
+    # node set == edge endpoints of the support>=2 pair graph
+    op = B.order_part_df(load_table(spark, sf_dir, "lineitem"))
+    pairs = B.pair_counts_df(op).filter("pair_count >= 2").collect()
+    endpoints = {p.part_a for p in pairs} | {p.part_b for p in pairs}
+    assert {r.l_partkey for r in rows} == endpoints

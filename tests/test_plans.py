@@ -1043,3 +1043,16 @@ def test_forecast_plans_keyed_no_window(plans):
     p2 = plans("seasonal_naive_error_by_type")
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_ltv_and_snippets_plan_shapes(plans):
+    """Cohorts: two custkey-keyed aggregates, no nested loop. Cadence:
+    ONE custkey window exchange. Snippets: pure map-side projection —
+    no explode-join, no Join at all; TakeOrdered for the cut."""
+    for name in ("revenue_cohorts", "order_interarrival_stats"):
+        p = plans(name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plans("search_snippets")
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p

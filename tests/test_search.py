@@ -339,3 +339,28 @@ def test_search_rank_fusion_exact_contributions(spark):
     assert best.rrf_score == 3 * (10**12 // 61)
     assert {r.doc_id for r in rows} == {1, 2, 3}  # doc 4 matches nothing
     assert all(1 <= r.n_systems <= 3 for r in rows)
+
+
+def test_search_snippets_window_and_edges(spark):
+    """first_pos is the earliest hit of ANY term; the snippet window
+    clamps its start at the left edge (keeping the full width) and
+    truncates at the right edge — identically on both engines."""
+    from bread_spark.extensions.search import search_snippets_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash at the very start of it"),      # hit at pos 1
+            (2, "one two spark four five six seven"), # mid: full 5-window
+            (3, "ends with the word window"),         # hit at last pos
+            (4, "no relevant terms here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in search_snippets_df(docs, ["spark", "hash", "window"]).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].first_pos == 1
+    assert rows[1].snippet == "hash at the very start"  # start clamps to 1
+    assert rows[2].first_pos == 3
+    assert rows[2].snippet == "one two spark four five"
+    assert rows[3].first_pos == 5
+    assert rows[3].snippet == "the word window"        # right edge truncates
