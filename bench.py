@@ -400,6 +400,7 @@ def main() -> None:
         "copurchase_components",
         "search_snippets",
         "lang_id_confusion",
+        "order_gap_survival",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -591,6 +592,7 @@ def main() -> None:
         "copurchase_components",
         "search_snippets",
         "lang_id_confusion",
+        "order_gap_survival",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

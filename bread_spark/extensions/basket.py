@@ -151,7 +151,24 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter (co-purchase communities are small and dense). Oracle:
     the same recursive-CTE transitive min-label as dedup_clusters.
     Batch-only with the components family's rationale (whole-graph
-    fixed point; edges merge additively for the incremental path)."""
+    fixed point; edges merge additively for the incremental path).
+
+    Compute-once seam: the components loop EXECUTES at frame
+    construction (driver-side convergence reads), and the frame is
+    touched by the plan fixture, the oracle differential, and the
+    invariant tests — `materialized_frame` makes the session pay the
+    loop once (the dedup_clusters precedent)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "basket.copurchase_components",
+        sf_dir,
+        lambda: _components_build(spark, sf_dir),
+    )
+
+
+def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
     op = order_part_df(load_table(spark, sf_dir, "lineitem"))

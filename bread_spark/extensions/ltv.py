@@ -90,10 +90,11 @@ def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def interarrival_df(orders: DataFrame, cust: DataFrame, nation: DataFrame) -> DataFrame:
-    """Per-nation order-gap cadence over (o_custkey, o_orderkey,
-    o_orderdate) × (c_custkey, c_nationkey) × nation frames."""
-    g = (
+def order_gaps_df(orders: DataFrame) -> DataFrame:
+    """(o_custkey, gap_days) — exact integer days between a customer's
+    consecutive orders, (orderdate, orderkey) deterministic order; the
+    shared core of the cadence report and the survival curve."""
+    return (
         orders.select(
             "o_custkey",
             "o_orderkey",
@@ -106,6 +107,12 @@ def interarrival_df(orders: DataFrame, cust: DataFrame, nation: DataFrame) -> Da
         )
         .filter(F.col("gap_days").isNotNull())
     )
+
+
+def interarrival_df(orders: DataFrame, cust: DataFrame, nation: DataFrame) -> DataFrame:
+    """Per-nation order-gap cadence over (o_custkey, o_orderkey,
+    o_orderdate) × (c_custkey, c_nationkey) × nation frames."""
+    g = order_gaps_df(orders)
     per_nation = (
         g.join(cust, g.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -129,6 +136,65 @@ def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
         load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
     )
+
+
+SURVIVAL_WEEKS = 14  # grid: weeks 0..13, last bucket absorbs the tail
+
+
+def order_gap_survival_df(spark: SparkSession, gaps: DataFrame) -> DataFrame:
+    """Empirical survival curve of the inter-order gap at a weekly
+    grid: S(w) = P(gap >= 7w), exact ppm. Gaps bucket map-side into
+    least(gap div 7, 13); the full 14-row spine left-joins the counts
+    (silent weeks are explicit zeros, the gap-fill discipline); the
+    tail sums S(w) = Σ_{w'>=w} n run as a single-partition window over
+    the BOUNDED 14-row aggregate — the `source_concentration`
+    precedent. survival_ppm(0) = 1_000_000 by construction (every gap
+    is >= 0); no censoring model (every observed gap is a completed
+    interval — the open interval after a customer's last order is not
+    a gap row, stated scope)."""
+    wk = F.expr(f"least(gap_days div 7, {SURVIVAL_WEEKS - 1})")
+    counts = gaps.select(wk.alias("wk")).groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_bucket")
+    )
+    spine = spark.range(SURVIVAL_WEEKS).select(F.col("id").alias("week"))
+    from pyspark.sql.window import Window
+
+    filled = spine.join(counts, spine.week == counts.wk, "left").select(
+        "week", F.coalesce("n_bucket", F.lit(0)).alias("n_bucket")
+    )
+    w_tail = Window.orderBy(F.desc("week")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        filled.select(
+            "week",
+            (F.col("week") * 7).alias("gap_days_floor"),
+            "n_bucket",
+            F.sum("n_bucket").over(w_tail).alias("n_surviving"),
+            F.sum("n_bucket").over(w_all).alias("n_total"),
+        )
+        .select(
+            "week",
+            "gap_days_floor",
+            "n_bucket",
+            "n_surviving",
+            F.expr(
+                "CASE WHEN n_total > 0 THEN CAST((CAST(n_surviving AS"
+                " DECIMAL(38,0)) * 1000000) div n_total AS BIGINT) END"
+            ).alias("survival_ppm"),
+        )
+    )
+
+
+def order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (docstring of `order_gap_survival_df`)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return order_gap_survival_df(spark, order_gaps_df(orders))
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -174,5 +240,37 @@ ORACLE_SQL: dict[str, str] = {
     JOIN nation ON c_nationkey = n_nationkey
     WHERE gap_days IS NOT NULL
     GROUP BY n_name
+""",
+    "order_gap_survival": """
+    WITH g AS (
+        SELECT datediff('day',
+                        lag(CAST(o_orderdate AS DATE)) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+    ),
+    counts AS (
+        SELECT LEAST(gap_days // 7, 13) AS wk, COUNT(*) AS n_bucket
+        FROM g WHERE gap_days IS NOT NULL
+        GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 14)) AS week),
+    filled AS (
+        SELECT week, COALESCE(n_bucket, 0) AS n_bucket
+        FROM spine LEFT JOIN counts ON week = wk
+    )
+    SELECT week,
+           CAST(week * 7 AS BIGINT) AS gap_days_floor,
+           CAST(n_bucket AS BIGINT) AS n_bucket,
+           CAST(SUM(n_bucket) OVER (ORDER BY week DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_surviving,
+           CASE WHEN SUM(n_bucket) OVER () > 0 THEN
+               CAST((CAST(SUM(n_bucket) OVER (ORDER BY week DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS HUGEINT) * 1000000)
+                    // SUM(n_bucket) OVER () AS BIGINT) END AS survival_ppm
+    FROM filled
 """,
 }

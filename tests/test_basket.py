@@ -4,6 +4,8 @@ frames; full-result correctness rides the DuckDB oracle differential
 
 from __future__ import annotations
 
+import pytest
+
 from bread_spark.extensions import basket as B
 
 
@@ -50,6 +52,7 @@ def test_association_rules_exact_integer_scores(spark):
     assert set(rows) == {(100, 200), (200, 100)}
 
 
+@pytest.mark.nightly
 def test_min_support_filters_rules_not_pairs(spark, sf_dir):
     """Every emitted rule carries support >= MIN_SUPPORT, and the
     top-50 cut is the (lift, antecedent, consequent) total order."""
@@ -60,6 +63,7 @@ def test_min_support_filters_rules_not_pairs(spark, sf_dir):
     assert key == sorted(key)
 
 
+@pytest.mark.nightly
 def test_copurchase_components_transitive_merge(spark, sf_dir):
     """a~b and b~c land in one community even when a,c never co-occur:
     every community's members share its min-part label, sizes are

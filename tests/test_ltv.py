@@ -3,6 +3,8 @@ order frames; full-result correctness rides the DuckDB oracle."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -63,6 +65,7 @@ def test_interarrival_gaps_deterministic_tiebreak(spark):
     assert (r.nation, r.n_gaps, r.mean_gap_days) == ("N0", 2, 5)  # (10+0) div 2
 
 
+@pytest.mark.nightly
 def test_revenue_cohorts_mass_conservation(spark, sf_dir):
     """The triangle's total revenue equals the orders table's total
     (cents-exact), and every offset is non-negative."""
@@ -82,3 +85,25 @@ def test_revenue_cohorts_mass_conservation(spark, sf_dir):
     ).collect()[0][0]
     assert abs(total - expect) < 0.02  # rounded-per-cell re-sum tolerance
     assert df.filter(F.col("month_offset") < 0).count() == 0
+
+
+def test_order_gap_survival_hand_computed(spark):
+    """Gaps 0, 10, 30, 100 days: S(0)=1e6 (4/4), week 1 (>=7d) keeps
+    3/4 = 750_000, week 2 (>=14d) keeps 2/4, week 5 (>=35d) keeps 1/4,
+    and the 100-day gap lands in the absorbing last bucket so S(13)
+    is still 250_000; every silent week is an explicit row."""
+    gaps = spark.createDataFrame(
+        [(1, 0), (1, 10), (2, 30), (3, 100)], "o_custkey bigint, gap_days int"
+    )
+    from bread_spark.extensions.ltv import order_gap_survival_df
+
+    rows = {r.week: r for r in order_gap_survival_df(spark, gaps).collect()}
+    assert len(rows) == 14
+    assert rows[0].survival_ppm == 1_000_000
+    assert rows[1].survival_ppm == 750_000
+    assert rows[2].survival_ppm == 500_000
+    assert rows[5].survival_ppm == 250_000
+    assert rows[13].survival_ppm == 250_000
+    assert rows[13].n_bucket == 1          # the 100-day tail absorbed
+    assert rows[4].n_bucket == 1           # 30d -> week 4
+    assert all(r.n_surviving >= 0 for r in rows.values())

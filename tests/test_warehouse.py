@@ -8,6 +8,8 @@ differential (test_oracle.py, auto-parameterized)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -96,6 +98,7 @@ def test_idle_high_balance_exact_threshold_and_recency(spark):
     ]
 
 
+@pytest.mark.nightly
 def test_shipping_priority_topk_ordering(spark, sf_dir):
     """Top-10 comes back revenue-descending with the orderkey
     tie-break, and orderkeys are unique."""
@@ -106,6 +109,7 @@ def test_shipping_priority_topk_ordering(spark, sf_dir):
     assert len({r.o_orderkey for r in rows}) == len(rows)
 
 
+@pytest.mark.nightly
 def test_market_share_ppm_bounded(spark, sf_dir):
     """Shares are exact ppm integers inside [0, 1e6]."""
     rows = W.market_share_by_year(spark, sf_dir).collect()
@@ -114,6 +118,7 @@ def test_market_share_ppm_bounded(spark, sf_dir):
         assert 0 <= r.mkt_share_ppm <= 1_000_000
 
 
+@pytest.mark.nightly
 def test_customer_order_distribution_mass(spark, sf_dir):
     """The distribution's total customer mass equals the customer
     table row count (LEFT join keeps the zero-order cohort)."""
