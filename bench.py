@@ -401,6 +401,8 @@ def main() -> None:
         "search_snippets",
         "lang_id_confusion",
         "order_gap_survival",
+        "segment_migration_matrix",
+        "segment_churn_rates",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -593,6 +595,8 @@ def main() -> None:
         "search_snippets",
         "lang_id_confusion",
         "order_gap_survival",
+        "segment_migration_matrix",
+        "segment_churn_rates",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -156,6 +156,74 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers_df(ev)
 
 
+# Midpoint of the events probe window (2024-01-01..01-30) — the
+# before/after split the migration and churn reports compare. A
+# data-window constant like the CUSUM baseline days: stated, not
+# discovered.
+SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment migration: each user's rfm_code computed
+    INDEPENDENTLY on the window's two halves (each half gets its own
+    quartile boundaries and recency anchor — the report compares
+    relative standing, not absolute values), then the
+    (code_before, code_after, n_users) transition matrix over users
+    active in BOTH halves. The movement table a retention team reads
+    next to the static `rfm_segments` snapshot.
+
+    Scale shape: two rfm_df passes (each the documented user-table
+    window) + one user-keyed join + one O(codes²)-output aggregate.
+    Batch-only with the RFM family's rationale (corpus-order
+    statistics per half)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    h1 = rfm_df(ev.filter(F.expr(f"ts < TIMESTAMP '{SPLIT_TS}'"))).select(
+        "user_id", F.col("rfm_code").alias("code_before")
+    )
+    h2 = rfm_df(ev.filter(F.expr(f"ts >= TIMESTAMP '{SPLIT_TS}'"))).select(
+        F.col("user_id").alias("u2"), F.col("rfm_code").alias("code_after")
+    )
+    return (
+        h1.join(h2, h1.user_id == F.col("u2"))
+        .groupBy("code_before", "code_after")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def segment_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment churn: of the users holding each first-half
+    rfm_code, how many have NO second-half events at all (keyed ANTI
+    join), as an exact truncating-division ppm. The forward-looking
+    use of the RFM snapshot: which segment bleeds."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    h1 = rfm_df(ev.filter(F.expr(f"ts < TIMESTAMP '{SPLIT_TS}'"))).select(
+        "user_id", "rfm_code"
+    )
+    active2 = (
+        ev.filter(F.expr(f"ts >= TIMESTAMP '{SPLIT_TS}'"))
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("u2"))
+        .distinct()
+    )
+    churned = h1.join(active2, h1.user_id == F.col("u2"), "left_anti")
+    base = h1.groupBy("rfm_code").agg(F.count(F.lit(1)).alias("n_users"))
+    lost = churned.groupBy(F.col("rfm_code").alias("c2")).agg(
+        F.count(F.lit(1)).alias("n_churned")
+    )
+    return (
+        base.join(lost, base.rfm_code == F.col("c2"), "left")
+        .select(
+            "rfm_code",
+            "n_users",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+            F.expr(
+                "CAST((CAST(COALESCE(n_churned, 0) AS DECIMAL(38,0))"
+                " * 1000000) div n_users AS BIGINT)"
+            ).alias("churn_ppm"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     "rfm_segments": """
     WITH per_user AS MATERIALIZED (
@@ -224,3 +292,43 @@ ORACLE_SQL: dict[str, str] = {
           > {MAD_CUT}
 """,
 }
+
+
+def _rfm_half_sql(extra_pred: str) -> str:
+    """The certified rfm_segments oracle restricted to a half-window —
+    the SAME text with one additional WHERE conjunct, so the two can
+    never drift."""
+    return ORACLE_SQL["rfm_segments"].replace(
+        "WHERE user_id IS NOT NULL",
+        f"WHERE user_id IS NOT NULL AND {extra_pred}",
+    )
+
+
+_H1 = _rfm_half_sql("ts < TIMESTAMP '2024-01-16 00:00:00'")
+_H2 = _rfm_half_sql("ts >= TIMESTAMP '2024-01-16 00:00:00'")
+
+ORACLE_SQL["segment_migration_matrix"] = f"""
+    WITH h1 AS MATERIALIZED ({_H1}),
+    h2 AS MATERIALIZED ({_H2})
+    SELECT h1.rfm_code AS code_before, h2.rfm_code AS code_after,
+           COUNT(*) AS n_users
+    FROM h1 JOIN h2 USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["segment_churn_rates"] = f"""
+    WITH h1 AS MATERIALIZED ({_H1}),
+    active2 AS MATERIALIZED (
+        SELECT DISTINCT user_id FROM events
+        WHERE user_id IS NOT NULL
+          AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+    )
+    SELECT rfm_code,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           CAST((CAST(SUM(CASE WHEN a.user_id IS NULL THEN 1 ELSE 0 END)
+                 AS HUGEINT) * 1000000) // COUNT(*) AS BIGINT) AS churn_ppm
+    FROM h1 LEFT JOIN active2 a USING (user_id)
+    GROUP BY rfm_code
+"""

@@ -273,7 +273,9 @@ _register(
 )
 _register(
     {
-        "rfm_segments": segments.rfm_segments,  # RFM quartile segmentation
+        "rfm_segments": segments.rfm_segments,
+        "segment_migration_matrix": segments.segment_migration_matrix,  # r10
+        "segment_churn_rates": segments.segment_churn_rates,  # r10  # RFM quartile segmentation
         "value_mad_outliers": segments.value_mad_outliers,  # robust z QC
     },
     segments.ORACLE_SQL,
@@ -511,18 +513,20 @@ _register(
 # trio: search_rank_fusion, seasonal_naive_error_by_type,
 # ewma_daily_value_by_type; then the lifetime/community/IR five:
 # revenue_cohorts, order_interarrival_stats, copurchase_components,
-# search_snippets, lang_id_confusion, order_gap_survival; (c) the
-# alphabetical FIRST 20 of the 50
+# search_snippets, lang_id_confusion, order_gap_survival; then the
+# segment-dynamics pair: segment_migration_matrix,
+# segment_churn_rates; (c) the alphabetical FIRST 18 of the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
 # daily_cum_ibc_transfers, daily_twap_by_type, daily_value_moving_avg,
 # dataset_splits, decontaminate, dedup_normalized, doc_word_counts,
 # embedding_dedup_corpus, event_flows_union, events_near_errors,
-# gas_used_per_day, hourly_ohlc_by_type, ibc_transfers.
+# gas_used_per_day.
 # Groups
-# (a) 2 + (b) 28 + (c) 20 = 50 fill the window exactly; the
-# alphabetical LAST THIRTY of the r7 cohort — ibc_transfers_in,
+# (a) 2 + (b) 30 + (c) 18 = 50 fill the window exactly; the
+# alphabetical LAST THIRTY-TWO of the r7 cohort — hourly_ohlc_by_type,
+# ibc_transfers, ibc_transfers_in,
 # importance_sample, key_skew_report, last_purchase_asof,
 # lineitem_flag_status_key, nation_revenue_rollup,
 # ngram5_logprob_scores, ngram_jaccard_pairs,

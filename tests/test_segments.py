@@ -3,6 +3,8 @@ quartile balance, and the zero-MAD guard."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from bread_spark.extensions.segments import (
@@ -80,3 +82,32 @@ def test_mad_flags_planted_outlier_and_guards_zero_mad(spark):
     assert (100, "a") in flagged
     assert all(t != "b" for _, t in flagged)  # zero-MAD type absent
     assert all(eid == 100 for eid, t in flagged if t == "a")
+
+
+@pytest.mark.nightly
+def test_segment_migration_mass_and_churn_bounds(spark, sf_dir):
+    """Matrix mass = users active in both halves; churn ppm bounded;
+    churn mass = first-half users (default-tier agreement pins for
+    both operators are their oracle differentials)."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.extensions.segments import (
+        SPLIT_TS,
+        segment_churn_rates,
+        segment_migration_matrix,
+    )
+    from bread_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id IS NOT NULL")
+    h1_users = ev.filter(f"ts < TIMESTAMP '{SPLIT_TS}'").select("user_id").distinct()
+    h2_users = ev.filter(f"ts >= TIMESTAMP '{SPLIT_TS}'").select("user_id").distinct()
+    both = h1_users.intersect(h2_users).count()
+
+    mig = segment_migration_matrix(spark, sf_dir)
+    assert mig.agg(F.sum("n_users")).collect()[0][0] == both
+
+    churn = segment_churn_rates(spark, sf_dir)
+    rows = churn.collect()
+    assert sum(r.n_users for r in rows) == h1_users.count()
+    assert all(0 <= r.churn_ppm <= 1_000_000 for r in rows)
+    assert sum(r.n_churned for r in rows) == h1_users.count() - both
