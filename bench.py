@@ -403,6 +403,7 @@ def main() -> None:
         "order_gap_survival",
         "segment_migration_matrix",
         "segment_churn_rates",
+        "revenue_cohorts_incremental",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -597,6 +598,7 @@ def main() -> None:
         "order_gap_survival",
         "segment_migration_matrix",
         "segment_churn_rates",
+        "revenue_cohorts_incremental",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

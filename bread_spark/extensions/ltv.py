@@ -45,9 +45,12 @@ PRICE_CENTS = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
 MONTH_IDX = "(year(o_orderdate) * 12 + month(o_orderdate) - 1)"
 
 
-def revenue_cohorts_df(orders: DataFrame) -> DataFrame:
-    """Cohort triangle over any (o_custkey, o_orderdate,
-    o_totalprice) frame (module docstring)."""
+def _cohort_cells(orders: DataFrame) -> DataFrame:
+    """Exact cohort cells (cohort_month, month_offset, n_customers,
+    n_orders, cents_sum) over any (o_custkey, o_orderdate,
+    o_totalprice) frame — the additive core both the batch triangle
+    and the incremental splice read (cents stay exact integers here;
+    rounding happens once, in the presentation projection)."""
     o = orders.select(
         "o_custkey",
         F.expr(MONTH_IDX).alias("m_idx"),
@@ -57,28 +60,143 @@ def revenue_cohorts_df(orders: DataFrame) -> DataFrame:
         F.min("m_idx").alias("cohort_idx")
     )
     j = o.join(firsts, F.col("o_custkey") == F.col("f_custkey"))
-    return (
-        j.groupBy(
-            F.expr(
-                "make_date(cohort_idx div 12, cohort_idx % 12 + 1, 1)"
-            ).alias("cohort_month"),
-            (F.col("m_idx") - F.col("cohort_idx")).alias("month_offset"),
-        )
-        .agg(
-            F.expr("count(DISTINCT o_custkey)").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("cents_sum"),
+    return j.groupBy(
+        F.expr(
+            "make_date(cohort_idx div 12, cohort_idx % 12 + 1, 1)"
+        ).alias("cohort_month"),
+        (F.col("m_idx") - F.col("cohort_idx")).alias("month_offset"),
+    ).agg(
+        F.expr("count(DISTINCT o_custkey)").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("cents_sum"),
+    )
+
+
+def _present_cells(cells: DataFrame) -> DataFrame:
+    return cells.select(
+        "cohort_month",
+        "month_offset",
+        "n_customers",
+        "n_orders",
+        F.round(F.expr("CAST(cents_sum AS DOUBLE) / 100.0"), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+def revenue_cohorts_df(orders: DataFrame) -> DataFrame:
+    """Cohort triangle over any (o_custkey, o_orderdate,
+    o_totalprice) frame (module docstring)."""
+    return _present_cells(_cohort_cells(orders))
+
+
+def revenue_cohorts_incremental_df(
+    base: DataFrame, new: DataFrame
+) -> DataFrame:
+    """The cohort triangle maintained INCREMENTALLY: the full batch
+    answer over base∪new, computed by touching only (a) the base
+    triangle's aggregate cells and (b) the orders of AFFECTED
+    customers (those appearing in the new batch). Cell-wise splice:
+
+        result = cells(base) − cells(base ∩ affected)
+                              + cells((base ∪ new) ∩ affected)
+
+    Every cell statistic is additive by customer (a customer's orders
+    land in exactly the cells its own history defines — n_customers
+    is a 0/1 membership per cell, n_orders/cents are sums), so the
+    subtraction is exact; a new EARLIER order moving a customer's
+    cohort month is handled because the customer's whole history is
+    re-celled inside the affected recompute. Cells whose counts reach
+    zero are dropped (they existed only through affected customers).
+    At warehouse scale this is the partition-grain recompute the
+    batch-only notes name: the unaffected triangle is never re-read,
+    and the recompute joins are keyed on custkey.
+
+    The CATALOG entry (`revenue_cohorts_incremental`) splits the
+    orders fact at 2000-07-01 and carries the SAME oracle as
+    `revenue_cohorts` — the oracle differential itself certifies
+    incremental ≡ batch, per the driver's own gate."""
+    affected = new.select(F.col("o_custkey").alias("a_key")).distinct()
+    base_aff = base.join(
+        affected, base.o_custkey == F.col("a_key"), "left_semi"
+    )
+    old = _cohort_cells(base)
+    c_old = _cohort_cells(base_aff).select(
+        F.col("cohort_month").alias("om"),
+        F.col("month_offset").alias("oo"),
+        F.col("n_customers").alias("d_cust"),
+        F.col("n_orders").alias("d_ord"),
+        F.col("cents_sum").alias("d_cents"),
+    )
+    c_new = _cohort_cells(base_aff.unionByName(new)).select(
+        F.col("cohort_month").alias("nm"),
+        F.col("month_offset").alias("no"),
+        F.col("n_customers").alias("a_cust"),
+        F.col("n_orders").alias("a_ord"),
+        F.col("cents_sum").alias("a_cents"),
+    )
+    merged = (
+        old.join(
+            c_old,
+            (old.cohort_month == c_old.om) & (old.month_offset == c_old.oo),
+            "full_outer",
         )
         .select(
-            "cohort_month",
-            "month_offset",
-            "n_customers",
-            "n_orders",
-            F.round(F.expr("CAST(cents_sum AS DOUBLE) / 100.0"), 2).alias(
-                "revenue"
-            ),
+            F.coalesce("cohort_month", "om").alias("cohort_month"),
+            F.coalesce("month_offset", "oo").alias("month_offset"),
+            (
+                F.coalesce("n_customers", F.lit(0))
+                - F.coalesce("d_cust", F.lit(0))
+            ).alias("n_customers"),
+            (
+                F.coalesce("n_orders", F.lit(0)) - F.coalesce("d_ord", F.lit(0))
+            ).alias("n_orders"),
+            F.expr(
+                "coalesce(cents_sum, CAST(0 AS DECIMAL(38,0)))"
+                " - coalesce(d_cents, CAST(0 AS DECIMAL(38,0)))"
+            ).alias("cents_sum"),
         )
     )
+    spliced = (
+        merged.join(
+            c_new,
+            (merged.cohort_month == c_new.nm)
+            & (merged.month_offset == c_new.no),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("cohort_month", "nm").alias("cohort_month"),
+            F.coalesce("month_offset", "no").alias("month_offset"),
+            (
+                F.coalesce("n_customers", F.lit(0))
+                + F.coalesce("a_cust", F.lit(0))
+            ).alias("n_customers"),
+            (
+                F.coalesce("n_orders", F.lit(0)) + F.coalesce("a_ord", F.lit(0))
+            ).alias("n_orders"),
+            F.expr(
+                "coalesce(cents_sum, CAST(0 AS DECIMAL(38,0)))"
+                " + coalesce(a_cents, CAST(0 AS DECIMAL(38,0)))"
+            ).alias("cents_sum"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return _present_cells(spliced)
+
+
+INCR_SPLIT_TS = "2000-07-01 00:00:00"
+
+
+def revenue_cohorts_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (docstring of `revenue_cohorts_incremental_df`):
+    base = orders before {INCR_SPLIT_TS}, new batch = the rest; the
+    oracle is the BATCH triangle over all orders."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    base = orders.filter(F.expr(f"o_orderdate < TIMESTAMP '{INCR_SPLIT_TS}'"))
+    new = orders.filter(F.expr(f"o_orderdate >= TIMESTAMP '{INCR_SPLIT_TS}'"))
+    return revenue_cohorts_incremental_df(base, new)
 
 
 def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,3 +392,6 @@ ORACLE_SQL: dict[str, str] = {
     FROM filled
 """,
 }
+
+# incremental ≡ batch: the SAME oracle certifies the spliced result
+ORACLE_SQL["revenue_cohorts_incremental"] = ORACLE_SQL["revenue_cohorts"]

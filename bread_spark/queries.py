@@ -137,6 +137,7 @@ _register(
         "revenue_cohorts": ltv.revenue_cohorts,  # first-month cohort triangle
         "order_interarrival_stats": ltv.order_interarrival_stats,  # cadence
         "order_gap_survival": ltv.order_gap_survival,  # weekly survival curve
+        "revenue_cohorts_incremental": ltv.revenue_cohorts_incremental,  # splice ≡ batch
     },
     ltv.ORACLE_SQL,
 )
@@ -515,17 +516,19 @@ _register(
 # revenue_cohorts, order_interarrival_stats, copurchase_components,
 # search_snippets, lang_id_confusion, order_gap_survival; then the
 # segment-dynamics pair: segment_migration_matrix,
-# segment_churn_rates; (c) the alphabetical FIRST 18 of the 50
+# segment_churn_rates; then the incremental-composition proof:
+# revenue_cohorts_incremental; (c) the alphabetical FIRST 17 of
+# the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
 # daily_cum_ibc_transfers, daily_twap_by_type, daily_value_moving_avg,
 # dataset_splits, decontaminate, dedup_normalized, doc_word_counts,
-# embedding_dedup_corpus, event_flows_union, events_near_errors,
-# gas_used_per_day.
+# embedding_dedup_corpus, event_flows_union, events_near_errors.
 # Groups
-# (a) 2 + (b) 30 + (c) 18 = 50 fill the window exactly; the
-# alphabetical LAST THIRTY-TWO of the r7 cohort — hourly_ohlc_by_type,
+# (a) 2 + (b) 31 + (c) 17 = 50 fill the window exactly; the
+# alphabetical LAST THIRTY-THREE of the r7 cohort — gas_used_per_day,
+# hourly_ohlc_by_type,
 # ibc_transfers, ibc_transfers_in,
 # importance_sample, key_skew_report, last_purchase_asof,
 # lineitem_flag_status_key, nation_revenue_rollup,

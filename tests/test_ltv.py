@@ -107,3 +107,44 @@ def test_order_gap_survival_hand_computed(spark):
     assert rows[13].n_bucket == 1          # the 100-day tail absorbed
     assert rows[4].n_bucket == 1           # 30d -> week 4
     assert all(r.n_surviving >= 0 for r in rows.values())
+
+
+def test_revenue_cohorts_incremental_equals_batch_with_cohort_move(spark):
+    """The splice equals the batch triangle even when the new batch
+    contains an EARLIER order that moves a customer's cohort month
+    (their whole history re-cells inside the affected recompute), a
+    brand-new customer, and an untouched customer whose cells must
+    survive unmodified."""
+    from bread_spark.extensions.ltv import (
+        revenue_cohorts_df,
+        revenue_cohorts_incremental_df,
+    )
+
+    base = _orders(
+        spark,
+        [
+            (1, 10, datetime(2020, 3, 5), 100.0),   # c1: cohort Mar... until the move
+            (1, 11, datetime(2020, 4, 1), 40.0),
+            (2, 20, datetime(2020, 1, 1), 10.0),    # c2: untouched
+        ],
+    ).select("o_custkey", "o_orderdate", "o_totalprice")
+    new = _orders(
+        spark,
+        [
+            (1, 12, datetime(2020, 1, 15), 7.0),    # EARLIER: c1 cohort -> Jan
+            (3, 30, datetime(2020, 5, 2), 99.0),    # brand-new customer
+        ],
+    ).select("o_custkey", "o_orderdate", "o_totalprice")
+
+    batch = revenue_cohorts_df(base.unionByName(new))
+    incr = revenue_cohorts_incremental_df(base, new)
+    key = ["cohort_month", "month_offset"]
+    b = {tuple(r[k] for k in key): (r.n_customers, r.n_orders, r.revenue)
+         for r in batch.collect()}
+    i = {tuple(r[k] for k in key): (r.n_customers, r.n_orders, r.revenue)
+         for r in incr.collect()}
+    assert b == i
+    # the move really happened: c1 now contributes to the Jan cohort
+    # at offsets 0 (Jan 15), 2 (Mar), 3 (Apr)
+    from datetime import date
+    assert (date(2020, 1, 1), 2) in i
