@@ -73,23 +73,58 @@ def pair_counts_df(op: DataFrame) -> DataFrame:
     )
 
 
+def order_part_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once distinct (order, part) table — the one full
+    lineitem distinct shared by all basket entries (seams
+    convention)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "basket.order_part",
+        sf_dir,
+        lambda: order_part_df(load_table(spark, sf_dir, "lineitem")),
+    )
+
+
+def pair_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once pair-support table — the in-order self-join is the
+    family's expensive stage and THREE catalog entries read it
+    (pairs top-k, rules, communities); the session pays it once. Plan
+    pins target the unmaterialized `pair_counts_df` core per the
+    seams convention."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "basket.pair_counts",
+        sf_dir,
+        lambda: pair_counts_df(order_part_frame(spark, sf_dir)),
+    )
+
+
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 co-ordered part pairs (module docstring)."""
-    op = order_part_df(load_table(spark, sf_dir, "lineitem"))
     return (
-        pair_counts_df(op)
+        pair_counts_frame(spark, sf_dir)
         .orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
         .limit(TOP_K)
     )
 
 
-def association_rules_df(op: DataFrame, n_orders: int) -> DataFrame:
+def association_rules_df(
+    op: DataFrame, n_orders: int, pairs: DataFrame | None = None
+) -> DataFrame:
     """Rules over any distinct (l_orderkey, l_partkey) frame with the
-    order total injected (module docstring)."""
+    order total injected (module docstring). `pairs` lets the catalog
+    entry pass the materialized pair seam; tests omit it and pay the
+    self-join directly."""
     items = op.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("n_item")
     )
-    pairs = pair_counts_df(op).filter(F.col("pair_count") >= MIN_SUPPORT)
+    if pairs is None:
+        pairs = pair_counts_df(op)
+    pairs = pairs.filter(F.col("pair_count") >= MIN_SUPPORT)
     rules = pairs.select(
         F.col("part_a").alias("antecedent"),
         F.col("part_b").alias("consequent"),
@@ -129,10 +164,10 @@ def association_rules_df(op: DataFrame, n_orders: int) -> DataFrame:
 def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 association rules by exact-integer lift (module
     docstring)."""
-    op = order_part_df(load_table(spark, sf_dir, "lineitem"))
+    op = order_part_frame(spark, sf_dir)
     # bounded scalar collect: exactly one row (the global order count)
     n_orders = op.select("l_orderkey").distinct().count()
-    return association_rules_df(op, n_orders)
+    return association_rules_df(op, n_orders, pairs=pair_counts_frame(spark, sf_dir))
 
 
 def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,9 +206,8 @@ def copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _components_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
-    op = order_part_df(load_table(spark, sf_dir, "lineitem"))
     pairs = (
-        pair_counts_df(op)
+        pair_counts_frame(spark, sf_dir)
         .filter(F.col("pair_count") >= MIN_SUPPORT)
         .select(F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b"))
     )

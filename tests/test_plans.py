@@ -1056,3 +1056,18 @@ def test_ltv_and_snippets_plan_shapes(plans):
     p = plans("search_snippets")
     assert "Join" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_basket_pair_core_is_keyed_join(spark, sf_dir):
+    """The unmaterialized pair core (seams convention: pins target the
+    core, the entries read the checkpointed seam): one orderkey-keyed
+    join, no nested loop, map-side partial counts."""
+    from bread_spark.extensions.basket import order_part_df, pair_counts_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(
+        pair_counts_df(order_part_df(load_table(spark, sf_dir, "lineitem")))
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_" in p
