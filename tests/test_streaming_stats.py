@@ -132,3 +132,24 @@ def test_type_counts_stream_matches_batch_and_feeds_shares(spark, tmp_path):
     snap = type_share_df(got).collect()
     ref = type_share_df(batch).collect()
     assert sorted(map(tuple, snap)) == sorted(map(tuple, ref))
+
+
+def test_daily_stream_feeds_forecast_folds(spark, tmp_path):
+    """A snapshot of the streamed daily micro table fed through the
+    BATCH forecast folds (seasonal-naive backtest, lattice EWMA) IS
+    the batch answer — the forecast family's streaming surface, per
+    its module note."""
+    from bread_spark.extensions.forecast import (
+        ewma_df,
+        seasonal_naive_error_df,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    _write(src, "b1.json", BATCH1 + BATCH2)
+    got = _run(spark, src, ckpt, "stats_fc1", daily_micro_stream)
+    batch = _daily_micro(_batch_df(spark, BATCH1 + BATCH2))
+    for proj in (seasonal_naive_error_df, lambda d: ewma_df(d)):
+        snap = proj(got).collect()
+        ref = proj(batch).collect()
+        assert sorted(map(tuple, snap)) == sorted(map(tuple, ref))
