@@ -21,7 +21,7 @@ def con():
 
 
 @pytest.fixture(scope="session")
-def oracle_results(spark, sf_dir):
+def oracle_results(spark, sf_dir, catalog_frames):
     """Every differential computed ONCE with an 8-way thread pool (r9
     introduced the pool at 4 — the serial sweep was the suite's single
     largest block at ~100 s, latency-bound with 32 cores idle; r10
@@ -43,8 +43,10 @@ def oracle_results(spark, sf_dir):
             con = local.con = duckdb_con(SF_DIR)
             cons.append(con)
         try:
-            df = QUERIES[name](spark, sf_dir)
-            return name, compare(df, con, ORACLES[name])
+            # session-shared frame (catalog_frames): construction —
+            # including seam builds and bounded scalar collects — is
+            # paid once per session, not once per fixture
+            return name, compare(catalog_frames[name], con, ORACLES[name])
         except Exception as e:  # surface as a red row, not a crashed pool
             return name, (False, f"exception while comparing: {e!r}")
 
