@@ -404,6 +404,8 @@ def main() -> None:
         "segment_migration_matrix",
         "segment_churn_rates",
         "revenue_cohorts_incremental",
+        "provenance_degree_histogram",
+        "followup_rates_matrix",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -599,6 +601,8 @@ def main() -> None:
         "segment_migration_matrix",
         "segment_churn_rates",
         "revenue_cohorts_incremental",
+        "provenance_degree_histogram",
+        "followup_rates_matrix",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -564,6 +564,44 @@ def provenance_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts_df(edge_frame(spark, sf_dir))
 
 
+
+def provenance_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the provenance graph in DOUBLING buckets
+    — the graph-QC histogram read before trusting the rank: a healthy
+    provenance graph has most docs at low degree with a thin
+    authority tail; a fat out-degree tail means one template is being
+    "copied" by everything (shingle cap misconfigured). (direction,
+    bucket, bucket_lo, n_docs) per in/out side, LENGTH(bin(deg))
+    buckets (the repo's no-float doubling trick). Another consumer of
+    the edges materialized seam — one O(edges) aggregate per side."""
+    return degree_histogram_df(edge_frame(spark, sf_dir))
+
+
+def degree_histogram_df(edges: DataFrame) -> DataFrame:
+    """`provenance_degree_histogram` core over any (src, dst, w)
+    edge frame."""
+    out_deg = edges.groupBy(F.col("src").alias("doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).select(F.lit("out").alias("direction"), "deg")
+    in_deg = edges.groupBy(F.col("dst").alias("doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).select(F.lit("in").alias("direction"), "deg")
+    both = out_deg.unionByName(in_deg)
+    bucket = F.length(F.bin(F.col("deg"))).cast("long")
+    return (
+        both.select("direction", "deg", bucket.alias("bucket"))
+        .groupBy("direction", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "direction",
+            "bucket",
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(bucket - 1 as int))"
+            ).alias("bucket_lo"),
+            "n_docs",
+        )
+    )
+
 ORACLE_SQL: dict[str, str] = {
     "doc_provenance_edges": _EDGES_CTE
     + """
@@ -612,3 +650,23 @@ ORACLE_SQL: dict[str, str] = {
     FROM degree d LEFT JOIN corners c USING (doc_id)
 """,
 }
+
+ORACLE_SQL["provenance_degree_histogram"] = (
+    _EDGES_CTE
+    + """
+    , degs AS (
+        SELECT 'out' AS direction, src AS doc, COUNT(1) AS deg
+        FROM edges GROUP BY src
+        UNION ALL
+        SELECT 'in' AS direction, dst AS doc, COUNT(1) AS deg
+        FROM edges GROUP BY dst
+    )
+    SELECT direction,
+           CAST(LENGTH(bin(deg)) AS BIGINT) AS bucket,
+           CAST(CAST(1 AS BIGINT)
+                << (CAST(LENGTH(bin(deg)) AS INTEGER) - 1) AS BIGINT)
+               AS bucket_lo,
+           COUNT(1) AS n_docs
+    FROM degs GROUP BY direction, LENGTH(bin(deg))
+"""
+)

@@ -159,6 +159,82 @@ _PAIRS_CTE = """
     )
 """
 
+
+FOLLOWUP_WINDOW_S = 3600  # "B follows A" horizon: one hour
+
+
+def followup_rates_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The followed-by matrix: for every event-type pair (a, b), the
+    exact ppm of a-events that see AT LEAST ONE same-user b-event
+    STRICTLY within the next hour — the non-adjacent generalization of
+    `event_transition_matrix` (which only sees the immediate next
+    event) and the all-pairs sibling of the fixed-steps funnel.
+
+    Scale shape: the candidate generation is the §2.4 bucketed range
+    join (`operators/interval.py`, bucket = the window length, equi
+    key = user_id) — candidates meet only inside (user, hour-bucket)
+    cells, never across the corpus. EXISTS collapses via DISTINCT
+    (a_event, b_type) BEFORE the matrix aggregate; the per-type
+    denominators are a bounded O(types) broadcast. Pairs with zero
+    followups are absent by contract (the dense spine is the
+    transition matrix's job). Batch-only: the horizon needs each
+    event's full next-hour future; the streaming sibling with bounded
+    state is the funnel/session family (watermarked buffers).
+    Output: (a_type, b_type, n_a, n_with_followup, followup_ppm)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return followup_matrix_df(ev)
+
+
+def followup_matrix_df(ev: DataFrame) -> DataFrame:
+    """`followup_rates_matrix` core over any (event_id, user_id,
+    event_type, ts) frame."""
+    from ..operators.interval import interval_join
+
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("event_type").alias("a_type"),
+        F.col("ts").alias("a_ts"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {FOLLOWUP_WINDOW_S} SECONDS")).alias(
+            "win_end"
+        ),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("event_type").alias("b_type"),
+        F.col("ts").alias("b_ts"),
+    )
+    cand = interval_join(
+        b,
+        a,
+        point_ts="b_ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_seconds=FOLLOWUP_WINDOW_S,
+        extra_key="user_id",
+    ).filter(F.col("b_ts") > F.col("a_ts"))  # strictly after (also drops self)
+    hits = cand.select("a_id", "a_type", "b_type").distinct()
+    num = hits.groupBy("a_type", "b_type").agg(
+        F.count(F.lit(1)).alias("n_with_followup")
+    )
+    den = ev.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    return num.join(F.broadcast(den), F.col("a_type") == F.col("d_type")).select(
+        "a_type",
+        "b_type",
+        "n_a",
+        "n_with_followup",
+        F.expr(
+            "CAST((CAST(n_with_followup AS DECIMAL(38,0)) * 1000000)"
+            " div n_a AS BIGINT)"
+        ).alias("followup_ppm"),
+    )
+
 ORACLE_SQL: dict[str, str] = {
     "event_transition_matrix": _PAIRS_CTE
     + f""",
@@ -191,3 +267,28 @@ ORACLE_SQL: dict[str, str] = {
     FROM ranked WHERE rank <= {TOP_PATHS}
 """,
 }
+
+ORACLE_SQL["followup_rates_matrix"] = """
+    WITH a AS (
+        SELECT event_id, user_id, event_type AS a_type, ts FROM events
+    ),
+    hits AS (
+        SELECT DISTINCT a.event_id, a.a_type, b.event_type AS b_type
+        FROM a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 3600 SECONDS
+    ),
+    num AS (
+        SELECT a_type, b_type, COUNT(1) AS n_with_followup
+        FROM hits GROUP BY 1, 2
+    ),
+    den AS (
+        SELECT event_type AS a_type, COUNT(1) AS n_a FROM events GROUP BY 1
+    )
+    SELECT num.a_type, num.b_type, den.n_a, num.n_with_followup,
+           CAST((CAST(num.n_with_followup AS HUGEINT) * 1000000)
+                // den.n_a AS BIGINT) AS followup_ppm
+    FROM num JOIN den ON num.a_type = den.a_type
+"""

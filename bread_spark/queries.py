@@ -220,6 +220,7 @@ _register(
     {
         "provenance_triangles": graph.provenance_triangles,  # triangle census
         "doc_provenance_edges": graph.doc_provenance_edges,  # content-flow graph
+        "provenance_degree_histogram": graph.provenance_degree_histogram,  # graph QC (r10)
         "doc_authority_rank": graph.doc_authority_rank,  # integer PageRank
         "doc_label_propagation": graph.doc_label_propagation,  # label spread
         "doc_novelty_scores": graph.doc_novelty_scores,  # first-seen ratio
@@ -327,7 +328,8 @@ _register(
     {
         "event_transition_matrix": paths.event_transition_matrix,  # Markov matrix
         "event_path_trigrams": paths.event_path_trigrams,  # 3-step journeys
-        "top_paths_to_purchase": paths.top_paths_to_purchase,  # pre-conversion paths
+        "top_paths_to_purchase": paths.top_paths_to_purchase,
+        "followup_rates_matrix": paths.followup_rates_matrix,  # within-1h pair rates (r10)  # pre-conversion paths
     },
     paths.ORACLE_SQL,
 )
@@ -517,17 +519,19 @@ _register(
 # search_snippets, lang_id_confusion, order_gap_survival; then the
 # segment-dynamics pair: segment_migration_matrix,
 # segment_churn_rates; then the incremental-composition proof:
-# revenue_cohorts_incremental; (c) the alphabetical FIRST 17 of
-# the 50
+# revenue_cohorts_incremental; then the followed-by matrix + graph
+# QC pair: followup_rates_matrix, provenance_degree_histogram;
+# (c) the alphabetical FIRST 15 of the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
 # daily_cum_ibc_transfers, daily_twap_by_type, daily_value_moving_avg,
 # dataset_splits, decontaminate, dedup_normalized, doc_word_counts,
-# embedding_dedup_corpus, event_flows_union, events_near_errors.
+# embedding_dedup_corpus.
 # Groups
-# (a) 2 + (b) 31 + (c) 17 = 50 fill the window exactly; the
-# alphabetical LAST THIRTY-THREE of the r7 cohort — gas_used_per_day,
+# (a) 2 + (b) 33 + (c) 15 = 50 fill the window exactly; the
+# alphabetical LAST THIRTY-FIVE of the r7 cohort — event_flows_union,
+# events_near_errors, gas_used_per_day,
 # hourly_ohlc_by_type,
 # ibc_transfers, ibc_transfers_in,
 # importance_sample, key_skew_report, last_purchase_asof,

@@ -252,3 +252,24 @@ def test_triangle_census_no_triangles_and_corpus(spark, sf_dir):
     credits = sum(r["n_triangles"] for r in corpus)
     assert credits % 3 == 0  # every triangle credits exactly 3 corners
     assert all(r["degree"] >= 1 for r in corpus)
+
+
+def test_degree_histogram_hand_computed(spark):
+    """Doubling buckets over in/out degrees of a constructed edge
+    frame: out-degrees {a:3, b:1}, in-degrees {x:2, y:1, z:1}."""
+    from bread_spark.extensions.graph import degree_histogram_df
+
+    edges = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 1), ("a", "z", 1), ("b", "x", 1)],
+        "src string, dst string, w bigint",
+    )
+    got = {
+        (r.direction, r.bucket): (r.bucket_lo, r.n_docs)
+        for r in degree_histogram_df(edges).collect()
+    }
+    assert got == {
+        ("out", 2): (2, 1),   # a: degree 3 -> bucket len(bin(3))=2
+        ("out", 1): (1, 1),   # b: degree 1
+        ("in", 2): (2, 1),    # x: degree 2
+        ("in", 1): (1, 2),    # y, z: degree 1
+    }

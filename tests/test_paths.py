@@ -109,3 +109,38 @@ def test_top_paths_rank_total_order(spark):
     assert rows and rows[0]["rank"] == 1
     for a, b in zip(rows, rows[1:]):
         assert (-a["n"], a["t1"], a["t2"]) < (-b["n"], b["t1"], b["t2"])
+
+
+def test_followup_matrix_hand_computed(spark):
+    """Strictly-after, within-one-hour, same-user, EXISTS-collapsed:
+    two b-followups of one a count once; a hit at exactly +1h counts;
+    one at +1h+1s does not; another user's b never matches."""
+    from datetime import datetime
+
+    from bread_spark.extensions.paths import followup_matrix_df
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "view", datetime(2024, 1, 1, 10, 0, 0)),
+            (2, 1, "click", datetime(2024, 1, 1, 10, 10, 0)),   # +10m
+            (3, 1, "click", datetime(2024, 1, 1, 10, 20, 0)),   # 2nd click: EXISTS once
+            (4, 1, "buy", datetime(2024, 1, 1, 11, 0, 0)),      # exactly +1h: counts
+            (5, 2, "click", datetime(2024, 1, 1, 10, 30, 0)),   # other user
+            (6, 1, "view", datetime(2024, 1, 1, 12, 30, 0)),    # next view
+            (7, 1, "late", datetime(2024, 1, 1, 11, 0, 1)),     # +1h1s after ev1
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    got = {
+        (r.a_type, r.b_type): (r.n_a, r.n_with_followup, r.followup_ppm)
+        for r in followup_matrix_df(ev).collect()
+    }
+    # view #1 sees click (x2 -> once) and buy (+1h boundary), NOT late
+    assert got[("view", "click")] == (2, 1, 500_000)
+    assert got[("view", "buy")] == (2, 1, 500_000)
+    assert ("view", "late") not in got
+    # clicks #2 and #3 both see the buy within the hour; user 2's
+    # lone click (in the denominator!) sees nothing -> 2 of 3
+    assert got[("click", "buy")] == (3, 2, 666_666)
+    # view #6 at 12:30 is >1h after both clicks: pair absent entirely
+    assert ("click", "view") not in got
