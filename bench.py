@@ -406,6 +406,8 @@ def main() -> None:
         "revenue_cohorts_incremental",
         "provenance_degree_histogram",
         "followup_rates_matrix",
+        "engagement_ratios",
+        "fulfillment_latency_by_priority",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -603,6 +605,8 @@ def main() -> None:
         "revenue_cohorts_incremental",
         "provenance_degree_histogram",
         "followup_rates_matrix",
+        "engagement_ratios",
+        "fulfillment_latency_by_priority",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -382,6 +382,48 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_distinct_df(ev)
 
 
+def engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU/WAU/MAU engagement panel: per event day, distinct users
+    over the trailing 1/7/30-day windows plus the exact stickiness
+    ratios (dau_wau_ppm, dau_mau_ppm, wau_mau_ppm — truncating-division
+    integers). Both windows reuse `rolling_distinct_df`'s bounded
+    fan-out (×7 and ×30 of the distinct (day, user) table — never a
+    range join); the window frames join on the event day. The
+    standard growth-team read on top of the family's existing DAU and
+    trailing-7d members."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    return engagement_df(ev)
+
+
+def engagement_df(ev: DataFrame) -> DataFrame:
+    """`engagement_ratios` core over any (ts, user_id) frame."""
+    w7 = rolling_distinct_df(ev, 7)
+    w30 = rolling_distinct_df(ev, 30).select(
+        F.col("day").alias("d30"), F.col("users_7d").alias("users_30d")
+    )
+    return (
+        w7.join(w30, F.col("day") == F.col("d30"))
+        .select(
+            "day",
+            "users_1d",
+            "users_7d",
+            "users_30d",
+            F.expr(
+                "CAST((CAST(users_1d AS DECIMAL(38,0)) * 1000000)"
+                " div users_7d AS BIGINT)"
+            ).alias("dau_wau_ppm"),
+            F.expr(
+                "CAST((CAST(users_1d AS DECIMAL(38,0)) * 1000000)"
+                " div users_30d AS BIGINT)"
+            ).alias("dau_mau_ppm"),
+            F.expr(
+                "CAST((CAST(users_7d AS DECIMAL(38,0)) * 1000000)"
+                " div users_30d AS BIGINT)"
+            ).alias("wau_mau_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
@@ -564,3 +606,31 @@ ORACLE_SQL: dict[str, str] = {
     GROUP BY a.day
 """,
 }
+
+ORACLE_SQL["engagement_ratios"] = """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    anchors AS (SELECT DISTINCT day FROM du),
+    d1 AS (SELECT day, COUNT(*) AS users_1d FROM du GROUP BY day),
+    w7 AS (
+        SELECT a.day, COUNT(DISTINCT e.user_id) AS users_7d
+        FROM anchors a JOIN du e ON e.day BETWEEN a.day - 6 AND a.day
+        GROUP BY a.day
+    ),
+    w30 AS (
+        SELECT a.day, COUNT(DISTINCT e.user_id) AS users_30d
+        FROM anchors a JOIN du e ON e.day BETWEEN a.day - 29 AND a.day
+        GROUP BY a.day
+    )
+    SELECT d1.day, users_1d, users_7d, users_30d,
+           CAST((CAST(users_1d AS HUGEINT) * 1000000) // users_7d
+                AS BIGINT) AS dau_wau_ppm,
+           CAST((CAST(users_1d AS HUGEINT) * 1000000) // users_30d
+                AS BIGINT) AS dau_mau_ppm,
+           CAST((CAST(users_7d AS HUGEINT) * 1000000) // users_30d
+                AS BIGINT) AS wau_mau_ppm
+    FROM d1
+    JOIN w7 ON d1.day = w7.day
+    JOIN w30 ON d1.day = w30.day
+"""

@@ -601,7 +601,73 @@ def idle_high_balance_df(
     )
 
 
+def fulfillment_latency_df(li: DataFrame, orders: DataFrame) -> DataFrame:
+    """`fulfillment_latency_by_priority` core: per-order first/last
+    ship lag in exact integer days (min/max shipdate per order, one
+    keyed join back to orders), folded per priority — n_orders, exact
+    truncating-division means, and p50/p90 on the certified
+    percentile ↔ quantile_cont parity (rounded 6)."""
+    per_order = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.expr("min(CAST(l_shipdate AS DATE))").alias("first_ship"),
+        F.expr("max(CAST(l_shipdate AS DATE))").alias("last_ship"),
+    )
+    j = per_order.join(orders, F.col("okey") == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.expr("datediff(first_ship, CAST(o_orderdate AS DATE))").alias(
+            "lag_first"
+        ),
+        F.expr("datediff(last_ship, CAST(o_orderdate AS DATE))").alias(
+            "lag_last"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(lag_first) div count(1)").alias("mean_first_days"),
+        F.expr("sum(lag_last) div count(1)").alias("mean_last_days"),
+        F.round(F.expr("percentile(lag_first, 0.5)"), 6).alias("p50_first_days"),
+        F.round(F.expr("percentile(lag_first, 0.9)"), 6).alias("p90_first_days"),
+        F.round(F.expr("percentile(lag_last, 0.9)"), 6).alias("p90_last_days"),
+    )
+
+
+def fulfillment_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfilment latency DISTRIBUTION per priority — the
+    supply-chain companion of `late_shipment_rate_by_priority` (that
+    one counts SLA breaches; this one shows the whole first/last-ship
+    lag shape). Scale shape: one orderkey aggregate over lineitem, one
+    keyed join to orders, one O(priorities) fold."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return fulfillment_latency_df(li, orders)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "fulfillment_latency_by_priority": """
+    WITH per_order AS (
+        SELECT l_orderkey AS okey,
+               MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+               MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    lags AS (
+        SELECT o_orderpriority,
+               datediff('day', CAST(o_orderdate AS DATE), first_ship)
+                   AS lag_first,
+               datediff('day', CAST(o_orderdate AS DATE), last_ship)
+                   AS lag_last
+        FROM per_order JOIN orders ON okey = o_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(1) AS n_orders,
+           CAST(SUM(lag_first) // COUNT(1) AS BIGINT) AS mean_first_days,
+           CAST(SUM(lag_last) // COUNT(1) AS BIGINT) AS mean_last_days,
+           ROUND(quantile_cont(lag_first, 0.5), 6) AS p50_first_days,
+           ROUND(quantile_cont(lag_first, 0.9), 6) AS p90_first_days,
+           ROUND(quantile_cont(lag_last, 0.9), 6) AS p90_last_days
+    FROM lags GROUP BY o_orderpriority
+""",
     "shipping_priority_topk": f"""
     WITH r AS (
         SELECT l_orderkey,

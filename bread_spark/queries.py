@@ -109,6 +109,7 @@ _register(
         "brand_quantity_revenue": warehouse.brand_quantity_revenue,  # Q19-shaped
         "late_supplier_blame": warehouse.late_supplier_blame,  # Q21-shaped
         "idle_high_balance_customers": warehouse.idle_high_balance_customers,  # Q22-shaped
+        "fulfillment_latency_by_priority": warehouse.fulfillment_latency_by_priority,  # lag shape
     },
     warehouse.ORACLE_SQL,
 )
@@ -304,7 +305,8 @@ _register(
         "type_correlation_matrix": stats.type_correlation_matrix,  # pairwise Pearson
         "benford_digit_qc": stats.benford_digit_qc,  # first-digit QC (exact ppm)
         "source_concentration": stats.source_concentration,  # Gini/HHI report
-        "rolling_7d_distinct_users": stats.rolling_7d_distinct_users,  # x7 fan-out
+        "rolling_7d_distinct_users": stats.rolling_7d_distinct_users,
+        "engagement_ratios": stats.engagement_ratios,  # DAU/WAU/MAU panel (r10)  # x7 fan-out
     },
     stats.ORACLE_SQL,
 )
@@ -520,17 +522,19 @@ _register(
 # segment-dynamics pair: segment_migration_matrix,
 # segment_churn_rates; then the incremental-composition proof:
 # revenue_cohorts_incremental; then the followed-by matrix + graph
-# QC pair: followup_rates_matrix, provenance_degree_histogram;
-# (c) the alphabetical FIRST 15 of the 50
+# QC pair: followup_rates_matrix, provenance_degree_histogram; then
+# the engagement/fulfilment pair: engagement_ratios,
+# fulfillment_latency_by_priority;
+# (c) the alphabetical FIRST 13 of the 50
 # r7-last-green entries (4 rounds stale at r11 — mandatory):
 # bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
 # corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
 # daily_cum_ibc_transfers, daily_twap_by_type, daily_value_moving_avg,
-# dataset_splits, decontaminate, dedup_normalized, doc_word_counts,
-# embedding_dedup_corpus.
+# dataset_splits, decontaminate, dedup_normalized.
 # Groups
-# (a) 2 + (b) 33 + (c) 15 = 50 fill the window exactly; the
-# alphabetical LAST THIRTY-FIVE of the r7 cohort — event_flows_union,
+# (a) 2 + (b) 35 + (c) 13 = 50 fill the window exactly; the
+# alphabetical LAST THIRTY-SEVEN of the r7 cohort — doc_word_counts,
+# embedding_dedup_corpus, event_flows_union,
 # events_near_errors, gas_used_per_day,
 # hourly_ohlc_by_type,
 # ibc_transfers, ibc_transfers_in,

@@ -272,3 +272,29 @@ def test_trend_and_corr_ride_the_daily_seam(spark, sf_dir):
     }
     c_core = {tuple(r) for r in correlation_from_daily(daily).collect()}
     assert c_seam == c_core
+
+
+def test_engagement_ratios_hand_computed(spark):
+    """u1 active daily for 10 days, u2 on day 1 only: on day 8 the
+    trailing week holds just u1 (dau/wau = 1e6) while the 30-day
+    window still holds both (dau/mau = 500_000); day 1 is 1e6 across
+    the panel. Ratios are exact truncating divisions."""
+    from datetime import datetime
+
+    from bread_spark.extensions.stats import engagement_df
+
+    rows = [(1, datetime(2024, 1, d, 12)) for d in range(1, 11)]
+    rows.append((2, datetime(2024, 1, 1, 13)))
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp").select(
+        "ts", "user_id"
+    )
+    got = {str(r.day): r for r in engagement_df(ev).collect()}
+    d1, d8 = got["2024-01-01"], got["2024-01-08"]
+    assert (d1.users_1d, d1.users_7d, d1.users_30d) == (2, 2, 2)
+    assert (d1.dau_wau_ppm, d1.dau_mau_ppm, d1.wau_mau_ppm) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
+    assert (d8.users_1d, d8.users_7d, d8.users_30d) == (1, 1, 2)
+    assert (d8.dau_wau_ppm, d8.dau_mau_ppm, d8.wau_mau_ppm) == (
+        1_000_000, 500_000, 500_000,
+    )

@@ -127,3 +127,24 @@ def test_customer_order_distribution_mass(spark, sf_dir):
     dist = W.customer_order_distribution(spark, sf_dir)
     total = dist.agg(F.sum("custdist")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "customer").count()
+
+
+def test_fulfillment_latency_hand_computed(spark):
+    """Per-order first/last ship lags in exact integer days, folded
+    per priority: orders at lag (first,last) = (2,10) and (4,4) give
+    mean_first = 3, mean_last = 7 (truncating div)."""
+    li = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-03")), (1, _ts("2020-01-11")),  # lags 2,10
+            (2, _ts("2020-02-05")),                            # lag 4,4
+        ],
+        "l_orderkey bigint, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, _ts("2020-01-01"), "1-URGENT"), (2, _ts("2020-02-01"), "1-URGENT")],
+        "o_orderkey bigint, o_orderdate timestamp, o_orderpriority string",
+    )
+    r = W.fulfillment_latency_df(li, orders).collect()[0]
+    assert (r.n_orders, r.mean_first_days, r.mean_last_days) == (2, 3, 7)
+    assert r.p50_first_days == 3.0   # percentile interpolates 2..4
+    assert r.p90_last_days == 9.4    # interpolates 4..10 at 0.9
