@@ -408,6 +408,9 @@ def main() -> None:
         "followup_rates_matrix",
         "engagement_ratios",
         "fulfillment_latency_by_priority",
+        # r11: perceptual media near-dup
+        "media_phash_candidates",
+        "media_phash_dedup_report",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -609,6 +612,11 @@ def main() -> None:
         "fulfillment_latency_by_priority",
     }
 
+    R11_ADDITIONS = {
+        "media_phash_candidates",
+        "media_phash_dedup_report",
+    }
+
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
     # of r5 + parse_events_wide) are the official perf denominator from
@@ -707,6 +715,7 @@ def main() -> None:
                 and k not in R8_ADDITIONS
                 and k not in R9_ADDITIONS
                 and k not in R10_ADDITIONS
+                and k not in R11_ADDITIONS
             ),
             3,
         ),
@@ -727,6 +736,9 @@ def main() -> None:
         ),
         "r10_additions": round(
             sum(v for k, v in timings.items() if k in R10_ADDITIONS), 3
+        ),
+        "r11_additions": round(
+            sum(v for k, v in timings.items() if k in R11_ADDITIONS), 3
         ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3

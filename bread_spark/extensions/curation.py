@@ -1455,6 +1455,15 @@ def source_kl_divergence_df(docs: DataFrame) -> DataFrame:
 
 PERPLEXITY_K = 3  # CCNet's head / middle / tail
 
+# The bucket stages RANK on the LM score, so the rank key must live on
+# the exact integer lattice (DECISIONS #12; closes DIVERGENCES #8):
+# mean_logp is already rounded-6, so ×1e6 → bigint is order-identical.
+_LOGP_LATTICE_SQL = "CAST(ROUND(mean_logp * 1000000) AS BIGINT)"
+
+
+def _logp_lattice():  # lazy: F.expr needs an active session
+    return F.expr(_LOGP_LATTICE_SQL)
+
 
 def perplexity_buckets(
     spark: SparkSession, sf_dir: str, k: int = PERPLEXITY_K
@@ -1468,9 +1477,14 @@ def perplexity_buckets(
     sort — fine to ~100M scored docs, and the oracle gate needs the
     exact ANSI NTILE semantics); `perplexity_buckets_distributed` is the
     100 TB twin: identical assignment, no single-reducer stage.
+
+    Rank key (r11, closing DIVERGENCES #8): the ×1e6 bigint lattice of
+    the rounded-6 score — identical order to the rounded double by
+    construction, engine-stable per the float-discipline rule for
+    RANKED values (DECISIONS #12).
     """
     scored = bigram_logprob_scores(spark, sf_dir)
-    w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id").asc())
+    w = Window.orderBy(_logp_lattice().desc(), F.col("doc_id").asc())
     return scored.select(
         "doc_id", "mean_logp", F.ntile(k).over(w).alias("bucket")
     )
@@ -1507,9 +1521,10 @@ def perplexity_buckets_ngram5(
     `ngram5_logprob_scores`; the uni/bi/tri/quad count tables are the
     same seams the trigram chain reads). The 100 TB form swaps the
     window for the `perplexity_buckets_distributed` two-pass rank —
-    the assignment arithmetic is order-based and identical."""
+    the assignment arithmetic is order-based and identical. Rank key
+    on the ×1e6 bigint lattice (DIVERGENCES #8 closure, r11)."""
     scored = ngram5_scored_frame(spark, sf_dir)
-    w = Window.orderBy(F.col("mean_logp").desc(), F.col("doc_id").asc())
+    w = Window.orderBy(_logp_lattice().desc(), F.col("doc_id").asc())
     return scored.select(
         "doc_id", "mean_logp", F.ntile(k).over(w).alias("bucket")
     )
@@ -1523,7 +1538,8 @@ def perplexity_buckets_distributed(
 ) -> DataFrame:
     """`perplexity_buckets` without the single-reducer window — the
     `shuffle_order_distributed` two-pass-rank pattern applied to score
-    order: range-repartition by (mean_logp DESC, doc_id), sort within
+    order: range-repartition by (logp_q DESC, doc_id — the ×1e6
+    lattice of the rounded score, DIVERGENCES #8), sort within
     partitions, global rank = per-partition offset (a #partitions-row
     driver aggregate, bounded by contract) + local ordinal via Arrow
     mapInPandas, then the exact ANSI NTILE arithmetic on the rank —
@@ -1538,12 +1554,14 @@ def perplexity_buckets_distributed(
     # seam (`lm_scored_frame`), so the range partitioner's bound sampling
     # reads cached partitions instead of executing the bigram-LM plan a
     # second time (the job the per-call localCheckpoint did before r6).
-    scored = bigram_logprob_scores(spark, sf_dir)
+    scored = bigram_logprob_scores(spark, sf_dir).withColumn(
+        "logp_q", _logp_lattice()  # lattice rank key (DIVERGENCES #8)
+    )
     ranged = (
         scored.repartitionByRange(
-            num_partitions, F.col("mean_logp").desc(), F.col("doc_id").asc()
+            num_partitions, F.col("logp_q").desc(), F.col("doc_id").asc()
         )
-        .sortWithinPartitions(F.col("mean_logp").desc(), F.col("doc_id").asc())
+        .sortWithinPartitions(F.col("logp_q").desc(), F.col("doc_id").asc())
         .localCheckpoint()
     )
     counts = {
@@ -1570,7 +1588,8 @@ def perplexity_buckets_distributed(
             yield out
 
     ranked = ranged.mapInPandas(
-        assign, "doc_id long, n_tokens long, mean_logp double, rk long"
+        assign,
+        "doc_id long, n_tokens long, mean_logp double, logp_q long, rk long",
     )
     q, rem = divmod(n, k)
     boundary = (q + 1) * rem
@@ -1943,7 +1962,7 @@ ORACLE_SQL: dict[str, str] = {
 _PERPLEXITY_ORACLE = f"""
     SELECT doc_id, mean_logp,
            NTILE({PERPLEXITY_K}) OVER (
-               ORDER BY mean_logp DESC, doc_id ASC
+               ORDER BY {_LOGP_LATTICE_SQL} DESC, doc_id ASC
            ) AS bucket
     FROM ({ORACLE_SQL["bigram_logprob_scores"]})
 """
@@ -2324,7 +2343,7 @@ ORACLE_SQL["perplexity_buckets_distributed"] = _PERPLEXITY_ORACLE
 ORACLE_SQL["perplexity_buckets_ngram5"] = f"""
     SELECT doc_id, mean_logp,
            NTILE({PERPLEXITY_K}) OVER (
-               ORDER BY mean_logp DESC, doc_id ASC
+               ORDER BY {_LOGP_LATTICE_SQL} DESC, doc_id ASC
            ) AS bucket
     FROM ({ORACLE_SQL["ngram5_logprob_scores"]})
 """

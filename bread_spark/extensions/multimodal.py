@@ -320,3 +320,179 @@ ORACLE_SQL["media_frame_samples"] = (
     FROM dims WHERE kind = 'video'
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup (pHash-style) — VERDICT r10 #5.
+#
+# Exact-digest dedup (`media_dedup`) is blind to a RE-ENCODED or RESIZED
+# twin: one pixel-level transform and the sha256 changes completely. The
+# perceptual fingerprint is the classic aHash/pHash recipe — downsample
+# the decoded signal to a fixed low-frequency grid, threshold each cell
+# against the median, pack 64 bits — so content-preserving transforms
+# move only a few bits and near-dups sit at small Hamming distance.
+#
+# Candidate generation is the simhash/LSH discipline (CLAUDE.md scale
+# shape), multi-index-hashing form: the 64-bit fingerprint splits into
+# PHASH_BANDS = 8 bands of 8 bits. Pigeonhole: any pair within
+# PHASH_BANDS - 1 = 7 flipped bits MUST agree on at least one whole
+# band, so recall is GUARANTEED for Hamming ≤ 7 and probabilistic in
+# the 8..PHASH_MAX_HAMMING tail (the standard MIH dial — more bands =
+# wider guarantee, noisier buckets). Candidates meet ONLY inside
+# (band_idx, band_value) buckets, never all-pairs; unrelated content
+# collides in a band at ~2^-8 per band (measured ~3.7% of distinct
+# pairs), and the exact Hamming gate (bit_count over xor on ≤8-bit
+# band ints — ANSI-safe) kills those at ~32 bits distance.
+#
+# Rows-only by the engine-specific-hash convention (the same reason
+# simhash/minhash internals are rows-only): the fingerprint depends on
+# the registered phasher, which a real deployment swaps for a DCT pHash
+# over decoded pixels via `set_phasher`. The container fake is a REAL
+# 1-D aHash over the payload byte-signal (block means → median
+# threshold), so the planted-transform recall pins are genuine: a
+# resampled (resized) or quantized (re-encoded) payload keeps most
+# block means and lands within the Hamming gate; unrelated content
+# lands near 32 bits away.
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_BANDS = 8  # 8 × 8-bit bands: pigeonhole-guaranteed recall ≤ 7 bits
+PHASH_MAX_HAMMING = 10  # verify gate on banded candidates
+
+
+def _fake_phash(payload: bytes, kind: str) -> list[int]:
+    """1-D aHash over the payload byte-signal: 64 block means,
+    thresholded at the median of means, packed MSB-first into
+    PHASH_BANDS 8-bit band ints. A real deployment swaps this for a
+    DCT pHash over decoded pixels (`set_phasher`) — same banding, same
+    candidate plan."""
+    n = len(payload)
+    if n == 0:
+        return [0] * PHASH_BANDS
+    means = []
+    for i in range(PHASH_BITS):
+        lo = i * n // PHASH_BITS
+        hi = max(lo + 1, (i + 1) * n // PHASH_BITS)
+        block = payload[lo:hi]
+        means.append(sum(block) / len(block))
+    ordered = sorted(means)
+    median = (ordered[PHASH_BITS // 2 - 1] + ordered[PHASH_BITS // 2]) / 2
+    bits = 0
+    for i, m in enumerate(means):
+        if m > median:
+            bits |= 1 << (PHASH_BITS - 1 - i)
+    width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    return [
+        (bits >> (PHASH_BITS - width * (b + 1))) & mask
+        for b in range(PHASH_BANDS)
+    ]
+
+
+_PHASHER: Callable[[bytes, str], list[int]] = _fake_phash
+
+
+def set_phasher(fn: Callable[[bytes, str], list[int]]) -> None:
+    """Plug a real perceptual hasher (decode → grayscale → 32×32 → DCT
+    → 8×8 low-frequency block → median threshold → PHASH_BANDS band
+    ints). Picklable, like set_decoder."""
+    global _PHASHER
+    _PHASHER = fn
+
+
+def media_phash_features(media: DataFrame) -> DataFrame:
+    """(media_id, kind, phash_hex, bands) for image/video rows via the
+    same Arrow mapInPandas seam as `extract_media_features` — a pure
+    map, zero shuffles; payload bytes never leave the scan stage."""
+    phasher = _PHASHER
+    width = PHASH_BITS // PHASH_BANDS
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            m = pdf[pdf["kind"].isin(("image", "video"))]
+            bands = [phasher(p, k) for p, k in zip(m["payload"], m["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": m["media_id"],
+                    "kind": m["kind"],
+                    "phash_hex": [
+                        "".join(format(b, f"0{width // 4}x") for b in bs)
+                        for bs in bands
+                    ],
+                    "bands": bands,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, kind string, phash_hex string, bands array<int>",
+    )
+
+
+def phash_candidate_pairs(
+    feats: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Banded near-dup candidates over a (media_id, bands) frame:
+    fingerprints meet ONLY inside (band_idx, band_value) buckets (the
+    LSH plan shape — keyed shuffle join, no all-pairs stage), then the
+    exact 64-bit Hamming distance (computed band-wise) filters to ≤ max_hamming. Output:
+    (media_id_a, media_id_b, hamming)."""
+    bands = feats.select(
+        "media_id",
+        "bands",
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.bands").alias("bands_a"),
+            F.col("b.bands").alias("bands_b"),
+        )
+        .distinct()  # a pair may collide in several bands — count once
+    )
+    # per-band xor stays < 2^16, so bit_count arithmetic is ANSI-safe
+    hamming = F.expr(
+        "aggregate(zip_with(bands_a, bands_b, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.select("media_id_a", "media_id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_phash_candidates(spark, sf_dir: str) -> DataFrame:
+    """Catalog entry: perceptual near-dup candidate pairs over the
+    derived media table — (media_id_a, media_id_b, hamming). Rows-only
+    by the engine-specific-hash convention (module banner)."""
+    feats = media_phash_features(media_from_documents(spark, sf_dir))
+    return phash_candidate_pairs(feats)
+
+
+def media_phash_dedup_report(spark, sf_dir: str) -> DataFrame:
+    """Catalog entry: perceptual dedup clusters — connected components
+    over the accepted pair graph (the `dedup_clusters` min-label
+    machinery), one row per multi-member cluster:
+    (canonical_media_id, cluster_size). Rows-only (module banner)."""
+    from .dedup import connected_components
+
+    media = media_from_documents(spark, sf_dir)
+    feats = media_phash_features(media)
+    pairs = phash_candidate_pairs(feats).select(
+        F.col("media_id_a").alias("doc_a"), F.col("media_id_b").alias("doc_b")
+    )
+    nodes = feats.select(F.col("media_id").alias("doc_id"))
+    labels = connected_components(nodes, pairs)
+    return (
+        labels.groupBy(F.col("cluster_id").alias("canonical_media_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+    )

@@ -308,8 +308,15 @@ def search_rank_fusion_df(
     """
     from pyspark.sql.window import Window
 
-    bm = bm25_search_df(docs, terms, top_n)
-    w1 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # Rank positions feed the RRF sums, so the rank key must live on
+    # the exact integer lattice (float-discipline rule for RANKED
+    # values, r10 ADVICE): ×1e4 bigint of the already-rounded-4 BM25
+    # score — identical order, engine-stable by construction.
+    bm = bm25_search_df(docs, terms, top_n).select(
+        "doc_id",
+        F.expr("CAST(ROUND(score * 10000) AS BIGINT)").alias("score_q"),
+    )
+    w1 = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
     r1 = bm.select("doc_id", F.row_number().over(w1).alias("rank"))
 
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
@@ -467,8 +474,10 @@ ORACLE_SQL: dict[str, str] = {
             LIMIT {FUSION_TOP_N}
         ),
         r1 AS (
-            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
-                       AS rank
+            SELECT doc_id,
+                   ROW_NUMBER() OVER
+                       (ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC,
+                        doc_id) AS rank
             FROM bm
         ),
         m AS (

@@ -396,8 +396,15 @@ def engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def engagement_df(ev: DataFrame) -> DataFrame:
-    """`engagement_ratios` core over any (ts, user_id) frame."""
-    w7 = rolling_distinct_df(ev, 7)
+    """`engagement_ratios` core over any (ts, user_id) frame.
+
+    NULL users are dropped up front (as `segment_churn_rates` does):
+    `rolling_distinct_df`'s users_1d is a plain count over distinct
+    (day, user) pairs while users_7d/users_30d use countDistinct,
+    which drops NULLs — without the filter a day with NULL-user
+    events could read dau_wau_ppm > 1_000_000 (r10 ADVICE)."""
+    ev = ev.filter(F.col("user_id").isNotNull())
+    w7 = rolling_distinct_df(ev, 7)  # streaming sibling: HLL panel below
     w30 = rolling_distinct_df(ev, 30).select(
         F.col("day").alias("d30"), F.col("users_7d").alias("users_30d")
     )
@@ -422,6 +429,90 @@ def engagement_df(ev: DataFrame) -> DataFrame:
             ).alias("wau_mau_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL engagement panel — the streaming sibling of `engagement_df`
+# (VERDICT r10 #7). The exact panel is batch-only (sliding COUNT
+# DISTINCT needs per-(day, user) dedup state); the online answer is
+# per-DAY HLL user registers (streaming/stats.py maintains them with
+# watermark eviction) plus this estimator, which max-merges trailing
+# windows from register rows alone — ≤M=64 rows per day, never users.
+# ---------------------------------------------------------------------------
+
+
+def engagement_user_registers_df(ev: DataFrame) -> DataFrame:
+    """(day, bucket, max_rho) per-day HLL registers over DISTINCT USERS
+    — the mergeable state of the engagement panel. Same md5/rho integer
+    arithmetic as the sketch family (`_HLL_U32`/`_rho_sql` imported,
+    not re-derived), token = user_id string; NULL users dropped exactly
+    as `engagement_df` does. One (day, bucket)-keyed aggregate with
+    map-side combine; ≤M rows per day at ANY event volume."""
+    from .sketch import HLL_M, _HLL_U32, _rho_sql
+
+    rows = ev.filter(F.col("user_id").isNotNull()).select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").cast("string").alias("token"),
+    )
+    return (
+        rows.select(
+            "day",
+            F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+            F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def engagement_hll_panel_df(regs: DataFrame) -> DataFrame:
+    """DAU/WAU/MAU ESTIMATES from a per-day register table (day, bucket,
+    max_rho): each trailing window's registers are the elementwise MAX
+    of its days' rows (HLL mergeability) via the panel's own bounded
+    ×1/×7/×30 fan-out — but over ≤64 register rows per day, not user
+    rows, so the whole panel is O(days·M) regardless of traffic.
+    Estimates use the standard raw/linear-counting form
+    (`hll_distinct_by_source`'s arithmetic), rounded 4; anchor days =
+    days with a register row, matching the exact panel's event-day
+    anchors. Output: (day, users_1d_est, users_7d_est, users_30d_est)."""
+    from .sketch import HLL_ALPHA, HLL_M, HLL_VBITS
+
+    def est_for(days: int, alias: str) -> DataFrame:
+        fan = regs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(days - 1))).alias("off"),
+            "day",
+            "bucket",
+            "max_rho",
+        ).select(
+            F.expr("date_add(day, off)").alias("day"), "bucket", "max_rho"
+        )
+        merged = fan.groupBy("day", "bucket").agg(
+            F.max("max_rho").alias("max_rho")
+        )
+        agg = merged.groupBy("day").agg(
+            F.expr(
+                f"sum(cast(power(2.0, {HLL_VBITS + 1} - max_rho) as bigint))"
+            ).alias("z_num"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        scale = float(1 << (HLL_VBITS + 1))
+        z = (
+            F.col("z_num") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(scale)
+        ) / F.lit(scale)
+        e_raw = F.expr(HLL_ALPHA) * F.lit(HLL_M) * F.lit(HLL_M) / z
+        v_zero = F.lit(HLL_M) - F.col("n_present")
+        est = F.when(
+            (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
+            F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero),
+        ).otherwise(e_raw)
+        return agg.select("day", F.round(est, 4).alias(alias))
+
+    d1 = est_for(1, "users_1d_est")
+    d7 = est_for(7, "users_7d_est")
+    d30 = est_for(30, "users_30d_est")
+    # inner joins anchor the panel on register (= event) days: the
+    # fan-out rows past the last event day have no users_1d_est row
+    return d1.join(d7, "day").join(d30, "day")
 
 
 # ---------------------------------------------------------------------------
@@ -610,6 +701,7 @@ ORACLE_SQL: dict[str, str] = {
 ORACLE_SQL["engagement_ratios"] = """
     WITH du AS (
         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        WHERE user_id IS NOT NULL
     ),
     anchors AS (SELECT DISTINCT day FROM du),
     d1 AS (SELECT day, COUNT(*) AS users_1d FROM du GROUP BY day),

@@ -276,9 +276,9 @@ _register(
 )
 _register(
     {
-        "rfm_segments": segments.rfm_segments,
+        "rfm_segments": segments.rfm_segments,  # RFM quartile segmentation
         "segment_migration_matrix": segments.segment_migration_matrix,  # r10
-        "segment_churn_rates": segments.segment_churn_rates,  # r10  # RFM quartile segmentation
+        "segment_churn_rates": segments.segment_churn_rates,  # r10
         "value_mad_outliers": segments.value_mad_outliers,  # robust z QC
     },
     segments.ORACLE_SQL,
@@ -305,8 +305,8 @@ _register(
         "type_correlation_matrix": stats.type_correlation_matrix,  # pairwise Pearson
         "benford_digit_qc": stats.benford_digit_qc,  # first-digit QC (exact ppm)
         "source_concentration": stats.source_concentration,  # Gini/HHI report
-        "rolling_7d_distinct_users": stats.rolling_7d_distinct_users,
-        "engagement_ratios": stats.engagement_ratios,  # DAU/WAU/MAU panel (r10)  # x7 fan-out
+        "rolling_7d_distinct_users": stats.rolling_7d_distinct_users,  # x7 fan-out
+        "engagement_ratios": stats.engagement_ratios,  # DAU/WAU/MAU panel (r10)
     },
     stats.ORACLE_SQL,
 )
@@ -330,8 +330,8 @@ _register(
     {
         "event_transition_matrix": paths.event_transition_matrix,  # Markov matrix
         "event_path_trigrams": paths.event_path_trigrams,  # 3-step journeys
-        "top_paths_to_purchase": paths.top_paths_to_purchase,
-        "followup_rates_matrix": paths.followup_rates_matrix,  # within-1h pair rates (r10)  # pre-conversion paths
+        "top_paths_to_purchase": paths.top_paths_to_purchase,  # pre-conversion paths
+        "followup_rates_matrix": paths.followup_rates_matrix,  # within-1h pair rates (r10)
     },
     paths.ORACLE_SQL,
 )
@@ -396,6 +396,11 @@ _register(
         "media_dedup": multimodal.media_dedup_query,
         "media_resize_plan": multimodal.media_resize_plan,  # aspect-fit targets
         "media_frame_samples": multimodal.media_frame_samples,  # decode schedule
+        # perceptual near-dup (r11): rows-only by the engine-specific-hash
+        # convention — the fingerprint depends on the pluggable phasher
+        # (multimodal.py banner); recall + banding pinned in tests
+        "media_phash_candidates": multimodal.media_phash_candidates,
+        "media_phash_dedup_report": multimodal.media_phash_dedup_report,
     },
     multimodal.ORACLE_SQL,
 )
@@ -483,129 +488,110 @@ _register(
 # after the r8 close-out — the ledger below is the control that keeps
 # worst-case staleness bounded).
 #
-# ROUND-10 window (per VERDICT r9 #1, executing the r9 ledger note
-# EXACTLY): all 50 slots oracle-backed. Arithmetic note, stated
-# honestly: 202 oracle-backed entries / 50 slots makes a ≤3-round
-# staleness bound impossible (period 4.04 and growing); the ledger
-# therefore always spends slots on (a) never-sampled entries first,
-# (b) the stalest cohort next, and records EXACTLY which entries
-# defer to the next round. Whole-catalog currency no longer rides
-# this window alone: CORRECTNESS_FULL_r10.json commits a full
-# 221-query differential each round (VERDICT r9 #2).
-#   1. 31 of the 33 r9-registered entries with NO driver row ever
-#      (registered after the r9 window froze; all 3-SF-certified at
-#      registration). The r9 note named all 33 and deferred the
-#      last-registered pair — activity_heatmap and
-#      embedding_norm_stats — to lead r11.
-#   2. the 19 r6-last-green entries deferred from the r9 window
-#      (4 rounds stale after r10 otherwise — mandatory, named in the
-#      r9 note): lang_id_scores ... vocab_topk, exactly as listed.
+# ROUND-11 window (per VERDICT r10 #1, executing the r10 ledger note
+# EXACTLY). Arithmetic note, stated honestly: 237 oracle-backed
+# entries / 50 slots ≈ period 4.7; the ledger therefore always spends
+# slots on (a) never-sampled entries first, (b) the stalest cohort
+# next, and records EXACTLY which entries defer to the next round.
+# Whole-catalog currency no longer rides this window alone:
+# CORRECTNESS_FULL_r{N}.json commits a full catalog differential each
+# round (and, from r11, CORRECTNESS_SF01_r{N}.json the sf0.1 sweep).
+#   1. the two group-(a) deferrals the r10 note named:
+#      activity_heatmap, embedding_norm_stats.
+#   2. the 35 oracle-backed entries registered DURING r10 and never
+#      sampled, in the r10 note's order: the early-r10 four (quality
+#      gates + fuzzy unicode), the 13 warehouse-suite entries, the 2
+#      basket entries, the fusion + forecast trio, the
+#      lifetime/community/IR six (revenue_cohorts,
+#      order_interarrival_stats, copurchase_components,
+#      search_snippets, lang_id_confusion, order_gap_survival), the
+#      segment-dynamics pair, the incremental-composition proof, the
+#      followed-by matrix + graph QC pair, and the
+#      engagement/fulfilment pair.
+#   3. the alphabetical FIRST 13 of the 50 r7-last-green entries
+#      (4 rounds stale at r11 — mandatory, named in the r10 note):
+#      bigram_logprob_scores ... dedup_normalized, exactly as listed.
 #
-# ROUND-11 ROTATION NOTE: mandatory leads, in this order — (a) the
-# two group-(a) deferrals above: activity_heatmap,
-# embedding_norm_stats; (b) the oracle-backed entries registered
-# DURING r10 and therefore never sampled — first the early-r10 four:
-# quality_gate_auc, quality_gate_pr_curve, quality_gate_calibration,
-# fuzzy_dedup_unicode; then the 13 warehouse-suite entries:
-# shipping_priority_topk, discount_revenue_opportunity,
-# volume_shipping_by_year, market_share_by_year,
-# product_profit_by_nation_year, customer_order_distribution,
-# promo_revenue_by_month, top_supplier_by_revenue,
-# small_order_revenue, large_volume_customers,
-# brand_quantity_revenue, late_supplier_blame,
-# idle_high_balance_customers; then the 2 basket entries:
-# copurchase_pairs, association_rules; then the fusion + forecast
-# trio: search_rank_fusion, seasonal_naive_error_by_type,
-# ewma_daily_value_by_type; then the lifetime/community/IR five:
-# revenue_cohorts, order_interarrival_stats, copurchase_components,
-# search_snippets, lang_id_confusion, order_gap_survival; then the
-# segment-dynamics pair: segment_migration_matrix,
-# segment_churn_rates; then the incremental-composition proof:
-# revenue_cohorts_incremental; then the followed-by matrix + graph
-# QC pair: followup_rates_matrix, provenance_degree_histogram; then
-# the engagement/fulfilment pair: engagement_ratios,
-# fulfillment_latency_by_priority;
-# (c) the alphabetical FIRST 13 of the 50
-# r7-last-green entries (4 rounds stale at r11 — mandatory):
-# bigram_logprob_scores, centroid_drift_by_label, conversion_funnel,
-# corpus_mix, cosine_topk, cross_dedup, cum_txs_per_day,
-# daily_cum_ibc_transfers, daily_twap_by_type, daily_value_moving_avg,
-# dataset_splits, decontaminate, dedup_normalized.
-# Groups
-# (a) 2 + (b) 35 + (c) 13 = 50 fill the window exactly; the
-# alphabetical LAST THIRTY-SEVEN of the r7 cohort — doc_word_counts,
-# embedding_dedup_corpus, event_flows_union,
-# events_near_errors, gas_used_per_day,
-# hourly_ohlc_by_type,
-# ibc_transfers, ibc_transfers_in,
-# importance_sample, key_skew_report, last_purchase_asof,
-# lineitem_flag_status_key, nation_revenue_rollup,
-# ngram5_logprob_scores, ngram_jaccard_pairs,
-# orders_with_returns, pack_sequences,
-# paragraph_dedup, perplexity_buckets,
-# perplexity_buckets_ngram5, pricing_summary, project_embeddings,
-# retention_cohorts, returned_items_topk, session_stats,
-# snapshot_diff, span_dedup_corpus, training_corpus, txs_per_day,
-# txs_per_day_gapfilled, user_activity_span, value_cube_by_type_day,
-# value_histogram_by_type, value_percentiles_by_type,
-# value_zscore_outliers, windowed_value_by_type, winsorize_values —
-# defer to r12 (5 rounds stale there — mandatory r12 leads, ahead of
-# everything else), and the r8-last-green cohort (the 50 names in
-# CORRECTNESS_r08.json, 3 rounds stale at r11) queues behind them.
+# ROUND-12 ROTATION NOTE: mandatory leads, in this order — (a) the
+# alphabetical LAST THIRTY-SEVEN of the r7-last-green cohort
+# (5 rounds stale at r12 — mandatory, ahead of everything else):
+# doc_word_counts, embedding_dedup_corpus, event_flows_union,
+# events_near_errors, gas_used_per_day, hourly_ohlc_by_type,
+# ibc_transfers, ibc_transfers_in, importance_sample,
+# key_skew_report, last_purchase_asof, lineitem_flag_status_key,
+# nation_revenue_rollup, ngram5_logprob_scores, ngram_jaccard_pairs,
+# orders_with_returns, pack_sequences, paragraph_dedup,
+# perplexity_buckets, perplexity_buckets_ngram5, pricing_summary,
+# project_embeddings, retention_cohorts, returned_items_topk,
+# session_stats, snapshot_diff, span_dedup_corpus, training_corpus,
+# txs_per_day, txs_per_day_gapfilled, user_activity_span,
+# value_cube_by_type_day, value_histogram_by_type,
+# value_percentiles_by_type, value_zscore_outliers,
+# windowed_value_by_type, winsorize_values;
+# (b) the oracle-backed entries registered DURING r11 and therefore
+# never sampled — in registration order: media_phash_candidates,
+# media_phash_dedup_report, engagement_ratios_hll;
+# (c) the remaining 10 slots go to the alphabetical FIRST 10 of the
+# r8-last-green cohort (the 50 names in CORRECTNESS_r08.json,
+# 4 rounds stale at r12 — mandatory): the alphabetical rest of that
+# cohort plus everything r9-and-later-green queues behind them for
+# r13.  Groups (a) 37 + (b) 3 + (c) 10 = 50 fill the window exactly.
 _SAMPLE_PRIORITY = (
-    # 1 — first driver rows for the 31 never-sampled r9-wave entries
-    "table_profile",  # per-column profiling rollup
-    "constraint_checks",  # declarative data-test verdicts
-    "pmi_collocations",  # global PMI bigram ranking
-    "top_collocations_by_source",  # per-source PMI window rank
-    "doc_label_propagation",  # iterative label spreading
-    "oov_rate_by_source",  # tokenizer-fit OOV diagnostic
-    "doc_length_histogram",  # log2-bucket length spectrum
-    "doc_novelty_scores",  # arrival-order shingle novelty
-    "source_similarity_matrix",  # source×source vocab cosine
-    "curriculum_order",  # difficulty-ordered curriculum
-    "curriculum_order_distributed",  # partition-map global ordinal
-    "ab_variant_report",  # A/B lift + Welch t components
-    "rfm_segments",  # exact-quantile RFM segmentation
-    "value_mad_outliers",  # MAD robust outliers (lattice ties)
-    "value_trend_by_type",  # exact-moment OLS trend
-    "type_correlation_matrix",  # Pearson over daily integer sums
-    "benford_digit_qc",  # leading-digit Benford QC
-    "source_concentration",  # Gini/HHI concentration
-    "rolling_7d_distinct_users",  # bounded ×7 fan-out distinct
-    "time_to_conversion",  # view→purchase latency quantiles
-    "inter_event_gap_stats",  # per-user gap moments
-    "quality_rank_by_source",  # exact per-source pctl rank
-    "scd2_user_state",  # type-2 slowly-changing dimension
-    "provenance_triangles",  # triangle motif count
-    "phrase_search",  # positional exact-phrase match
-    "proximity_search",  # bounded token-distance search
-    "daily_value_percentiles",  # exact per-day percentiles
-    "type_share_by_day",  # per-day type share
-    "new_vs_returning_users",  # first-seen cohort split
-    "late_shipment_rate_by_priority",  # TPC-H-Q12-shaped SLA
-    "dedup_cluster_sizes",  # near-dup cluster histogram
-    # 2 — the 19 r6-last-green entries the r9 note deferred here
-    # (mandatory: 4 rounds stale otherwise)
-    "lang_id_scores",
-    "media_features",
-    "perplexity_buckets_distributed",
-    "quality_by_source",
-    "quality_filter",
-    "quality_scores",
-    "quantize_embeddings",
-    "redact_pii",
-    "repetition_scores",
-    "shuffle_order",
-    "source_kl_divergence",
-    "span_dedup_report",
-    "stratified_sample",
-    "temperature_mix_weights",
-    "tfidf_keywords",
-    "token_stats",
-    "unigram_logprob_scores",
-    "vocab_growth",
-    "vocab_topk",
+    # 1 — the two deferrals the r10 ledger named to lead r11
+    "activity_heatmap",  # hour-of-week cells
+    "embedding_norm_stats",  # norm-bucket QC
+    # 2 — the 35 r10-registered entries, first driver rows ever,
+    # in the r10 note's order
+    "quality_gate_auc",  # gate-score AUC vs survivorship
+    "quality_gate_pr_curve",  # precision/recall sweep
+    "quality_gate_calibration",  # reliability bins
+    "fuzzy_dedup_unicode",  # UTF-8 byte-contract certification
+    "shipping_priority_topk",  # warehouse Q3 shape
+    "discount_revenue_opportunity",  # Q6
+    "volume_shipping_by_year",  # Q7
+    "market_share_by_year",  # Q8
+    "product_profit_by_nation_year",  # Q9
+    "customer_order_distribution",  # Q13
+    "promo_revenue_by_month",  # Q14
+    "top_supplier_by_revenue",  # Q15
+    "small_order_revenue",  # Q17
+    "large_volume_customers",  # Q18
+    "brand_quantity_revenue",  # Q19
+    "late_supplier_blame",  # Q21
+    "idle_high_balance_customers",  # Q22
+    "copurchase_pairs",  # basket pair counts
+    "association_rules",  # support/confidence/lift
+    "search_rank_fusion",  # RRF over 3 rankers
+    "seasonal_naive_error_by_type",  # forecast backtest
+    "ewma_daily_value_by_type",  # exact-integer EWMA lattice
+    "revenue_cohorts",  # cohort-LTV triangle
+    "order_interarrival_stats",  # purchase cadence
+    "copurchase_components",  # basket communities
+    "search_snippets",  # KWIC windows
+    "lang_id_confusion",  # heuristic-vs-truth matrix
+    "order_gap_survival",  # gap survival curve
+    "segment_migration_matrix",  # RFM state transitions
+    "segment_churn_rates",  # per-segment churn
+    "revenue_cohorts_incremental",  # incremental ≡ batch proof
+    "followup_rates_matrix",  # within-1h pair rates
+    "provenance_degree_histogram",  # graph-QC degree spectrum
+    "engagement_ratios",  # DAU/WAU/MAU panel
+    "fulfillment_latency_by_priority",  # order→ship latency
+    # 3 — the alphabetical first 13 of the r7-last-green cohort
+    # (mandatory: 5 rounds stale otherwise)
+    "bigram_logprob_scores",
+    "centroid_drift_by_label",
+    "conversion_funnel",
+    "corpus_mix",
+    "cosine_topk",
+    "cross_dedup",
+    "cum_txs_per_day",
+    "daily_cum_ibc_transfers",
+    "daily_twap_by_type",
+    "daily_value_moving_avg",
+    "dataset_splits",
+    "decontaminate",
+    "dedup_normalized",
     # — 50-row window ends here —
 )
 

@@ -3,7 +3,11 @@ differential in the driver's own per-query shape (VERDICT r9 #2: the
 50-slot driver window cannot carry certification currency for a
 200+-oracle catalog, so each round commits one full sim).
 
-Usage:  python scripts/correctness_full.py 10     # writes _r10
+Usage:  python scripts/correctness_full.py 10     # writes CORRECTNESS_FULL_r10
+        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+            python scripts/correctness_full.py 11 SF01   # CORRECTNESS_SF01_r11
+The optional second argument names the artifact (default FULL) — the
+SF01 form commits the sf0.1 whole-catalog sweep per VERDICT r10 #4.
 Rows-only entries (no declared oracle) record the documented weaker
 check: the Spark frame must materialize with a stable schema; the
 `err` field carries the by-design note, mirroring the driver.
@@ -81,7 +85,8 @@ def main() -> None:
             failures += 1
         out[name] = rec
 
-    path = os.path.join(ROOT, f"CORRECTNESS_FULL_r{rnd:02d}.json")
+    label = sys.argv[2] if len(sys.argv) > 2 else "FULL"
+    path = os.path.join(ROOT, f"CORRECTNESS_{label}_r{rnd:02d}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"{path}: {len(out)} entries, {failures} failures")

@@ -59,6 +59,125 @@ def test_resizer_seam_is_pluggable(spark):
         set_resizer(M._fake_resize)
 
 
+def _byte_stream(seed: int, n: int) -> bytes:
+    import hashlib
+
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+def _resample(payload: bytes, m: int) -> bytes:
+    """Fake 'resize': nearest-neighbor resample of the byte signal —
+    preserves block means, like pixel resampling preserves the
+    low-frequency image content a real pHash keys on."""
+    n = len(payload)
+    return bytes(payload[j * n // m] for j in range(m))
+
+
+def _requantize(payload: bytes, q: int = 8) -> bytes:
+    """Fake 'lossy re-encode': quantize every byte to a multiple of q —
+    shifts all block means (and the median) together."""
+    return bytes((b // q) * q for b in payload)
+
+
+def _phash_media(spark, rows):
+    from bread_spark.extensions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_phash_planted_transform_recall(spark):
+    """Resized and re-encoded twins are FOUND (within the Hamming gate,
+    via a shared band); distinct originals are NOT paired — the recall
+    pin VERDICT r10 #5 asked for. Audio rows never enter the family."""
+    from bread_spark.extensions.multimodal import (
+        PHASH_MAX_HAMMING,
+        media_phash_features,
+        phash_candidate_pairs,
+    )
+
+    rows = [(i, "image", _byte_stream(i, 2048), "image/png") for i in range(8)]
+    rows += [
+        (100 + i, "image", _resample(_byte_stream(i, 2048), 3072), "image/png")
+        for i in range(4)
+    ]
+    rows += [
+        (100 + i, "image", _requantize(_byte_stream(i, 2048)), "image/png")
+        for i in range(4, 8)
+    ]
+    rows.append((999, "audio", _byte_stream(0, 2048), "audio/wav"))
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in phash_candidate_pairs(
+            media_phash_features(_phash_media(spark, rows))
+        ).collect()
+    }
+    assert set(pairs) == {(i, 100 + i) for i in range(8)}
+    assert all(h <= PHASH_MAX_HAMMING for h in pairs.values())
+
+
+def test_phash_bands_and_hamming_agree_with_python(spark):
+    """The Spark band-wise bit_count Hamming equals the Python distance
+    on the same fingerprints, and band ints stay within 8 bits."""
+    from bread_spark.extensions.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        _fake_phash,
+        media_phash_features,
+        phash_candidate_pairs,
+    )
+
+    p0 = _byte_stream(3, 2048)
+    p1 = _resample(p0, 2560)
+    h0, h1 = _fake_phash(p0, "image"), _fake_phash(p1, "image")
+    assert len(h0) == PHASH_BANDS
+    assert all(0 <= b < (1 << (PHASH_BITS // PHASH_BANDS)) for b in h0)
+    want = sum(bin(x ^ y).count("1") for x, y in zip(h0, h1))
+    rows = [(1, "image", p0, "image/png"), (2, "image", p1, "image/png")]
+    got = phash_candidate_pairs(
+        media_phash_features(_phash_media(spark, rows))
+    ).collect()
+    assert [(r.media_id_a, r.media_id_b, r.hamming) for r in got] == [
+        (1, 2, want)
+    ]
+
+
+def test_phash_dedup_report_clusters(spark):
+    """Each planted (original, twin) pair becomes one 2-member cluster
+    labeled by its min media_id; unpaired media produce no row."""
+    from bread_spark.extensions.multimodal import (
+        media_phash_features,
+        phash_candidate_pairs,
+    )
+    from bread_spark.extensions.dedup import connected_components
+    import pyspark.sql.functions as F
+
+    rows = [(i, "image", _byte_stream(i, 2048), "image/png") for i in range(4)]
+    rows += [
+        (100 + i, "image", _resample(_byte_stream(i, 2048), 3072), "image/png")
+        for i in range(4)
+    ]
+    feats = media_phash_features(_phash_media(spark, rows))
+    pairs = phash_candidate_pairs(feats).select(
+        F.col("media_id_a").alias("doc_a"), F.col("media_id_b").alias("doc_b")
+    )
+    labels = connected_components(
+        feats.select(F.col("media_id").alias("doc_id")), pairs
+    )
+    report = {
+        r.canonical_media_id: r.cluster_size
+        for r in labels.groupBy(F.col("cluster_id").alias("canonical_media_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .collect()
+    }
+    assert report == {i: 2 for i in range(4)}
+
+
 def test_frame_samples_schedule_is_stride_30(spark):
     from bread_spark.extensions.multimodal import FRAME_EVERY_N, media_frame_samples
 

@@ -1034,6 +1034,17 @@ def test_search_rank_fusion_bounded_windows_and_take_ordered(plans):
     assert "CartesianProduct" not in p
 
 
+def test_phash_candidates_banded_join(plans):
+    """Perceptual near-dup candidates meet ONLY inside (band_idx,
+    band_value) buckets: the self-join is keyed (hash/sort-merge on the
+    exploded band rows), never a nested-loop/cartesian all-pairs stage
+    (VERDICT r10 #5's banded-candidates pin)."""
+    p = plans("media_phash_candidates")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # posexplode of the band array feeds the join
+
+
 def test_forecast_plans_keyed_no_window(plans):
     """The EWMA is the bounded fan-out, not a window over an unbounded
     frame; the backtest is one keyed self-join of the daily seam."""

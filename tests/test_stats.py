@@ -285,6 +285,10 @@ def test_engagement_ratios_hand_computed(spark):
 
     rows = [(1, datetime(2024, 1, d, 12)) for d in range(1, 11)]
     rows.append((2, datetime(2024, 1, 1, 13)))
+    # NULL-user events are dropped up front (r10 ADVICE): without the
+    # filter, users_1d would count the (day, NULL) row while the
+    # countDistinct windows drop it, letting dau_wau_ppm exceed 1e6.
+    rows.append((None, datetime(2024, 1, 8, 14)))
     ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp").select(
         "ts", "user_id"
     )
