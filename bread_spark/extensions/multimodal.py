@@ -477,6 +477,46 @@ def media_phash_candidates(spark, sf_dir: str) -> DataFrame:
     return phash_candidate_pairs(feats)
 
 
+def phash_band_table(media: DataFrame) -> DataFrame:
+    """DISTINCT (band_idx, band_val) table of a corpus' perceptual
+    bands — the persisted gate side of the streaming story. Maintained
+    incrementally at ingest exactly like the LSH band table
+    (`dedup._lsh_bands` discipline): append accepted media's band rows,
+    never rebuild history."""
+    return (
+        media_phash_features(media)
+        .select(F.posexplode("bands").alias("band_idx", "band_val"))
+        .distinct()
+    )
+
+
+def phash_gate(media: DataFrame, base_bands: DataFrame) -> DataFrame:
+    """Admission gate: keep only incoming media whose fingerprint
+    shares NO band with the persisted corpus — the `decontaminate`
+    semi/anti discipline applied to perceptual bands. Collision = ANY
+    shared band (the candidate-recall side of the batch pipeline): an
+    ingest gate dedups conservatively; the exact Hamming verify runs
+    offline on quarantined collisions when precision matters.
+
+    Streaming deployment: media-grain anti semantics need the per-media
+    band set complete, so the stream wraps THIS function in
+    `foreachBatch` (each micro-batch is a bounded frame; the band table
+    is the static side and accepted rows' bands append to it) — the
+    same micro-batch-refresh posture as the LSH ingest gate. Inside one
+    batch both joins are keyed on (band_idx, band_val)/media_id —
+    no all-pairs stage, payloads never shuffle."""
+    feats = media_phash_features(media)
+    bands = feats.select(
+        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    colliding = (
+        bands.join(base_bands, ["band_idx", "band_val"], "left_semi")
+        .select("media_id")
+        .distinct()
+    )
+    return feats.join(colliding, "media_id", "left_anti")
+
+
 def media_phash_dedup_report(spark, sf_dir: str) -> DataFrame:
     """Catalog entry: perceptual dedup clusters — connected components
     over the accepted pair graph (the `dedup_clusters` min-label

@@ -178,6 +178,39 @@ def test_phash_dedup_report_clusters(spark):
     assert report == {i: 2 for i in range(4)}
 
 
+def test_phash_gate_drops_twins_admits_novel(spark):
+    """The ingest gate (foreachBatch body of the streaming story):
+    incoming media colliding with ANY persisted band is dropped —
+    including resized/re-encoded twins of base content — while novel
+    content passes."""
+    from bread_spark.extensions.multimodal import (
+        phash_band_table,
+        phash_gate,
+    )
+
+    base = _phash_media(
+        spark, [(i, "image", _byte_stream(i, 2048), "image/png") for i in range(4)]
+    )
+    incoming = _phash_media(
+        spark,
+        [
+            # twins of base 0/1 under both planted transforms
+            (100, "image", _resample(_byte_stream(0, 2048), 3072), "image/png"),
+            (101, "image", _requantize(_byte_stream(1, 2048)), "image/png"),
+            # novel content
+            (200, "image", _byte_stream(40, 2048), "image/png"),
+            (201, "image", _byte_stream(41, 2048), "image/png"),
+        ],
+    )
+    admitted = {
+        r.media_id for r in phash_gate(incoming, phash_band_table(base)).collect()
+    }
+    assert 100 not in admitted and 101 not in admitted
+    # novel media admitted unless an ~2^-8-per-band chance collision
+    # fires; seeds 40/41 are pinned collision-free against seeds 0-3
+    assert admitted == {200, 201}
+
+
 def test_frame_samples_schedule_is_stride_30(spark):
     from bread_spark.extensions.multimodal import FRAME_EVERY_N, media_frame_samples
 
