@@ -469,12 +469,30 @@ def phash_candidate_pairs(
     )
 
 
+def phash_pair_frame(spark, sf_dir: str) -> DataFrame:
+    """Compute-once accepted-pair frame for the canonical derived media
+    table — shared by `media_phash_candidates` and
+    `media_phash_dedup_report` (seams convention: the fingerprint
+    mapInPandas pass + banded join ran twice before this, 1.7 s + 3.7 s
+    in the r11 bench capture; the report now pays only components)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "media_phash_pairs",
+        sf_dir,
+        lambda: phash_candidate_pairs(
+            media_phash_features(media_from_documents(spark, sf_dir))
+        ),
+        (PHASH_BANDS, PHASH_MAX_HAMMING),
+    )
+
+
 def media_phash_candidates(spark, sf_dir: str) -> DataFrame:
     """Catalog entry: perceptual near-dup candidate pairs over the
     derived media table — (media_id_a, media_id_b, hamming). Rows-only
     by the engine-specific-hash convention (module banner)."""
-    feats = media_phash_features(media_from_documents(spark, sf_dir))
-    return phash_candidate_pairs(feats)
+    return phash_pair_frame(spark, sf_dir)
 
 
 def phash_band_table(media: DataFrame) -> DataFrame:
@@ -524,12 +542,18 @@ def media_phash_dedup_report(spark, sf_dir: str) -> DataFrame:
     (canonical_media_id, cluster_size). Rows-only (module banner)."""
     from .dedup import connected_components
 
-    media = media_from_documents(spark, sf_dir)
-    feats = media_phash_features(media)
-    pairs = phash_candidate_pairs(feats).select(
+    pairs = phash_pair_frame(spark, sf_dir).select(
         F.col("media_id_a").alias("doc_a"), F.col("media_id_b").alias("doc_b")
     )
-    nodes = feats.select(F.col("media_id").alias("doc_id"))
+    # nodes = only media that appear in a pair: singletons label to
+    # themselves and are dropped by the size-≥2 filter anyway, so the
+    # components frame never carries the unpaired corpus (and the
+    # fingerprint pass is not re-run for a node list)
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     labels = connected_components(nodes, pairs)
     return (
         labels.groupBy(F.col("cluster_id").alias("canonical_media_id"))

@@ -1034,12 +1034,24 @@ def test_search_rank_fusion_bounded_windows_and_take_ordered(plans):
     assert "CartesianProduct" not in p
 
 
-def test_phash_candidates_banded_join(plans):
+def test_phash_candidates_banded_join(spark, sf_dir):
     """Perceptual near-dup candidates meet ONLY inside (band_idx,
     band_value) buckets: the self-join is keyed (hash/sort-merge on the
     exploded band rows), never a nested-loop/cartesian all-pairs stage
-    (VERDICT r10 #5's banded-candidates pin)."""
-    p = plans("media_phash_candidates")
+    (VERDICT r10 #5's banded-candidates pin). Targets the
+    unmaterialized pair core (seams convention — the catalog entry
+    reads the checkpointed `phash_pair_frame`)."""
+    from bread_spark.extensions.multimodal import (
+        media_from_documents,
+        media_phash_features,
+        phash_candidate_pairs,
+    )
+
+    p = physical_plan(
+        phash_candidate_pairs(
+            media_phash_features(media_from_documents(spark, sf_dir))
+        )
+    )
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Generate" in p  # posexplode of the band array feeds the join
