@@ -46,7 +46,10 @@ def connect_server(tmp_path_factory):
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
     )
-    deadline = time.monotonic() + 120
+    # 300 s: the spawn competes with 4 shard JVMs under the sharded
+    # nightly tier, and the contended-host mode (PERF_NOTES) stretches
+    # JVM+session startup well past the old 120 s budget
+    deadline = time.monotonic() + 300
     while time.monotonic() < deadline and not os.path.exists(ready):
         if proc.poll() is not None:
             out = proc.stdout.read().decode(errors="replace")
