@@ -408,9 +408,10 @@ def main() -> None:
         "followup_rates_matrix",
         "engagement_ratios",
         "fulfillment_latency_by_priority",
-        # r11: perceptual media near-dup
+        # r11: perceptual media near-dup + lag ACF
         "media_phash_candidates",
         "media_phash_dedup_report",
+        "autocorrelation_by_type",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -615,6 +616,7 @@ def main() -> None:
     R11_ADDITIONS = {
         "media_phash_candidates",
         "media_phash_dedup_report",
+        "autocorrelation_by_type",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -270,6 +270,89 @@ def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lag autocorrelation (ACF)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7  # one week of daily lags — seasonality shows at lag 7
+_DEC = "decimal(38,0)"
+
+
+def acf_from_daily(daily: DataFrame, max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """(event_type, lag, n_pairs, cov_num, acf) — lag-k Pearson between
+    each type's daily series and its k-day-later self, k = 1..max_lag,
+    over the day pairs where BOTH ends exist (no gap imputation — the
+    aligned-inner-join contract of `correlation_from_daily`). The
+    seasonality diagnostic the monitoring family reads next to the
+    decomposition: a weekly cycle peaks at lag 7, trend shows as slow
+    decay, white noise sits near 0 at every lag.
+
+    Exact-moment discipline (DECISIONS #12): integer daily micro-sums,
+    DECIMAL(38,0)/HUGEINT moment products, covariance numerator rides
+    as the exact integer string; the only float is ONE IEEE division
+    rounded 6. Plan: the lag fan-out is a bounded ×max_lag explode of
+    the tiny daily table; the self-join is equi-keyed on
+    (type, day+lag) — shuffle on the rollup, never on raw events.
+
+    Streaming surface: same as trend/correlation — a snapshot of the
+    streamed daily micro table (`daily_micro_stream`) fed through this
+    batch fold IS the batch answer (pinned in
+    tests/test_streaming_stats.py)."""
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("x").alias("ya"),
+        F.explode(F.expr(f"sequence(1, {max_lag})")).alias("lag"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("x").alias("yb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("type_a") == F.col("type_b"))
+        & (F.expr("date_add(day_a, lag)") == F.col("day_b")),
+    )
+    m = pairs.groupBy("type_a", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya").cast(_DEC) * F.col("ya").cast(_DEC)).alias("saa"),
+        F.sum(F.col("yb").cast(_DEC) * F.col("yb").cast(_DEC)).alias("sbb"),
+        F.sum(F.col("ya").cast(_DEC) * F.col("yb").cast(_DEC)).alias("sab"),
+    )
+    num = F.col("n").cast(_DEC) * F.col("sab") - F.col("sa").cast(
+        _DEC
+    ) * F.col("sb").cast(_DEC)
+    dena = F.col("n").cast(_DEC) * F.col("saa") - F.col("sa").cast(
+        _DEC
+    ) * F.col("sa").cast(_DEC)
+    denb = F.col("n").cast(_DEC) * F.col("sbb") - F.col("sb").cast(
+        _DEC
+    ) * F.col("sb").cast(_DEC)
+    acf = F.when(
+        (dena > 0) & (denb > 0),
+        F.round(
+            num.cast("double")
+            / F.sqrt(dena.cast("double") * denb.cast("double")),
+            6,
+        ),
+    )
+    return m.select(
+        F.col("type_a").alias("event_type"),
+        "lag",
+        F.col("n").alias("n_pairs"),
+        num.cast("string").alias("cov_num"),
+        acf.alias("acf"),
+    )
+
+
+def autocorrelation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: `acf_from_daily` off the shared daily seam."""
+    return acf_from_daily(daily_micro_frame(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
 
@@ -351,6 +434,42 @@ _SEAS_CTE = (
 )
 
 ORACLE_SQL: dict[str, str] = {
+    "autocorrelation_by_type": _DAILY_CTE
+    + f""",
+    lags AS (SELECT CAST(unnest(range(1, {ACF_MAX_LAG + 1})) AS INT) AS lag),
+    m AS (
+        SELECT a.event_type, l.lag,
+               COUNT(1) AS n,
+               CAST(SUM(a.x) AS BIGINT) AS sa,
+               CAST(SUM(b.x) AS BIGINT) AS sb,
+               SUM(CAST(a.x AS HUGEINT) * a.x) AS saa,
+               SUM(CAST(b.x AS HUGEINT) * b.x) AS sbb,
+               SUM(CAST(a.x AS HUGEINT) * b.x) AS sab
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.day = a.day + l.lag
+        GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT event_type, lag, n,
+               CAST(n AS HUGEINT) * sab
+                   - CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT) AS num,
+               CAST(n AS HUGEINT) * saa
+                   - CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT) AS dena,
+               CAST(n AS HUGEINT) * sbb
+                   - CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT) AS denb
+        FROM m
+    )
+    SELECT event_type, lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(num AS VARCHAR) AS cov_num,
+           CASE WHEN dena > 0 AND denb > 0 THEN
+               ROUND(CAST(num AS DOUBLE)
+                     / sqrt(CAST(dena AS DOUBLE) * CAST(denb AS DOUBLE)), 6)
+           END AS acf
+    FROM nd
+""",
     "value_cusum_by_type": _CUSUM_CTE
     + """
     SELECT event_type, day, CAST(x AS BIGINT) AS x,

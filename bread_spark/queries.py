@@ -343,6 +343,7 @@ _register(
         "seasonal_anomalies": timeseries.seasonal_anomalies,  # seasonality-aware outliers
         "value_psi_by_type": timeseries.value_psi_by_type,  # distribution drift (PSI)
         "events_monitoring_dashboard": timeseries.events_monitoring_dashboard,  # rollup
+        "autocorrelation_by_type": timeseries.autocorrelation_by_type,  # lag ACF (r11)
     },
     timeseries.ORACLE_SQL,
 )
@@ -528,20 +529,21 @@ _register(
 # value_cube_by_type_day, value_histogram_by_type,
 # value_percentiles_by_type, value_zscore_outliers,
 # windowed_value_by_type, winsorize_values;
-# (b) none — the entries registered DURING r11
-# (media_phash_candidates, media_phash_dedup_report) are ROWS-ONLY by
-# the engine-specific-hash convention and the window spends its slots
-# on oracle-backed entries (their currency rides CORRECTNESS_FULL /
-# CORRECTNESS_SF01, where both are green);
-# (c) the alphabetical FIRST 13 of the r8-last-green cohort (the 50
+# (b) the ONE oracle-backed entry registered DURING r11 and never
+# sampled: autocorrelation_by_type (the phash pair registered the
+# same round is ROWS-ONLY by the engine-specific-hash convention and
+# the window spends its slots on oracle-backed entries — its currency
+# rides CORRECTNESS_FULL / CORRECTNESS_SF01, where both are green);
+# (c) the alphabetical FIRST 12 of the r8-last-green cohort (the 50
 # names in CORRECTNESS_r08.json, 4 rounds stale at r12 — mandatory):
 # boilerplate_chunks, boilerplate_filtered_corpus,
 # bootstrap_source_stats, cdc_chunk_dedup, cdc_chunks,
 # cluster_quality_report, cms_heavy_hitters, cms_probe_report,
 # cms_sketch, corpus_mix_tokens, cross_fuzzy_matches,
-# cum_value_by_type, curated_corpus_v2; the alphabetical rest of that
-# cohort plus everything r9-and-later-green queues behind them for
-# r13.  Groups (a) 37 + (b) 0 + (c) 13 = 50 fill the window exactly.
+# cum_value_by_type; the alphabetical rest of that cohort
+# (curated_corpus_v2 onward) plus everything r9-and-later-green
+# queues behind them for r13.
+# Groups (a) 37 + (b) 1 + (c) 12 = 50 fill the window exactly.
 _SAMPLE_PRIORITY = (
     # 1 — the two deferrals the r10 ledger named to lead r11
     "activity_heatmap",  # hour-of-week cells

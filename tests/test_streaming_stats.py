@@ -75,12 +75,14 @@ def test_daily_stream_matches_batch_and_feeds_trend_and_corr(spark, tmp_path):
     src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
     os.makedirs(src)
     _write(src, "b1.json", BATCH1)
+    from bread_spark.extensions.timeseries import acf_from_daily
+
     got = _run(spark, src, ckpt, "stats_d1", daily_micro_stream)
     batch = _daily_micro(_batch_df(spark, BATCH1))
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in batch.collect()
     }
-    for proj in (trend_from_daily, correlation_from_daily):
+    for proj in (trend_from_daily, correlation_from_daily, acf_from_daily):
         snap = proj(got).collect()
         ref = proj(batch).collect()
         assert sorted(map(tuple, snap)) == sorted(map(tuple, ref))

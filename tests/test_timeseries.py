@@ -205,3 +205,46 @@ def test_monitoring_dashboard_cells_equal_members(spark):
         got_anom = anom.get(t, {"n": 0, "peak": None})
         assert row["n_seasonal_anomalies"] == got_anom["n"]
         assert row["peak_severity_pct"] == got_anom["peak"]
+
+
+def test_acf_alternating_series_exact_signs(spark):
+    """A strict period-2 series has acf(1) = -1 and acf(2) = +1 exactly
+    (every aligned pair anti-/co-varies), with the expected pair
+    counts; a constant series yields NULL acf (zero variance guard).
+    Hand-checks the exact-moment arithmetic end to end."""
+    from bread_spark.extensions.timeseries import acf_from_daily
+
+    xs = [100, 200, 100, 200, 100, 200]
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    rows += [("c", i, 50) for i in range(6)]  # constant: NULL acf
+    got = {
+        (r.event_type, r.lag): r
+        for r in acf_from_daily(_daily(spark, rows), max_lag=2).collect()
+    }
+    a1, a2 = got[("a", 1)], got[("a", 2)]
+    assert (a1.n_pairs, a1.acf) == (5, -1.0)
+    assert (a2.n_pairs, a2.acf) == (4, 1.0)
+    # cov_num is the exact integer string: lag-1 numerator =
+    # n*sab - sa*sb over the 5 aligned pairs
+    pairs1 = list(zip(xs, xs[1:]))
+    n = len(pairs1)
+    sa = sum(p[0] for p in pairs1)
+    sb = sum(p[1] for p in pairs1)
+    sab = sum(p[0] * p[1] for p in pairs1)
+    assert a1.cov_num == str(n * sab - sa * sb)
+    assert got[("c", 1)].acf is None
+    assert got[("c", 1)].cov_num == "0"
+
+
+def test_acf_gap_alignment_contract(spark):
+    """A missing day drops exactly the pairs that touch it (aligned
+    inner join — no imputation): 5 observed days with day 2 absent
+    leave 3 lag-1 pairs and 2 lag-2 pairs."""
+    from bread_spark.extensions.timeseries import acf_from_daily
+
+    rows = [("a", d, x) for d, x in [(0, 10), (1, 30), (3, 20), (4, 80), (5, 60)]]
+    got = {
+        r.lag: r.n_pairs
+        for r in acf_from_daily(_daily(spark, rows), max_lag=2).collect()
+    }
+    assert got == {1: 3, 2: 2}
