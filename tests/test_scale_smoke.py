@@ -1203,3 +1203,30 @@ def test_quality_rank_replication_keeps_score_distribution(spark, big_docs_r6):
     for k, n in base.items():
         assert big[k] == n * REPS
     assert all(0 <= r["rank_ppm"] <= 1_000_000 for r in big_rows)
+
+
+def test_acf_invariant_under_replication(spark, big_events):
+    """Replicating every event scales each day's micro-sum by exactly
+    REPS, and lag-Pearson is scale-invariant: acf and n_pairs are
+    identical to the base corpus, while the exact integer covariance
+    numerator scales by exactly REPS^2 (pure-integer identity — any
+    deviation means the moments depend on something besides the daily
+    rollup)."""
+    from bread_spark.extensions.timeseries import _daily_micro, acf_from_daily
+
+    base = {
+        (r.event_type, r.lag): r
+        for r in acf_from_daily(
+            _daily_micro(load_table(spark, SF_DIR, "events"))
+        ).collect()
+    }
+    big = {
+        (r.event_type, r.lag): r
+        for r in acf_from_daily(_daily_micro(big_events)).collect()
+    }
+    assert set(big) == set(base)
+    for k, b in base.items():
+        g = big[k]
+        assert g.n_pairs == b.n_pairs, k
+        assert g.acf == b.acf, k
+        assert int(g.cov_num) == int(b.cov_num) * REPS * REPS, k
