@@ -516,6 +516,12 @@ def phash_gate(media: DataFrame, base_bands: DataFrame) -> DataFrame:
     ingest gate dedups conservatively; the exact Hamming verify runs
     offline on quarantined collisions when precision matters.
 
+    Scope: the gate covers the perceptual family's domain — image and
+    video rows (the kinds `media_phash_features` fingerprints). Other
+    kinds (audio) are NOT in the output: route them through the
+    exact-digest gate (`streaming.dedup.dedup_stream_by_digest` /
+    `dedup_stream_against_base`), which is their dedup contract anyway.
+
     Streaming deployment: media-grain anti semantics need the per-media
     band set complete, so the stream wraps THIS function in
     `foreachBatch` (each micro-batch is a bounded frame; the band table
