@@ -545,7 +545,24 @@ def media_phash_dedup_report(spark, sf_dir: str) -> DataFrame:
     """Catalog entry: perceptual dedup clusters — connected components
     over the accepted pair graph (the `dedup_clusters` min-label
     machinery), one row per multi-member cluster:
-    (canonical_media_id, cluster_size). Rows-only (module banner)."""
+    (canonical_media_id, cluster_size). Rows-only (module banner).
+
+    Compute-once seam (the `copurchase_components` precedent): the
+    components loop EXECUTES at frame construction (driver-side
+    convergence reads), so the session pays it once — repeat touches
+    (bench warm passes, the plan fixture, the full differential) read
+    the checkpoint."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "media_phash_dedup_report",
+        sf_dir,
+        lambda: _phash_report_build(spark, sf_dir),
+    )
+
+
+def _phash_report_build(spark, sf_dir: str) -> DataFrame:
     from .dedup import connected_components
 
     pairs = phash_pair_frame(spark, sf_dir).select(
