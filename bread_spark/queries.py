@@ -489,117 +489,112 @@ _register(
 # after the r8 close-out — the ledger below is the control that keeps
 # worst-case staleness bounded).
 #
-# ROUND-11 window (per VERDICT r10 #1, executing the r10 ledger note
-# EXACTLY). Arithmetic note, stated honestly: 237 oracle-backed
-# entries / 50 slots ≈ period 4.7; the ledger therefore always spends
-# slots on (a) never-sampled entries first, (b) the stalest cohort
+# ROUND-12 window (per VERDICT r11 #1, executing the r11 ledger note
+# EXACTLY). Arithmetic note, stated honestly: 238 oracle-backed
+# entries / 50 slots ≈ period 4.8; the ledger therefore always spends
+# slots on (a) the stalest cohort first, (b) never-sampled entries
 # next, and records EXACTLY which entries defer to the next round.
 # Whole-catalog currency no longer rides this window alone:
 # CORRECTNESS_FULL_r{N}.json commits a full catalog differential each
 # round (and, from r11, CORRECTNESS_SF01_r{N}.json the sf0.1 sweep).
-#   1. the two group-(a) deferrals the r10 note named:
-#      activity_heatmap, embedding_norm_stats.
-#   2. the 35 oracle-backed entries registered DURING r10 and never
-#      sampled, in the r10 note's order: the early-r10 four (quality
-#      gates + fuzzy unicode), the 13 warehouse-suite entries, the 2
-#      basket entries, the fusion + forecast trio, the
-#      lifetime/community/IR six (revenue_cohorts,
-#      order_interarrival_stats, copurchase_components,
-#      search_snippets, lang_id_confusion, order_gap_survival), the
-#      segment-dynamics pair, the incremental-composition proof, the
-#      followed-by matrix + graph QC pair, and the
-#      engagement/fulfilment pair.
-#   3. the alphabetical FIRST 13 of the 50 r7-last-green entries
-#      (4 rounds stale at r11 — mandatory, named in the r10 note):
-#      bigram_logprob_scores ... dedup_normalized, exactly as listed.
+#   1. the alphabetical LAST 37 of the r7-last-green cohort (5 rounds
+#      stale at r12 — mandatory, named individually in the r11 note):
+#      doc_word_counts ... winsorize_values, exactly as listed there.
+#      This closes out the r7 cohort (13 sampled r11 + 37 here = 50).
+#   2. the ONE oracle-backed entry registered DURING r11 and never
+#      sampled: autocorrelation_by_type (the phash pair registered the
+#      same round is ROWS-ONLY by the engine-specific-hash convention;
+#      its currency rides CORRECTNESS_FULL / CORRECTNESS_SF01).
+#   3. the alphabetical FIRST 12 of the r8-last-green cohort (the 50
+#      names in CORRECTNESS_r08.json, 4 rounds stale at r12 —
+#      mandatory): boilerplate_chunks ... cum_value_by_type.
 #
-# ROUND-12 ROTATION NOTE: mandatory leads, in this order — (a) the
-# alphabetical LAST THIRTY-SEVEN of the r7-last-green cohort
-# (5 rounds stale at r12 — mandatory, ahead of everything else):
-# doc_word_counts, embedding_dedup_corpus, event_flows_union,
-# events_near_errors, gas_used_per_day, hourly_ohlc_by_type,
-# ibc_transfers, ibc_transfers_in, importance_sample,
-# key_skew_report, last_purchase_asof, lineitem_flag_status_key,
-# nation_revenue_rollup, ngram5_logprob_scores, ngram_jaccard_pairs,
-# orders_with_returns, pack_sequences, paragraph_dedup,
-# perplexity_buckets, perplexity_buckets_ngram5, pricing_summary,
-# project_embeddings, retention_cohorts, returned_items_topk,
-# session_stats, snapshot_diff, span_dedup_corpus, training_corpus,
-# txs_per_day, txs_per_day_gapfilled, user_activity_span,
-# value_cube_by_type_day, value_histogram_by_type,
-# value_percentiles_by_type, value_zscore_outliers,
-# windowed_value_by_type, winsorize_values;
-# (b) the ONE oracle-backed entry registered DURING r11 and never
-# sampled: autocorrelation_by_type (the phash pair registered the
-# same round is ROWS-ONLY by the engine-specific-hash convention and
-# the window spends its slots on oracle-backed entries — its currency
-# rides CORRECTNESS_FULL / CORRECTNESS_SF01, where both are green);
-# (c) the alphabetical FIRST 12 of the r8-last-green cohort (the 50
-# names in CORRECTNESS_r08.json, 4 rounds stale at r12 — mandatory):
-# boilerplate_chunks, boilerplate_filtered_corpus,
-# bootstrap_source_stats, cdc_chunk_dedup, cdc_chunks,
-# cluster_quality_report, cms_heavy_hitters, cms_probe_report,
-# cms_sketch, corpus_mix_tokens, cross_fuzzy_matches,
-# cum_value_by_type; the alphabetical rest of that cohort
-# (curated_corpus_v2 onward) plus everything r9-and-later-green
-# queues behind them for r13.
-# Groups (a) 37 + (b) 1 + (c) 12 = 50 fill the window exactly.
+# ROUND-13 ROTATION NOTE: mandatory leads, in this order — (a) the
+# alphabetical REST (38 names) of the r8-last-green cohort (5 rounds
+# stale at r13 — mandatory, ahead of everything else):
+# curated_corpus_v2, daily_ibc_transfers, day_over_day_txs,
+# dedup_clusters, dedup_exact, deterministic_sample,
+# embedding_cosine_dups_tiled, fuzzy_dedup_corpus, fuzzy_dup_pairs,
+# hdr_value_quantiles, hdr_value_sketch, hll_distinct_by_source,
+# hll_registers, hll_total_distinct, hourly_cum_ibc_transfers,
+# hourly_ibc_transfers, hourly_value_by_type, ibc_transfers_out,
+# kmv_sketch, kmv_source_overlap, media_dedup, media_frame_samples,
+# media_resize_plan, mg_heavy_hitters, mg_summary, nb_lang_model,
+# nb_lang_report, nb_lang_scores, regional_supplier_revenue,
+# shuffle_order_distributed, silhouette_scores, source_dashboard,
+# split_leakage_report, top_parts_by_revenue, training_corpus_neardup,
+# weighted_sample_by_source, weighted_sample_docs, zipf_fit_by_source;
+# (b) the oracle-backed entries registered DURING r12 and never
+# sampled, in registration order: unigram_vocab_oracle,
+# unigram_token_counts_oracle, topic_mix_by_source_oracle,
+# dct_phash_fingerprints (see R12_NEW_ORACLES in this file — if that
+# set changes, this list and the count below change with it);
+# (c) the alphabetical FIRST (12 minus |group b|) of the
+# r9-last-green cohort (the 50 names in CORRECTNESS_r09.json, 4
+# rounds stale at r13 — mandatory): base64_roundtrip, bm25_search,
+# brand_number_extract, centroid_by_label, char_entropy,
+# contamination_report, corpus_checksum_by_source,
+# corpus_stats_by_source, ... taking names alphabetically until the
+# window holds exactly 50; the alphabetical rest of the r9 cohort
+# plus everything r10-and-later-green queues behind them for r14.
+# Groups (a) 38 + (b) + (c) = 50 fill the window exactly.
 _SAMPLE_PRIORITY = (
-    # 1 — the two deferrals the r10 ledger named to lead r11
-    "activity_heatmap",  # hour-of-week cells
-    "embedding_norm_stats",  # norm-bucket QC
-    # 2 — the 35 r10-registered entries, first driver rows ever,
-    # in the r10 note's order
-    "quality_gate_auc",  # gate-score AUC vs survivorship
-    "quality_gate_pr_curve",  # precision/recall sweep
-    "quality_gate_calibration",  # reliability bins
-    "fuzzy_dedup_unicode",  # UTF-8 byte-contract certification
-    "shipping_priority_topk",  # warehouse Q3 shape
-    "discount_revenue_opportunity",  # Q6
-    "volume_shipping_by_year",  # Q7
-    "market_share_by_year",  # Q8
-    "product_profit_by_nation_year",  # Q9
-    "customer_order_distribution",  # Q13
-    "promo_revenue_by_month",  # Q14
-    "top_supplier_by_revenue",  # Q15
-    "small_order_revenue",  # Q17
-    "large_volume_customers",  # Q18
-    "brand_quantity_revenue",  # Q19
-    "late_supplier_blame",  # Q21
-    "idle_high_balance_customers",  # Q22
-    "copurchase_pairs",  # basket pair counts
-    "association_rules",  # support/confidence/lift
-    "search_rank_fusion",  # RRF over 3 rankers
-    "seasonal_naive_error_by_type",  # forecast backtest
-    "ewma_daily_value_by_type",  # exact-integer EWMA lattice
-    "revenue_cohorts",  # cohort-LTV triangle
-    "order_interarrival_stats",  # purchase cadence
-    "copurchase_components",  # basket communities
-    "search_snippets",  # KWIC windows
-    "lang_id_confusion",  # heuristic-vs-truth matrix
-    "order_gap_survival",  # gap survival curve
-    "segment_migration_matrix",  # RFM state transitions
-    "segment_churn_rates",  # per-segment churn
-    "revenue_cohorts_incremental",  # incremental ≡ batch proof
-    "followup_rates_matrix",  # within-1h pair rates
-    "provenance_degree_histogram",  # graph-QC degree spectrum
-    "engagement_ratios",  # DAU/WAU/MAU panel
-    "fulfillment_latency_by_priority",  # order→ship latency
-    # 3 — the alphabetical first 13 of the r7-last-green cohort
-    # (mandatory: 5 rounds stale otherwise)
-    "bigram_logprob_scores",
-    "centroid_drift_by_label",
-    "conversion_funnel",
-    "corpus_mix",
-    "cosine_topk",
-    "cross_dedup",
-    "cum_txs_per_day",
-    "daily_cum_ibc_transfers",
-    "daily_twap_by_type",
-    "daily_value_moving_avg",
-    "dataset_splits",
-    "decontaminate",
-    "dedup_normalized",
+    # 1 — the alphabetical LAST 37 of the r7-last-green cohort
+    # (mandatory: 5 rounds stale otherwise), exactly as the r11
+    # ledger note named them
+    "doc_word_counts",
+    "embedding_dedup_corpus",
+    "event_flows_union",
+    "events_near_errors",
+    "gas_used_per_day",
+    "hourly_ohlc_by_type",
+    "ibc_transfers",
+    "ibc_transfers_in",
+    "importance_sample",
+    "key_skew_report",
+    "last_purchase_asof",
+    "lineitem_flag_status_key",
+    "nation_revenue_rollup",
+    "ngram5_logprob_scores",
+    "ngram_jaccard_pairs",
+    "orders_with_returns",
+    "pack_sequences",
+    "paragraph_dedup",
+    "perplexity_buckets",
+    "perplexity_buckets_ngram5",
+    "pricing_summary",
+    "project_embeddings",
+    "retention_cohorts",
+    "returned_items_topk",
+    "session_stats",
+    "snapshot_diff",
+    "span_dedup_corpus",
+    "training_corpus",
+    "txs_per_day",
+    "txs_per_day_gapfilled",
+    "user_activity_span",
+    "value_cube_by_type_day",
+    "value_histogram_by_type",
+    "value_percentiles_by_type",
+    "value_zscore_outliers",
+    "windowed_value_by_type",
+    "winsorize_values",
+    # 2 — the one r11-registered oracle entry, first driver row ever
+    "autocorrelation_by_type",
+    # 3 — the alphabetical first 12 of the r8-last-green cohort
+    # (mandatory: 4 rounds stale otherwise)
+    "boilerplate_chunks",
+    "boilerplate_filtered_corpus",
+    "bootstrap_source_stats",
+    "cdc_chunk_dedup",
+    "cdc_chunks",
+    "cluster_quality_report",
+    "cms_heavy_hitters",
+    "cms_probe_report",
+    "cms_sketch",
+    "corpus_mix_tokens",
+    "cross_fuzzy_matches",
+    "cum_value_by_type",
     # — 50-row window ends here —
 )
 
