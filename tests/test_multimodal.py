@@ -91,24 +91,36 @@ def _phash_media(spark, rows):
 
 
 def test_phash_planted_transform_recall(spark):
-    """Resized and re-encoded twins are FOUND (within the Hamming gate,
-    via a shared band); distinct originals are NOT paired — the recall
-    pin VERDICT r10 #5 asked for. Audio rows never enter the family."""
+    """Resized and re-encoded twins within the accept threshold are
+    FOUND — and because PHASH_MAX_HAMMING equals the pigeonhole
+    guarantee (ADVICE r11, low), every accepted twin is found by
+    CONSTRUCTION, not by a lucky shared band. Twins past the guarantee
+    (seeds 1 and 3 measure Hamming 8) are correctly NOT accepted;
+    distinct originals are NOT paired; audio never enters the family."""
     from bread_spark.extensions.multimodal import (
+        PHASH_BANDS,
         PHASH_MAX_HAMMING,
+        _fake_phash,
         media_phash_features,
         phash_candidate_pairs,
     )
 
+    assert PHASH_MAX_HAMMING == PHASH_BANDS - 1  # gate == guarantee
+
+    def twin(i: int) -> bytes:
+        p = _byte_stream(i, 2048)
+        return _resample(p, 3072) if i < 4 else _requantize(p)
+
+    def hamming(i: int) -> int:
+        a = _fake_phash(_byte_stream(i, 2048), "image")
+        b = _fake_phash(twin(i), "image")
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    guaranteed = {i for i in range(8) if hamming(i) <= PHASH_MAX_HAMMING}
+    assert guaranteed == {0, 2, 4, 5, 6, 7}  # seeds 1/3 sit at 8 bits
+
     rows = [(i, "image", _byte_stream(i, 2048), "image/png") for i in range(8)]
-    rows += [
-        (100 + i, "image", _resample(_byte_stream(i, 2048), 3072), "image/png")
-        for i in range(4)
-    ]
-    rows += [
-        (100 + i, "image", _requantize(_byte_stream(i, 2048)), "image/png")
-        for i in range(4, 8)
-    ]
+    rows += [(100 + i, "image", twin(i), "image/png") for i in range(8)]
     rows.append((999, "audio", _byte_stream(0, 2048), "audio/wav"))
     pairs = {
         (r.media_id_a, r.media_id_b): r.hamming
@@ -116,7 +128,7 @@ def test_phash_planted_transform_recall(spark):
             media_phash_features(_phash_media(spark, rows))
         ).collect()
     }
-    assert set(pairs) == {(i, 100 + i) for i in range(8)}
+    assert set(pairs) == {(i, 100 + i) for i in guaranteed}
     assert all(h <= PHASH_MAX_HAMMING for h in pairs.values())
 
 
@@ -158,7 +170,17 @@ def test_phash_dedup_report_clusters(spark):
 
     rows = [(i, "image", _byte_stream(i, 2048), "image/png") for i in range(4)]
     rows += [
-        (100 + i, "image", _resample(_byte_stream(i, 2048), 3072), "image/png")
+        # resample twins of seeds 1/3 measure Hamming 8 (past the
+        # guarantee-aligned gate), so odd seeds plant requantize twins
+        # (Hamming 0) instead — every planted pair is guaranteed-found
+        (
+            100 + i,
+            "image",
+            _resample(_byte_stream(i, 2048), 3072)
+            if i % 2 == 0
+            else _requantize(_byte_stream(i, 2048)),
+            "image/png",
+        )
         for i in range(4)
     ]
     feats = media_phash_features(_phash_media(spark, rows))
@@ -180,11 +202,12 @@ def test_phash_dedup_report_clusters(spark):
 
 def test_phash_gate_drops_twins_admits_novel(spark):
     """The ingest gate (foreachBatch body of the streaming story):
-    incoming media colliding with ANY persisted band is dropped —
-    including resized/re-encoded twins of base content — while novel
-    content passes."""
+    incoming media with a base near-dup within the exact Hamming
+    threshold is dropped — resized/re-encoded twins of base content —
+    while novel content passes the inline verify even when its bands
+    collide with the saturating base band table."""
     from bread_spark.extensions.multimodal import (
-        phash_band_table,
+        media_phash_features,
         phash_gate,
     )
 
@@ -195,6 +218,7 @@ def test_phash_gate_drops_twins_admits_novel(spark):
         spark,
         [
             # twins of base 0/1 under both planted transforms
+            # (Hamming 4 and 0 — inside the pigeonhole guarantee)
             (100, "image", _resample(_byte_stream(0, 2048), 3072), "image/png"),
             (101, "image", _requantize(_byte_stream(1, 2048)), "image/png"),
             # novel content
@@ -203,12 +227,169 @@ def test_phash_gate_drops_twins_admits_novel(spark):
         ],
     )
     admitted = {
-        r.media_id for r in phash_gate(incoming, phash_band_table(base)).collect()
+        r.media_id
+        for r in phash_gate(incoming, media_phash_features(base)).collect()
     }
     assert 100 not in admitted and 101 not in admitted
-    # novel media admitted unless an ~2^-8-per-band chance collision
-    # fires; seeds 40/41 are pinned collision-free against seeds 0-3
     assert admitted == {200, 201}
+
+
+def test_phash_gate_novel_admit_rate_at_scale(spark):
+    """ADVICE r11 (medium): the old band-PRESENCE gate false-dropped
+    ~80% of novel media against a 50-item base because 8-bit bands
+    saturate. The inline exact-Hamming verify admits EVERY novel item
+    against a 300-item base (their band collisions are verified away)
+    while still dropping all planted twins."""
+    from bread_spark.extensions.multimodal import (
+        media_phash_features,
+        phash_gate,
+    )
+
+    base = _phash_media(
+        spark,
+        [
+            (i, "image", _byte_stream(1000 + i, 2048), "image/png")
+            for i in range(300)
+        ],
+    )
+    novel = [
+        (200 + i, "image", _byte_stream(2000 + i, 2048), "image/png")
+        for i in range(50)
+    ]
+    twins = [
+        # base seeds 1002/1001: resample twin at Hamming 4, requantize
+        # twin at 0 — both inside the pigeonhole guarantee
+        (600, "image", _resample(_byte_stream(1002, 2048), 3072), "image/png"),
+        (601, "image", _requantize(_byte_stream(1001, 2048)), "image/png"),
+    ]
+    admitted = {
+        r.media_id
+        for r in phash_gate(
+            _phash_media(spark, novel + twins), media_phash_features(base)
+        ).collect()
+    }
+    assert admitted == {200 + i for i in range(50)}  # 100% novel admit
+    assert 600 not in admitted and 601 not in admitted
+
+
+# ---------------------------------------------------------------------------
+# DCT pHash kernel (VERDICT r11 #4) — synthetic 2-D PGM images
+# ---------------------------------------------------------------------------
+
+
+def _smooth_img(seed: int, h: int = 64, w: int = 64):
+    """Deterministic low-frequency test image: a few random cosine
+    plates + mild noise, scaled to 0..230 so a +20 brightness shift
+    never clips (clipping would add non-DC energy)."""
+    import numpy as np
+
+    r = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w))
+    for _ in range(6):
+        fy, fx = r.randint(0, 5, 2)
+        ph = r.rand() * 2 * np.pi
+        amp = r.rand() * 40 + 10
+        img += amp * np.cos(2 * np.pi * (fy * y / h + fx * x / w) + ph)
+    img += r.rand(h, w) * 6
+    img -= img.min()
+    img *= 230 / max(img.max(), 1e-9)
+    return img
+
+
+def _pgm(img) -> bytes:
+    import numpy as np
+
+    h, w = img.shape
+    return b"P5 %d %d 255\n" % (w, h) + bytes(
+        np.clip(img, 0, 255).astype(np.uint8).flatten()
+    )
+
+
+def test_dct_phash_decodes_pgm_and_ppm():
+    """The PNM parser reads both raster forms (PPM via luma mean) and
+    rejects malformed payloads instead of guessing."""
+    import numpy as np
+
+    from bread_spark.extensions.multimodal import _decode_pnm_gray
+
+    img = _smooth_img(0, 8, 8)
+    got = _decode_pnm_gray(_pgm(img))
+    assert got is not None and np.allclose(got, img.astype(np.uint8))
+    rgb = b"P6 2 2 255\n" + bytes(range(12))
+    got3 = _decode_pnm_gray(rgb)
+    assert got3 is not None and got3.shape == (2, 2)
+    assert np.allclose(got3[0, 0], (0 + 1 + 2) / 3)
+    # comment + arbitrary whitespace in the header
+    assert _decode_pnm_gray(b"P5 # c\n2\n2 255\n" + bytes(4)) is not None
+    for bad in (b"", b"P5", b"P5 2 2 255\n" + bytes(3), b"P5 2 2 70000\n", b"hi"):
+        assert _decode_pnm_gray(bad) is None
+
+
+def test_dct_phash_planted_transform_recall(spark):
+    """The real 2-D kernel on genuine images: upscaled, brightness-
+    shifted and requantized twins all land within the pigeonhole-
+    guaranteed Hamming band (measured worst: 6/0/6 over these seeds),
+    so the banded candidate join finds every planted pair; distinct
+    images sit ≥26 bits apart and are never paired."""
+    from bread_spark.extensions.multimodal import (
+        PHASH_MAX_HAMMING,
+        _box_resize,
+        media_phash_features,
+        phash_candidate_pairs,
+    )
+
+    rows = []
+    for i in range(6):
+        img = _smooth_img(i)
+        rows.append((i, "image", _pgm(img), "image/pgm"))
+        twin = (
+            _box_resize(img, 96, 96)
+            if i % 3 == 0
+            else (img + 20)
+            if i % 3 == 1
+            else (img // 2) * 2
+        )
+        rows.append((100 + i, "image", _pgm(twin), "image/pgm"))
+    pairs = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in phash_candidate_pairs(
+            media_phash_features(_phash_media(spark, rows))
+        ).collect()
+    }
+    assert set(pairs) == {(i, 100 + i) for i in range(6)}
+    assert all(h <= PHASH_MAX_HAMMING for h in pairs.values())
+
+
+def test_dct_phash_brightness_moves_only_dc():
+    """A clipless brightness shift changes only the DC coefficient, and
+    the median threshold excludes DC — the hash is bit-identical."""
+    from bread_spark.extensions.multimodal import dct_phash
+
+    img = _smooth_img(7)
+    assert dct_phash(_pgm(img), "image") == dct_phash(_pgm(img + 20), "image")
+
+
+def test_dct_phash_falls_back_to_byte_ahash():
+    """Undecodable payloads ride the byte-signal aHash, so one
+    registered phasher serves a mixed corpus (and the catalog's UTF-8
+    derived media keeps its pre-r12 fingerprints)."""
+    from bread_spark.extensions.multimodal import _fake_phash, dct_phash
+
+    p = _byte_stream(5, 2048)
+    assert dct_phash(p, "image") == _fake_phash(p, "image")
+
+
+def test_dct_phash_band_ints_in_range():
+    from bread_spark.extensions.multimodal import (
+        PHASH_BANDS,
+        PHASH_BITS,
+        dct_phash,
+    )
+
+    bands = dct_phash(_pgm(_smooth_img(3)), "image")
+    assert len(bands) == PHASH_BANDS
+    assert all(0 <= b < (1 << (PHASH_BITS // PHASH_BANDS)) for b in bands)
 
 
 def test_frame_samples_schedule_is_stride_30(spark):
