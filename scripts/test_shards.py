@@ -9,11 +9,22 @@ a private SparkSession (local[8], the measured-optimal tier master), so
 idle, without the cross-test scheduler interference a shared session
 would add.
 
-Placement is weight-balanced (greedy LPT over the measured per-file
-weights below), with one hard constraint: test_oracle.py and
-test_plans.py share the session-scoped `catalog_frames` build — the
-single most expensive fixture — so they are PINNED to the same shard
-and that build is paid once, not twice.
+Placement is weight-balanced (greedy LPT), with one hard constraint:
+test_oracle.py and test_plans.py share the session-scoped
+`catalog_frames` build — the single most expensive fixture — so they
+are PINNED to the same shard and that build is paid once, not twice.
+
+Weights are AUTO-DERIVED (VERDICT r11 #7): every green run parses its
+own per-test `--durations` lines, aggregates them per file, and writes
+`scripts/.shard_weights.json`; the next run bin-packs from that
+measurement. The static WEIGHTS table below is only the cold-start
+fallback (and the floor for files the log hasn't seen), so the numbers
+can no longer silently rot as files grow.
+
+Each shard's output goes to a TEMP FILE, not a pipe (ADVICE r11: a
+later shard that out-wrote the ~64 KB OS pipe buffer blocked on write
+until its communicate() turn, serializing its remaining tests behind
+earlier shards and inflating the wall the 600 s budget reads).
 
 Safety audit (why concurrent shards can't collide):
 - no Hive/derby metastore (session.py never enableHiveSupport);
@@ -35,15 +46,20 @@ end (the wall is the number the 600 s tier budget reads).
 from __future__ import annotations
 
 import argparse
+import json
+import re
 import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
+WEIGHTS_FILE = ROOT / "scripts" / ".shard_weights.json"
 
-# Measured per-file wall (seconds, default tier, sentinel ~35 s host,
-# r11) — used only for bin-packing; unknown files default to 10
+# Cold-start fallback (seconds, default tier, sentinel ~35 s host, r11)
+# — used only when scripts/.shard_weights.json doesn't exist yet, and
+# as a floor for files it hasn't measured. Unknown files default to 10
 # (25 for streaming files: micro-batch waits dominate them — the first
 # validation run measured shard imbalance 828-1070 s with streaming
 # files defaulted to 10).
@@ -73,14 +89,33 @@ WEIGHTS = {
 }
 PINNED_TOGETHER = ("test_oracle.py", "test_plans.py")
 
+# pytest --durations lines: "12.34s call     tests/test_x.py::test_y"
+_DURATION_RE = re.compile(
+    r"^\s*(\d+(?:\.\d+)?)s\s+(?:call|setup|teardown)\s+tests/(test_\w+\.py)::"
+)
 
-def _weight(f: str) -> float:
+
+def _load_measured() -> dict[str, float]:
+    if WEIGHTS_FILE.exists():
+        try:
+            return {str(k): float(v) for k, v in json.loads(WEIGHTS_FILE.read_text()).items()}
+        except (ValueError, TypeError):
+            return {}
+    return {}
+
+
+def _weight(f: str, measured: dict[str, float]) -> float:
+    if f in measured:
+        # static table stays a floor: a file whose slow tests all fell
+        # under pytest's duration cutoff shouldn't bin-pack at ~0
+        return max(measured[f], 0.5 * WEIGHTS.get(f, 0))
     if f in WEIGHTS:
         return WEIGHTS[f]
     return 25 if f.startswith("test_streaming") else 10
 
 
 def shard_files(n: int) -> list[list[str]]:
+    measured = _load_measured()
     files = sorted(p.name for p in (ROOT / "tests").glob("test_*.py"))
     pinned = [f for f in PINNED_TOGETHER if f in files]
     rest = [f for f in files if f not in pinned]
@@ -88,13 +123,29 @@ def shard_files(n: int) -> list[list[str]]:
     loads = [0.0] * n
     # the pinned pair seeds shard 0
     shards[0].extend(pinned)
-    loads[0] += sum(_weight(f) for f in pinned)
+    loads[0] += sum(_weight(f, measured) for f in pinned)
     # greedy LPT: heaviest first onto the lightest shard
-    for f in sorted(rest, key=lambda f: -_weight(f)):
+    for f in sorted(rest, key=lambda f: -_weight(f, measured)):
         i = loads.index(min(loads))
         shards[i].append(f)
-        loads[i] += _weight(f)
+        loads[i] += _weight(f, measured)
     return [s for s in shards if s]
+
+
+def _harvest_weights(outputs: list[str]) -> None:
+    """Aggregate per-test durations into per-file weights and persist
+    them for the next run's bin-packing. Only called on a green run —
+    a failed shard's timings are partial."""
+    per_file: dict[str, float] = {}
+    for out in outputs:
+        for line in out.splitlines():
+            m = _DURATION_RE.match(line)
+            if m:
+                per_file[m.group(2)] = per_file.get(m.group(2), 0.0) + float(m.group(1))
+    if per_file:
+        merged = _load_measured()
+        merged.update({k: round(v, 1) for k, v in per_file.items()})
+        WEIGHTS_FILE.write_text(json.dumps(merged, indent=1, sort_keys=True))
 
 
 def main() -> None:
@@ -113,33 +164,44 @@ def main() -> None:
             "-x",
             "-q",
             "--no-header",
+            "--durations=0",
+            "--durations-min=0.05",
             *[f"tests/{f}" for f in files],
         ]
+        # temp file, not a pipe: shards write freely and never block on
+        # a full pipe buffer waiting for their drain turn (ADVICE r11)
+        sink = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
         procs.append(
             (
                 i,
                 files,
-                subprocess.Popen(
-                    cmd,
-                    cwd=ROOT,
-                    stdout=subprocess.PIPE,
-                    stderr=subprocess.STDOUT,
-                    text=True,
-                ),
+                sink,
+                subprocess.Popen(cmd, cwd=ROOT, stdout=sink, stderr=subprocess.STDOUT, text=True),
             )
         )
 
     failed = False
-    for i, files, p in procs:
-        out, _ = p.communicate()
-        tail = [ln for ln in out.strip().splitlines() if ln.strip()][-4:]
+    outputs = []
+    for i, files, sink, p in procs:
+        p.wait()
+        sink.seek(0)
+        out = sink.read()
+        sink.close()
+        outputs.append(out)
+        summary = [
+            ln
+            for ln in out.strip().splitlines()
+            if ln.strip() and not _DURATION_RE.match(ln)
+        ][-4:]
         print(f"--- shard {i} ({len(files)} files, exit {p.returncode}) ---")
-        print("\n".join(tail))
+        print("\n".join(summary))
         if p.returncode != 0:
             failed = True
             # full output only on failure, to keep the green path short
             print(out[-8000:])
     wall = time.perf_counter() - t0
+    if not failed:
+        _harvest_weights(outputs)
     print(f"=== total wall: {wall:.1f}s over {len(shards)} shards ===")
     sys.exit(1 if failed else 0)
 
