@@ -412,6 +412,8 @@ def main() -> None:
         "media_phash_candidates",
         "media_phash_dedup_report",
         "autocorrelation_by_type",
+        # r12: memorization-risk profile
+        "doc_dup_saturation",
     ]
 
     # Queries first benched in round 5 (14 of the 58). The headline
@@ -618,6 +620,9 @@ def main() -> None:
         "media_phash_dedup_report",
         "autocorrelation_by_type",
     }
+    R12_ADDITIONS = {
+        "doc_dup_saturation",
+    }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
@@ -718,6 +723,7 @@ def main() -> None:
                 and k not in R9_ADDITIONS
                 and k not in R10_ADDITIONS
                 and k not in R11_ADDITIONS
+                and k not in R12_ADDITIONS
             ),
             3,
         ),
@@ -741,6 +747,9 @@ def main() -> None:
         ),
         "r11_additions": round(
             sum(v for k, v in timings.items() if k in R11_ADDITIONS), 3
+        ),
+        "r12_additions": round(
+            sum(v for k, v in timings.items() if k in R12_ADDITIONS), 3
         ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3

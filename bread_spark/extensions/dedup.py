@@ -379,6 +379,53 @@ def ngram_jaccard_pairs(
 
 MAX_DF = 100  # production posting-list cap (bounds fan-out at df²)
 
+DUP_SATURATION_MIN_DF = 2  # a shingle is "duplicated" once ≥2 docs carry it
+
+
+def doc_dup_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk profile (r12): per document, how much of its
+    distinct word-3-gram content is duplicated elsewhere in the corpus —
+    (doc_id, n_shingles, n_dup_shingles, dup_frac, max_df). The
+    training-data question this answers: which documents are mostly
+    boilerplate/recycled text (high dup_frac → the model will see their
+    n-grams many times even after doc-level dedup), and how hot is their
+    hottest shingle. Doc-level near-dup (`ngram_jaccard_pairs`) finds
+    PAIRS; this scores each doc's exposure without any pair stage.
+
+    Plan: the shared shingle seam → one groupBy(shingle) df table → one
+    shingle-keyed join back → one groupBy(doc_id). All shuffles are
+    keyed on shingle/doc_id; no self-join, no pair fan-out, linear in
+    corpus size at 100 TB. Incremental form: the df table is the same
+    maintained aggregate the LSH band table rides — append new docs'
+    shingles, increment df, rescore only affected docs.
+
+    Oracle: exact DuckDB mirror on string shingles (df on the hashed
+    identity equals df on strings modulo the family's documented ~2^-32
+    collision bound — the same equivalence the jaccard oracle
+    certifies on real data)."""
+    sh = shingle_frame(spark, sf_dir)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= DUP_SATURATION_MIN_DF, 1).otherwise(0)
+            ).cast("long").alias("n_dup_shingles"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 4).alias(
+                "dup_frac"
+            ),
+            "max_df",
+        )
+    )
+
 
 def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup entry: `ngram_jaccard_pairs` with the hot-
@@ -390,8 +437,10 @@ def ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard of the capped shingle sets. Near-dup pairs share mostly rare
     shingles, so the capped score tracks the true score closely; recall
     vs the uncapped exact result is pinned by tests/test_recall.py.
-    Rows-only check (cap choice is engine-policy, not reference
-    semantics).
+    Oracle-backed since r12 (VERDICT r11 #5): the cap is pure set
+    arithmetic, so the DuckDB mirror adds one df CTE to the uncapped
+    oracle — the lattice/hash-convention audit found nothing engine-
+    specific in it after all.
 
     A posting-list alternative (`_jaccard_posting_capped`: one
     groupBy(shingle) aggregate + in-array pair expansion instead of the
@@ -772,6 +821,67 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ROUND(inter / (sa.n_shingles + sb.n_shingles - inter), 4) >= {JACCARD_THRESHOLD}
     """,
 }
+
+# Exact mirror of the memorization-risk profile on string shingles.
+ORACLE_SQL["doc_dup_saturation"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= {SHINGLE_N}
+    ),
+    dfs AS (SELECT shingle, COUNT(1) AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           COUNT(1) AS n_shingles,
+           CAST(SUM(CASE WHEN df >= {DUP_SATURATION_MIN_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_shingles,
+           ROUND(SUM(CASE WHEN df >= {DUP_SATURATION_MIN_DF} THEN 1 ELSE 0 END)
+                 / COUNT(1), 4) AS dup_frac,
+           CAST(MAX(df) AS BIGINT) AS max_df
+    FROM sh JOIN dfs USING (shingle)
+    GROUP BY doc_id
+"""
+
+# The CAPPED production plan mirrors exactly (r12, VERDICT r11 #5 —
+# rows-only retired): the max_df cap is pure set arithmetic (drop
+# shingles with document frequency > MAX_DF from BOTH the intersection
+# and the sizes, i.e. exact Jaccard of the capped sets), and df on the
+# hashed shingle identity equals df on the string identity modulo the
+# same ~2^-32 collision bound the uncapped oracle already accepts.
+ORACLE_SQL["ngram_jaccard_pairs_capped"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh0 AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= {SHINGLE_N}
+    ),
+    hot AS (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(1) > {MAX_DF}
+    ),
+    sh AS (
+        SELECT doc_id, shingle FROM sh0
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    sizes AS (SELECT doc_id, COUNT(1) AS n_shingles FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(1) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_shingles + sb.n_shingles - inter), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.doc_a = sa.doc_id
+    JOIN sizes sb ON pairs.doc_b = sb.doc_id
+    WHERE ROUND(inter / (sa.n_shingles + sb.n_shingles - inter), 4)
+          >= {JACCARD_THRESHOLD}
+"""
 
 # Connected components over the jaccard pair graph via recursive CTE:
 # walk(node, label) enumerates every component member reachable from each

@@ -301,11 +301,23 @@ def decontaminate_bloom(
 
     Built entirely from DataFrame ops (`bloom_filter_agg`/`might_contain`
     are not registered SQL functions in this build): each probe shingle
-    sets k = 5 bit positions (`pmod(xxhash64(i, shingle), m)`), positions
-    fold into 64-bit words via a `bit_or` groupBy, and the whole filter
-    ships as ONE row holding a word-index→word map that the corpus side
-    cross-join-broadcasts and probes JVM-side (element_at + bitwise and —
-    no Python, no driver collect at any size).
+    sets k = 5 bit positions, positions fold into 64-bit words via a
+    `bit_or` groupBy, and the whole filter ships as ONE row holding a
+    word-index→word map that the corpus side cross-join-broadcasts and
+    probes JVM-side (element_at + bitwise and — no Python, no driver
+    collect at any size).
+
+    Bit geometry is md5-derived (r12, VERDICT r11 #5 — rows-only
+    retired): ONE md5 per word-3-gram, position i = hex slice
+    [6i, 6i+6) (24 bits, and m = 2^17 divides 2^24, so the modulo is
+    exactly uniform) — the repo's engine-agnostic hash convention
+    (CLAUDE.md), so DuckDB rebuilds the identical positions with
+    `('0x' || substring(md5(shingle), 1+6i, 6))::BIGINT % m` and the
+    whole filter — false positives INCLUDED — mirrors bit-for-bit.
+    The k-position tuple doubles as the shingle identity (distinct on
+    it in both engines), so this is a TRUE exact oracle, not a
+    modulo-collision-tolerant one. k·6 hex chars must fit the 32-char
+    digest (k ≤ 5, asserted).
 
     One-sided error: a shingle in the probe set ALWAYS hits (recall 1.0 —
     `contaminated` is a superset of the exact path's), a miss can
@@ -313,46 +325,54 @@ def decontaminate_bloom(
     k = 5 that is < 1% up to n ≈ 15k probe shingles; size m ≈ 14 bits per
     probe shingle to hold ~1% FPP (the standard Bloom sizing curve).
     Overlap counts are therefore upper bounds; the exact path remains the
-    oracle-checked reference and this is the documented scale seam.
-    Rows-only by design (the bit geometry is engine-specific); pinned by
-    tests against the exact path: recall 1.0 always, and exact equality at
-    the default sizing on the test corpus.
+    semantic reference, and the oracle certifies the bloom's own
+    arithmetic (positions, packing, probe, counts) end to end.
     """
-    from .dedup import shingle_frame
-
-    # shared compute-once shingle index (plans/materialize.py seam)
-    sh = shingle_frame(spark, sf_dir)
-    probe_sh = (
-        sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID).select("shingle").distinct()
+    assert k * 6 <= 32, "k slices of 6 hex chars must fit one md5 digest"
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    hx = F.explode(
+        F.expr(
+            "transform(sequence(0, size(w) - 3), i -> "
+            "md5(cast(concat_ws(' ', w[i], w[i+1], w[i+2]) as binary)))"
+        )
+    ).alias("hx")
+    pos_cols = [
+        F.pmod(
+            F.conv(F.substring("hx", 1 + 6 * i, 6), 16, 10).cast("long"),
+            F.lit(m_bits),
+        ).alias(f"p{i}")
+        for i in range(k)
+    ]
+    # distinct on the k-position tuple = the shingle identity both
+    # engines share (derived from the same md5 — no cross-engine drift)
+    sh = (
+        words.filter(F.size("w") >= 3)
+        .select("doc_id", hx)
+        .select("doc_id", *pos_cols)
+        .distinct()
     )
+    probe_sh = sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID)
     corpus_sh = sh.filter(F.col("doc_id") >= PROBE_MAX_DOC_ID)
 
-    # Build: k bit positions per probe shingle → word-indexed bit_or → one
-    # row carrying the filter as a wi→word map (≤ m/64 entries).
+    # Build: union the probe rows' k positions → word-indexed bit_or →
+    # one row carrying the filter as a wi→word map (≤ m/64 entries).
     pos = probe_sh.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(i), F.col("shingle")), F.lit(m_bits))
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos")
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(k)])).alias("pos")
     )
-    words = (
+    words_tbl = (
         pos.selectExpr("pos div 64 AS wi", "CAST(pmod(pos, 64) AS INT) AS bit")
         .groupBy("wi")
         .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("word"))
     )
-    bloom = words.agg(
+    bloom = words_tbl.agg(
         F.map_from_arrays(F.collect_list("wi"), F.collect_list("word")).alias("bf")
     )
 
     # Probe: member iff every one of the k bits is set.
     member = " AND ".join(
-        f"(coalesce(element_at(bf, pmod(xxhash64({i}, shingle), {m_bits}) div 64), 0L)"
-        f" & shiftleft(1L, CAST(pmod(pmod(xxhash64({i}, shingle), {m_bits}), 64)"
-        f" AS INT))) != 0"
+        f"(coalesce(element_at(bf, p{i} div 64), 0L)"
+        f" & shiftleft(1L, CAST(pmod(p{i}, 64) AS INT))) != 0"
         for i in range(k)
     )
     hits = corpus_sh.join(F.broadcast(bloom)).filter(F.expr(member))
@@ -763,6 +783,55 @@ ORACLE_SQL: dict[str, str] = {
         FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
     """,
 }
+
+# Bit-for-bit mirror of the Bloom path (r12, VERDICT r11 #5): the same
+# md5 hex-slice positions, the same distinct-tuple identity, the same
+# all-k-bits membership — false positives reproduce identically, so the
+# driver hash certifies the filter arithmetic itself.
+ORACLE_SQL["decontaminate_bloom"] = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS hx
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= 3
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               {", ".join(
+                   f"('0x' || substring(hx, {1 + 6 * i}, 6))::BIGINT"
+                   f" % {BLOOM_BITS} AS p{i}"
+                   for i in range(BLOOM_K)
+               )}
+        FROM g
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            SELECT unnest([{", ".join(f"p{i}" for i in range(BLOOM_K))}]) AS pos
+            FROM sh WHERE doc_id < {PROBE_MAX_DOC_ID}
+        )
+    ),
+    corpus AS (SELECT * FROM sh WHERE doc_id >= {PROBE_MAX_DOC_ID}),
+    sizes AS (
+        SELECT doc_id, COUNT(1) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    ov AS (
+        SELECT doc_id, COUNT(1) AS n_overlap
+        FROM corpus
+        WHERE {" AND ".join(
+            f"p{i} IN (SELECT pos FROM bits)" for i in range(BLOOM_K)
+        )}
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           COALESCE(ROUND(ov.n_overlap / s.n_shingles, 4), 0.0) AS overlap_frac,
+           COALESCE(ROUND(ov.n_overlap / s.n_shingles, 4), 0.0)
+               >= {CONTAM_THRESHOLD} AS contaminated
+    FROM sizes s LEFT JOIN ov ON s.doc_id = ov.doc_id
+"""
 
 
 def _pack_sql(src_sql: str) -> str:

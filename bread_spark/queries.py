@@ -159,7 +159,7 @@ _register(
         "cross_dedup": dedup.cross_dedup,
         "cross_dedup_neardup": dedup.cross_dedup_neardup,  # rows-only (LSH gate)
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # rows-only (prod cap)
+        "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # oracle-backed r12
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
         "dedup_clusters": dedup.dedup_clusters,  # connected components
@@ -171,6 +171,7 @@ _register(
         "span_dedup_corpus": dedup.span_dedup_corpus,  # surviving corpus
         "dedup_impact_report": dedup.dedup_impact_report,  # per-source rollup (r9)
         "dedup_cluster_sizes": dedup.dedup_cluster_sizes,  # doubling histogram (r9)
+        "doc_dup_saturation": dedup.doc_dup_saturation,  # memorization-risk profile (r12)
     },
     dedup.ORACLE_SQL,
 )
@@ -414,7 +415,7 @@ _register(
         "vocab_growth": training.vocab_growth,
         "decontaminate": training.decontaminate,
         "contamination_report": training.contamination_report,
-        "decontaminate_bloom": training.decontaminate_bloom,  # rows-only (bloom ⊇ exact)
+        "decontaminate_bloom": training.decontaminate_bloom,  # oracle-backed r12 (md5 bit geometry)
         "pack_sequences": training.pack_sequences,  # recursive-CTE oracle
         "pack_efficiency": training.pack_efficiency,  # per-pack fill report (r9)
         "training_corpus": training.training_corpus,  # end-to-end curation composite
@@ -524,11 +525,12 @@ _register(
 # shuffle_order_distributed, silhouette_scores, source_dashboard,
 # split_leakage_report, top_parts_by_revenue, training_corpus_neardup,
 # weighted_sample_by_source, weighted_sample_docs, zipf_fit_by_source;
-# (b) the oracle-backed entries registered DURING r12 and never
-# sampled, in registration order: unigram_vocab_oracle,
-# unigram_token_counts_oracle, topic_mix_by_source_oracle,
-# dct_phash_fingerprints (see R12_NEW_ORACLES in this file — if that
-# set changes, this list and the count below change with it);
+# (b) the oracle-backed entries whose oracle the driver window has
+# never checked, added/upgraded DURING r12, in registration order:
+# doc_dup_saturation (new entry), ngram_jaccard_pairs_capped (rows-only
+# → exact oracle r12; last driver row r2 was the weaker check),
+# decontaminate_bloom (rows-only → exact oracle r12; never
+# window-sampled);
 # (c) the alphabetical FIRST (12 minus |group b|) of the
 # r9-last-green cohort (the 50 names in CORRECTNESS_r09.json, 4
 # rounds stale at r13 — mandatory): base64_roundtrip, bm25_search,

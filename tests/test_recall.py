@@ -747,3 +747,43 @@ def test_semantic_decontaminate_flags_planted_paraphrase(spark):
     assert not clean["contaminated"] and clean["n_probe_hits"] == 0
     with pytest.raises(ValueError, match="probe set"):
         semantic_decontam_df(corpus, probes.filter("vec_id < 0"))
+
+
+def test_doc_dup_saturation_planted(spark):
+    """Memorization-risk profile on a planted corpus: two docs sharing
+    one 3-gram each carry exactly one duplicated shingle; a doc with
+    unique text carries zero. max_df reads the hottest shingle's df."""
+    import pyspark.sql.functions as F
+
+    from bread_spark.extensions.dedup import (
+        DUP_SATURATION_MIN_DF,
+        _word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a lazy dog saw the quick brown fox"),
+            (3, "entirely unrelated words live here now"),
+        ],
+        "doc_id long, text string",
+    )
+    assert DUP_SATURATION_MIN_DF == 2
+    sh = _word_shingles(docs)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rows = {
+        r["doc_id"]: r
+        for r in sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+            F.max("df").alias("max_df"),
+        )
+        .collect()
+    }
+    # docs 1/2 share the 3-grams "the quick brown" and "quick brown fox"
+    assert rows[1]["n_shingles"] == 3 and rows[1]["n_dup"] == 2
+    assert rows[2]["n_shingles"] == 6 and rows[2]["n_dup"] == 2
+    assert rows[3]["n_dup"] == 0 and rows[3]["max_df"] == 1
+    assert rows[1]["max_df"] == 2
