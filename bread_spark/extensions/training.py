@@ -329,28 +329,39 @@ def decontaminate_bloom(
     arithmetic (positions, packing, probe, counts) end to end.
     """
     assert k * 6 <= 32, "k slices of 6 hex chars must fit one md5 digest"
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
-    hx = F.explode(
-        F.expr(
-            "transform(sequence(0, size(w) - 3), i -> "
-            "md5(cast(concat_ws(' ', w[i], w[i+1], w[i+2]) as binary)))"
+    from ..plans.materialize import materialized_frame
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select("doc_id", F.split("text", " ").alias("w"))
+        hx = F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), i -> "
+                "md5(cast(concat_ws(' ', w[i], w[i+1], w[i+2]) as binary)))"
+            )
+        ).alias("hx")
+        pos_cols = [
+            F.pmod(
+                F.conv(F.substring("hx", 1 + 6 * i, 6), 16, 10).cast("long"),
+                F.lit(m_bits),
+            ).alias(f"p{i}")
+            for i in range(k)
+        ]
+        # distinct on the k-position tuple = the shingle identity both
+        # engines share (derived from the same md5 — no cross-engine drift)
+        return (
+            words.filter(F.size("w") >= 3)
+            .select("doc_id", hx)
+            .select("doc_id", *pos_cols)
+            .distinct()
         )
-    ).alias("hx")
-    pos_cols = [
-        F.pmod(
-            F.conv(F.substring("hx", 1 + 6 * i, 6), 16, 10).cast("long"),
-            F.lit(m_bits),
-        ).alias(f"p{i}")
-        for i in range(k)
-    ]
-    # distinct on the k-position tuple = the shingle identity both
-    # engines share (derived from the same md5 — no cross-engine drift)
-    sh = (
-        words.filter(F.size("w") >= 3)
-        .select("doc_id", hx)
-        .select("doc_id", *pos_cols)
-        .distinct()
+
+    # Compute-once position index (plans/materialize.py seam — the md5
+    # digest frame replaced the shared xxhash64 shingle seam this used
+    # pre-r12, so it carries its own checkpoint to keep warm-pass cost
+    # at the joins, not the scan+md5+distinct)
+    sh = materialized_frame(
+        spark, "bloom_shingle_positions", sf_dir, build, (m_bits, k)
     )
     probe_sh = sh.filter(F.col("doc_id") < PROBE_MAX_DOC_ID)
     corpus_sh = sh.filter(F.col("doc_id") >= PROBE_MAX_DOC_ID)

@@ -162,6 +162,88 @@ def span_gate_stream_against_base(
     )
 
 
+def base_dup_shingle_table(base: DataFrame, text_col: str = "text") -> DataFrame:
+    """The base corpus's DUPLICATED word-3-gram shingles (df ≥
+    `DUP_SATURATION_MIN_DF`) — the static side of the streaming
+    memorization-risk gate. Same staging contract as `base_span_table`:
+    build once, localCheckpoint (or stage bucketed on `shingle` at
+    100 TB); the raw-`base` form re-runs the explode+aggregate per
+    micro-batch and is for tests/small bases. Incremental maintenance
+    is the df-table discipline from `doc_dup_saturation`: append new
+    docs' shingles, increment df, re-emit rows crossing the threshold."""
+    from ..extensions.dedup import DUP_SATURATION_MIN_DF, _word_shingles
+
+    sh = _word_shingles(base.select("doc_id", F.col(text_col).alias("text")))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= DUP_SATURATION_MIN_DF)
+        .select("shingle")
+    )
+
+
+def dup_saturation_stream_against_base(
+    stream: DataFrame,
+    base: DataFrame | None = None,
+    payload_col: str = "payload",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    lateness: str = DEFAULT_HORIZON,
+    base_dup_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The streaming twin of `extensions.dedup.doc_dup_saturation`:
+    score each incoming document's distinct word-3-gram shingles
+    against the STATIC base corpus's duplicated-shingle set and emit a
+    per-document saturation verdict — the online form of the
+    memorization-risk profile (an ingest dashboard asking "how much of
+    this 'new' content is text the corpus already repeats?").
+
+    Plan: the shingle array is built map-side per row (the same
+    xxhash64 trigram identity as the batch seam, `array_distinct` for
+    the batch's per-doc distinct), then exploded into a stream-static
+    LEFT join against the duplicated-shingle table; the per-document
+    counts are a watermarked tumbling-window aggregation keyed on
+    (window, doc) — state evicts once event time passes, O(docs per
+    horizon). Documents shorter than 3 tokens have no shingles and
+    pass through un-scored, exactly like the span gate."""
+    if base_dup_shingles is None:
+        if base is None:
+            raise ValueError("pass either `base` (raw corpus) or `base_dup_shingles`")
+        base_dup_shingles = base_dup_shingle_table(base)
+    hits = base_dup_shingles.select("shingle").withColumn("__hit", F.lit(1))
+    exploded = (
+        stream.withColumn("__toks", F.split(payload_col, " "))
+        .withColumn(
+            "__sh",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(__toks) - 3), "
+                "i -> xxhash64(__toks[i], __toks[i+1], __toks[i+2])))"
+            ),
+        )
+        .filter(F.size("__toks") >= 3)
+        .select(id_col, ts_col, F.explode("__sh").alias("shingle"))
+    )
+    scored = (
+        exploded.join(hits, "shingle", "left")
+        .withWatermark(ts_col, lateness)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_dup_shingles"),
+        )
+    )
+    return scored.select(
+        F.col("win").getField("start").alias("window_start"),
+        id_col,
+        "n_shingles",
+        "n_dup_shingles",
+        F.round(
+            F.col("n_dup_shingles") / F.col("n_shingles").cast("double"), 4
+        ).alias("dup_frac"),
+    )
+
+
 def base_fuzzy_tables(base: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The static side of the fuzzy gate: (selected-gram index, norm
     texts) of the base corpus. Build ONCE per stream and

@@ -224,3 +224,102 @@ def test_stream_fuzzy_gate_agrees_with_batch(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == expected
+
+
+def _dup_saturation_fixture(spark):
+    tok = lambda idxs: " ".join(f"t{i}" for i in idxs)
+    hot = tok(range(100, 110))  # 8 shingles, in BOTH base docs → df = 2
+    cold = tok(range(200, 210))  # in ONE base doc → df = 1
+    base = spark.createDataFrame(
+        [(1, hot), (2, hot + " " + tok(range(300, 310))), (3, cold)],
+        "doc_id long, text string",
+    )
+    incoming = [
+        (10, hot),  # 8/8 duplicated shingles
+        (11, cold),  # 0/8 — base has it once, not duplicated
+        (12, tok(range(400, 410))),  # fresh
+        # stitch: hot run then fresh run — the 2 seam shingles are
+        # novel, so 8 of 18 distinct shingles are duplicated
+        (13, hot + " " + tok(range(500, 510))),
+    ]
+    return base, incoming
+
+
+def _assert_dup_saturation_rows(rows):
+    assert set(rows) >= {10, 11, 12, 13}
+    assert rows[10]["n_shingles"] == 8 and rows[10]["dup_frac"] == 1.0
+    assert rows[11]["n_shingles"] == 8 and rows[11]["dup_frac"] == 0.0
+    assert rows[12]["dup_frac"] == 0.0
+    assert rows[13]["n_shingles"] == 18 and rows[13]["n_dup_shingles"] == 8
+
+
+def test_dup_saturation_gate_semantics_static(spark):
+    """Default-tier agreement pin for the streaming memorization-risk
+    gate (r12): the operator is pure DataFrame ops, so the identical
+    plan evaluates on a static frame — same base, same verdicts as the
+    nightly micro-batch form, without the micro-batch waits."""
+    from bread_spark.streaming.dedup import dup_saturation_stream_against_base
+
+    base, incoming = _dup_saturation_fixture(spark)
+    m = datetime.timedelta(minutes=1)
+    static = spark.createDataFrame(
+        [(i, BASE + j * m, text) for j, (i, text) in enumerate(incoming)],
+        "event_id long, ts timestamp, payload string",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in dup_saturation_stream_against_base(
+            static, base, window="10 minutes", lateness="1 hour"
+        ).collect()
+    }
+    _assert_dup_saturation_rows(rows)
+
+
+@pytest.mark.nightly  # micro-batch emission/watermark form; default tier keeps the static-frame semantics pin (r9 tier split)
+def test_stream_dup_saturation_scores_recycled_shingles(spark, tmp_path):
+    """Memorization-risk gate in streaming form (r12): an incoming doc
+    built from the base corpus's DUPLICATED trigrams scores dup_frac
+    1.0; one from base text that appears only once scores 0.0 (df < 2
+    shingles are not 'duplicated'); fresh content scores 0.0; and a
+    half-recycled stitch lands exactly between. Base-vs-stream
+    semantics mirror the batch `doc_dup_saturation` df >= 2 rule."""
+    from bread_spark.streaming.dedup import dup_saturation_stream_against_base
+
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    os.makedirs(src)
+    m = datetime.timedelta(minutes=1)
+    h = datetime.timedelta(hours=1)
+
+    tok = lambda idxs: " ".join(f"t{i}" for i in idxs)
+    hot = tok(range(100, 110))  # 8 shingles, in BOTH base docs → df = 2
+    cold = tok(range(200, 210))  # in ONE base doc → df = 1
+    base = spark.createDataFrame(
+        [(1, hot), (2, hot + " " + tok(range(300, 310))), (3, cold)],
+        "doc_id long, text string",
+    )
+
+    copy_hot = hot  # 8/8 duplicated shingles
+    copy_cold = cold  # 0/8 — base has it once, not duplicated
+    fresh = tok(range(400, 410))
+    # stitch: hot run then fresh run — the 2 seam shingles bridging
+    # t109→t500 are novel, so 8 of 18 shingles are duplicated
+    stitch = hot + " " + tok(range(500, 510))
+
+    fn = lambda s: dup_saturation_stream_against_base(
+        s, base, window="10 minutes", lateness="1 hour"
+    )
+    _write(src, "b1.json", [
+        (10, BASE, copy_hot), (11, BASE + m, copy_cold),
+        (12, BASE + 2 * m, fresh), (13, BASE + 3 * m, stitch),
+    ])
+    _run(spark, src, ckpt, sink, fn)
+    # advance event time far past the lateness horizon so windows finalize
+    _write(src, "b2.json", [(99, BASE + 3 * h, fresh)])
+    _run(spark, src, ckpt, sink, fn)
+
+    rows = {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert set(rows) >= {10, 11, 12, 13}
+    assert rows[10]["n_shingles"] == 8 and rows[10]["dup_frac"] == 1.0
+    assert rows[11]["n_shingles"] == 8 and rows[11]["dup_frac"] == 0.0
+    assert rows[12]["dup_frac"] == 0.0
+    assert rows[13]["n_shingles"] == 18 and rows[13]["n_dup_shingles"] == 8
