@@ -1094,3 +1094,32 @@ def test_basket_pair_core_is_keyed_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial_" in p
+
+
+def test_doc_dup_saturation_keyed_no_pairs(plans):
+    """The memorization-risk profile is df-aggregate + one shingle-keyed
+    join + one doc-keyed aggregate — never a self-join pair stage or a
+    cartesian (r12). The df table and the shingle index both ride keyed
+    shuffles, so the plan is linear in corpus size at 100 TB."""
+    p = plans("doc_dup_saturation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_phash_gate_inline_verify_is_banded(spark, sf_dir):
+    """The ingest gate's exact verify joins incoming and base
+    fingerprints keyed on (band_idx, band_val) — a hash/sort-merge
+    equi-join, never all-pairs — and the final media-grain drop is a
+    left-anti equi-join (ADVICE r11 medium: the verify moved inline,
+    and it must not have become a cartesian to do it)."""
+    from bread_spark.extensions.multimodal import (
+        media_from_documents,
+        media_phash_features,
+        phash_gate,
+    )
+
+    media = media_from_documents(spark, sf_dir)
+    p = physical_plan(phash_gate(media, media_phash_features(media)))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p

@@ -1230,3 +1230,27 @@ def test_acf_invariant_under_replication(spark, big_events):
         assert g.n_pairs == b.n_pairs, k
         assert g.acf == b.acf, k
         assert int(g.cov_num) == int(b.cov_num) * REPS * REPS, k
+
+
+def test_doc_dup_saturation_scales(spark, big_docs_r6):
+    """Replicating every doc REPS× makes EVERY shingle's df ≥ REPS ≥ 2,
+    so each replica doc saturates fully (n_dup == n_shingles, dup_frac
+    1.0) and the profile's row count scales exactly linearly — while
+    staying keyed-join-shaped (no pair stage to blow up)."""
+    from bread_spark.extensions.dedup import _word_shingles
+
+    base = load_table(spark, SF_DIR, "documents")
+    n_base = _word_shingles(base).select("doc_id").distinct().count()
+
+    sh = _word_shingles(big_docs_r6)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prof = (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    assert prof.count() == n_base * REPS
+    assert prof.filter(F.col("n_dup") != F.col("n_shingles")).count() == 0
