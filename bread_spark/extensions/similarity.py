@@ -726,47 +726,70 @@ def lsh_bucket_pairs_df(
     )
 
 
+BUCKET_GROUP_BLOCKS = 8  # buckets per applyInPandas group (see below)
+
+
 def _bucket_pair_scores(
     sig: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """In-bucket exact scoring over a signature table: groupBy(table,
-    bucket) → upper-triangle BLAS per bucket → distinct pair set."""
+    """In-bucket exact scoring over a signature table: candidates still
+    meet ONLY inside a (table, bucket) cell — the Python kernel splits
+    its group back into buckets before any scoring — but the SHUFFLE
+    groups are (table, bucket mod BUCKET_GROUP_BLOCKS) blocks, cutting
+    applyInPandas invocations ~BUCKET_GROUP_BLOCKS× (r12: per-group
+    fixed cost dominated this operator — 16 tables × 64 buckets = 1024
+    Python calls ≈ 1.4 ms each ≈ the whole 1.47 s clean bench cost).
+    Memory class is unchanged: a block holds BUCKET_GROUP_BLOCKS
+    buckets ≈ n/128 rows vs n/1024 per bucket — both O(n/const), and at
+    real scale the lever is the same either way (grow bits/tables with
+    the corpus so cells stay bounded); per-bucket upper-triangle BLAS
+    and the max_bucket cap apply inside, identical to the per-bucket
+    form, so the pair set is exactly equal (pinned)."""
     import numpy as np
     import pandas as pd
 
-    def bucket_pairs(key, pdf):
+    def block_pairs(key, pdf):
         empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
             {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
         )
-        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
-            return empty
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        # float64 normalize AFTER transport — same op order as the
-        # brute-force kernel, so rounded scores match it exactly
-        a = np.array(pdf["emb"].tolist(), dtype=np.float64)
-        unit = a / np.linalg.norm(a, axis=1, keepdims=True)
-        # Tile the upper triangle in row blocks: a dense m×m score matrix
-        # at m = max_bucket = 10_000 is ~800 MB in one task (ADVICE r2 #2);
-        # per-block peak is TILE×m ≈ 80 MB and output pairs stream out.
         outs = []
-        for s in range(0, len(ids), BUCKET_SCORE_TILE):
-            blk_ids = ids[s : s + BUCKET_SCORE_TILE]
-            scores = np.round(unit[s : s + BUCKET_SCORE_TILE] @ unit.T, 4)
-            ia, ib = np.nonzero(
-                (scores >= threshold) & (blk_ids[:, None] < ids[None, :])
-            )
-            if len(ia):
-                outs.append(
-                    pd.DataFrame(
-                        {"vec_a": blk_ids[ia], "vec_b": ids[ib], "cosine": scores[ia, ib]}
-                    )
+        for _, bdf in pdf.groupby("bucket", sort=False):
+            if len(bdf) < 2 or (max_bucket is not None and len(bdf) > max_bucket):
+                continue
+            ids = bdf["vec_id"].to_numpy(dtype=np.int64)
+            # float64 normalize AFTER transport — same op order as the
+            # brute-force kernel, so rounded scores match it exactly
+            a = np.array(bdf["emb"].tolist(), dtype=np.float64)
+            unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+            # Tile the upper triangle in row blocks: a dense m×m score
+            # matrix at m = max_bucket = 10_000 is ~800 MB in one task
+            # (ADVICE r2 #2); per-block peak is TILE×m ≈ 80 MB and
+            # output pairs stream out.
+            for s in range(0, len(ids), BUCKET_SCORE_TILE):
+                blk_ids = ids[s : s + BUCKET_SCORE_TILE]
+                scores = np.round(unit[s : s + BUCKET_SCORE_TILE] @ unit.T, 4)
+                ia, ib = np.nonzero(
+                    (scores >= threshold) & (blk_ids[:, None] < ids[None, :])
                 )
+                if len(ia):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": blk_ids[ia],
+                                "vec_b": ids[ib],
+                                "cosine": scores[ia, ib],
+                            }
+                        )
+                    )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    cand = sig.groupBy("table", "bucket").applyInPandas(
-        bucket_pairs, "vec_a long, vec_b long, cosine double"
+    blocked = sig.withColumn(
+        "bucket_block", F.pmod(F.col("bucket"), F.lit(BUCKET_GROUP_BLOCKS))
+    )
+    cand = blocked.groupBy("table", "bucket_block").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine double"
     )
     return cand.distinct()
 

@@ -787,3 +787,29 @@ def test_doc_dup_saturation_planted(spark):
     assert rows[2]["n_shingles"] == 6 and rows[2]["n_dup"] == 2
     assert rows[3]["n_dup"] == 0 and rows[3]["max_df"] == 1
     assert rows[1]["max_df"] == 2
+
+
+def test_lsh_bucket_pairs_block_grouping_is_bucket_isolated(spark, monkeypatch):
+    """Block-grouped in-bucket scoring (r12: shuffle groups are
+    (table, bucket mod BUCKET_GROUP_BLOCKS) blocks to cut applyInPandas
+    fixed cost) must emit the IDENTICAL pair set as strict per-bucket
+    grouping — candidates still only ever meet inside a bucket, never
+    across buckets that merely share a block."""
+    from bread_spark.extensions import similarity
+
+    rows = [(i, [float(((i * 7 + j * 13) % 17) - 8) for j in range(64)]) for i in range(60)]
+    rows += [(200 + i, [1.0] * 64) for i in range(4)]  # one dense bucket
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in similarity.lsh_bucket_pairs_df(
+                emb, threshold=0.3, max_bucket=None
+            ).collect()
+        )
+
+    blocked = run()
+    monkeypatch.setattr(similarity, "BUCKET_GROUP_BLOCKS", 1 << 30)  # 1 bucket/block
+    strict = run()
+    assert blocked == strict and blocked  # nonempty and identical
