@@ -490,113 +490,115 @@ _register(
 # after the r8 close-out — the ledger below is the control that keeps
 # worst-case staleness bounded).
 #
-# ROUND-12 window (per VERDICT r11 #1, executing the r11 ledger note
-# EXACTLY). Arithmetic note, stated honestly: 238 oracle-backed
+# ROUND-13 window (per VERDICT r12 #1, executing the r12 ledger note
+# EXACTLY). Arithmetic note, stated honestly: 241 oracle-backed
 # entries / 50 slots ≈ period 4.8; the ledger therefore always spends
 # slots on (a) the stalest cohort first, (b) never-sampled entries
 # next, and records EXACTLY which entries defer to the next round.
 # Whole-catalog currency no longer rides this window alone:
 # CORRECTNESS_FULL_r{N}.json commits a full catalog differential each
 # round (and, from r11, CORRECTNESS_SF01_r{N}.json the sf0.1 sweep).
-#   1. the alphabetical LAST 37 of the r7-last-green cohort (5 rounds
-#      stale at r12 — mandatory, named individually in the r11 note):
-#      doc_word_counts ... winsorize_values, exactly as listed there.
-#      This closes out the r7 cohort (13 sampled r11 + 37 here = 50).
-#   2. the ONE oracle-backed entry registered DURING r11 and never
-#      sampled: autocorrelation_by_type (the phash pair registered the
-#      same round is ROWS-ONLY by the engine-specific-hash convention;
-#      its currency rides CORRECTNESS_FULL / CORRECTNESS_SF01).
-#   3. the alphabetical FIRST 12 of the r8-last-green cohort (the 50
-#      names in CORRECTNESS_r08.json, 4 rounds stale at r12 —
-#      mandatory): boilerplate_chunks ... cum_value_by_type.
+#   1. the alphabetical REST (38 names) of the r8-last-green cohort
+#      (5 rounds stale at r13 — mandatory), exactly as the r12 ledger
+#      note named them: curated_corpus_v2 ... zipf_fit_by_source.
+#      This closes out the r8 cohort (12 sampled r12 + 38 here = 50).
+#   2. the three oracle-backed entries whose oracle the driver window
+#      has never checked, added/upgraded DURING r12, in registration
+#      order: doc_dup_saturation (new r12), ngram_jaccard_pairs_capped
+#      (rows-only → exact oracle r12; last driver row r2 was the
+#      weaker check), decontaminate_bloom (rows-only → exact oracle
+#      r12; never window-sampled).
+#   3. the alphabetical FIRST 9 of the r9-last-green cohort (the 50
+#      names in CORRECTNESS_r09.json, 4 rounds stale at r13 —
+#      mandatory): base64_roundtrip ... cross_dedup_spans.
 #
-# ROUND-13 ROTATION NOTE: mandatory leads, in this order — (a) the
-# alphabetical REST (38 names) of the r8-last-green cohort (5 rounds
-# stale at r13 — mandatory, ahead of everything else):
-# curated_corpus_v2, daily_ibc_transfers, day_over_day_txs,
-# dedup_clusters, dedup_exact, deterministic_sample,
-# embedding_cosine_dups_tiled, fuzzy_dedup_corpus, fuzzy_dup_pairs,
-# hdr_value_quantiles, hdr_value_sketch, hll_distinct_by_source,
-# hll_registers, hll_total_distinct, hourly_cum_ibc_transfers,
-# hourly_ibc_transfers, hourly_value_by_type, ibc_transfers_out,
-# kmv_sketch, kmv_source_overlap, media_dedup, media_frame_samples,
-# media_resize_plan, mg_heavy_hitters, mg_summary, nb_lang_model,
-# nb_lang_report, nb_lang_scores, regional_supplier_revenue,
-# shuffle_order_distributed, silhouette_scores, source_dashboard,
-# split_leakage_report, top_parts_by_revenue, training_corpus_neardup,
-# weighted_sample_by_source, weighted_sample_docs, zipf_fit_by_source;
-# (b) the oracle-backed entries whose oracle the driver window has
-# never checked, added/upgraded DURING r12, in registration order:
-# doc_dup_saturation (new entry), ngram_jaccard_pairs_capped (rows-only
-# → exact oracle r12; last driver row r2 was the weaker check),
-# decontaminate_bloom (rows-only → exact oracle r12; never
-# window-sampled);
-# (c) the alphabetical FIRST (12 minus |group b|) of the
-# r9-last-green cohort (the 50 names in CORRECTNESS_r09.json, 4
-# rounds stale at r13 — mandatory): base64_roundtrip, bm25_search,
-# brand_number_extract, centroid_by_label, char_entropy,
-# contamination_report, corpus_checksum_by_source,
-# corpus_stats_by_source, ... taking names alphabetically until the
-# window holds exactly 50; the alphabetical rest of the r9 cohort
-# plus everything r10-and-later-green queues behind them for r14.
-# Groups (a) 38 + (b) + (c) = 50 fill the window exactly.
+# ROUND-14 ROTATION NOTE: mandatory leads, in this order — (a) the
+# alphabetical REST (41 names) of the r9-last-green cohort (5 rounds
+# stale at r14 — mandatory, ahead of everything else):
+# curated_corpus, customers_without_orders, cusum_alarms,
+# daily_value_by_type, dedup_exact_hash, dedup_impact_report,
+# deduped_corpus, distinct_users_per_day, doc_authority_rank,
+# doc_chunks, doc_fingerprints, doc_provenance_edges,
+# domain_quota_sample, domain_token_quota, duplicate_spans,
+# embedding_cosine_dups, embedding_covariance, event_path_trigrams,
+# event_transition_matrix, events_monitoring_dashboard,
+# events_pivot_by_type, gopher_quality_gate, hard_negatives,
+# label_mix_by_source, nb_calibration_bins, nb_cohens_kappa,
+# nb_confusion_matrix, nb_margin_auc, nb_pr_curve, orders_by_nation,
+# pack_efficiency, props_json_extract, revenue_by_segment,
+# seasonal_anomalies, seasonal_decomposition, semantic_decontaminate,
+# top_paths_to_purchase, trigram_logprob_scores, value_cusum_by_type,
+# value_per_day, value_psi_by_type;
+# (b) any oracle-backed entries added/upgraded DURING r13 whose oracle
+# the driver window has never checked, in registration order;
+# (c) the alphabetical FIRST (9 minus |group b|) of the
+# r10-last-green cohort (the names in CORRECTNESS_r10.json not
+# re-greened in r11/r12, 4 rounds stale at r14 — mandatory):
+# ab_variant_report, benford_digit_qc, constraint_checks,
+# curriculum_order, curriculum_order_distributed,
+# daily_value_percentiles, dedup_cluster_sizes, doc_label_propagation,
+# doc_length_histogram, ... taking names alphabetically until the
+# window holds exactly 50; the alphabetical rest of the r10 cohort
+# plus everything r11-and-later-green queues behind them for r15.
+# Groups (a) 41 + (b) + (c) = 50 fill the window exactly.
 _SAMPLE_PRIORITY = (
-    # 1 — the alphabetical LAST 37 of the r7-last-green cohort
-    # (mandatory: 5 rounds stale otherwise), exactly as the r11
+    # 1 — the alphabetical REST (38) of the r8-last-green cohort
+    # (mandatory: 5 rounds stale otherwise), exactly as the r12
     # ledger note named them
-    "doc_word_counts",
-    "embedding_dedup_corpus",
-    "event_flows_union",
-    "events_near_errors",
-    "gas_used_per_day",
-    "hourly_ohlc_by_type",
-    "ibc_transfers",
-    "ibc_transfers_in",
-    "importance_sample",
-    "key_skew_report",
-    "last_purchase_asof",
-    "lineitem_flag_status_key",
-    "nation_revenue_rollup",
-    "ngram5_logprob_scores",
-    "ngram_jaccard_pairs",
-    "orders_with_returns",
-    "pack_sequences",
-    "paragraph_dedup",
-    "perplexity_buckets",
-    "perplexity_buckets_ngram5",
-    "pricing_summary",
-    "project_embeddings",
-    "retention_cohorts",
-    "returned_items_topk",
-    "session_stats",
-    "snapshot_diff",
-    "span_dedup_corpus",
-    "training_corpus",
-    "txs_per_day",
-    "txs_per_day_gapfilled",
-    "user_activity_span",
-    "value_cube_by_type_day",
-    "value_histogram_by_type",
-    "value_percentiles_by_type",
-    "value_zscore_outliers",
-    "windowed_value_by_type",
-    "winsorize_values",
-    # 2 — the one r11-registered oracle entry, first driver row ever
-    "autocorrelation_by_type",
-    # 3 — the alphabetical first 12 of the r8-last-green cohort
+    "curated_corpus_v2",
+    "daily_ibc_transfers",
+    "day_over_day_txs",
+    "dedup_clusters",
+    "dedup_exact",
+    "deterministic_sample",
+    "embedding_cosine_dups_tiled",
+    "fuzzy_dedup_corpus",
+    "fuzzy_dup_pairs",
+    "hdr_value_quantiles",
+    "hdr_value_sketch",
+    "hll_distinct_by_source",
+    "hll_registers",
+    "hll_total_distinct",
+    "hourly_cum_ibc_transfers",
+    "hourly_ibc_transfers",
+    "hourly_value_by_type",
+    "ibc_transfers_out",
+    "kmv_sketch",
+    "kmv_source_overlap",
+    "media_dedup",
+    "media_frame_samples",
+    "media_resize_plan",
+    "mg_heavy_hitters",
+    "mg_summary",
+    "nb_lang_model",
+    "nb_lang_report",
+    "nb_lang_scores",
+    "regional_supplier_revenue",
+    "shuffle_order_distributed",
+    "silhouette_scores",
+    "source_dashboard",
+    "split_leakage_report",
+    "top_parts_by_revenue",
+    "training_corpus_neardup",
+    "weighted_sample_by_source",
+    "weighted_sample_docs",
+    "zipf_fit_by_source",
+    # 2 — the three r12-added/upgraded oracles, first window check of
+    # their current (exact-oracle) form
+    "doc_dup_saturation",
+    "ngram_jaccard_pairs_capped",
+    "decontaminate_bloom",
+    # 3 — the alphabetical first 9 of the r9-last-green cohort
     # (mandatory: 4 rounds stale otherwise)
-    "boilerplate_chunks",
-    "boilerplate_filtered_corpus",
-    "bootstrap_source_stats",
-    "cdc_chunk_dedup",
-    "cdc_chunks",
-    "cluster_quality_report",
-    "cms_heavy_hitters",
-    "cms_probe_report",
-    "cms_sketch",
-    "corpus_mix_tokens",
-    "cross_fuzzy_matches",
-    "cum_value_by_type",
+    "base64_roundtrip",
+    "bm25_search",
+    "brand_number_extract",
+    "centroid_by_label",
+    "char_entropy",
+    "contamination_report",
+    "corpus_checksum_by_source",
+    "corpus_stats_by_source",
+    "cross_dedup_spans",
     # — 50-row window ends here —
 )
 

@@ -205,8 +205,10 @@ def dup_saturation_stream_against_base(
     LEFT join against the duplicated-shingle table; the per-document
     counts are a watermarked tumbling-window aggregation keyed on
     (window, doc) — state evicts once event time passes, O(docs per
-    horizon). Documents shorter than 3 tokens have no shingles and
-    pass through un-scored, exactly like the span gate."""
+    horizon). Documents shorter than 3 tokens have no shingles and are
+    EXCLUDED from the scored output (the size filter runs before the
+    shingle projection — under ANSI, sequence(0, negative) would
+    otherwise throw; the batch `_word_shingles` filters first too)."""
     if base_dup_shingles is None:
         if base is None:
             raise ValueError("pass either `base` (raw corpus) or `base_dup_shingles`")
@@ -214,14 +216,22 @@ def dup_saturation_stream_against_base(
     hits = base_dup_shingles.select("shingle").withColumn("__hit", F.lit(1))
     exploded = (
         stream.withColumn("__toks", F.split(payload_col, " "))
+        .filter(F.size("__toks") >= 3)
         .withColumn(
             "__sh",
             F.expr(
+                # get() (NULL out-of-bounds) instead of __toks[i]: the
+                # size>=3 filter above is NOT enough under ANSI — the
+                # optimizer's InferFiltersFromGenerate predicate
+                # (size(__sh)>0) is evaluated through codegen
+                # subexpression elimination BEFORE the AND can
+                # short-circuit, so the transform must be total. Valid
+                # rows hash identical values either way (same seam
+                # identity as the batch _word_shingles).
                 "array_distinct(transform(sequence(0, size(__toks) - 3), "
-                "i -> xxhash64(__toks[i], __toks[i+1], __toks[i+2])))"
+                "i -> xxhash64(get(__toks, i), get(__toks, i+1), get(__toks, i+2))))"
             ),
         )
-        .filter(F.size("__toks") >= 3)
         .select(id_col, ts_col, F.explode("__sh").alias("shingle"))
     )
     scored = (

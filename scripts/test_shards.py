@@ -99,8 +99,11 @@ _DURATION_RE = re.compile(
 def _load_measured() -> dict[str, float]:
     if WEIGHTS_FILE.exists():
         try:
-            return {str(k): float(v) for k, v in json.loads(WEIGHTS_FILE.read_text()).items()}
-        except (ValueError, TypeError):
+            parsed = json.loads(WEIGHTS_FILE.read_text())
+            if not isinstance(parsed, dict):
+                return {}
+            return {str(k): float(v) for k, v in parsed.items()}
+        except (ValueError, TypeError, AttributeError):
             return {}
     return {}
 

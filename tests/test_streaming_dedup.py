@@ -241,6 +241,9 @@ def _dup_saturation_fixture(spark):
         # stitch: hot run then fresh run — the 2 seam shingles are
         # novel, so 8 of 18 distinct shingles are duplicated
         (13, hot + " " + tok(range(500, 510))),
+        # <3 tokens: no shingles — EXCLUDED from the scored output
+        # (and must not trip ANSI on sequence(0, negative))
+        (14, "t100 t101"),
     ]
     return base, incoming
 
@@ -251,6 +254,9 @@ def _assert_dup_saturation_rows(rows):
     assert rows[11]["n_shingles"] == 8 and rows[11]["dup_frac"] == 0.0
     assert rows[12]["dup_frac"] == 0.0
     assert rows[13]["n_shingles"] == 18 and rows[13]["n_dup_shingles"] == 8
+    # ADVICE r12: <3-token docs are excluded (size filter runs BEFORE
+    # the shingle projection, so ANSI never sees sequence(0, -1))
+    assert 14 not in rows
 
 
 def test_dup_saturation_gate_semantics_static(spark):
