@@ -9,10 +9,11 @@ a private SparkSession (local[8], the measured-optimal tier master), so
 idle, without the cross-test scheduler interference a shared session
 would add.
 
-Placement is weight-balanced (greedy LPT), with one hard constraint:
-test_oracle.py and test_plans.py share the session-scoped
-`catalog_frames` build — the single most expensive fixture — so they
-are PINNED to the same shard and that build is paid once, not twice.
+Placement is weight-balanced (greedy LPT). The r11 oracle+plans
+pinning is GONE as of r13: the monolithic oracle sweep split into four
+segment files (tests/oracle_segments.py) that each build only their
+quarter's frames, so test_plans.py is the only full-catalog consumer
+left and nothing shares its session fixture across files any more.
 
 Weights are AUTO-DERIVED (VERDICT r11 #7): every green run parses its
 own per-test `--durations` lines, aggregates them per file, and writes
@@ -65,8 +66,17 @@ WEIGHTS_FILE = ROOT / "scripts" / ".shard_weights.json"
 # validation run measured shard imbalance 828-1070 s with streaming
 # files defaulted to 10).
 WEIGHTS = {
-    "test_oracle.py": 260,  # includes the catalog_frames session build
-    "test_plans.py": 60,  # rides the same build when co-located
+    # r13 split files (clean-host estimates; the first green run
+    # replaces these with harvested measurements)
+    "test_oracle_q1.py": 70,
+    "test_oracle_q2.py": 70,
+    "test_oracle_q3.py": 70,
+    "test_oracle_q4.py": 70,
+    "test_oracle.py": 25,  # rows-only + protocol pins after the split
+    "test_properties_models.py": 45,
+    "test_scale_smoke_merge.py": 45,
+    "test_scale_smoke_stats.py": 45,
+    "test_plans.py": 90,  # now pays the catalog_frames build itself
     "test_fuzzy.py": 55,
     "test_recall.py": 50,
     "test_curation.py": 45,
@@ -88,7 +98,9 @@ WEIGHTS = {
     "test_basket.py": 20,
     "test_dedup.py": 20,
 }
-PINNED_TOGETHER = ("test_oracle.py", "test_plans.py")
+# r13: no pinning constraints left (see module docstring); kept as a
+# mechanism in case a shared-session fixture pair reappears.
+PINNED_TOGETHER = ()
 
 # pytest --durations lines: "12.34s call     tests/test_x.py::test_y"
 _DURATION_RE = re.compile(

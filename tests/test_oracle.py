@@ -1,15 +1,16 @@
-"""Differential tests: every oracle-declared query must match DuckDB on the
-same parquet — the in-repo mirror of the driver's t2 correctness gate."""
+"""Driver-protocol pins + the rows-only half of the correctness gate.
+The oracle differential itself lives in test_oracle_q1..q4.py (r13,
+VERDICT r12 #3: the monolithic parameterized sweep was the tier's wall
+floor — see tests/oracle_segments.py for the split)."""
 
 from __future__ import annotations
 
 import pytest
 
 from bread_spark.queries import ORACLES, QUERIES
-from tests.oracle_utils import compare, duckdb_con
+from tests.oracle_utils import duckdb_con
 from tests.conftest import SF_DIR
 
-ORACLE_CHECKED = sorted(ORACLES.keys())
 ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 
 
@@ -18,49 +19,6 @@ def con():
     c = duckdb_con(SF_DIR)
     yield c
     c.close()
-
-
-@pytest.fixture(scope="session")
-def oracle_results(spark, sf_dir, catalog_frames):
-    """Every differential computed ONCE with an 8-way thread pool (r9
-    introduced the pool at 4 — the serial sweep was the suite's single
-    largest block at ~100 s, latency-bound with 32 cores idle; r10
-    measured 8 workers at 14.9 s warm vs 19.9 s for 4, all green — the
-    stampede RLock already serializes seam builds). Spark actions are
-    thread-safe on the shared session (FIFO scheduler overlaps the
-    jobs) and each worker thread owns a private DuckDB connection. The
-    parameterized tests below assert the cached verdicts, so per-oracle
-    reporting granularity is unchanged — only the wall clock shrinks."""
-    import concurrent.futures as cf
-    import threading
-
-    local = threading.local()
-    cons = []
-
-    def one(name):
-        con = getattr(local, "con", None)
-        if con is None:
-            con = local.con = duckdb_con(SF_DIR)
-            cons.append(con)
-        try:
-            # session-shared frame (catalog_frames): construction —
-            # including seam builds and bounded scalar collects — is
-            # paid once per session, not once per fixture
-            return name, compare(catalog_frames[name], con, ORACLES[name])
-        except Exception as e:  # surface as a red row, not a crashed pool
-            return name, (False, f"exception while comparing: {e!r}")
-
-    with cf.ThreadPoolExecutor(max_workers=8) as ex:
-        results = dict(ex.map(one, ORACLE_CHECKED))
-    for c in cons:
-        c.close()
-    return results
-
-
-@pytest.mark.parametrize("name", ORACLE_CHECKED)
-def test_query_matches_oracle(oracle_results, name):
-    ok, msg = oracle_results[name]
-    assert ok, f"{name}: {msg}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
