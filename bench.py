@@ -358,6 +358,9 @@ def main() -> None:
         "ngram_jaccard_pairs_capped",
         "minhash_lsh_candidates",
         "simhash_fingerprints",
+        # md5-lane SimHash pairs (r13): the oracle-certifiable near-dup
+        # path — benching the pairs pays the fingerprint seam cold
+        "simhash_md5_pairs",
         "cosine_topk",
         "centroid_by_label",
         "quantize_embeddings",
@@ -623,6 +626,9 @@ def main() -> None:
     R12_ADDITIONS = {
         "doc_dup_saturation",
     }
+    R13_ADDITIONS = {
+        "simhash_md5_pairs",
+    }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):
     # the 60 timed queries of BENCH_r05 (the 59 catalog entries above as
@@ -724,6 +730,7 @@ def main() -> None:
                 and k not in R10_ADDITIONS
                 and k not in R11_ADDITIONS
                 and k not in R12_ADDITIONS
+                and k not in R13_ADDITIONS
             ),
             3,
         ),
@@ -750,6 +757,9 @@ def main() -> None:
         ),
         "r12_additions": round(
             sum(v for k, v in timings.items() if k in R12_ADDITIONS), 3
+        ),
+        "r13_additions": round(
+            sum(v for k, v in timings.items() if k in R13_ADDITIONS), 3
         ),
         "frozen_r5_set": round(
             sum(v for k, v in timings.items() if k in FROZEN_R5_SET), 3

@@ -1128,6 +1128,216 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select("doc_id", fingerprint.alias("simhash"))
 
+
+# ---------------------------------------------------------------------------
+# SimHash on the md5 convention (r13) — the ORACLE-BACKED near-dup path.
+#
+# `simhash_fingerprints` above rides xxhash64 (the measured-faster
+# engine hash) and is rows-only by the engine-specific-hash convention.
+# This family re-derives the token hash from the repo's md5 hex-slice
+# convention (15 hex chars → a 60-bit positive lane — the
+# decontaminate_bloom precedent from r12), so EVERYTHING downstream is
+# exact integer arithmetic both engines reproduce bit-for-bit: the
+# per-bit ±1 sums, the majority threshold, the packed fingerprint, the
+# banded candidates, and the Hamming verify. The pairs oracle is the
+# strongest kind the catalog has: DuckDB computes the BRUTE-FORCE
+# all-pairs Hamming ≤ H set from its own fingerprints, so a green row
+# certifies the banded Spark plan's pigeonhole completeness against
+# the definition, not just against a mirrored plan.
+#
+# Candidate generation reuses the MIH discipline built for the phash
+# family (multimodal.py banner): 60 bits split into 4 bands of 15;
+# at the default H = 3 the probe radius is 3 // 4 = 0, i.e. plain
+# exact band match (any pair within 3 flipped bits shares a whole
+# band) — no probe fan-out at all; callers widening past 3 pay the
+# Hamming-ball masks exactly like phash. At 100 TB the random-collision
+# term is m·|A|·|B|/2^15 per band — the dial is band width via longer
+# fingerprints, same knob as the banner documents.
+# ---------------------------------------------------------------------------
+
+SIMHASH_MD5_BITS = 60  # 15 md5 hex chars — positive in a signed long
+SIMHASH_MD5_BANDS = 4
+SIMHASH_MD5_BAND_WIDTH = SIMHASH_MD5_BITS // SIMHASH_MD5_BANDS  # 15
+SIMHASH_MD5_BAND_MASK = (1 << SIMHASH_MD5_BAND_WIDTH) - 1
+SIMHASH_MD5_MAX_HAMMING = 3  # classic simhash near-dup cut
+
+
+def _simhash_md5_fingerprint_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) with the 60-bit md5-lane SimHash — the same
+    ONE-groupBy packed-lane aggregation as `simhash_fingerprints`
+    (21-bit ones-counters, three to a long, 20 counters for 60 bits),
+    only the token hash differs. Majority rule is strictly
+    `2·ones > n` (tie → 0), deterministic in both engines. Docs with
+    zero non-empty tokens have no fingerprint row (both engines)."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias("tok"),
+    )
+    tok_hash = tokens.select(
+        "doc_id",
+        F.expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").alias("h"),
+    )
+    lane, per = SIMHASH_LANE, SIMHASH_LANES_PER_LONG
+    mask = (1 << lane) - 1
+    bits = SIMHASH_MD5_BITS
+    n_counters = (bits + per - 1) // per
+    packed = [
+        F.sum(
+            F.expr(
+                " + ".join(
+                    f"(shiftleft(shiftright(h, {per * j + b}) & 1, {lane * b}))"
+                    for b in range(per)
+                    if per * j + b < bits
+                )
+            )
+        ).alias(f"p{j}")
+        for j in range(n_counters)
+    ]
+    agg = tok_hash.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packed)
+    agg = agg.select(
+        "doc_id",
+        "n",
+        F.array(*[F.col(f"p{j}") for j in range(n_counters)]).alias("parr"),
+    )
+    fingerprint = F.expr(
+        f"""
+        CASE WHEN n > {SIMHASH_MAX_TOKENS}
+             THEN raise_error('simhash_md5: document exceeds {SIMHASH_MAX_TOKENS} tokens')
+        ELSE aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) ->
+          acc + IF(2 * (shiftright(element_at(parr, cast(i div {per} as int) + 1),
+                                   {lane} * cast(pmod(i, {per}) as int)) & {mask}) > n,
+                   shiftleft(cast(1 as bigint), i), cast(0 as bigint)))
+        END"""
+    )
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_md5_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once md5-SimHash fingerprint table for the canonical
+    `documents` table — shared by the fingerprint entry and the pair
+    entry (seams convention). At 100 TB this is the stored fingerprint
+    column every near-dup pass reads."""
+    return materialized_frame(
+        spark,
+        "simhash_md5",
+        sf_dir,
+        lambda: _simhash_md5_fingerprint_df(load_table(spark, sf_dir, "documents")),
+        (SIMHASH_MD5_BITS,),
+    )
+
+
+def simhash_md5_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: (doc_id, simhash) — exact-oracle-backed (module
+    banner: every step is integer arithmetic on md5 lanes)."""
+    return simhash_md5_frame(spark, sf_dir)
+
+
+def simhash_md5_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = SIMHASH_MD5_MAX_HAMMING,
+) -> DataFrame:
+    """Catalog entry: near-dup pairs (doc_a, doc_b, hamming ≤ H) via
+    banded candidates + exact Hamming verify. Pigeonhole-complete for
+    any H (probe radius H // bands adapts — the MIH dial); the DuckDB
+    oracle is the brute-force all-pairs definition, so the green row
+    certifies the banded plan's completeness, not a mirrored plan."""
+    fps = simhash_md5_frame(spark, sf_dir)
+    band_arr = F.expr(
+        f"transform(sequence(0, {SIMHASH_MD5_BANDS - 1}), b -> "
+        f"shiftright(simhash, {SIMHASH_MD5_BAND_WIDTH} * b) & {SIMHASH_MD5_BAND_MASK})"
+    )
+    bands = fps.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    rho = max_hamming // SIMHASH_MD5_BANDS
+    if rho > 0:
+        from .multimodal import _hamming_ball_masks  # lazy: avoids import cycle
+
+        masks = _hamming_ball_masks(SIMHASH_MD5_BAND_WIDTH, rho)
+        probe = bands.select(
+            "doc_id",
+            "simhash",
+            "band_idx",
+            "band_val",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("__mask"),
+        ).select(
+            "doc_id",
+            "simhash",
+            "band_idx",
+            F.col("band_val").bitwiseXOR(F.col("__mask")).alias("band_val"),
+        )
+    else:
+        probe = bands
+    a, b = probe.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a pair may collide in several bands — count once
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(sh_a ^ sh_b) as int)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# md5-SimHash oracles: the fingerprint CTE rebuilds the 60-bit lane,
+# the per-bit majority, and the packed fingerprint from DuckDB's own
+# md5 — exact integers end to end (distinct powers of two sum < 2^60).
+# The pairs oracle is the BRUTE-FORCE all-pairs definition.
+_SIMHASH_MD5_FP_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks
+    ),
+    nn AS (SELECT doc_id, COUNT(1) AS n FROM h GROUP BY doc_id),
+    ones AS (
+        SELECT doc_id, b.bit, SUM((h >> b.bit) & 1) AS ones
+        FROM h CROSS JOIN (SELECT unnest(range({SIMHASH_MD5_BITS})) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    fp AS (
+        SELECT o.doc_id,
+               CAST(SUM(CASE WHEN 2 * o.ones > nn.n
+                             THEN (CAST(1 AS BIGINT) << o.bit)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM ones o JOIN nn USING (doc_id)
+        GROUP BY o.doc_id
+    )
+"""
+
+ORACLE_SQL["simhash_md5_fingerprints"] = (
+    _SIMHASH_MD5_FP_CTE + "SELECT doc_id, simhash FROM fp"
+)
+
+ORACLE_SQL["simhash_md5_pairs"] = (
+    _SIMHASH_MD5_FP_CTE
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MD5_MAX_HAMMING}
+"""
+)
+
+
+
 # ---------------------------------------------------------------------------
 # Exact substring (span-level) dedup — Lee et al. 2021, "Deduplicating
 # Training Data Makes Language Models Better" (ExactSubstr). The suffix-

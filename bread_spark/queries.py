@@ -162,6 +162,8 @@ _register(
         "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # oracle-backed r12
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
+        "simhash_md5_fingerprints": dedup.simhash_md5_fingerprints,  # exact oracle (r13)
+        "simhash_md5_pairs": dedup.simhash_md5_pairs,  # brute-force-definition oracle (r13)
         "dedup_clusters": dedup.dedup_clusters,  # connected components
         "deduped_corpus": dedup.deduped_corpus,  # surviving corpus post near-dup
         "minhash_dedup_corpus": dedup.minhash_dedup_corpus,  # rows-only (LSH graph)

@@ -147,6 +147,18 @@ def test_simhash_single_doc_keyed_shuffle(plans):
     assert "partial_sum" in p
 
 
+def test_simhash_md5_pairs_banded_equijoin(plans):
+    """md5-SimHash pairs (r13): candidates meet ONLY inside
+    (band_idx, band_val) cells — the join must be an equi-hash-join on
+    both band keys with the exact Hamming verify riding as the join
+    condition, never a nested-loop/cartesian pairing."""
+    p = plans("simhash_md5_pairs")
+    assert "HashJoin [band_idx" in p  # equi-join on both band keys
+    assert "bit_count" in p  # exact verify fused into the join condition
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_dedup_hash_shuffles_digest_not_body(plans):
     p = plans("dedup_exact_hash")
     # the exchange key is the md5 digest, and the document body is pruned

@@ -813,3 +813,29 @@ def test_lsh_bucket_pairs_block_grouping_is_bucket_isolated(spark, monkeypatch):
     monkeypatch.setattr(similarity, "BUCKET_GROUP_BLOCKS", 1 << 30)  # 1 bucket/block
     strict = run()
     assert blocked == strict and blocked  # nonempty and identical
+
+
+def test_simhash_md5_pairs_mih_dial_complete(spark, sf_dir):
+    """The MIH dial (r13): widening max_hamming past the default 3 flips
+    the probe side from exact band match (rho=0) to Hamming-ball masks
+    (rho=1 at H=7, 16 masks of weight ≤1 per 15-bit band) — and the
+    banded plan must still find EXACTLY the brute-force ≤H pair set
+    (pigeonhole: 7 flipped bits across 4 bands leave some band ≤1).
+    The default-H set is certified by the DuckDB brute-force oracle;
+    this pins the widened geometry the oracle doesn't exercise.
+    Collects are test-scale only (fingerprint table, bounded)."""
+    from bread_spark.extensions.dedup import simhash_md5_frame, simhash_md5_pairs
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_md5_frame(spark, sf_dir).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 7
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_md5_pairs(spark, sf_dir, max_hamming=7).collect()
+    }
+    assert got == expected
