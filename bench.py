@@ -361,6 +361,9 @@ def main() -> None:
         # md5-lane SimHash pairs (r13): the oracle-certifiable near-dup
         # path — benching the pairs pays the fingerprint seam cold
         "simhash_md5_pairs",
+        # md5-lane MinHash-LSH candidates (r13): same move for the LSH
+        # family — pays the signature seam cold
+        "minhash_md5_candidates",
         "cosine_topk",
         "centroid_by_label",
         "quantize_embeddings",
@@ -628,6 +631,7 @@ def main() -> None:
     }
     R13_ADDITIONS = {
         "simhash_md5_pairs",
+        "minhash_md5_candidates",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

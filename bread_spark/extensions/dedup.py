@@ -962,6 +962,16 @@ NUM_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high recall
 MERSENNE = (1 << 31) - 1
 
 
+def _minhash_coeffs(num_hashes: int = NUM_HASHES) -> tuple[list[int], list[int]]:
+    """The deterministic universal-hash coefficient schedule (golden-ratio
+    multiples mod the Mersenne prime) — factored out (r13) so the
+    md5-lane twin family and its DuckDB oracle embed the SAME literals
+    `minhash_signatures` has always used."""
+    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % MERSENNE or 1 for i in range(1, num_hashes + 1)]
+    rng_b = [(i * 0xC2B2AE3D27D4EB4F) % MERSENNE for i in range(1, num_hashes + 1)]
+    return rng_a, rng_b
+
+
 def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """doc_id → array<long> MinHash signature.
 
@@ -972,8 +982,7 @@ def minhash_signatures(docs_shingled: DataFrame, num_hashes: int = NUM_HASHES) -
     32× the shuffle volume and a second shuffle to re-assemble the array.)
     """
     # Deterministic (a, b) parameters — fixed seed, python-side constants.
-    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % MERSENNE or 1 for i in range(1, num_hashes + 1)]
-    rng_b = [(i * 0xC2B2AE3D27D4EB4F) % MERSENNE for i in range(1, num_hashes + 1)]
+    rng_a, rng_b = _minhash_coeffs(num_hashes)
     # pmod (not abs%) — abs(Long.MIN_VALUE) would throw under ANSI mode.
     hashed = docs_shingled.select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE)).alias("hx")
@@ -1051,6 +1060,205 @@ def minhash_lsh_candidates(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash on the md5 convention (r13) — the ORACLE-BACKED LSH twin.
+#
+# `minhash_signatures`/`minhash_lsh_candidates` above ride xxhash64 (the
+# measured-faster engine hash) and are rows-only by the engine-specific-
+# hash convention. The ONLY engine-specific step in that whole pipeline
+# is the shingle hash: the permutation lattice (a·x + b) mod 2^31−1 with
+# the `_minhash_coeffs` schedule is already exact integer arithmetic.
+# This family swaps the shingle hash for the repo's md5 hex-slice
+# convention (15 hex chars → 60-bit lane, reduced mod the Mersenne prime
+# so a·x stays < 2^62 under ANSI), after which DuckDB reproduces
+# EVERYTHING bit-for-bit: the 32 min-aggregates, the banded buckets
+# (bucket = the band's 4 signature values verbatim — equality is all
+# candidate generation needs, so no extra hash), and the
+# signature-agreement count on candidate pairs. n_agree/32 is the
+# classic MinHash Jaccard estimate; the output keeps the exact integer
+# n_agree so no cross-engine float rounding is ever involved.
+#
+# Scale shape is identical to the xxhash64 path: one groupBy(doc_id)
+# signature shuffle with map-side partial mins, candidates meet ONLY
+# inside (band, bucket), and the agreement verify is a doc-id-keyed join
+# against the stored signature table — no all-pairs stage anywhere.
+# ---------------------------------------------------------------------------
+
+MINHASH_MD5_ROWS_PER_BAND = NUM_HASHES // NUM_BANDS  # 4
+
+
+def _minhash_md5_sig_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h31) wide signature table on the md5 lane. Shingle
+    strings are formed in the same transform lambda (word 3-grams,
+    space-joined); no distinct — MIN is idempotent under duplicates
+    (the `_word_shingles_with_dups` argument), and the oracle's DISTINCT
+    form provably aggregates to the same minima. Docs with < SHINGLE_N
+    words have no row (both engines)."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    shingled = words.filter(F.size("w") >= SHINGLE_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {SHINGLE_N}), "
+                f"i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    hx = shingled.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % {MERSENNE}"
+        ).alias("hx"),
+    )
+    rng_a, rng_b = _minhash_coeffs()
+    mins = [
+        F.min((F.lit(rng_a[i]) * F.col("hx") + F.lit(rng_b[i])) % F.lit(MERSENNE)).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return hx.groupBy("doc_id").agg(*mins)
+
+
+def minhash_md5_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once wide signature table for the canonical `documents`
+    table — shared by the signature entry and the candidate entry (seams
+    convention). At 100 TB this is the stored signature column set every
+    near-dup pass and incremental gate reads."""
+    return materialized_frame(
+        spark,
+        "minhash_md5_sig",
+        sf_dir,
+        lambda: _minhash_md5_sig_df(load_table(spark, sf_dir, "documents")),
+        (NUM_HASHES,),
+    )
+
+
+def minhash_md5_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: long-form (doc_id, perm, sig) — exact-oracle-backed
+    (block banner). Long form so the oracle is a plain per-permutation
+    min-aggregate and row order is immaterial."""
+    wide = minhash_md5_sig_frame(spark, sf_dir)
+    stack_args = ", ".join(f"{i}, h{i}" for i in range(NUM_HASHES))
+    return wide.selectExpr(
+        "doc_id", f"stack({NUM_HASHES}, {stack_args}) as (perm, sig)"
+    )
+
+
+def minhash_md5_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: (doc_a, doc_b, n_agree) — banded LSH candidates
+    with the signature-agreement count (n_agree/32 = the MinHash Jaccard
+    estimate, kept as the exact integer numerator). Bucket = the band's
+    4 signature values rendered verbatim; candidates meet ONLY inside
+    (band, bucket); a pair colliding in several bands counts once. The
+    DuckDB oracle rebuilds signatures, buckets, and agreement from its
+    own md5 — a green row certifies the full LSH pipeline bit-for-bit."""
+    wide = minhash_md5_sig_frame(spark, sf_dir)
+    r = MINHASH_MD5_ROWS_PER_BAND
+    band_pairs = ", ".join(
+        f"{b}, concat_ws(':', {', '.join(f'cast(h{b * r + j} as string)' for j in range(r))})"
+        for b in range(NUM_BANDS)
+    )
+    bands = wide.selectExpr(
+        "doc_id", f"stack({NUM_BANDS}, {band_pairs}) as (band, bucket)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"sa{i}") for i in range(NUM_HASHES)],
+    )
+    sb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"sb{i}") for i in range(NUM_HASHES)],
+    )
+    agree = " + ".join(f"IF(sa{i} = sb{i}, 1, 0)" for i in range(NUM_HASHES))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"cast({agree} as int)").alias("n_agree"),
+        )
+    )
+
+
+def _minhash_md5_oracle_sql() -> dict[str, str]:
+    """Generated at import (pure string work): the signature CTE embeds
+    the `_minhash_coeffs` literals so both engines run the identical
+    permutation lattice."""
+    rng_a, rng_b = _minhash_coeffs()
+    mins = ",\n               ".join(
+        f"MIN(({rng_a[i]} * hx + {rng_b[i]}) % {MERSENNE}) AS h{i}"
+        for i in range(NUM_HASHES)
+    )
+    sig_cte = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM w, LATERAL (SELECT unnest(range(1, len(words) - 1)) AS i) t
+        WHERE len(words) >= {SHINGLE_N}
+    ),
+    hx AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MERSENNE} AS hx
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hx GROUP BY doc_id
+    )"""
+    long_form = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, h{i} AS sig FROM sig"
+        for i in range(NUM_HASHES)
+    )
+    r = MINHASH_MD5_ROWS_PER_BAND
+    bucket_case = " ".join(
+        f"WHEN {b} THEN concat_ws(':', "
+        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + ")"
+        for b in range(NUM_BANDS)
+    )
+    agree = " + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))
+    return {
+        "minhash_md5_signatures": sig_cte + "\n    " + long_form,
+        "minhash_md5_candidates": sig_cte
+        + f""",
+    bands AS (
+        SELECT doc_id, t.band,
+               CASE t.band {bucket_case} END AS bucket
+        FROM sig, (SELECT unnest(range({NUM_BANDS})) AS band) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({agree} AS INTEGER) AS n_agree
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+""",
+    }
+
+
+ORACLE_SQL.update(_minhash_md5_oracle_sql())
 
 
 # ---------------------------------------------------------------------------

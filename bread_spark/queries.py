@@ -161,6 +161,8 @@ _register(
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_jaccard_pairs_capped": dedup.ngram_jaccard_pairs_capped,  # oracle-backed r12
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
+        "minhash_md5_signatures": dedup.minhash_md5_signatures,  # exact oracle (r13)
+        "minhash_md5_candidates": dedup.minhash_md5_candidates,  # exact oracle (r13)
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
         "simhash_md5_fingerprints": dedup.simhash_md5_fingerprints,  # exact oracle (r13)
         "simhash_md5_pairs": dedup.simhash_md5_pairs,  # brute-force-definition oracle (r13)

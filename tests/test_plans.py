@@ -159,6 +159,29 @@ def test_simhash_md5_pairs_banded_equijoin(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_minhash_md5_candidates_banded_equijoin(plans):
+    """md5-MinHash candidates (r13): pairs form ONLY inside (band,
+    bucket) equi-join cells; the agreement verify is doc-id-keyed joins
+    against the signature table — never a nested-loop/cartesian stage."""
+    p = plans("minhash_md5_candidates")
+    assert "HashJoin [band" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_minhash_md5_signature_single_shuffle(spark, sf_dir):
+    """The md5-signature core (pre-seam) must keep the one-shuffle shape
+    of `minhash_signatures`: a single Exchange keyed on doc_id with
+    map-side partial mins — not a per-permutation explode."""
+    from bread_spark.extensions.dedup import _minhash_md5_sig_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(_minhash_md5_sig_df(load_table(spark, sf_dir, "documents")))
+    assert "Exchange hashpartitioning(doc_id" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in p
+
+
 def test_dedup_hash_shuffles_digest_not_body(plans):
     p = plans("dedup_exact_hash")
     # the exchange key is the md5 digest, and the document body is pruned

@@ -839,3 +839,22 @@ def test_simhash_md5_pairs_mih_dial_complete(spark, sf_dir):
         for r in simhash_md5_pairs(spark, sf_dir, max_hamming=7).collect()
     }
     assert got == expected
+
+
+def test_minhash_md5_recall_vs_exact_jaccard(spark):
+    """The md5-lane LSH twin must clear the same recall floor as the
+    xxhash64 path: every exact word-3-gram Jaccard ≥ 0.5 pair surfaces
+    as a candidate (8 bands × 4 rows targets exactly this threshold).
+    Correctness vs DuckDB is the oracle's job; this pins the banding
+    geometry's statistical behavior on the real fixture corpus."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_md5_candidates"](spark, SF_DIR).collect()
+    }
+    assert exact, "fixture corpus should contain near-duplicate pairs"
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.95, f"md5-minhash-LSH recall {recall:.2f}"
