@@ -75,28 +75,11 @@ def sf_dir():
     return SF_DIR
 
 
-@pytest.fixture(scope="session")
-def catalog_frames(spark, sf_dir):
-    """Every catalog entry's DataFrame, constructed ONCE per session
-    (r10: catalog_plans and the oracle differential each rebuilt all
-    252 frames — construction executes the seam builds and the
-    bounded scalar collects, so paying it twice was the suite's
-    biggest avoidable block). DataFrames are immutable plan handles;
-    sharing them across the oracle pool's threads is safe."""
-    from bread_spark.queries import QUERIES
-
-    return {name: fn(spark, sf_dir) for name, fn in QUERIES.items()}
-
-
-@pytest.fixture(scope="session")
-def catalog_plans(catalog_frames):
-    """Physical-plan text of EVERY catalog entry, compiled ONCE per
-    session (VERDICT r8 #2: the whole-catalog cartesian sweep and the
-    per-entry plan pins used to each rebuild their frames — at 183
-    entries that is the O(catalog) cost worth paying exactly once).
-    Building a frame also primes its materialized seams, so later
-    correctness tests reuse them."""
-    return {
-        name: df._jdf.queryExecution().executedPlan().toString()
-        for name, df in catalog_frames.items()
-    }
+# The whole-catalog catalog_frames/catalog_plans session fixtures are
+# GONE as of r13: after the oracle sweep was segmented (oracle_segments
+# .py builds each quarter's frames in its own file/shard), test_plans.py
+# was the only consumer left and the eager 264-frame build made it the
+# tier's tallest file. Plan pins now use test_plans.py's LAZY per-name
+# fixture; the whole-catalog no-cartesian sweep rides the segment files
+# (frames in hand from the differential) with registry tiling accounted
+# in test_plans.py::test_registry_partition_accounting.

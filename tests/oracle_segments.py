@@ -29,11 +29,16 @@ def segment(k: int, n: int = N_SEGMENTS) -> list[str]:
     return ORACLE_CHECKED[k * q : (k + 1) * q]
 
 
-def run_segment(spark, sf_dir: str, names: list[str]) -> dict[str, tuple[bool, str]]:
-    """Compute this segment's differentials with the 8-way pool. Frame
-    construction stays serial (it nests seam builds behind the RLock);
-    Spark actions then overlap across the pool's threads, each worker
-    owning a private DuckDB connection."""
+def run_segment(
+    spark, sf_dir: str, names: list[str]
+) -> tuple[dict[str, tuple[bool, str]], dict[str, str]]:
+    """Compute this segment's differentials with the 8-way pool; returns
+    (verdicts, plan_texts). Frame construction stays serial (it nests
+    seam builds behind the RLock); Spark actions then overlap across the
+    pool's threads, each worker owning a private DuckDB connection.
+    Plan texts ride along because the frames are in hand anyway — the
+    per-segment no-cartesian sweep reads them, which is what let the
+    eager whole-catalog catalog_plans fixture retire (r13)."""
     import concurrent.futures as cf
     import threading
 
@@ -41,6 +46,10 @@ def run_segment(spark, sf_dir: str, names: list[str]) -> dict[str, tuple[bool, s
     from tests.oracle_utils import compare, duckdb_con
 
     frames = {name: QUERIES[name](spark, sf_dir) for name in names}
+    plans = {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in frames.items()
+    }
     local = threading.local()
     cons = []
 
@@ -58,4 +67,4 @@ def run_segment(spark, sf_dir: str, names: list[str]) -> dict[str, tuple[bool, s
         results = dict(ex.map(one, names))
     for c in cons:
         c.close()
-    return results
+    return results, plans

@@ -20,9 +20,24 @@ def physical_plan(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(catalog_plans):
-    """Per-name plan text, served from the session-wide cache."""
-    return catalog_plans.__getitem__
+def plans(spark, sf_dir):
+    """LAZY per-name plan text (r13): each pin builds ONLY its target
+    query's frame on first touch (construction executes seam builds and
+    bounded collects — the expensive part), memoized for the module.
+    The eager whole-catalog catalog_plans fixture this replaces made
+    test_plans the tier's tallest file once the oracle sweep was
+    segmented; the whole-catalog no-cartesian sweep now rides the
+    segment files (which construct their frames anyway), with the
+    rows-only remainder swept below. Seams shared across pins still
+    build once (plans/materialize.py)."""
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = physical_plan(QUERIES[name](spark, sf_dir))
+        return cache[name]
+
+    return get
 
 
 def test_pricing_summary_pushdown_and_partial_agg(plans):
@@ -88,14 +103,29 @@ def test_aggregations_have_map_side_partials(plans):
         assert "partial_" in plans(name), name
 
 
-def test_no_cartesian_anywhere(catalog_plans):
+def test_registry_partition_accounting():
+    """The whole-catalog no-cartesian sweep (VERDICT r8 #2) is now
+    tiled: the four oracle segment files sweep every oracle-backed
+    entry's plan (frames in hand from the differential), and
+    test_no_cartesian_rows_only sweeps the remainder. This accounts —
+    in pure python, no builds — that the tiles cover the registry
+    exactly, so a new entry cannot dodge the sweep."""
+    from tests.oracle_segments import N_SEGMENTS, segment
+    from bread_spark.queries import ORACLES
+
+    tiled = [n for k in range(N_SEGMENTS) for n in segment(k)]
+    assert sorted(tiled) == sorted(ORACLES)
+    assert set(ORACLES) | (set(QUERIES) - set(ORACLES)) == set(QUERIES)
+
+
+def test_no_cartesian_rows_only(plans):
     # embedding_cosine_dups is a deliberate BroadcastNestedLoopJoin
-    # (all-pairs semantics); everything else must be keyed or broadcast.
-    # Asserts over the session-cached plan texts — the catalog compiles
-    # once per session, not once per plan test (VERDICT r8 #2).
-    assert len(catalog_plans) == len(QUERIES)
-    for name, p in catalog_plans.items():
-        assert "CartesianProduct" not in p, name
+    # (all-pairs semantics; oracle-backed, swept in its segment);
+    # everything else must be keyed or broadcast.
+    from bread_spark.queries import ORACLES
+
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        assert "CartesianProduct" not in plans(name), name
 
 
 def test_silver_partition_pruning(spark, tmp_path):
