@@ -364,6 +364,8 @@ def main() -> None:
         # md5-lane MinHash-LSH candidates (r13): same move for the LSH
         # family — pays the signature seam cold
         "minhash_md5_candidates",
+        # exact-lattice k-means (r13): pays the unrolled-Lloyd seam cold
+        "kmeans_exact_assignments",
         "cosine_topk",
         "centroid_by_label",
         "quantize_embeddings",
@@ -632,6 +634,7 @@ def main() -> None:
     R13_ADDITIONS = {
         "simhash_md5_pairs",
         "minhash_md5_candidates",
+        "kmeans_exact_assignments",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

@@ -994,18 +994,245 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-lattice k-means (r13) — the ORACLE-BACKED quantizer.
+#
+# The float Lloyd quantizer above (`_ivf_centroids`) is the one barrier
+# that kept the learned-cluster diagnostics rows-only: its init and
+# every round L2-normalize (sqrt) and average in float, the
+# DIVERGENCES.md float-sum class. This variant keeps EVERY quantity on
+# the DRIFT_SCALE integer lattice instead, so both engines reproduce
+# the whole trainer bit-for-bit: micro-quantized dims (the silhouette
+# idiom), centroid means by integer floor division (DECISIONS #16:
+# Spark `div` == DuckDB `//`), squared-L2 argmin on exact longs with
+# (dist, cluster) lexicographic tie-break, and a FIXED iteration count
+# unrolled — each Lloyd round is one plain CTE in the DuckDB mirror.
+# The ~1e-6 mean-quantization nudge per round is far below any
+# clustering decision scale; determinism is total.
+#
+# Scale shape: assignment is the silhouette n·k·d broadcast join
+# (centroid table bounded at k×dims rows by construction); means are
+# one (cluster, pos)-keyed aggregate; nothing touches the driver. The
+# un-normalized squared-L2 geometry intentionally differs from the IVF
+# cosine quantizer — IVF keeps its float path (normalization is the
+# point there); the diagnostics below (`cluster_quota_sample`,
+# `topic_mix_by_source`) ride THIS quantizer and become oracle-backed.
+# A cluster that loses all members keeps its previous centroid (both
+# engines: the means table only updates clusters with members).
+# ---------------------------------------------------------------------------
+
+KMEANS_EXACT_K = 32  # same cluster count as the IVF coarse quantizer
+KMEANS_EXACT_ITERS = 2  # fixed Lloyd rounds — unrolled in the oracle
+
+
+def _kmeans_exact_assign(dims: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster): argmin over centroids of the exact integer
+    squared-L2 distance; ties break to the smallest cluster id via
+    min(struct(ss, cluster)). q, c ≤ ~1e6 micro-units → per-dim square
+    ≤ 4e12, 64-dim sum ≤ ~2.6e14 — comfortably inside int64/ANSI."""
+    d = dims.join(F.broadcast(cents), "pos")
+    ss = d.groupBy("vec_id", "cluster").agg(
+        F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("ss")
+    )
+    return (
+        ss.groupBy("vec_id")
+        .agg(F.min(F.struct("ss", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    )
+
+
+def _kmeans_exact_means(dims: DataFrame, assigned: DataFrame, prev: DataFrame) -> DataFrame:
+    """(cluster, pos, c): floor-division integer means of each cluster's
+    members; clusters with no members fall back to their previous
+    centroid (left anti join + union — both engines mirror this)."""
+    upd = (
+        assigned.join(dims, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.expr("sum(q) div count(1)").alias("c"))
+    )
+    kept = prev.join(upd.select("cluster").distinct(), "cluster", "left_anti")
+    return upd.unionByName(kept)
+
+
+def _kmeans_exact_df(emb: DataFrame) -> DataFrame:
+    """Final (vec_id, cluster) after KMEANS_EXACT_ITERS unrolled rounds.
+    Init = the first k vectors by vec_id (the `_ivf_centroids`
+    convention), already on the lattice."""
+    dims = _quantized_dims(emb, "vec_id")
+    cents = (
+        dims.filter(F.col("vec_id") < KMEANS_EXACT_K)
+        .select(F.col("vec_id").cast("int").alias("cluster"), "pos", F.col("q").alias("c"))
+    )
+    assigned = _kmeans_exact_assign(dims, cents)
+    for _ in range(KMEANS_EXACT_ITERS - 1):
+        cents = _kmeans_exact_means(dims, assigned, cents)
+        assigned = _kmeans_exact_assign(dims, cents)
+    return assigned
+
+
+def kmeans_exact_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once final assignment table for the canonical
+    `embeddings` table — the stored inverted-list membership every
+    exact-quantizer consumer reads (seams convention)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "kmeans_exact",
+        sf_dir,
+        lambda: _kmeans_exact_df(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        ),
+        (KMEANS_EXACT_K, KMEANS_EXACT_ITERS),
+    )
+
+
+def kmeans_exact_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: (vec_id, cluster) — exact-oracle-backed (banner)."""
+    return kmeans_exact_frame(spark, sf_dir)
+
+
+def kmeans_exact_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: (cluster, pos, c) — the stored quantizer artifact:
+    integer centroids recomputed from the FINAL assignment (the table a
+    100 TB deployment persists next to the membership list)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dims = _quantized_dims(emb, "vec_id")
+    assigned = kmeans_exact_frame(spark, sf_dir)
+    return (
+        assigned.join(dims, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.expr("sum(q) div count(1)").alias("c"))
+    )
+
+
+def _kmeans_exact_oracle_ctes() -> str:
+    """The unrolled trainer as a CTE chain (generated: one assign/means
+    CTE pair per round). dims mirrors `_quantized_dims`; floor division
+    `//` mirrors Spark's `div` (DECISIONS #16)."""
+    k, scale = KMEANS_EXACT_K, DRIFT_SCALE
+    parts = [
+        f"""
+    WITH dims AS (
+        SELECT e.vec_id, d.pos,
+               CAST(ROUND(CAST(e.embedding[d.pos + 1] AS DOUBLE)
+                          * {scale}) AS BIGINT) AS q
+        FROM embeddings e, LATERAL (
+            SELECT unnest(range(len(e.embedding))) AS pos
+        ) d
+    ),
+    cents0 AS (
+        SELECT CAST(vec_id AS INTEGER) AS cluster, pos, q AS c
+        FROM dims WHERE vec_id < {k}
+    )"""
+    ]
+    prev = "cents0"
+    for i in range(1, KMEANS_EXACT_ITERS + 1):
+        parts.append(
+            f""",
+    ss{i} AS (
+        SELECT d.vec_id, c.cluster, SUM((d.q - c.c) * (d.q - c.c)) AS ss
+        FROM dims d JOIN {prev} c ON c.pos = d.pos
+        GROUP BY 1, 2
+    ),
+    a{i} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ss, cluster) AS rk
+            FROM ss{i}
+        ) WHERE rk = 1
+    )"""
+        )
+        if i < KMEANS_EXACT_ITERS:
+            parts.append(
+                f""",
+    upd{i} AS (
+        SELECT a.cluster, d.pos, SUM(d.q) // COUNT(1) AS c
+        FROM a{i} a JOIN dims d ON a.vec_id = d.vec_id
+        GROUP BY 1, 2
+    ),
+    cents{i} AS (
+        SELECT * FROM upd{i}
+        UNION ALL
+        SELECT p.* FROM {prev} p
+        WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM upd{i})
+    )"""
+            )
+            prev = f"cents{i}"
+    return "".join(parts)
+
+
+_KMEANS_FINAL = f"a{KMEANS_EXACT_ITERS}"
+
+ORACLE_SQL["kmeans_exact_assignments"] = (
+    _kmeans_exact_oracle_ctes()
+    + f"\n    SELECT vec_id, cluster FROM {_KMEANS_FINAL}"
+)
+
+ORACLE_SQL["kmeans_exact_centroids"] = (
+    _kmeans_exact_oracle_ctes()
+    + f""",
+    final_cents AS (
+        SELECT a.cluster, d.pos,
+               CAST(SUM(d.q) // COUNT(1) AS BIGINT) AS c
+        FROM {_KMEANS_FINAL} a JOIN dims d ON a.vec_id = d.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT cluster, CAST(pos AS INTEGER) AS pos, c FROM final_cents"""
+)
+
+
 CLUSTER_QUOTA = 10  # max vectors any one learned cluster may contribute
 CLUSTER_QUOTA_SEED = "cq42"
+
+# The two learned-cluster diagnostics become oracle-backed (r13) by
+# riding the exact-lattice quantizer: everything downstream of the
+# assignment always was exact (md5 sample key, rank window, integer
+# counts, the ROUND(.,4) share idiom label_mix uses).
+ORACLE_SQL["cluster_quota_sample"] = (
+    _kmeans_exact_oracle_ctes()
+    + f""",
+    keyed AS (
+        SELECT a.vec_id, a.cluster,
+               md5('{CLUSTER_QUOTA_SEED}:' || CAST(a.vec_id AS VARCHAR))
+                   AS sample_key
+        FROM {_KMEANS_FINAL} a
+    ),
+    ranked AS (
+        SELECT vec_id, cluster, sample_key,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY sample_key ASC, vec_id ASC) AS rk
+        FROM keyed
+    )
+    SELECT vec_id, cluster, sample_key FROM ranked WHERE rk <= {CLUSTER_QUOTA}"""
+)
+
+ORACLE_SQL["topic_mix_by_source"] = (
+    _kmeans_exact_oracle_ctes()
+    + f""",
+    j AS (
+        SELECT d.source, a.cluster
+        FROM documents d JOIN {_KMEANS_FINAL} a ON d.doc_id = a.vec_id
+    ),
+    counts AS (
+        SELECT source, cluster, COUNT(1) AS n_docs FROM j GROUP BY source, cluster
+    ),
+    totals AS (
+        SELECT source, SUM(n_docs) AS n_source FROM counts GROUP BY source
+    )
+    SELECT c.source, c.cluster, CAST(c.n_docs AS BIGINT) AS n_docs,
+           ROUND(c.n_docs / t.n_source, 4) AS share
+    FROM counts c JOIN totals t USING (source)"""
+)
 
 
 def cluster_quota_sample(
     spark: SparkSession,
     sf_dir: str,
-    k: int = IVF_K,
     quota: int = CLUSTER_QUOTA,
 ) -> DataFrame:
-    """Diversity sampling over LEARNED topic clusters: run the IVF coarse
-    quantizer's k-means over the embedding corpus, then cap each
+    """Diversity sampling over LEARNED topic clusters: cap each learned
     cluster's contribution at `quota` vectors chosen deterministically
     (md5(seed:vec_id) order) — `domain_quota_sample` with the "domain"
     learned from embedding space instead of read from metadata. This is
@@ -1013,18 +1240,18 @@ def cluster_quota_sample(
     single semantic neighborhood may dominate the curated set, whatever
     its share of the crawl.
 
-    Plan: centroids via the existing deterministic Lloyd aggregate (only
-    the k×dim matrix touches the driver, by contract); assignment is a
-    broadcast-centroid Arrow map stage; the quota is one per-cluster
-    rank window with WindowGroupLimit pushdown, exactly like the domain
-    quota. Rows-only by design: float k-means geometry is engine-
-    specific (no DuckDB twin) — determinism, quota, and coverage are
-    pinned by tests instead.
+    r13: rides the EXACT-LATTICE k-means (`kmeans_exact_frame`) instead
+    of the float IVF quantizer, which makes the whole query
+    oracle-backed — the assignment, the md5 sample key, and the quota
+    window all mirror in DuckDB bit-for-bit (the r12 audit's "seeded
+    assignment" blocker was the quantizer, not this query). Plan: the
+    quota is one per-cluster rank window with WindowGroupLimit
+    pushdown, exactly like the domain quota.
     """
     from pyspark.sql.window import Window as W
 
-    # cached quantizer + assignment table (see the seam note above)
-    assigned = ivf_assignment_frame(spark, sf_dir, k, IVF_ITERS)
+    # cached exact-quantizer assignment table (seams convention)
+    assigned = kmeans_exact_frame(spark, sf_dir)
     key = F.md5(
         F.concat_ws(":", F.lit(CLUSTER_QUOTA_SEED), F.col("vec_id")).cast("binary")
     )
@@ -1130,13 +1357,14 @@ def label_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def topic_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`label_mix_by_source` with LEARNED topics: the IVF coarse
-    quantizer's k-means clusters stand in for labels — the view you get
-    on an unlabeled crawl (SemDeDup/DCLM-style cluster diagnostics).
-    Rides the cached assignment seam; rows-only (float k-means geometry
-    is engine-specific)."""
+    """`label_mix_by_source` with LEARNED topics: learned clusters stand
+    in for labels — the view you get on an unlabeled crawl
+    (SemDeDup/DCLM-style cluster diagnostics). r13: rides the
+    exact-lattice k-means assignment seam, so the whole view is
+    oracle-backed (the share arithmetic always was — the float
+    quantizer was the only blocker)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    assigned = ivf_assignment_frame(spark, sf_dir).select(
+    assigned = kmeans_exact_frame(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), "cluster"
     )
     joined = docs.join(assigned, "doc_id")

@@ -189,10 +189,12 @@ _register(
         "lsh_bucket_topk": similarity.lsh_bucket_topk,  # rows-only (ANN)
         "lsh_bucket_pairs": similarity.lsh_bucket_pairs,  # rows-only (scale-safe near-dup)
         "ivf_topk": similarity.ivf_topk,  # rows-only (IVF ANN scale path)
-        "cluster_quota_sample": similarity.cluster_quota_sample,  # rows-only (learned clusters)
+        "kmeans_exact_assignments": similarity.kmeans_exact_assignments,  # exact oracle (r13)
+        "kmeans_exact_centroids": similarity.kmeans_exact_centroids,  # exact oracle (r13)
+        "cluster_quota_sample": similarity.cluster_quota_sample,  # exact oracle (r13: exact-lattice quantizer)
         "embedding_dedup_corpus": similarity.embedding_dedup_corpus,  # semantic dedup
         "label_mix_by_source": similarity.label_mix_by_source,  # cross-modal mix
-        "topic_mix_by_source": similarity.topic_mix_by_source,  # rows-only (learned)
+        "topic_mix_by_source": similarity.topic_mix_by_source,  # exact oracle (r13: exact-lattice quantizer)
         "project_embeddings": similarity.project_embeddings,  # JL ±1 projection
         "centroid_drift_by_label": similarity.centroid_drift_by_label,  # drift monitor
         "silhouette_scores": similarity.silhouette_scores,  # per-point cluster QC

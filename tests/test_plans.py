@@ -189,6 +189,25 @@ def test_simhash_md5_pairs_banded_equijoin(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_kmeans_exact_assignment_broadcast_no_cartesian(spark, sf_dir):
+    """The exact-lattice Lloyd rounds (r13): each assignment is the
+    silhouette n·k·d shape — the k×dims centroid table broadcasts
+    (bounded by construction) and the argmin rides min(struct) partial
+    aggregates; no cartesian product, no driver collect anywhere in the
+    unrolled trainer."""
+    from bread_spark.extensions.similarity import _kmeans_exact_df
+    from bread_spark.io import load_table
+
+    p = physical_plan(
+        _kmeans_exact_df(
+            load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p
+
+
 def test_minhash_md5_candidates_banded_equijoin(plans):
     """md5-MinHash candidates (r13): pairs form ONLY inside (band,
     bucket) equi-join cells; the agreement verify is doc-id-keyed joins
