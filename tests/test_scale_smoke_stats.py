@@ -396,3 +396,35 @@ def test_doc_dup_saturation_scales(spark, big_docs_r6):
     )
     assert prof.count() == n_base * REPS
     assert prof.filter(F.col("n_dup") != F.col("n_shingles")).count() == 0
+
+
+def test_kmeans_exact_assignments_replication_invariant(spark):
+    """The exact-lattice quantizer (r13) at ×REPS corpus: replicating
+    every vector with disjoint vec_ids must leave the trainer's output
+    EXACTLY invariant — init still selects the original first-k ids,
+    per-cluster means are unchanged (trunc((R·s)/(R·n)) ≡ trunc(s/n)
+    on the integer lattice), so every replica lands in its original's
+    cluster and the original ids' assignments are bit-identical. This
+    is the 100 TB claim in miniature: corpus growth moves work, not
+    geometry."""
+    from pyspark.sql import functions as F
+
+    from bread_spark.extensions.similarity import _kmeans_exact_df
+    from bread_spark.io import load_table
+    from tests.conftest import SF_DIR
+    from tests.scale_fixtures import REPS
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    base = {r["vec_id"]: r["cluster"] for r in _kmeans_exact_df(emb).collect()}
+
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+    )
+    big_assign = {
+        r["vec_id"]: r["cluster"] for r in _kmeans_exact_df(big.localCheckpoint()).collect()
+    }
+    assert len(big_assign) == REPS * len(base)
+    for vid, cl in big_assign.items():
+        assert cl == base[vid % 10_000_000], vid
