@@ -366,6 +366,8 @@ def main() -> None:
         "minhash_md5_candidates",
         # exact-lattice k-means (r13): pays the unrolled-Lloyd seam cold
         "kmeans_exact_assignments",
+        # end-to-end oracle-certified near-dup removal composition (r13)
+        "minhash_md5_dedup_corpus",
         "cosine_topk",
         "centroid_by_label",
         "quantize_embeddings",
@@ -635,6 +637,7 @@ def main() -> None:
         "simhash_md5_pairs",
         "minhash_md5_candidates",
         "kmeans_exact_assignments",
+        "minhash_md5_dedup_corpus",
     }
 
     # THE FROZEN BENCH GATE SET (declared round 6, per VERDICT r5 #4):

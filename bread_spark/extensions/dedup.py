@@ -1261,6 +1261,55 @@ def _minhash_md5_oracle_sql() -> dict[str, str]:
 ORACLE_SQL.update(_minhash_md5_oracle_sql())
 
 
+def minhash_md5_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup REMOVAL composition on the oracle-backed md5-lane
+    LSH graph: candidates → transitive components → min-doc_id
+    survivors — `minhash_dedup_corpus` (the 100 TB GPT-3/MassiveText
+    shape) with every stage DuckDB-mirrorable. Candidates are exact
+    (block banner); the components and survivor stages mirror as a
+    recursive CTE (the `embedding_dedup_corpus` precedent); so a green
+    row certifies the END-TO-END composition — candidate generation,
+    transitive closure, canonical selection — not just the pair stage.
+    Like the xxhash64 original, ALL banded candidates are edges:
+    banding parameters are the precision dial, no all-pairs verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_md5_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    survivors = clusters.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return docs.join(survivors, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "cluster_size",
+        (F.col("cluster_size") - 1).cast("long").alias("n_dups_removed"),
+    )
+
+
+ORACLE_SQL["minhash_md5_dedup_corpus"] = f"""
+    WITH RECURSIVE pairs AS ({{MINHASH_MD5_CANDIDATES_SQL}}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+    survivors AS (
+        SELECT cluster_id AS doc_id, CAST(COUNT(1) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.source, s.cluster_size,
+           CAST(s.cluster_size - 1 AS BIGINT) AS n_dups_removed
+    FROM documents d JOIN survivors s USING (doc_id)
+""".replace("{MINHASH_MD5_CANDIDATES_SQL}", ORACLE_SQL["minhash_md5_candidates"])
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit fingerprint; rows-only check)
 # ---------------------------------------------------------------------------

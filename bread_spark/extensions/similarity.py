@@ -1337,7 +1337,8 @@ def label_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned to 2-3 columns at the scan), one groupBy(source, label), and
     a broadcast of the tiny per-source totals for the share. Fully
     deterministic → DuckDB oracle. `topic_mix_by_source` is the
-    learned-cluster twin (k-means geometry → rows-only).
+    learned-cluster twin (oracle-backed as of r13 via the exact-lattice
+    quantizer).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     emb = load_table(spark, sf_dir, "embeddings").select(

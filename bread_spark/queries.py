@@ -163,6 +163,7 @@ _register(
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,  # rows-only
         "minhash_md5_signatures": dedup.minhash_md5_signatures,  # exact oracle (r13)
         "minhash_md5_candidates": dedup.minhash_md5_candidates,  # exact oracle (r13)
+        "minhash_md5_dedup_corpus": dedup.minhash_md5_dedup_corpus,  # exact oracle (r13, end-to-end composition)
         "simhash_fingerprints": dedup.simhash_fingerprints,  # rows-only
         "simhash_md5_fingerprints": dedup.simhash_md5_fingerprints,  # exact oracle (r13)
         "simhash_md5_pairs": dedup.simhash_md5_pairs,  # brute-force-definition oracle (r13)
