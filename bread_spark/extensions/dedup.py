@@ -78,21 +78,36 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     in [100, 150) by appending a token.
 
     Plan: both sides reduce to (doc_id, 16-byte digest) MAP-SIDE, then
-    one full-outer join keyed on doc_id — the canonical snapshot-diff
-    shape at 100 TB (text never shuffles; co-partition or bucket both
-    snapshots on the key and the join is exchange-free)."""
+    ONE doc_id-keyed hash aggregate over their union pairs the two
+    snapshots' digests per key (r13-opt: the former full-outer join
+    computed the same per-key cogroup through a sort-merge join — the
+    union+aggregate form pays one exchange and no sort, and both sides
+    shuffle the same (doc_id, digest) rows either way; each snapshot
+    carries a doc_id at most once, so MAX-of-one-value reconstructs
+    the join's h_old/h_new exactly, NULL when the side is absent).
+    Still the canonical snapshot-diff shape at 100 TB (text never
+    shuffles; co-partition or bucket both snapshots on the key and the
+    exchange disappears)."""
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") < CROSS_DEDUP_BASE_MAX).select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("h_old")
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h_old"),
+        F.lit(None).cast("string").alias("h_new"),
     )
     edited = F.when(
         (F.col("doc_id") >= DIFF_EDITED_LO) & (F.col("doc_id") < DIFF_EDITED_HI),
         F.concat(F.col("text"), F.lit(" v2")),
     ).otherwise(F.col("text"))
     new = docs.filter(F.col("doc_id") >= DIFF_REMOVED_BELOW).select(
-        "doc_id", F.md5(edited.cast("binary")).alias("h_new")
+        "doc_id",
+        F.lit(None).cast("string").alias("h_old"),
+        F.md5(edited.cast("binary")).alias("h_new"),
     )
-    joined = old.join(new, "doc_id", "full_outer")
+    joined = (
+        old.unionByName(new)
+        .groupBy("doc_id")
+        .agg(F.max("h_old").alias("h_old"), F.max("h_new").alias("h_new"))
+    )
     change = (
         F.when(F.col("h_old").isNull(), F.lit("added"))
         .when(F.col("h_new").isNull(), F.lit("removed"))

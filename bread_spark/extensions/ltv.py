@@ -50,25 +50,42 @@ def _cohort_cells(orders: DataFrame) -> DataFrame:
     n_orders, cents_sum) over any (o_custkey, o_orderdate,
     o_totalprice) frame — the additive core both the batch triangle
     and the incremental splice read (cents stay exact integers here;
-    rounding happens once, in the presentation projection)."""
+    rounding happens once, in the presentation projection).
+
+    r13-opt plan (guide §2.3/§2.4): cohort_idx = MIN(m_idx) OVER
+    (PARTITION BY o_custkey) — the former groupBy + join-back paid the
+    custkey exchange twice and joined; the window computes the same
+    value on ONE exchange. Rows then pre-aggregate per (custkey,
+    cohort_idx, m_idx) — exchange-free, the custkey partitioning
+    already clusters them — which makes the cell aggregate's
+    n_customers a plain COUNT(1) (each customer contributes exactly
+    one pre-aggregated row per cell) instead of a COUNT(DISTINCT)
+    expand. Same exact integers cell-for-cell: n_orders/cents_sum are
+    sums of per-customer partials (DECIMAL(38,0) addition is
+    associative), n_customers counts the same distinct membership."""
+    from pyspark.sql.window import Window
+
     o = orders.select(
         "o_custkey",
         F.expr(MONTH_IDX).alias("m_idx"),
         F.expr(PRICE_CENTS).alias("cents"),
     )
-    firsts = o.groupBy(F.col("o_custkey").alias("f_custkey")).agg(
-        F.min("m_idx").alias("cohort_idx")
+    o2 = o.withColumn(
+        "cohort_idx", F.min("m_idx").over(Window.partitionBy("o_custkey"))
     )
-    j = o.join(firsts, F.col("o_custkey") == F.col("f_custkey"))
-    return j.groupBy(
+    pre = o2.groupBy("o_custkey", "cohort_idx", "m_idx").agg(
+        F.count(F.lit(1)).alias("n_orders_part"),
+        F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("cents_part"),
+    )
+    return pre.groupBy(
         F.expr(
             "make_date(cohort_idx div 12, cohort_idx % 12 + 1, 1)"
         ).alias("cohort_month"),
         (F.col("m_idx") - F.col("cohort_idx")).alias("month_offset"),
     ).agg(
-        F.expr("count(DISTINCT o_custkey)").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.expr("sum(CAST(cents AS DECIMAL(38,0)))").alias("cents_sum"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders_part").alias("n_orders"),
+        F.sum("cents_part").alias("cents_sum"),
     )
 
 
@@ -121,14 +138,27 @@ def revenue_cohorts_incremental_df(
         affected, base.o_custkey == F.col("a_key"), "left_semi"
     )
     old = _cohort_cells(base)
-    c_old = _cohort_cells(base_aff).select(
+    # r13-opt: c_old and c_new both read the affected customers' order
+    # rows (base_aff for one, base_aff ∪ new for the other). Compute
+    # that row set ONCE, custkey-partitioned, and localCheckpoint it —
+    # bounded by the operator's own contract (only affected customers'
+    # history is touched) — so the two cell builds share the scan and
+    # the exchange instead of re-running the semi-join pipeline twice.
+    cols = ["o_custkey", "o_orderdate", "o_totalprice"]
+    aff_rows = (
+        base_aff.select(*cols, F.lit(0).alias("is_new"))
+        .unionByName(new.select(*cols, F.lit(1).alias("is_new")))
+        .repartition("o_custkey")
+        .localCheckpoint()
+    )
+    c_old = _cohort_cells(aff_rows.filter(F.col("is_new") == 0).select(*cols)).select(
         F.col("cohort_month").alias("om"),
         F.col("month_offset").alias("oo"),
         F.col("n_customers").alias("d_cust"),
         F.col("n_orders").alias("d_ord"),
         F.col("cents_sum").alias("d_cents"),
     )
-    c_new = _cohort_cells(base_aff.unionByName(new)).select(
+    c_new = _cohort_cells(aff_rows.select(*cols)).select(
         F.col("cohort_month").alias("nm"),
         F.col("month_offset").alias("no"),
         F.col("n_customers").alias("a_cust"),

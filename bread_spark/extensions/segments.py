@@ -59,27 +59,18 @@ MAD_K = 0.6745
 MAD_CUT = 3.5
 
 
-def rfm_df(events: DataFrame) -> DataFrame:
-    per_user = events.filter(F.col("user_id").isNotNull()).groupBy(
-        "user_id"
-    ).agg(
-        F.max(F.to_date("ts")).alias("last_day"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.coalesce(
-            F.sum(
-                F.round(F.col("value").cast("double") * 1_000_000).cast(
-                    "long"
-                )
-            ),
-            F.lit(0),
-        ).alias("monetary_micro"),
-    )
+def _rfm_metrics(per_user: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """NTILE bucketing over a prepared per-user metric frame (user_id,
+    last_day, frequency, monetary_micro [+ `extra` passthrough columns])
+    — the shared tail of `rfm_df` and the half-window forms (r13-opt:
+    lets the halves share ONE events aggregate instead of re-scanning)."""
     now = per_user.agg(F.max("last_day").alias("now_day"))
     base = per_user.join(F.broadcast(now)).select(
         "user_id",
         F.datediff("now_day", "last_day").cast("long").alias("recency_days"),
         "frequency",
         "monetary_micro",
+        *extra,
     )
     r_b = F.ntile(4).over(
         Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
@@ -95,6 +86,7 @@ def rfm_df(events: DataFrame) -> DataFrame:
         "recency_days",
         "frequency",
         "monetary_micro",
+        *extra,
         r_b.alias("r_bucket"),
         f_b.alias("f_bucket"),
         m_b.alias("m_bucket"),
@@ -103,6 +95,33 @@ def rfm_df(events: DataFrame) -> DataFrame:
         (
             F.col("r_bucket") * 100 + F.col("f_bucket") * 10 + F.col("m_bucket")
         ).cast("int"),
+    )
+
+
+def rfm_df(events: DataFrame) -> DataFrame:
+    per_user = events.filter(F.col("user_id").isNotNull()).groupBy(
+        "user_id"
+    ).agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.coalesce(
+            F.sum(
+                F.round(F.col("value").cast("double") * 1_000_000).cast(
+                    "long"
+                )
+            ),
+            F.lit(0),
+        ).alias("monetary_micro"),
+    )
+    return _rfm_metrics(per_user).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_micro",
+        "r_bucket",
+        "f_bucket",
+        "m_bucket",
+        "rfm_code",
     )
 
 
@@ -163,6 +182,44 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_TS = "2024-01-16 00:00:00"
 
 
+def _half_user_metrics(ev: DataFrame) -> DataFrame:
+    """ONE events pass computing BOTH halves' per-user RFM inputs via
+    conditional aggregation (r13-opt, guide §2.3 "aggregate before you
+    shuffle"/§2.4: the two-half entries below used to filter and
+    re-aggregate the events stream once per half — two full scans and
+    two user-keyed exchanges; this computes identical per-half values
+    in a single scan + single exchange). A user's half-H columns equal
+    exactly what a groupBy over the half-H filtered stream would have
+    produced: MAX/COUNT/SUM over `WHEN(half-H)` operands ignore the
+    other half's rows (NULL operands), and `freq_h > 0` reproduces the
+    half's membership set."""
+    c1 = F.expr(f"ts < TIMESTAMP '{SPLIT_TS}'")
+    c2 = F.expr(f"ts >= TIMESTAMP '{SPLIT_TS}'")
+    vu = F.round(F.col("value").cast("double") * 1_000_000).cast("long")
+    return ev.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.max(F.when(c1, F.to_date("ts"))).alias("last_day_1"),
+        F.count(F.when(c1, F.lit(1))).alias("freq_1"),
+        F.coalesce(F.sum(F.when(c1, vu)), F.lit(0)).alias("mon_1"),
+        F.max(F.when(c2, F.to_date("ts"))).alias("last_day_2"),
+        F.count(F.when(c2, F.lit(1))).alias("freq_2"),
+        F.coalesce(F.sum(F.when(c2, vu)), F.lit(0)).alias("mon_2"),
+    )
+
+
+def _half_metrics_frame(pu: DataFrame, half: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Project one half's per-user metric frame out of the combined
+    aggregate: exactly the users active in that half, with the same
+    (last_day, frequency, monetary_micro) the per-half aggregation
+    produced."""
+    return pu.filter(F.col(f"freq_{half}") > 0).select(
+        "user_id",
+        F.col(f"last_day_{half}").alias("last_day"),
+        F.col(f"freq_{half}").alias("frequency"),
+        F.col(f"mon_{half}").alias("monetary_micro"),
+        *extra,
+    )
+
+
 def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segment migration: each user's rfm_code computed
     INDEPENDENTLY on the window's two halves (each half gets its own
@@ -172,15 +229,20 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     active in BOTH halves. The movement table a retention team reads
     next to the static `rfm_segments` snapshot.
 
-    Scale shape: two rfm_df passes (each the documented user-table
-    window) + one user-keyed join + one O(codes²)-output aggregate.
-    Batch-only with the RFM family's rationale (corpus-order
-    statistics per half)."""
+    Scale shape (r13-opt): ONE events scan + ONE user-keyed exchange
+    builds both halves' per-user metrics (`_half_user_metrics`,
+    localCheckpointed — O(users), the same bound the NTILE windows
+    already sort), each half's quartile windows run over its filtered
+    projection, then one user-keyed join of the two code frames + one
+    O(codes²)-output aggregate. Previously: two independent rfm_df
+    passes = two scans + two exchanges. Batch-only with the RFM
+    family's rationale (corpus-order statistics per half)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    h1 = rfm_df(ev.filter(F.expr(f"ts < TIMESTAMP '{SPLIT_TS}'"))).select(
+    pu = _half_user_metrics(ev).localCheckpoint()
+    h1 = _rfm_metrics(_half_metrics_frame(pu, 1)).select(
         "user_id", F.col("rfm_code").alias("code_before")
     )
-    h2 = rfm_df(ev.filter(F.expr(f"ts >= TIMESTAMP '{SPLIT_TS}'"))).select(
+    h2 = _rfm_metrics(_half_metrics_frame(pu, 2)).select(
         F.col("user_id").alias("u2"), F.col("rfm_code").alias("code_after")
     )
     return (
@@ -192,35 +254,36 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def segment_churn_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment churn: of the users holding each first-half
-    rfm_code, how many have NO second-half events at all (keyed ANTI
-    join), as an exact truncating-division ppm. The forward-looking
-    use of the RFM snapshot: which segment bleeds."""
+    rfm_code, how many have NO second-half events at all, as an exact
+    truncating-division ppm. The forward-looking use of the RFM
+    snapshot: which segment bleeds.
+
+    r13-opt: the combined `_half_user_metrics` aggregate already
+    carries each user's second-half event count, so "no second-half
+    events" is `freq_2 = 0` — the former keyed ANTI join against a
+    distinct second-half user set (a second scan + distinct exchange +
+    join) collapses into a conditional count inside the ONE
+    rfm_code aggregate. Result-identical: both halves' frames derive
+    from the same NULL-user-filtered events, so anti-join-vs-active2
+    ≡ freq_2 = 0 user-for-user."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    h1 = rfm_df(ev.filter(F.expr(f"ts < TIMESTAMP '{SPLIT_TS}'"))).select(
-        "user_id", "rfm_code"
+    pu = _half_user_metrics(ev)
+    scored = _rfm_metrics(
+        _half_metrics_frame(pu, 1, extra=("freq_2",)), extra=("freq_2",)
     )
-    active2 = (
-        ev.filter(F.expr(f"ts >= TIMESTAMP '{SPLIT_TS}'"))
-        .filter(F.col("user_id").isNotNull())
-        .select(F.col("user_id").alias("u2"))
-        .distinct()
-    )
-    churned = h1.join(active2, h1.user_id == F.col("u2"), "left_anti")
-    base = h1.groupBy("rfm_code").agg(F.count(F.lit(1)).alias("n_users"))
-    lost = churned.groupBy(F.col("rfm_code").alias("c2")).agg(
-        F.count(F.lit(1)).alias("n_churned")
-    )
-    return (
-        base.join(lost, base.rfm_code == F.col("c2"), "left")
-        .select(
-            "rfm_code",
-            "n_users",
-            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
-            F.expr(
-                "CAST((CAST(COALESCE(n_churned, 0) AS DECIMAL(38,0))"
-                " * 1000000) div n_users AS BIGINT)"
-            ).alias("churn_ppm"),
-        )
+    return scored.groupBy("rfm_code").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("freq_2") == 0, 1).otherwise(0)).alias(
+            "n_churned"
+        ),
+    ).select(
+        "rfm_code",
+        "n_users",
+        "n_churned",
+        F.expr(
+            "CAST((CAST(n_churned AS DECIMAL(38,0))"
+            " * 1000000) div n_users AS BIGINT)"
+        ).alias("churn_ppm"),
     )
 
 

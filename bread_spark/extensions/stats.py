@@ -352,7 +352,18 @@ def source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rolling_distinct_df(ev: DataFrame, window_days: int = 7) -> DataFrame:
     """(day, users_1d, users_7d) — trailing-window distinct users per
-    EVENT day, via the bounded ×window fan-out (module docstring)."""
+    EVENT day, via the bounded ×window fan-out (module docstring).
+
+    r13-opt plan: one linear chain — distinct (day, user) pairs, the
+    ×window fan-out, a (day, user) MIN(offset) pre-aggregate, then one
+    per-day aggregate of plain conditional COUNTs. The pre-aggregate
+    reproduces exactly what countDistinct counted (one row per distinct
+    (target day, user)), with min-offset 0 ⟺ the user had an event ON
+    the day — so users_1d is a conditional count and the former
+    separate `daily` branch (a second scan + dedup of the event
+    stream) and its join disappear; `users_1d > 0` reproduces the
+    join's restriction to real event days. No countDistinct Expand
+    anywhere."""
     du = (
         ev.select(F.col("ts").cast("date").alias("day"), "user_id")
         .distinct()
@@ -363,16 +374,17 @@ def rolling_distinct_df(ev: DataFrame, window_days: int = 7) -> DataFrame:
         ).alias("off"),
         "day",
         "user_id",
-    ).select(F.expr("date_add(day, off)").alias("day"), "user_id")
-    rolling = fan.groupBy("day").agg(
-        F.countDistinct("user_id").alias("users_7d")
+    ).select(F.expr("date_add(day, off)").alias("day"), "user_id", "off")
+    pud = fan.groupBy("day", "user_id").agg(F.min("off").alias("moff"))
+    return (
+        pud.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("moff") == 0, F.lit(1))).alias("users_1d"),
+            F.count(F.lit(1)).alias("users_7d"),
+        )
+        .filter(F.col("users_1d") > 0)
+        .select("day", "users_1d", "users_7d")
     )
-    # du is already distinct (day, user) pairs, so users_1d is a plain
-    # count — no second dedup exchange; and the inner join with this
-    # per-day table restricts anchors to REAL event days, so no
-    # separate anchors semi-join is needed (review simplification).
-    daily = du.groupBy("day").agg(F.count(F.lit(1)).alias("users_1d"))
-    return rolling.join(daily, "day").select("day", "users_1d", "users_7d")
 
 
 def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,12 +416,31 @@ def engagement_df(ev: DataFrame) -> DataFrame:
     which drops NULLs — without the filter a day with NULL-user
     events could read dau_wau_ppm > 1_000_000 (r10 ADVICE)."""
     ev = ev.filter(F.col("user_id").isNotNull())
-    w7 = rolling_distinct_df(ev, 7)  # streaming sibling: HLL panel below
-    w30 = rolling_distinct_df(ev, 30).select(
-        F.col("day").alias("d30"), F.col("users_7d").alias("users_30d")
-    )
+    # r13-opt: ONE ×30 fan-out serves all three windows — per (target
+    # day, user) the MIN offset says whether the user had an event on
+    # the day (moff = 0), within 7 days (moff < 7), or within 30
+    # (row exists at all), so the three distinct-user counts are plain
+    # conditional COUNTs on one pre-aggregated frame. Previously two
+    # independent rolling_distinct_df passes (×7 and ×30) re-scanned
+    # and re-deduped the event stream and paid two countDistinct
+    # expands plus a join. Identical integers: each count enumerates
+    # the same distinct membership sets.  (streaming sibling: HLL
+    # panel below)
+    du = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.expr("date_add(day, off)").alias("day"), "user_id", "off")
+    pud = fan.groupBy("day", "user_id").agg(F.min("off").alias("moff"))
     return (
-        w7.join(w30, F.col("day") == F.col("d30"))
+        pud.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("moff") == 0, F.lit(1))).alias("users_1d"),
+            F.count(F.when(F.col("moff") < 7, F.lit(1))).alias("users_7d"),
+            F.count(F.lit(1)).alias("users_30d"),
+        )
+        .filter(F.col("users_1d") > 0)
         .select(
             "day",
             "users_1d",

@@ -438,6 +438,16 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastText-free langid pass distributes.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _lang_id_scored(docs)
+
+
+def _lang_id_scored(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """The stopword-score + argmax projection of `lang_id_scores` over
+    any (doc_id, text [+ `keep`]) frame, with `keep` columns carried
+    through map-side — so a consumer needing ground-truth columns
+    (e.g. the confusion matrix) never has to join back to the scan
+    (r13-opt, guide §2.4: the join was a doc_id self-join of the same
+    table)."""
     tokens = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     def _contains(arr):
         # closure (not a default arg): a 2-param lambda would be treated
@@ -450,7 +460,7 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_cols.append(
             F.size(F.filter(tokens, _contains(arr))).cast("long").alias(f"score_{lang}")
         )
-    scored = docs.select("doc_id", *score_cols)
+    scored = docs.select("doc_id", *keep, *score_cols)
     langs = sorted(LANG_STOPWORDS.keys())
     # argmax via max-of-structs: (score, -lang_index) — ties prefer the
     # alphabetically-first language; all-zero scores → 'und'.
@@ -469,7 +479,10 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         best["score"] > 0, F.get(lang_lit, (-best["neg_idx"]).cast("int"))
     ).otherwise(F.lit("und"))
     return scored.select(
-        "doc_id", *[f"score_{lang}" for lang in langs], predicted.alias("predicted_lang")
+        "doc_id",
+        *keep,
+        *[f"score_{lang}" for lang in langs],
+        predicted.alias("predicted_lang"),
     )
 
 
@@ -480,14 +493,16 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic is good enough per language before it gates anything
     (its zh row is all-misses by construction: the heuristic carries
     no zh stopword list, so zh ground truth lands in 'und'/'en' — the
-    exact blind spot this matrix exists to surface). One keyed join of
-    the prediction frame with the documents scan, one 2-key aggregate;
-    output O(langs²). Batch-only: rides lang_id_scores' map-side
-    scoring, which a stream scores row-local identically."""
-    preds = lang_id_scores(spark, sf_dir).select("doc_id", "predicted_lang")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    exact blind spot this matrix exists to surface). r13-opt: the
+    ground-truth `lang` column rides the scoring projection itself
+    (`_lang_id_scored(keep=("lang",))`), so the former doc_id
+    self-join of the documents table is gone — one scan, one 2-key
+    aggregate; output O(langs²). Batch-only: rides lang_id_scores'
+    map-side scoring, which a stream scores row-local identically."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.join(preds, "doc_id")
+        _lang_id_scored(docs, keep=("lang",))
+        .select("lang", "predicted_lang")
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
