@@ -141,6 +141,7 @@ def _selected_grams(
     r: int = FUZZY_R,
     sel_cap: int = FUZZY_SEL_CAP,
     min_df: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """The prefix-filter posting index: per doc, the `r` rarest grams
     with global df >= `min_df`, ranked (df ASC, gram ASC); grams
@@ -160,14 +161,22 @@ def _selected_grams(
     back against it); unmaterialized, Spark would run the md5 explode +
     distinct twice, which is most of the build's cost. localCheckpoint
     is bounded: ~(positions per doc) 16-byte rows. At 100 TB this is
-    the staged gram-index table the selection job reads."""
-    grams = _char_grams(norm, q).localCheckpoint()
+    the staged gram-index table the selection job reads.
+
+    `materialize=False` skips both internal checkpoints — the
+    plan-pin hook (tests assert the unmaterialized shape, per the
+    seams convention)."""
+    _mat = (lambda f: f.localCheckpoint()) if materialize else (lambda f: f)
+    grams = _mat(_char_grams(norm, q))
     df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     shareable = grams.join(df.filter(F.col("df") >= min_df), "gram")
     rk = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("gram"))
     )
-    sel = (
+    # Same two-subtree rationale as `grams` above: `sel` feeds the hot
+    # census AND the final anti-join; bounded at ≤ r rows per doc
+    # (r13-opt — previously the df-join + rank window ran twice).
+    sel = _mat(
         shareable.withColumn("rk", rk)
         .filter(F.col("rk") <= r)
         .select("doc_id", "gram")
@@ -202,13 +211,25 @@ def fuzzy_pairs_df(
     selected: DataFrame | None = None,
     max_dist: int = FUZZY_MAX_DIST,
     min_shared: int = FUZZY_MIN_SHARED,
+    norm: DataFrame | None = None,
 ) -> DataFrame:
     """`fuzzy_dup_pairs` core over any (doc_id, text) frame: candidate
     pairs from the prefix-filter index, verified with one thresholded
-    Levenshtein. Returns (doc_a, doc_b, shared_grams, dist)."""
-    norm = _norm_docs(docs)
+    Levenshtein. Returns (doc_a, doc_b, shared_grams, dist).
+
+    `norm` accepts a pre-normalized (and possibly materialized)
+    (doc_id, s, len) frame — `fuzzy_dedup_unicode` passes a
+    localCheckpointed one so its bounded fixture is normalized once
+    instead of three times (selected + both verify sides). When the
+    index is built inline it is localCheckpointed (r13-opt): the
+    self-join below reads BOTH sides from the same index frame, and
+    unmaterialized each side would re-run the whole md5-gram + df +
+    rank build — the same bounded-frame rationale as
+    `_selected_grams`' internal gram checkpoint."""
+    if norm is None:
+        norm = _norm_docs(docs)
     if selected is None:
-        selected = _selected_grams(norm)
+        selected = _selected_grams(norm).localCheckpoint()
 
     a, b = selected.alias("a"), selected.alias("b")
     cand = (
@@ -410,7 +431,11 @@ def fuzzy_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the count is the doc's larger-id partners (candidates it
     keeps out under the greedy rule, directly or transitively)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = fuzzy_dup_pairs(spark, sf_dir)
+    # r13-opt: the verified pair list feeds TWO subtrees (the dropped
+    # set and the partner counts); unmaterialized, the whole blocking +
+    # Levenshtein-verify pipeline ran twice. Bounded: one row per
+    # verified near-dup pair.
+    pairs = fuzzy_dup_pairs(spark, sf_dir).localCheckpoint()
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     n_partners = pairs.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_fuzzy_partners")
@@ -460,7 +485,11 @@ def fuzzy_dedup_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * 2 + 1).alias("doc_id"), mutated.alias("text")
         )
     )
-    return fuzzy_pairs_df(uni)
+    # r13-opt: normalize the (bounded, ≤2·UNI_FIXTURE_MAX-doc) fixture
+    # ONCE — unmaterialized, the verify stage's two join-backs re-ran
+    # the scan + accent mutation + normalization per side.
+    norm = _norm_docs(uni).localCheckpoint()
+    return fuzzy_pairs_df(uni, norm=norm)
 
 
 def _fuzzy_cand_cte(src: str = "documents") -> str:

@@ -321,12 +321,17 @@ def search_rank_fusion_df(
 
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     matches = F.filter(toks_arr, lambda t: t.isin(list(terms)))
+    # r13-opt: the matched-doc stat frame feeds BOTH rankers' top-n
+    # cuts; unmaterialized, each TakeOrdered re-ran the full scan +
+    # tokenize + match count. Bounded: only docs containing ≥1 query
+    # term survive, at 4 integer columns per row (the query's posting
+    # list union — the same bound a posting-list intersection pays).
     m = docs.select(
         "doc_id",
         F.size(toks_arr).alias("dl"),
         F.size(matches).alias("tf_total"),
         F.size(F.array_distinct(matches)).alias("coverage"),
-    ).filter(F.col("tf_total") > 0)
+    ).filter(F.col("tf_total") > 0).localCheckpoint()
 
     t2 = m.orderBy(F.desc("tf_total"), F.asc("doc_id")).limit(top_n)
     w2 = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))

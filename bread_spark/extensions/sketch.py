@@ -985,6 +985,12 @@ def kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (md5 order statistics), so unlike most sketch
     implementations the table itself is oracle-checked exactly.
 
+    r13-opt: the distinct shingle frame itself is a second seam
+    (`kmv_shingle_rows_frame`) because `kmv_source_overlap`'s
+    calibration side reads it three more times (set sizes + both
+    intersection sides) — previously each consumer re-ran the shingle
+    explode + DISTINCT from the scan.
+
     Plan: shingle fan-out is map-side; ONE (source, h)-keyed distinct
     with map-side partials reduces volume to vocabulary size; the
     bottom-k is a rank-filtered window over the distinct frame — Spark
@@ -997,10 +1003,39 @@ def kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "kmv_sketch",
         sf_dir,
-        lambda: kmv_sketch_df(
+        lambda: kmv_rank_df(kmv_shingle_rows_frame(spark, sf_dir)),
+    )
+
+
+def kmv_shingle_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once DISTINCT (source, h) shingle-hash frame over
+    `documents` — shared by the `kmv_sketch` seam build and
+    `kmv_source_overlap`'s true-Jaccard calibration side (see
+    `kmv_sketch`'s r13-opt note)."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "kmv_shingle_rows",
+        sf_dir,
+        lambda: _kmv_shingle_rows(
             load_table(spark, sf_dir, "documents").select("source", "text")
         ),
+        (KMV_SHINGLE_N,),
     )
+
+
+def kmv_rank_df(rows: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Bottom-k rank step over an already-distinct (source, h) frame —
+    the tail of `kmv_sketch_df` split out so the seam-fed build skips
+    the shingle projection."""
+    from pyspark.sql.window import Window as W
+
+    ranked = rows.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("source").orderBy("h")),
+    )
+    return ranked.filter(F.col("rk") <= k).select("source", "rk", "h")
 
 
 def kmv_sketch_df(docs: DataFrame, k: int = KMV_K) -> DataFrame:
@@ -1067,9 +1102,7 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     h, pair-listed via broadcast so zero-overlap pairs surface as 0.0
     rows rather than vanishing (the left-join-zero discipline)."""
     sk = kmv_sketch(spark, sf_dir)
-    rows = _kmv_shingle_rows(
-        load_table(spark, sf_dir, "documents").select("source", "text")
-    )
+    rows = kmv_shingle_rows_frame(spark, sf_dir)
     from pyspark.sql.window import Window as W
 
     srcs = sk.select("source").distinct()

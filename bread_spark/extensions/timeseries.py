@@ -178,8 +178,14 @@ def cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changepoint report per type: first alarm day, alarm-day count,
     and the peak statistic — the page an on-call engineer reads.
     Types that never alarm are surfaced with nulls (a monitoring
-    rollup must show its silent rows)."""
-    c = value_cusum_by_type(spark, sf_dir)
+    rollup must show its silent rows).
+
+    r13-opt: the scored CUSUM frame feeds TWO subtrees (the alarm
+    aggregate and the per-type threshold list); unmaterialized, the
+    whole baseline + prefix-sum window chain ran twice per pass.
+    localCheckpoint is bounded — O(types × days), the daily-grain
+    frame the seam already materializes one stage earlier."""
+    c = value_cusum_by_type(spark, sf_dir).localCheckpoint()
     alarms = (
         c.filter(F.col("alarm") == 1)
         .groupBy("event_type")
@@ -249,8 +255,12 @@ def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds `SEAS_H_MAD` mean-absolute-deviations of the residual —
     the seasonality-aware anomaly list: (event_type, day, x, residual,
     mad, severity_pct). severity = |residual| * 100 div (gate) — an
-    integer percentage of the alarm threshold."""
-    s = seasonal_decomposition(spark, sf_dir)
+    integer percentage of the alarm threshold.
+
+    r13-opt: the decomposition feeds both the MAD aggregate and the
+    gated join side; localCheckpoint (bounded O(types × days)) stops
+    the trend-window + seasonal-join chain from running twice."""
+    s = seasonal_decomposition(spark, sf_dir).localCheckpoint()
     mad = s.groupBy("event_type").agg(
         F.expr("sum(abs(residual)) div count(1)").alias("mad")
     )

@@ -511,32 +511,41 @@ def late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def blamed_lines_df(li: DataFrame, orders_f: DataFrame) -> DataFrame:
     """`late_supplier_blame` core: (b_okey, b_skey) solely-blamed late
     lines over any (l_orderkey, l_suppkey, l_shipdate) frame joined to
-    the already-filtered finished orders (o_orderkey, o_orderdate)."""
+    the already-filtered finished orders (o_orderkey, o_orderdate).
+
+    r13-opt (guide §2.4 — the classic Q21 decorrelation): the former
+    EXISTS/NOT-EXISTS pair re-ran the li⋈orders subtree three times
+    (probe side + semi side + anti side) and paid a shuffle per join.
+    Per order, "EXISTS another supplier" ⟺ the order's distinct
+    supplier count ≥ 2, and "NOT EXISTS another LATE supplier" ⟺ its
+    distinct LATE-supplier count = 1 (a late line's own supplier is
+    always in that set) — both computable as collect_set sizes over an
+    orderkey window on the SINGLE joined frame, reusing the join's own
+    partitioning (zero extra exchanges; set size bounded by suppliers
+    per order). Line granularity is preserved, so per-supplier numwait
+    counts are unchanged row-for-row."""
+    from pyspark.sql.window import Window
+
     flagged = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).withColumn(
         "late",
         F.expr("CAST(l_shipdate AS DATE) > date_add(CAST(o_orderdate AS DATE), 30)"),
     )
-    l1 = flagged.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("b_okey"), F.col("l_suppkey").alias("b_skey")
-    )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_okey"), F.col("l_suppkey").alias("o2_skey")
-    )
-    late_others = flagged.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("o3_okey"), F.col("l_suppkey").alias("o3_skey")
+    w = Window.partitionBy("l_orderkey")
+    counted = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
     blamed = (
-        l1.join(
-            others,
-            (F.col("b_okey") == F.col("o2_okey"))
-            & (F.col("b_skey") != F.col("o2_skey")),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (F.col("b_okey") == F.col("o3_okey"))
-            & (F.col("b_skey") != F.col("o3_skey")),
-            "left_anti",
+        counted.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        ).select(
+            F.col("l_orderkey").alias("b_okey"),
+            F.col("l_suppkey").alias("b_skey"),
         )
     )
     return blamed

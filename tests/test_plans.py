@@ -706,18 +706,28 @@ def test_fuzzy_blocking_plan_is_pruned_and_joined(spark):
     WindowGroupLimit-pruned (R rows per doc survive ahead of the sort),
     the hot-gram drop a broadcast anti-join, and nothing anywhere a
     cartesian product — candidates meet only inside gram postings."""
-    from bread_spark.extensions.fuzzy import fuzzy_pairs_df
+    from bread_spark.extensions.fuzzy import (
+        _norm_docs,
+        _selected_grams,
+        fuzzy_pairs_df,
+    )
     from bread_spark.io import load_table
     from tests.conftest import SF_DIR
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    p = physical_plan(fuzzy_pairs_df(docs))
-    assert "WindowGroupLimit" in p
-    assert "CartesianProduct" not in p
+    # r13-opt: fuzzy_pairs_df localCheckpoints the index before the
+    # self-join, so the rank/anti-join shape is asserted on the
+    # UNMATERIALIZED index builder (the seams convention), while the
+    # full entry plan keeps the no-cartesian guarantee.
+    idx = physical_plan(_selected_grams(_norm_docs(docs), materialize=False))
+    assert "WindowGroupLimit" in idx
+    assert "CartesianProduct" not in idx
     assert any(
         "BroadcastHashJoin" in line and "LeftAnti" in line
-        for line in p.splitlines()
-    ), p
+        for line in idx.splitlines()
+    ), idx
+    p = physical_plan(fuzzy_pairs_df(docs))
+    assert "CartesianProduct" not in p
 
 
 def test_authority_rank_plan_keyed_joins_only(spark):
@@ -1080,11 +1090,20 @@ def test_warehouse_topk_is_take_ordered(plans):
 
 
 def test_late_supplier_blame_semi_anti_shapes(plans):
-    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both keyed on the
-    orderkey with the supplier inequality as a residual condition."""
+    """r13-opt decorrelated Q21: the former EXISTS/NOT-EXISTS join pair
+    (which re-ran the li⋈orders subtree three times) is now two
+    collect_set window counts over the orderkey partitioning the join
+    already established — so the plan must carry exactly ONE fact-fact
+    join, the supplier-set windows, and no semi/anti join re-probes."""
     p = plans("late_supplier_blame")
-    assert "LeftSemi" in p
-    assert "LeftAnti" in p
+    assert "collect_set" in p
+    assert "LeftSemi" not in p
+    assert "LeftAnti" not in p
+    assert "CartesianProduct" not in p
+    n_fact_joins = sum(
+        p.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_fact_joins <= 1, p
 
 
 def test_warehouse_dimension_joins_broadcast(plans):
