@@ -901,15 +901,16 @@ def bigram_logprob_scores_df(
     total = uni.agg(F.sum("n").alias("total"))
     if big is None:
         big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
-    first_lp = (
-        w.select("doc_id", F.col("toks")[0].alias("token"))
-        .join(F.broadcast(uni), "token")
-        .join(F.broadcast(total))
-        .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
-    )
     # Score each DISTINCT pair once on the small LM table (three cheap
-    # joins on |bigram vocab| rows), then hit the big exploded pair
-    # stream with a single broadcast join — not four.
+    # joins on |bigram vocab| rows); the unigram table gets the same
+    # treatment for the first-token term.
+    lm_uni = (
+        uni.join(F.broadcast(total))
+        .select(
+            F.col("token").alias("w1"),
+            F.log10(F.col("n") / F.col("total")).alias("lp"),
+        )
+    )
     u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n").alias("n2"))
     lm_pair = (
@@ -925,9 +926,28 @@ def bigram_logprob_scores_df(
             ).alias("lp"),
         )
     )
-    pair_lp = pairs.join(F.broadcast(lm_pair), ["w1", "w2"]).select("doc_id", "lp")
+    # r13-opt (the trigram restructure one order down): the first-token
+    # branch and the pair stream used to re-scan and re-tokenize the
+    # documents once each; one unified (kind, w1, w2)-keyed lookup and
+    # one in-array contribution stream replace them — one scan + one
+    # broadcast join. Same per-position lp values, same row count.
+    lm_all = lm_uni.select(
+        F.lit(0).alias("kind"), "w1", F.lit("").alias("w2"), "lp"
+    ).unionByName(lm_pair.select(F.lit(1).alias("kind"), "w1", "w2", "lp"))
+    contribs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                "array(named_struct('kind', 0, 'w1', toks[0], 'w2', '')), "
+                "transform(slice(toks, 2, size(toks) - 1), "
+                "(t, i) -> named_struct("
+                "'kind', 1, 'w1', toks[i], 'w2', t)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.kind", "p.w1", "p.w2")
     return (
-        first_lp.unionByName(pair_lp)
+        contribs.join(F.broadcast(lm_all), ["kind", "w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1025,12 +1045,13 @@ def trigram_logprob_scores_df(
     if tri is None:
         tri = triples.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n123"))
 
-    # token 1: unigram
-    first_lp = (
-        w.select("doc_id", F.col("toks")[0].alias("token"))
-        .join(_hint(uni), "token")
-        .join(F.broadcast(total))
-        .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
+    # token 1: unigram scores as a (w1 → lp) table
+    lm_uni = (
+        uni.join(F.broadcast(total))
+        .select(
+            F.col("token").alias("w1"),
+            F.log10(F.col("n") / F.col("total")).alias("lp"),
+        )
     )
     # token 2: the bigram interpolation, on the doc's first pair only
     u1 = uni.select(F.col("token").alias("w1"), F.col("n").alias("n1"))
@@ -1047,12 +1068,6 @@ def trigram_logprob_scores_df(
                 + F.lit(1 - LM_LAMBDA) * (F.col("n2") / F.col("total"))
             ).alias("lp"),
         )
-    )
-    second_lp = (
-        w.filter(F.size("toks") >= 2)
-        .select("doc_id", F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w2"))
-        .join(_hint(lm_pair), ["w1", "w2"])
-        .select("doc_id", "lp")
     )
     # tokens ≥ 3: trigram with the bigram/unigram backoff chain — score
     # each distinct triple once, then one broadcast join onto the stream
@@ -1082,12 +1097,53 @@ def trigram_logprob_scores_df(
             ).alias("lp"),
         )
     )
-    tri_lp = triples.join(_hint(lm_tri), ["w1", "w2", "w3"]).select(
-        "doc_id", "lp"
+    # r13-opt (guide §2.3/§2.4): the former three position branches
+    # (first token ⋈ uni, first pair ⋈ lm_pair, triple stream ⋈ lm_tri)
+    # re-scanned and re-tokenized the document stream once EACH. The
+    # three scoring tables instead union into ONE lookup keyed
+    # (kind, w1, w2, w3) — still vocabulary-bounded — and one in-array
+    # expression emits every position's contribution from the single
+    # scan: kind 0 = first token, kind 1 = the first pair (empty when
+    # the doc has one token), kind 2 = each triple. Same per-position
+    # lp values (the per-distinct-gram scoring expressions are
+    # untouched), same row count per doc, one scan + one join instead
+    # of three + three. '' is a safe absent-context sentinel (tokens
+    # are non-empty by construction) and `kind` disambiguates anyway.
+    lm_all = (
+        lm_uni.select(
+            F.lit(0).alias("kind"),
+            "w1",
+            F.lit("").alias("w2"),
+            F.lit("").alias("w3"),
+            "lp",
+        )
+        .unionByName(
+            lm_pair.select(
+                F.lit(1).alias("kind"), "w1", "w2", F.lit("").alias("w3"), "lp"
+            )
+        )
+        .unionByName(
+            lm_tri.select(F.lit(2).alias("kind"), "w1", "w2", "w3", "lp")
+        )
     )
+    contribs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                "array(named_struct("
+                "'kind', 0, 'w1', toks[0], 'w2', '', 'w3', '')), "
+                "transform(slice(toks, 2, least(size(toks) - 1, 1)), "
+                "x -> named_struct("
+                "'kind', 1, 'w1', toks[0], 'w2', x, 'w3', '')), "
+                "transform(slice(toks, 3, greatest(size(toks) - 2, 0)), "
+                "(t, i) -> named_struct("
+                "'kind', 2, 'w1', toks[i], 'w2', toks[i + 1], 'w3', t)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.kind", "p.w1", "p.w2", "p.w3")
     return (
-        first_lp.unionByName(second_lp)
-        .unionByName(tri_lp)
+        contribs.join(_hint(lm_all), ["kind", "w1", "w2", "w3"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1208,54 +1264,42 @@ def ngram5_logprob_scores_df(
             1 - LM_LAMBDA4
         ) * p3(n234, n23, n34, n3, n4)
 
-    # token 1: unigram
-    first_lp = (
-        w.select("doc_id", F.col("toks")[0].alias("token"))
-        .join(_hint(uni), "token")
-        .join(F.broadcast(total))
-        .select("doc_id", F.log10(F.col("n") / F.col("total")).alias("lp"))
+    # r13-opt (the trigram restructure two orders up): the five position
+    # branches each re-scanned and re-tokenized the documents. Instead,
+    # score each ORDER's distinct grams once into small lookup tables
+    # (the lm_quint pattern applied to the lower orders), union them
+    # into ONE (kind, w1..w5)-keyed table, and emit every position's
+    # contribution from a single in-array expression over one scan.
+    # Same interpolation chains over the same counts; one scan + one
+    # stream join instead of five of each.
+    lm_uni = (
+        uni.join(F.broadcast(total))
+        .select(
+            F.col("token").alias("w1"),
+            F.log10(F.col("n") / F.col("total")).alias("lp"),
+        )
     )
-    # token 2: bigram interpolation on the doc's first pair
-    second_lp = (
-        w.filter(F.size("toks") >= 2)
-        .select("doc_id", F.col("toks")[0].alias("w1"), F.col("toks")[1].alias("w2"))
-        .join(_hint(big), ["w1", "w2"])
-        .join(_hint(uni_as("w1", "n1")), "w1")
+    lm_pair = (
+        big.join(_hint(uni_as("w1", "n1")), "w1")
         .join(_hint(uni_as("w2", "n2")), "w2")
         .join(F.broadcast(total))
-        .select("doc_id", F.log10(p2("n12", "n1", "n2")).alias("lp"))
+        .select("w1", "w2", F.log10(p2("n12", "n1", "n2")).alias("lp"))
     )
-    # token 3: trigram interpolation on the doc's first triple
-    third_lp = (
-        w.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.col("toks")[0].alias("w1"),
-            F.col("toks")[1].alias("w2"),
-            F.col("toks")[2].alias("w3"),
-        )
-        .join(_hint(tri), ["w1", "w2", "w3"])
-        .join(_hint(big_as("w1", "w2", "n12")), ["w1", "w2"])
+    lm_tri = (
+        tri.join(_hint(big_as("w1", "w2", "n12")), ["w1", "w2"])
         .join(_hint(big_as("w2", "w3", "n23")), ["w2", "w3"])
         .join(_hint(uni_as("w2", "n2")), "w2")
         .join(_hint(uni_as("w3", "n3")), "w3")
         .join(F.broadcast(total))
         .select(
-            "doc_id", F.log10(p3("n123", "n12", "n23", "n2", "n3")).alias("lp")
+            "w1",
+            "w2",
+            "w3",
+            F.log10(p3("n123", "n12", "n23", "n2", "n3")).alias("lp"),
         )
     )
-    # token 4: 4-gram interpolation on the doc's first quad
-    fourth_lp = (
-        w.filter(F.size("toks") >= 4)
-        .select(
-            "doc_id",
-            F.col("toks")[0].alias("w1"),
-            F.col("toks")[1].alias("w2"),
-            F.col("toks")[2].alias("w3"),
-            F.col("toks")[3].alias("w4"),
-        )
-        .join(_hint(quad), ["w1", "w2", "w3", "w4"])
-        .join(_hint(tri_as("w1", "w2", "w3", "n123")), ["w1", "w2", "w3"])
+    lm_quad = (
+        quad.join(_hint(tri_as("w1", "w2", "w3", "n123")), ["w1", "w2", "w3"])
         .join(_hint(tri_as("w2", "w3", "w4", "n234")), ["w2", "w3", "w4"])
         .join(_hint(big_as("w2", "w3", "n23")), ["w2", "w3"])
         .join(_hint(big_as("w3", "w4", "n34")), ["w3", "w4"])
@@ -1263,7 +1307,10 @@ def ngram5_logprob_scores_df(
         .join(_hint(uni_as("w4", "n4")), "w4")
         .join(F.broadcast(total))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
+            "w3",
+            "w4",
             F.log10(
                 p4("n1234", "n123", "n234", "n23", "n34", "n3", "n4")
             ).alias("lp"),
@@ -1293,14 +1340,46 @@ def ngram5_logprob_scores_df(
             ).alias("lp"),
         )
     )
-    quint_lp = quints.join(_hint(lm_quint), ["w1", "w2", "w3", "w4", "w5"]).select(
-        "doc_id", "lp"
+    def _pad(df, kind, *keys):
+        cols = [F.lit(kind).alias("kind")]
+        for i, name in enumerate(("w1", "w2", "w3", "w4", "w5")):
+            cols.append(
+                F.col(name) if i < len(keys) else F.lit("").alias(name)
+            )
+        return df.select(*cols, "lp")
+
+    lm_all = (
+        _pad(lm_uni, 0, "w1")
+        .unionByName(_pad(lm_pair, 1, "w1", "w2"))
+        .unionByName(_pad(lm_tri, 2, "w1", "w2", "w3"))
+        .unionByName(_pad(lm_quad, 3, "w1", "w2", "w3", "w4"))
+        .unionByName(_pad(lm_quint, 4, "w1", "w2", "w3", "w4", "w5"))
     )
+    contribs = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                "array(named_struct('kind', 0, 'w1', toks[0], "
+                "'w2', '', 'w3', '', 'w4', '', 'w5', '')), "
+                "transform(slice(toks, 2, least(size(toks) - 1, 1)), "
+                "x -> named_struct('kind', 1, 'w1', toks[0], 'w2', x, "
+                "'w3', '', 'w4', '', 'w5', '')), "
+                "transform(slice(toks, 3, least(size(toks) - 2, 1)), "
+                "x -> named_struct('kind', 2, 'w1', toks[0], 'w2', toks[1], "
+                "'w3', x, 'w4', '', 'w5', '')), "
+                "transform(slice(toks, 4, least(size(toks) - 3, 1)), "
+                "x -> named_struct('kind', 3, 'w1', toks[0], 'w2', toks[1], "
+                "'w3', toks[2], 'w4', x, 'w5', '')), "
+                "transform(slice(toks, 5, greatest(size(toks) - 4, 0)), "
+                "(t, i) -> named_struct('kind', 4, 'w1', toks[i], "
+                "'w2', toks[i + 1], 'w3', toks[i + 2], 'w4', toks[i + 3], "
+                "'w5', t)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.kind", "p.w1", "p.w2", "p.w3", "p.w4", "p.w5")
     return (
-        first_lp.unionByName(second_lp)
-        .unionByName(third_lp)
-        .unionByName(fourth_lp)
-        .unionByName(quint_lp)
+        contribs.join(_hint(lm_all), ["kind", "w1", "w2", "w3", "w4", "w5"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
