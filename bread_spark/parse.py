@@ -231,18 +231,40 @@ def parse_events_attrs(raw_txs: DataFrame) -> DataFrame:
 def parse_events_wide(raw_txs: DataFrame, key_values: list[str] | None = None) -> DataFrame:
     """events silver table — wide/pivoted (reference parse.py:164-180).
 
-    Dynamic pivot (R4): when `key_values` is None, Spark runs the extra
-    distinct-keys pass; production callers pass the known vocabulary to
-    skip it (SURVEY §4.2 — at 100 TB the distinct pass is one cheap
-    column-pruned scan, done once and cached in the table's metadata).
+    Dynamic pivot (R4): when `key_values` is None, the distinct key set
+    is discovered and passed explicitly; production callers pass the
+    known vocabulary to skip even that (SURVEY §4.2 — at 100 TB the
+    distinct pass is one cheap column-pruned scan, done once and cached
+    in the table's metadata).
+
+    r13-opt: Spark's built-in dynamic pivot discovers values by running
+    the pivot CHILD's plan again — here the full EAV build (JSON parse,
+    base64 decode of keys AND values, the per-array occurrence ordinal
+    lambda). The discovery pass needs none of that: a projection that
+    decodes only event types and attribute keys yields the same
+    distinct combined_key set, sorted exactly as Spark sorts discovered
+    pivot values, with the same driver-side vocabulary-bounded collect
+    the built-in path performs. One full EAV pass per build instead of
+    two.
     """
     attrs = parse_events_attrs(raw_txs)
     grouped = attrs.groupBy("hash", "height", "occurrence")
     if key_values is None:
-        pivoted = grouped.pivot("combined_key").agg(F.first("value"))
-    else:
-        pivoted = grouped.pivot("combined_key", key_values).agg(F.first("value"))
-    return pivoted
+        keys_arr = F.expr(
+            """
+            flatten(transform(tx_result.events, e ->
+                transform(e.attributes, a ->
+                    concat_ws('_', e.type, cast(unbase64(a.key) as string)))))
+            """
+        )
+        key_values = [
+            r[0]
+            for r in raw_txs.select(F.explode(keys_arr).alias("ck"))
+            .distinct()
+            .sort("ck")
+            .collect()
+        ]
+    return grouped.pivot("combined_key", key_values).agg(F.first("value"))
 
 
 def attach_block_time(df: DataFrame, blocks: DataFrame) -> DataFrame:
