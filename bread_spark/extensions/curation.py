@@ -1412,8 +1412,12 @@ def zipf_fit_by_source(
     monitors in streaming/curation.py cover the per-batch signals). At real vocab the count table is the only big
     intermediate, and it's exactly the table vocab_topk/BM25 already
     stage."""
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    return zipf_fit_df(docs, k)
+    from .sketch import source_token_counts_frame
+
+    counts = source_token_counts_frame(spark, sf_dir).select(
+        "source", "token", F.col("n_st").alias("n")
+    )
+    return _zipf_fit_from_counts(counts, k)
 
 
 def zipf_fit_df(docs: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
@@ -1423,6 +1427,12 @@ def zipf_fit_df(docs: DataFrame, k: int = ZIPF_TOP_K) -> DataFrame:
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
     )
     counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    return _zipf_fit_from_counts(counts, k)
+
+
+def _zipf_fit_from_counts(counts: DataFrame, k: int) -> DataFrame:
+    """Zipf fit over a prebuilt (source, token, n) count table — the
+    catalog entry feeds it the `source_token_counts` seam."""
     w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
     head = counts.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -1492,12 +1502,14 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires — caught by the plan audit in test_plans.py). The KL sum is
     one groupBy(source). All JVM, all count ratios → full DuckDB oracle.
     """
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    return source_kl_divergence_df(docs)
+    from .sketch import source_token_counts_frame
+
+    return _kl_from_counts(source_token_counts_frame(spark, sf_dir))
 
 
 def source_kl_divergence_df(docs: DataFrame) -> DataFrame:
-    """`source_kl_divergence` core over any (source, text) frame."""
+    """`source_kl_divergence` core over any (source, text) frame (the
+    catalog entry feeds `_kl_from_counts` the shared seam instead)."""
     toks = docs.select(
         "source",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
@@ -1507,6 +1519,13 @@ def source_kl_divergence_df(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_st"))
         .localCheckpoint()
     )
+    return _kl_from_counts(st)
+
+
+def _kl_from_counts(st: DataFrame) -> DataFrame:
+    """KL report over a MATERIALIZED (source, token, n_st) count table —
+    three derived aggregates read it (corpus / per-source / grand
+    totals), so the input must already be checkpointed or seam-backed."""
     corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
     totals = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     grand = corpus.agg(F.sum("n_t").alias("n"))
@@ -1831,9 +1850,13 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bad, "doc_id", "left_anti")
     )
     n_tokens = F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long")
+    # O(surviving docs) × 4 narrow columns, consumed by BOTH the packing
+    # stage and the final join — checkpoint so the whole gate chain
+    # (boilerplate → CDC → ppl gate → decontam → split) runs once, not
+    # twice (the un-checkpointed plan duplicated it under each side).
     sized = _split_assignment(kept).select(
         "doc_id", "ppl_bucket", "split", n_tokens.alias("n_tokens")
-    )
+    ).localCheckpoint()
     packed = pack_sequences_df(sized.select("doc_id", "n_tokens")).select(
         "doc_id", "pack_id"
     )

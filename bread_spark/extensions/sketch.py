@@ -36,6 +36,50 @@ def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(F.explode(toks).alias("token"))
 
 
+def source_token_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute-once (source, token, n_st) unigram count table over the
+    canonical `documents` tokenization (space-split, empties dropped) —
+    the shared upstream of the whole distributional-profile family: the
+    KL drift and Zipf fits read it directly, the HLL register/calibration
+    entries derive registers and true distincts from its DISTINCT
+    (source, token) pairs, and the CMS entries fold it to corpus
+    (token, n) counts and fan DISTINCT tokens weighted by n instead of
+    re-shuffling every token instance. One explode+aggregate per catalog
+    pass serves them all (seams convention, plans/materialize.py);
+    equality stays pinned by each consumer's own oracle."""
+    from ..plans.materialize import materialized_frame
+
+    return materialized_frame(
+        spark,
+        "source_token_counts",
+        sf_dir,
+        lambda: _source_token_counts_df(
+            load_table(spark, sf_dir, "documents").select("source", "text")
+        ),
+    )
+
+
+def _source_token_counts_df(docs: DataFrame) -> DataFrame:
+    """`source_token_counts` core over any (source, text) frame: ONE
+    groupBy(source, token) with map-side partials."""
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+
+
+def corpus_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide (token, n) counts folded from the per-source seam —
+    a distinct-token-sized aggregate, no second pass over the text."""
+    return (
+        source_token_counts_frame(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.sum("n_st").alias("n"))
+    )
+
+
 def _bucket_expr(d_col: str, dig_col: str) -> str:
     """SQL for h_d — hex lane [8d, 8d+8) of an md5 digest column, mod
     WIDTH. Callers project ``md5(token)`` ONCE and every lane slices it."""
@@ -58,17 +102,36 @@ def cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Compute-once seam: `cms_heavy_hitters` probes the identical table —
     one sketch build per catalog pass serves both (cache contract in
-    plans/materialize.py; equality pinned by both entries' oracles)."""
+    plans/materialize.py; equality pinned by both entries' oracles).
+
+    The catalog build rides the `source_token_counts` seam: the bucket
+    histogram over token INSTANCES equals the n-weighted histogram over
+    DISTINCT tokens (same token → same (d, bucket) lanes), so the ×D
+    fan-out shuffles one row per distinct token instead of one per
+    instance — the streaming/core form (`cms_sketch_df`) keeps the
+    instance-level single-aggregate shape."""
     from ..plans.materialize import materialized_frame
 
-    return materialized_frame(
-        spark,
-        "cms_sketch",
-        sf_dir,
-        lambda: cms_sketch_df(
-            load_table(spark, sf_dir, "documents").select("text")
-        ),
-    )
+    def _build() -> DataFrame:
+        counts = corpus_token_counts(spark, sf_dir)
+        rows = counts.select(
+            "n", F.md5("token").alias("dig")
+        ).select(
+            "n",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {CMS_D - 1}), d -> "
+                    f"struct(cast(d as bigint) as d, {_bucket_expr('d', 'dig')} as bucket))"
+                )
+            ).alias("p"),
+        )
+        return (
+            rows.select("n", "p.d", "p.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.sum("n").alias("cnt"))
+        )
+
+    return materialized_frame(spark, "cms_sketch", sf_dir, _build)
 
 
 def cms_sketch_df(docs: DataFrame) -> DataFrame:
@@ -100,11 +163,11 @@ def cms_heavy_hitters(
     least-loaded bucket (always ≥ 0 — the count-min guarantee, pinned
     for EVERY token in tests).
 
-    Plan: true counts are one token-keyed aggregate with a distributed
-    top-k (TakeOrderedAndProject); the k probes join the D·WIDTH sketch
-    on (d, bucket) as a broadcast; min-over-D is a k-group aggregate."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    counts = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    Plan: true counts fold from the `source_token_counts` seam (no
+    second text pass) with a distributed top-k (TakeOrderedAndProject);
+    the k probes join the D·WIDTH sketch on (d, bucket) as a broadcast;
+    min-over-D is a k-group aggregate."""
+    counts = corpus_token_counts(spark, sf_dir)
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     probes = top.withColumn("dig", F.md5("token")).select(
         "token",
@@ -145,10 +208,9 @@ def cms_probe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the array-of-zeros semantics of a real CMS).
 
     Plan: probes are a ≤5-row frame — the lane fan-out and the sketch
-    join are broadcasts; true counts come from the same token aggregate
-    the heavy-hitter report already stages."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    counts = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    join are broadcasts; true counts fold from the `source_token_counts`
+    seam, the same table the heavy-hitter report reads."""
+    counts = corpus_token_counts(spark, sf_dir)
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(3).select("token")
     absent = spark.createDataFrame(
         [(t,) for t in CMS_ABSENT_PROBES], "token string"
@@ -275,11 +337,14 @@ def bootstrap_source_stats(
     DuckDB-oracle-checked. Point estimate, bootstrap mean/std over R
     replicates, and the ±1.96σ normal-approximation interval.
 
-    Plan: one in-array fan-out to R (replicate, weight) structs per doc
-    (map-side, no join), ONE (source, replicate) aggregate with map-side
-    partials (R·sources cells), then a source-keyed stddev over R rows
-    per source joined back to the point estimate — every shuffle is on
-    keys whose cardinality the config controls, never on data volume.
+    Plan: ONE documents scan — one in-array fan-out to R (replicate,
+    weight) structs per doc (map-side, no join), ONE (source, replicate)
+    aggregate with map-side partials (R·sources cells) that ALSO carries
+    the point-estimate inputs (per-replicate doc count and exact token
+    sum — identical across replicates, so MAX recovers them), then a
+    source-keyed stddev over R rows per source. No second scan, no
+    join-back — every shuffle is on keys whose cardinality the config
+    controls, never on data volume.
     Batch-only by design: a bootstrap CI is a statement about a frozen
     corpus snapshot (each replicate reweights EVERY document), so the
     streaming path is re-running this on snapshots, not folding batches
@@ -306,20 +371,20 @@ def bootstrap_source_stats(
         (
             F.sum(F.col("w") * F.col("n_tokens"))
             / F.nullif(F.sum("w"), F.lit(0))
-        ).alias("rep_mean")
+        ).alias("rep_mean"),
+        F.count(F.lit(1)).alias("n_docs_rep"),
+        F.sum("n_tokens").alias("sum_tokens_rep"),
     )
     boot = per_rep.groupBy("source").agg(
         F.avg("rep_mean").alias("boot_mean"),
         F.stddev_samp("rep_mean").alias("boot_std"),
+        F.max("n_docs_rep").alias("n_docs"),
+        F.max("sum_tokens_rep").alias("sum_tokens"),
     )
-    point = docs.select("source", n_tokens.alias("n_tokens")).groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("n_tokens").alias("mean_tokens"),
-    )
-    return point.join(F.broadcast(boot), "source").select(
+    return boot.select(
         "source",
         "n_docs",
-        F.round("mean_tokens", 4).alias("mean_tokens"),
+        F.round(F.col("sum_tokens") / F.col("n_docs"), 4).alias("mean_tokens"),
         F.round("boot_mean", 4).alias("boot_mean"),
         F.round("boot_std", 4).alias("boot_std"),
         F.round(
@@ -421,9 +486,12 @@ def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-merge the new shard's registers in (mergeability pinned in
     tests). Duplicate tokens cost nothing: same token → same (bucket,
     rho), and MAX absorbs them — that is the whole point of the sketch.
+    The catalog entry derives the registers from the
+    `source_token_counts` seam's distinct pairs (identical by the same
+    MAX-absorption argument); the streaming core below keeps the
+    instance-level single-aggregate shape.
     """
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    return hll_registers_df(docs)
+    return _hll_registers_from_counts(spark, sf_dir)
 
 
 def hll_registers_df(docs: DataFrame) -> DataFrame:
@@ -472,6 +540,22 @@ def merge_hll_registers(base: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def _hll_registers_from_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register table derived from the `source_token_counts` seam:
+    duplicates contribute nothing to MAX(rho), so registers over the
+    DISTINCT (source, token) pairs are identical to the instance-level
+    build — one distinct-token-sized projection instead of a second
+    corpus tokenize (the streaming/core `hll_registers_df` keeps the
+    instance-level shape)."""
+    pairs = source_token_counts_frame(spark, sf_dir).select("source", "token")
+    rows = pairs.select(
+        "source",
+        F.expr(f"{_HLL_U32} % {HLL_M}").alias("bucket"),
+        F.expr(_rho_sql(f"({_HLL_U32} div {HLL_M})")).alias("rho"),
+    )
+    return rows.groupBy("source", "bucket").agg(F.max("rho").alias("max_rho"))
+
+
 def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration report: per-source TRUE distinct-token count vs the
     HLL estimate from the 64-register sketch — (source, n_true, hll_est,
@@ -498,12 +582,11 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
         F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero),
     ).otherwise(e_raw)
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    # true distincts = row count per source of the (source, token) seam
     true = (
-        docs.select("source", F.explode(toks).alias("token"))
+        source_token_counts_frame(spark, sf_dir)
         .groupBy("source")
-        .agg(F.countDistinct("token").alias("n_true"))
+        .agg(F.count(F.lit(1)).alias("n_true"))
     )
     report = true.join(F.broadcast(agg.withColumn("hll_est", est)), "source")
     return report.select(
@@ -540,8 +623,10 @@ def hll_total_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * HLL_M)) & (v_zero > 0),
         F.lit(HLL_M) * F.log(F.lit(float(HLL_M)) / v_zero),
     ).otherwise(e_raw)
-    docs = load_table(spark, sf_dir, "documents").select("text")
-    true = _tokens(docs).agg(F.countDistinct("token").alias("n_true"))
+    true = (
+        source_token_counts_frame(spark, sf_dir)
+        .agg(F.countDistinct("token").alias("n_true"))
+    )
     return true.join(F.broadcast(agg.withColumn("hll_est", est))).select(
         "n_true",
         F.round("hll_est", 4).alias("hll_est"),

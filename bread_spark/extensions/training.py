@@ -693,7 +693,12 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_exact_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = quality_scores(spark, sf_dir)
+    # O(docs) × 3 narrow columns, read TWICE (the percentile-threshold
+    # aggregate and the gate filter) — checkpoint so the per-doc regex/
+    # token scoring scan runs once, not once per consumer.
+    scored = quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "alpha_ratio"
+    ).localCheckpoint()
     th = scored.agg(
         F.expr(f"percentile(alpha_ratio, {QF_ALPHA_PCT})").alias("alpha_th")
     )
