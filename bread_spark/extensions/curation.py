@@ -580,6 +580,10 @@ def corpus_mix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight = F.lit(DEFAULT_MIX_WEIGHT)
     for src, w_val in MIX_WEIGHTS.items():
         weight = F.when(F.col("source") == src, F.lit(w_val)).otherwise(weight)
+    # r13 note: this metadata frame feeds three consumers, so the
+    # tokenize-count pass plans three times; checkpointing it was built
+    # and REJECTED on measurement (eager-checkpoint round-trip > two
+    # recomputes at bench scale, 5-pass A/B). Flips at petabyte inputs.
     docs = docs.withColumn("w", weight)
     full = F.floor(F.col("w")).cast("int")
 

@@ -126,6 +126,11 @@ def centroid_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label aggregate. Everything after the first aggregate is
     dashboard-sized."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r13 note: `per` feeds both the grand-total aggregate and the
+    # join-back, so the posexplode pass plans twice; checkpointing it
+    # was built and REJECTED on measurement (eager-checkpoint round-trip
+    # > the second pass at bench scale, 5-pass A/B). At petabyte inputs
+    # the trade flips — that form is `.localCheckpoint()` on `per`.
     per = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")

@@ -173,6 +173,9 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one digest-keyed countDistinct(split) aggregate + one split-
     keyed count — O(distinct texts) intermediate, no joins of raw text."""
     docs = load_table(spark, sf_dir, "documents")
+    # r13 note: checkpointing `tagged` (feeds both consumers, digest
+    # pass plans twice) was built and REJECTED on measurement — see
+    # key_skew_report; same trade, flips at petabyte inputs.
     tagged = _split_assignment(docs).select("digest", "split")
     leaked = (
         tagged.groupBy("digest")

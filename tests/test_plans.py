@@ -956,12 +956,13 @@ def test_stats_family_plans_are_keyed_and_partial_aggregated(plans):
     # correlation join keyed on the renamed day columns, post-aggregation
     pc = plans("type_correlation_matrix")
     assert "SortMergeJoin" in pc or "ShuffledHashJoin" in pc or "BroadcastHashJoin" in pc
-    # rolling: explode fan-out present; the one join is the keyed equi
-    # join with the per-day table (which restricts to real event days —
-    # the former separate semi-join was redundant, review finding)
+    # rolling: explode fan-out present; since the r13 min-offset rework
+    # the per-day restriction is the users_1d > 0 conditional count, so
+    # the plan is JOIN-free (was: one keyed equi join with the day table)
     pr = plans("rolling_7d_distinct_users")
     assert "Generate explode" in pr
-    assert "SortMergeJoin" in pr or "ShuffledHashJoin" in pr or "BroadcastHashJoin" in pr
+    assert "Join" not in pr
+    assert "users_1d" in pr
 
 
 def test_behavior_and_rank_plans_are_join_free(plans):
