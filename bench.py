@@ -23,6 +23,12 @@ import time
 
 PARSE_N_BLOCKS = int(os.environ.get("SPARK_GRAFT_PARSE_BLOCKS", "30000"))
 WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+# r14 (VERDICT r13 #2): re-run the md5 noise probes every N queries of
+# the warm loop so a mid-run host burst is attributable PER SEGMENT from
+# the committed BENCH_DETAIL alone (r13's one-shot launch probes missed
+# the burst cohorts in both driver captures). Untimed — the probes run
+# between query groups, never inside a timed pass.
+PROBE_EVERY = int(os.environ.get("SPARK_GRAFT_PROBE_EVERY", "24"))
 
 
 def _md5_loop(n: int) -> float:
@@ -708,7 +714,17 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {}
     parse_rows = 0
-    for name in bench_queries:
+    # Interleaved per-segment noise probes (VERDICT r13 #2): same probe
+    # unit as the launch pair, recorded with the index/name of the next
+    # query so any burst window brackets a known query range.
+    probe_segments: list[dict] = []
+    for qi, name in enumerate(bench_queries):
+        if PROBE_EVERY > 0 and qi > 0 and qi % PROBE_EVERY == 0:
+            seg_1c, seg_mc = _host_probes()
+            probe_segments.append(
+                {"i": qi, "next": name, "probe_1c": seg_1c, "probe_mc": seg_mc}
+            )
+        spark.sparkContext.setJobDescription(f"bench warm: {name}")
         _reclaim()
         runs = []
         for _ in range(WARM_PASSES):
@@ -716,6 +732,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
         samples[name] = runs
+    spark.sparkContext.setJobDescription("bench warm: parse_events_wide")
     _reclaim()
     runs = []
     for _ in range(WARM_PASSES):
@@ -723,6 +740,14 @@ def main() -> None:
         parse_rows = _parse_events_build(spark, parse_fixture)
         runs.append(time.perf_counter() - start)
     samples["parse_events_wide"] = runs
+    spark.sparkContext.setJobDescription(None)
+    # closing probe pair — brackets the tail segment (incl. parse build)
+    tail_1c, tail_mc = _host_probes()
+    probe_segments.append(
+        {"i": len(bench_queries), "next": "(end)", "probe_1c": tail_1c, "probe_mc": tail_mc}
+    )
+    probe_1c_max = round(max([probe_1c] + [s["probe_1c"] for s in probe_segments]), 3)
+    probe_mc_max = round(max([probe_mc] + [s["probe_mc"] for s in probe_segments]), 3)
     timings = {n: round(statistics.median(t), 3) for n, t in samples.items()}
     total = round(sum(timings.values()), 3)
 
@@ -785,6 +810,9 @@ def main() -> None:
         "queries": timings,
         "probe_1c": probe_1c,
         "probe_mc": probe_mc,
+        "probe_segments": probe_segments,
+        "probe_1c_max": probe_1c_max,
+        "probe_mc_max": probe_mc_max,
         "sf": sf_val,
         "parse_input_blocks": PARSE_N_BLOCKS,
     }
@@ -813,6 +841,8 @@ def main() -> None:
                 "warm_passes": WARM_PASSES,
                 "probe_1c": probe_1c,
                 "probe_mc": probe_mc,
+                "probe_1c_max": probe_1c_max,
+                "probe_mc_max": probe_mc_max,
                 "n_queries": len(timings),
                 "subtotals": subtotals,
                 "queries": dict(ranked[:n_slowest]),

@@ -581,44 +581,166 @@ def _cluster_labels_build(
     return connected_components(docs, pairs, max_iters=max_iters)
 
 
+# round counters for the r14 star-rounds evidence (read by tests /
+# OPTIMIZATION notes; diagnostics only, never control flow)
+_LAST_CC_ROUNDS = 0
+_LAST_LP_ITERS = 0
+
+
 def connected_components(
     docs: DataFrame, pairs: DataFrame, max_iters: int | None = None
 ) -> DataFrame:
-    """Min-label propagation over any (doc_a, doc_b) edge frame — the
-    core of `dedup_clusters`, also driven directly by the hypothesis
+    """Connected components over any (doc_a, doc_b) edge frame via
+    alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "
+    Connected Components in MapReduce and Beyond", SoCC'14) — the core
+    of `dedup_clusters`, also driven directly by the hypothesis
     property test against a union-find reference.
 
-    Iterates until NO label changes. `max_iters` is purely a safety cap:
-    min-label propagation advances one hop per round, so it can never
-    need more rounds than there are nodes (diameter < |V|); if the cap
-    is hit while labels are still moving we RAISE rather than silently
-    return split clusters (a chain longer than the cap used to exit the
-    loop unconverged — ADVICE r2 #1). Default cap = edge-node count.
+    r14 (VERDICT r13 #4, guide §2.3): replaces the min-label
+    propagation loop, which advanced ONE hop per iteration and was
+    therefore diameter-bounded — an adversarial component chain at
+    100 TB meant O(diameter) keyed shuffles. Star rounds contract
+    whole neighborhoods onto their minimum, converging in O(log²
+    |V|) rounds (O(log |V|) in practice), each round two keyed
+    shuffles of the edge set:
 
-    The propagation loop runs over the EDGE SUBGRAPH only: a node with
-    no incident edge can never receive a neighbor label, so its final
-    label is provably its own doc_id — isolated nodes are filled in by
-    one left join after convergence instead of riding every iteration's
-    joins. At near-dup densities the edge-node set is a small fraction
-    of the corpus, so each round's shuffles shrink from O(docs) to
-    O(edge endpoints) at any scale."""
-    # undirected edge list, both directions
+      large-star: every node u connects its LARGER neighbors to
+        m(u) = min(Γ(u) ∪ {u});
+      small-star: every node u connects its smaller-or-equal
+        neighbors and itself to m(u), computed over that subset.
+
+    Both preserve connectivity and never connect across components
+    (each output edge joins two members of an input component); the
+    fixed point is the star forest rooted at each component's MINIMUM
+    node id — exactly the labels min-label propagation converged to,
+    so cluster sets are bit-identical (pinned by the union-find
+    property tests and the real-corpus equality pin vs the retained
+    `_connected_components_label_prop` reference).
+
+    `max_iters` stays a pure safety cap on ROUNDS: if the edge set is
+    still moving at the cap we RAISE rather than silently return split
+    clusters (ADVICE r2 #1 contract). Default cap = edge-node count —
+    absurdly loose for a log-round algorithm, same contract as before.
+
+    The rounds run over the EDGE SUBGRAPH only: a node with no
+    incident edge keeps its own id — isolated nodes are filled in by
+    one left join at the end. Skew note: star neighborhoods are
+    aggregated with min() (partial/map-side) and joined back — no
+    collect_list, so a mega-degree hub never materializes its
+    neighbor list in one task; AQE's skew-join split covers the join
+    side."""
+    # canonical undirected edge list: (lo, hi), self-loops dropped (a
+    # self-loop cannot change components; its node, if otherwise
+    # isolated, is labeled by the final fill-in join like any other)
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("lo"),
+            F.greatest("doc_a", "doc_b").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .unionByName(edges.select(F.col("hi").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    if max_iters is None:
+        max_iters = max(int(nodes.count()), 1)
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # symmetric view: each node u sees its full neighborhood
+        sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(m.alias("lo"), F.col("v").alias("hi"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # directed toward the larger endpoint: u = hi groups its
+        # smaller neighbors; m = min(N) (all < u, so min(N ∪ {u}) = min(N))
+        mins = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = e.join(mins, "hi")
+        # emit (v, m) for v ∈ N ∪ {u}, v ≠ m:  the smaller neighbors
+        # re-rooted onto m, plus the center itself
+        nbr_edges = joined.filter(F.col("lo") != F.col("m")).select(
+            F.col("m").alias("lo"), F.col("lo").alias("hi")
+        )
+        center_edges = joined.select(
+            F.col("m").alias("lo"), F.col("hi").alias("hi")
+        )
+        return nbr_edges.unionByName(center_edges).distinct()
+
+    global _LAST_CC_ROUNDS
+    converged = False
+    rounds = 0
+    for _ in range(max_iters):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        # set equality: distinct frames, so equal counts + empty anti-join
+        changed = (
+            new_edges.count() != edges.count()
+            or new_edges.join(edges, ["lo", "hi"], "left_anti").count() != 0
+        )
+        edges = new_edges
+        if not changed:
+            converged = True
+            break
+    _LAST_CC_ROUNDS = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "rounds (edge set still moving) — raise the cap"
+        )
+    # fixed point is a star forest: every edge is (component_min, node).
+    # Labels = leaves → their root, plus each root → itself.
+    labels = (
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("label"))
+        .unionByName(
+            edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("label"))
+        )
+        .distinct()
+    )
+    # fill isolated nodes (label = own id) back in with one keyed join
+    cluster = F.coalesce("label", F.col("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+def _connected_components_label_prop(
+    docs: DataFrame, pairs: DataFrame, max_iters: int | None = None
+) -> DataFrame:
+    """The pre-r14 min-label-propagation form, retained as the REFERENCE
+    implementation for the star-rounds equality pin (test_properties /
+    test_recall): one hop per iteration, diameter-bounded, provably
+    converging to min-id-per-component labels."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
-    # both directions are present, so doc_a alone covers every endpoint
     nodes = edges.select("doc_a").distinct().select(
         F.col("doc_a").alias("doc_id")
     ).localCheckpoint()
 
     if max_iters is None:
-        # diameter < edge-node count; the count is one cheap aggregate job
         max_iters = max(int(nodes.count()), 1)
 
+    global _LAST_LP_ITERS
     labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     changed = 0
+    iters = 0
     for _ in range(max_iters):
-        # neighbor labels: for each edge (a,b), b's current label flows to a
         nbr = (
             edges.join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -631,18 +753,17 @@ def connected_components(
                 F.least("label", F.coalesce("nbr_label", "label")).alias("new_label"),
                 "label",
             )
-        ).localCheckpoint()  # cut the lineage — iterative plans explode otherwise
+        ).localCheckpoint()
         changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        iters += 1
         labels = updated.select("doc_id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    _LAST_LP_ITERS = iters
     if changed != 0:
         raise RuntimeError(
-            f"connected_components did not converge within max_iters={max_iters} "
-            f"({changed} labels still changing) — raise the cap or use a "
-            "large-star/small-star variant for adversarial diameters"
+            f"label propagation did not converge within max_iters={max_iters}"
         )
-    # fill isolated nodes (label = own id) back in with one keyed join
     cluster = F.coalesce("label", F.col("doc_id"))
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",

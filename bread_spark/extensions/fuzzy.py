@@ -229,7 +229,14 @@ def fuzzy_pairs_df(
     if norm is None:
         norm = _norm_docs(docs)
     if selected is None:
-        selected = _selected_grams(norm).localCheckpoint()
+        # ADVICE r13 #3: _selected_grams (materialize=True) already
+        # localCheckpoints its gram and rank frames internally; the
+        # former outer .localCheckpoint() here added a REDUNDANT second
+        # eager pass over the index on every inline build. The final
+        # hot-cap anti-join left unmaterialized is one broadcast over
+        # the checkpointed sel per consumer side — cheaper than eagerly
+        # re-materializing it (measured r14).
+        selected = _selected_grams(norm)
 
     a, b = selected.alias("a"), selected.alias("b")
     cand = (
@@ -488,8 +495,24 @@ def fuzzy_dedup_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13-opt: normalize the (bounded, ≤2·UNI_FIXTURE_MAX-doc) fixture
     # ONCE — unmaterialized, the verify stage's two join-backs re-ran
     # the scan + accent mutation + normalization per side.
-    norm = _norm_docs(uni).localCheckpoint()
-    return fuzzy_pairs_df(uni, norm=norm)
+    # r14 (VERDICT r13 #6): the normalized fixture AND its gram+df+rank
+    # prefix-filter index ride compute-once seams — the fixture is
+    # CONSTRUCTED (not loaded), so every invocation was re-paying the
+    # doubled fixture's md5-gram explode + rank window. Same cache
+    # contract as every seam (per session + sf_dir, built from the
+    # parquet inputs inside the timed region on first touch); the
+    # banded self-join + Levenshtein verify still run per invocation.
+    norm = materialized_frame(
+        spark, "fuzzy_unicode_norm", sf_dir, lambda: _norm_docs(uni)
+    )
+    selected = materialized_frame(
+        spark,
+        "fuzzy_unicode_selected",
+        sf_dir,
+        lambda: _selected_grams(norm),
+        (FUZZY_Q, FUZZY_R, FUZZY_SEL_CAP),
+    )
+    return fuzzy_pairs_df(uni, selected=selected, norm=norm)
 
 
 def _fuzzy_cand_cte(src: str = "documents") -> str:

@@ -308,42 +308,127 @@ def search_rank_fusion_df(
     """
     from pyspark.sql.window import Window
 
-    # Rank positions feed the RRF sums, so the rank key must live on
-    # the exact integer lattice (float-discipline rule for RANKED
-    # values, r10 ADVICE): ×1e4 bigint of the already-rounded-4 BM25
-    # score — identical order, engine-stable by construction.
-    bm = bm25_search_df(docs, terms, top_n).select(
-        "doc_id",
-        F.expr("CAST(ROUND(score * 10000) AS BIGINT)").alias("score_q"),
-    )
-    w1 = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
-    r1 = bm.select("doc_id", F.row_number().over(w1).alias("rank"))
-
+    # r14 (VERDICT r13 #5, guide §2.4): ONE document scan feeds every
+    # ranker. Previously bm25_search_df built (and checkpointed) its
+    # own per-doc length+matches frame from a second full scan of the
+    # text; the BM25 corpus stats (n_docs, avgdl) and tf/df tables
+    # derive from exactly this frame, so both rankers' inputs now share
+    # it. Same shape bm25_search_df certifies: one pass over the text,
+    # materialized because three subtrees (stats, tf, matched-doc
+    # stats) consume it.
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
-    matches = F.filter(toks_arr, lambda t: t.isin(list(terms)))
-    # r13-opt: the matched-doc stat frame feeds BOTH rankers' top-n
-    # cuts; unmaterialized, each TakeOrdered re-ran the full scan +
-    # tokenize + match count. Bounded: only docs containing ≥1 query
-    # term survive, at 4 integer columns per row (the query's posting
-    # list union — the same bound a posting-list intersection pays).
-    m = docs.select(
+    per_doc = docs.select(
         "doc_id",
         F.size(toks_arr).alias("dl"),
-        F.size(matches).alias("tf_total"),
-        F.size(F.array_distinct(matches)).alias("coverage"),
-    ).filter(F.col("tf_total") > 0).localCheckpoint()
+        F.filter(toks_arr, lambda t: t.isin(list(terms))).alias("matches"),
+    ).localCheckpoint()
 
-    t2 = m.orderBy(F.desc("tf_total"), F.asc("doc_id")).limit(top_n)
-    w2 = Window.orderBy(F.desc("tf_total"), F.asc("doc_id"))
-    r2 = t2.select("doc_id", F.row_number().over(w2).alias("rank"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        per_doc.select("doc_id", F.explode("matches").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfs.join(F.broadcast(stats)).select(
+        "token",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    bm_scores = (
+        tf.join(F.broadcast(idf), "token")
+        .join(per_doc.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1 - BM25_B + BM25_B * (F.col("dl") / F.col("avgdl")))
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
 
-    t3 = m.orderBy(F.desc("coverage"), F.asc("dl"), F.asc("doc_id")).limit(top_n)
-    w3 = Window.orderBy(F.desc("coverage"), F.asc("dl"), F.asc("doc_id"))
-    r3 = t3.select("doc_id", F.row_number().over(w3).alias("rank"))
+    # The matched-doc multi-score frame every ranker cuts from. Rank
+    # positions feed the RRF sums, so every rank key lives on the exact
+    # integer lattice (float-discipline rule for RANKED values, r10
+    # ADVICE): score_q = ×1e4 bigint of the already-rounded-4 BM25
+    # score — identical order, engine-stable by construction. Bounded:
+    # only docs containing ≥1 query term survive (the query's posting
+    # list union), 5 narrow columns; checkpointed because THREE top-n
+    # cuts read it.
+    scores = (
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.size("matches").alias("tf_total"),
+            F.size(F.array_distinct("matches")).alias("coverage"),
+        )
+        .filter(F.col("tf_total") > 0)
+        .join(bm_scores, "doc_id")
+        .select(
+            "doc_id",
+            "dl",
+            "tf_total",
+            "coverage",
+            F.expr("CAST(ROUND(score * 10000) AS BIGINT)").alias("score_q"),
+        )
+        .localCheckpoint()
+    )
 
+    # Per-ranker top-n cuts stay DISTRIBUTED TakeOrdered jobs (bounded
+    # driver merge, no global sort); the three single-partition
+    # row_number windows they fed collapse into ONE tagged window pass
+    # over the ≤3·top_n-row union — 3 window exchanges → 1. Sort keys
+    # are encoded as ascending (k1, k2, doc_id) per ranker:
+    #   1 BM25:      (−score_q, 0)          ≡ score_q DESC
+    #   2 term freq: (−tf_total, 0)         ≡ tf_total DESC
+    #   3 coverage:  (−coverage, dl)        ≡ coverage DESC, dl ASC
+    t1 = (
+        scores.orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            F.lit(1).alias("ranker"),
+            (-F.col("score_q")).alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            "doc_id",
+        )
+    )
+    t2 = (
+        scores.orderBy(F.desc("tf_total"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            F.lit(2).alias("ranker"),
+            (-F.col("tf_total")).cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+            "doc_id",
+        )
+    )
+    t3 = (
+        scores.orderBy(F.desc("coverage"), F.asc("dl"), F.asc("doc_id"))
+        .limit(top_n)
+        .select(
+            F.lit(3).alias("ranker"),
+            (-F.col("coverage")).cast("long").alias("k1"),
+            F.col("dl").cast("long").alias("k2"),
+            "doc_id",
+        )
+    )
+    w = Window.partitionBy("ranker").orderBy(
+        F.asc("k1"), F.asc("k2"), F.asc("doc_id")
+    )
     fused = (
-        r1.unionByName(r2)
-        .unionByName(r3)
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .select("doc_id", F.row_number().over(w).alias("rank"))
         .select(
             "doc_id",
             F.expr(f"CAST({RRF_SCALE} div ({RRF_K} + rank) AS BIGINT)").alias(

@@ -555,7 +555,19 @@ def value_cube_by_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries up to 4× the partial rows; the pre-aggregate shuffles one
     partial row per task-local cell and the ×4 expansion touches only
     O(days × types) rows. SUM/COUNT decompose exactly (sum of cell
-    sums, sum of cell counts); rounding stays at the outermost sum."""
+    sums, sum of cell counts); rounding stays at the outermost sum.
+
+    ADVICE r13 #2 adjudication (the revenue_by_segment precedent): the
+    subtotal/grand-total rows re-associate a double sum, the same
+    round(4)-boundary risk class that got revenue_by_segment's pre-agg
+    REJECTED. Kept here because (a) partial aggregation already
+    re-associates the naive cube's sums per grouping set — the rewrite
+    adds one extra association level, not a new nondeterminism class;
+    (b) it is hash-certified vs the oracle at sf0.001/0.01/0.1, and the
+    nightly AQE-parity pin (test_aqe_parity.py) guards the summation
+    tree against runtime re-planning; (c) the at-scale win is 4× fewer
+    shuffled partial rows. If a future SF flips a boundary, revert to
+    the naive cube (one-line change) — result identity wins."""
     ev = load_table(spark, sf_dir, "events")
     cells = (
         ev.select(F.col("ts").cast("date").alias("day"), "event_type", "value")

@@ -257,13 +257,27 @@ def parse_events_wide(raw_txs: DataFrame, key_values: list[str] | None = None) -
                     concat_ws('_', e.type, cast(unbase64(a.key) as string)))))
             """
         )
+        # Mirror the built-in dynamic pivot's spark.sql.pivotMaxValues
+        # guard (ADVICE r13 #1): without it a pathological combined_key
+        # vocabulary would collect unboundedly to the driver where
+        # grouped.pivot(col) would have raised.
+        max_values = int(
+            raw_txs.sparkSession.conf.get("spark.sql.pivotMaxValues", "10000")
+        )
         key_values = [
             r[0]
             for r in raw_txs.select(F.explode(keys_arr).alias("ck"))
             .distinct()
             .sort("ck")
+            .limit(max_values + 1)
             .collect()
         ]
+        if len(key_values) > max_values:
+            raise ValueError(
+                f"The pivot column combined_key has more than {max_values} "
+                "distinct values; raise spark.sql.pivotMaxValues or pass "
+                "key_values explicitly."
+            )
     return grouped.pivot("combined_key", key_values).agg(F.first("value"))
 
 

@@ -497,115 +497,110 @@ _register(
 # after the r8 close-out — the ledger below is the control that keeps
 # worst-case staleness bounded).
 #
-# ROUND-13 window (per VERDICT r12 #1, executing the r12 ledger note
-# EXACTLY). Arithmetic note, stated honestly: 241 oracle-backed
-# entries / 50 slots ≈ period 4.8; the ledger therefore always spends
-# slots on (a) the stalest cohort first, (b) never-sampled entries
-# next, and records EXACTLY which entries defer to the next round.
-# Whole-catalog currency no longer rides this window alone:
-# CORRECTNESS_FULL_r{N}.json commits a full catalog differential each
-# round (and, from r11, CORRECTNESS_SF01_r{N}.json the sf0.1 sweep).
-#   1. the alphabetical REST (38 names) of the r8-last-green cohort
-#      (5 rounds stale at r13 — mandatory), exactly as the r12 ledger
-#      note named them: curated_corpus_v2 ... zipf_fit_by_source.
-#      This closes out the r8 cohort (12 sampled r12 + 38 here = 50).
-#   2. the three oracle-backed entries whose oracle the driver window
-#      has never checked, added/upgraded DURING r12, in registration
-#      order: doc_dup_saturation (new r12), ngram_jaccard_pairs_capped
-#      (rows-only → exact oracle r12; last driver row r2 was the
-#      weaker check), decontaminate_bloom (rows-only → exact oracle
-#      r12; never window-sampled).
-#   3. the alphabetical FIRST 9 of the r9-last-green cohort (the 50
-#      names in CORRECTNESS_r09.json, 4 rounds stale at r13 —
-#      mandatory): base64_roundtrip ... cross_dedup_spans.
+# ROUND-14 window (per VERDICT r13 #9, executing the r13 ledger note
+# EXACTLY). Whole-catalog currency rides CORRECTNESS_FULL_r{N}.json +
+# CORRECTNESS_SF01_r{N}.json each round; this window bounds worst-case
+# driver-row staleness per entry.
+#   1. the alphabetical REST (41 names) of the r9-last-green cohort
+#      (5 rounds stale at r14 — mandatory), exactly as the r13 ledger
+#      note named them: curated_corpus ... value_psi_by_type.
+#      This closes out the r9 cohort (9 sampled r13 + 41 here = 50).
+#   2. the NINE oracle-backed entries whose oracle the driver window
+#      has never checked, added/upgraded DURING r13, in registration
+#      order: minhash_md5_signatures, minhash_md5_candidates,
+#      minhash_md5_dedup_corpus, simhash_md5_fingerprints,
+#      simhash_md5_pairs (the md5-lane twin families, new r13),
+#      kmeans_exact_assignments, kmeans_exact_centroids (exact-lattice
+#      k-means, new r13), cluster_quota_sample and topic_mix_by_source
+#      (rows-only → exact oracle r13; their exact form never
+#      window-sampled). |group 2| = 9, so the r13 note's group (c)
+#      (alphabetical r10 fill) takes 9 − 9 = 0 slots: 41 + 9 = 50.
 #
-# ROUND-14 ROTATION NOTE: mandatory leads, in this order — (a) the
-# alphabetical REST (41 names) of the r9-last-green cohort (5 rounds
-# stale at r14 — mandatory, ahead of everything else):
-# curated_corpus, customers_without_orders, cusum_alarms,
-# daily_value_by_type, dedup_exact_hash, dedup_impact_report,
-# deduped_corpus, distinct_users_per_day, doc_authority_rank,
-# doc_chunks, doc_fingerprints, doc_provenance_edges,
-# domain_quota_sample, domain_token_quota, duplicate_spans,
-# embedding_cosine_dups, embedding_covariance, event_path_trigrams,
-# event_transition_matrix, events_monitoring_dashboard,
-# events_pivot_by_type, gopher_quality_gate, hard_negatives,
-# label_mix_by_source, nb_calibration_bins, nb_cohens_kappa,
-# nb_confusion_matrix, nb_margin_auc, nb_pr_curve, orders_by_nation,
-# pack_efficiency, props_json_extract, revenue_by_segment,
-# seasonal_anomalies, seasonal_decomposition, semantic_decontaminate,
-# top_paths_to_purchase, trigram_logprob_scores, value_cusum_by_type,
-# value_per_day, value_psi_by_type;
-# (b) any oracle-backed entries added/upgraded DURING r13 whose oracle
-# the driver window has never checked, in registration order;
-# (c) the alphabetical FIRST (9 minus |group b|) of the
-# r10-last-green cohort (the names in CORRECTNESS_r10.json not
-# re-greened in r11/r12, 4 rounds stale at r14 — mandatory):
-# ab_variant_report, benford_digit_qc, constraint_checks,
-# curriculum_order, curriculum_order_distributed,
-# daily_value_percentiles, dedup_cluster_sizes, doc_label_propagation,
-# doc_length_histogram, ... taking names alphabetically until the
-# window holds exactly 50; the alphabetical rest of the r10 cohort
-# plus everything r11-and-later-green queues behind them for r15.
-# Groups (a) 41 + (b) + (c) = 50 fill the window exactly.
+# ROUND-15 ROTATION NOTE: mandatory leads, in this order — (a) any
+# oracle-backed entries added/upgraded DURING r14 whose oracle the
+# driver window has never checked, in registration order; (b) the
+# alphabetical FIRST (50 minus |group a|) of the r10-last-green cohort
+# — the names in CORRECTNESS_r10.json never re-greened in r11/r12/r13/
+# r14, which is EXACTLY 50 names, so with |a| = 0 they fill the window
+# and close out the r10 cohort in one round:
+#      ab_variant_report, benford_digit_qc, constraint_checks,
+#      curriculum_order, curriculum_order_distributed,
+#      daily_value_percentiles, dedup_cluster_sizes,
+#      doc_label_propagation, doc_length_histogram,
+#      doc_novelty_scores, inter_event_gap_stats, lang_id_scores,
+#      late_shipment_rate_by_priority, media_features,
+#      new_vs_returning_users, oov_rate_by_source,
+#      perplexity_buckets_distributed, phrase_search,
+#      pmi_collocations, provenance_triangles, proximity_search,
+#      quality_by_source, quality_filter, quality_rank_by_source,
+#      quality_scores, quantize_embeddings, redact_pii,
+#      repetition_scores, rfm_segments, rolling_7d_distinct_users,
+#      scd2_user_state, shuffle_order, source_concentration,
+#      source_kl_divergence, source_similarity_matrix,
+#      span_dedup_report, stratified_sample, table_profile,
+#      temperature_mix_weights, tfidf_keywords, time_to_conversion,
+#      token_stats, top_collocations_by_source,
+#      type_correlation_matrix, type_share_by_day,
+#      unigram_logprob_scores, value_mad_outliers,
+#      value_trend_by_type, vocab_growth, vocab_topk.
+# Any r10-cohort tail displaced by group (a) queues FIRST for r16,
+# ahead of the r11-and-later-green cohorts.
 _SAMPLE_PRIORITY = (
-    # 1 — the alphabetical REST (38) of the r8-last-green cohort
-    # (mandatory: 5 rounds stale otherwise), exactly as the r12
+    # 1 — the alphabetical REST (41) of the r9-last-green cohort
+    # (mandatory: 5 rounds stale otherwise), exactly as the r13
     # ledger note named them
-    "curated_corpus_v2",
-    "daily_ibc_transfers",
-    "day_over_day_txs",
-    "dedup_clusters",
-    "dedup_exact",
-    "deterministic_sample",
-    "embedding_cosine_dups_tiled",
-    "fuzzy_dedup_corpus",
-    "fuzzy_dup_pairs",
-    "hdr_value_quantiles",
-    "hdr_value_sketch",
-    "hll_distinct_by_source",
-    "hll_registers",
-    "hll_total_distinct",
-    "hourly_cum_ibc_transfers",
-    "hourly_ibc_transfers",
-    "hourly_value_by_type",
-    "ibc_transfers_out",
-    "kmv_sketch",
-    "kmv_source_overlap",
-    "media_dedup",
-    "media_frame_samples",
-    "media_resize_plan",
-    "mg_heavy_hitters",
-    "mg_summary",
-    "nb_lang_model",
-    "nb_lang_report",
-    "nb_lang_scores",
-    "regional_supplier_revenue",
-    "shuffle_order_distributed",
-    "silhouette_scores",
-    "source_dashboard",
-    "split_leakage_report",
-    "top_parts_by_revenue",
-    "training_corpus_neardup",
-    "weighted_sample_by_source",
-    "weighted_sample_docs",
-    "zipf_fit_by_source",
-    # 2 — the three r12-added/upgraded oracles, first window check of
-    # their current (exact-oracle) form
-    "doc_dup_saturation",
-    "ngram_jaccard_pairs_capped",
-    "decontaminate_bloom",
-    # 3 — the alphabetical first 9 of the r9-last-green cohort
-    # (mandatory: 4 rounds stale otherwise)
-    "base64_roundtrip",
-    "bm25_search",
-    "brand_number_extract",
-    "centroid_by_label",
-    "char_entropy",
-    "contamination_report",
-    "corpus_checksum_by_source",
-    "corpus_stats_by_source",
-    "cross_dedup_spans",
+    "curated_corpus",
+    "customers_without_orders",
+    "cusum_alarms",
+    "daily_value_by_type",
+    "dedup_exact_hash",
+    "dedup_impact_report",
+    "deduped_corpus",
+    "distinct_users_per_day",
+    "doc_authority_rank",
+    "doc_chunks",
+    "doc_fingerprints",
+    "doc_provenance_edges",
+    "domain_quota_sample",
+    "domain_token_quota",
+    "duplicate_spans",
+    "embedding_cosine_dups",
+    "embedding_covariance",
+    "event_path_trigrams",
+    "event_transition_matrix",
+    "events_monitoring_dashboard",
+    "events_pivot_by_type",
+    "gopher_quality_gate",
+    "hard_negatives",
+    "label_mix_by_source",
+    "nb_calibration_bins",
+    "nb_cohens_kappa",
+    "nb_confusion_matrix",
+    "nb_margin_auc",
+    "nb_pr_curve",
+    "orders_by_nation",
+    "pack_efficiency",
+    "props_json_extract",
+    "revenue_by_segment",
+    "seasonal_anomalies",
+    "seasonal_decomposition",
+    "semantic_decontaminate",
+    "top_paths_to_purchase",
+    "trigram_logprob_scores",
+    "value_cusum_by_type",
+    "value_per_day",
+    "value_psi_by_type",
+    # 2 — the nine r13-added/upgraded oracles, first window check of
+    # their current (exact-oracle) form, in registration order
+    "minhash_md5_signatures",
+    "minhash_md5_candidates",
+    "minhash_md5_dedup_corpus",
+    "simhash_md5_fingerprints",
+    "simhash_md5_pairs",
+    "kmeans_exact_assignments",
+    "kmeans_exact_centroids",
+    "cluster_quota_sample",
+    "topic_mix_by_source",
     # — 50-row window ends here —
 )
 

@@ -54,9 +54,14 @@ def spark():
     # bench.py and the driver keep local[$SPARK_GRAFT_CPUS]=32 (the
     # production-shaped path); nothing in the suite asserts parallelism
     # beyond >= 2 partitions, and shuffle_partitions stays 8 either way.
+    # Hermetic to the SPARK_GRAFT_PREFER_SMJ A/B knob (ADVICE r13 #4):
+    # plan pins assert SortMergeJoin shapes, so a stray env var flipping
+    # the planner preference would silently change tested plan shapes.
+    os.environ.pop("SPARK_GRAFT_PREFER_SMJ", None)
     spark = get_spark(
         app_name="bread-spark-tests", master="local[8]", shuffle_partitions=8
     )
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "true"
     # AQE OFF for the default test tier (r9): adaptive execution
     # finalizes stages one at a time and re-optimizes between them —
     # measured +0.08 s per tiny query (0.134 → 0.215 s on a two-agg

@@ -23,6 +23,11 @@ PARITY_ENTRIES = [
     "lsh_bucket_pairs",  # banded self-join, grouped pandas
     "pack_sequences",  # applyInPandas per-bucket fold
     "nb_margin_auc",  # stripe-partitioned cumulative windows
+    # ADVICE r13 #2: the pre-aggregate-then-CUBE re-associates the
+    # double SUM for subtotal rows — the round(4)-boundary risk class;
+    # pin that AQE's partition re-planning never moves the summation
+    # tree across the boundary on real data.
+    "value_cube_by_type_day",  # pre-agg + CUBE grouping sets
 ]
 
 

@@ -1130,12 +1130,17 @@ def test_basket_pairs_keyed_and_take_ordered(plans):
 
 
 def test_search_rank_fusion_bounded_windows_and_take_ordered(plans):
-    """Each member ranker cuts to its top-n FIRST (TakeOrdered); the
-    single-partition row_number windows therefore run on bounded
-    <=top_n-row frames, and the fused top-k is a TakeOrdered too."""
+    """Each member ranker cuts to its top-n FIRST (TakeOrdered over the
+    checkpointed multi-score frame); r14: the three per-ranker
+    single-partition row_number windows collapsed into ONE tagged
+    window pass over the <=3*top_n-row union (3 -> 1 window exchanges),
+    and the fused top-k stays a TakeOrdered."""
     p = plans("search_rank_fusion")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+    import re
+
+    assert len(re.findall(r"\bWindow \[", p)) == 1, "expected ONE window node"
 
 
 def test_phash_candidates_banded_join(spark, sf_dir):

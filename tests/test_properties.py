@@ -293,6 +293,31 @@ def test_connected_components_long_chain_converges_or_raises(spark):
         connected_components(docs, pairs, max_iters=3).collect()
 
 
+def test_star_rounds_match_label_prop_on_real_corpus(spark, sf_dir):
+    """r14 CC equality pin (VERDICT r13 #4): the large-star/small-star
+    rounds must produce BIT-IDENTICAL cluster sets to the retained
+    min-label-propagation reference on the real minhash-md5 candidate
+    graph, and converge in no more rounds than LP takes hops."""
+    import bread_spark.extensions.dedup as d
+    from bread_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = d.minhash_md5_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    star = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in d.connected_components(docs, pairs).collect()
+    }
+    star_rounds = d._LAST_CC_ROUNDS
+    ref = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in d._connected_components_label_prop(docs, pairs).collect()
+    }
+    lp_iters = d._LAST_LP_ITERS
+    assert star == ref
+    # the r14 point: star rounds converge at least as fast as one-hop LP
+    assert star_rounds <= lp_iters, (star_rounds, lp_iters)
+
+
 def test_minhash_signatures_duplicate_insensitive(spark, sf_dir):
     """Signatures from the no-distinct shingle stream must equal those
     from the distinct stream (min-aggregation absorbs duplicates) — the
