@@ -641,18 +641,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        edges.select(F.col("lo").alias("doc_id"))
-        .unionByName(edges.select(F.col("hi").alias("doc_id")))
-        .distinct()
-        .localCheckpoint()
-    )
 
     if max_iters is None:
-        max_iters = max(int(nodes.count()), 1)
+        # pure safety net: star rounds need O(log² V) ≤ any edge count
+        max_iters = max(int(edges.count()), 1)
 
     def _large_star(e: DataFrame) -> DataFrame:
-        # symmetric view: each node u sees its full neighborhood
+        # symmetric view: each node u sees its full neighborhood.
+        # No distinct here — duplicates are absorbed by small-star's
+        # min aggregate and the one distinct at round end.
         sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
             e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
         )
@@ -662,7 +659,6 @@ def connected_components(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(m.alias("lo"), F.col("v").alias("hi"))
-            .distinct()
         )
 
     def _small_star(e: DataFrame) -> DataFrame:
@@ -680,27 +676,40 @@ def connected_components(
         )
         return nbr_edges.unionByName(center_edges).distinct()
 
+    def _star_forest_violations(e: DataFrame) -> int:
+        """0 iff the canonical DISTINCT edge set is a min-rooted star
+        forest — the alternation's unique fixed point. Structural test
+        (one aggregate job), checked BEFORE the first round so an
+        already-star graph pays ZERO rounds: (a) no node appears both
+        as a root (lo) and a leaf (hi); (b) no leaf has two parents.
+        Canonical lo<hi storage makes every root its star's minimum,
+        and a depth-1 forest of unique-parent leaves is exactly a star
+        forest."""
+        stacked = e.select(F.col("lo").alias("n"), F.lit(1).alias("is_lo")).unionByName(
+            e.select(F.col("hi").alias("n"), F.lit(0).alias("is_lo"))
+        )
+        per_node = stacked.groupBy("n").agg(
+            F.max("is_lo").alias("l"),
+            # e is distinct, so rows with is_lo=0 per node = distinct parents
+            F.sum(1 - F.col("is_lo")).alias("np"),
+        )
+        # l=1 & np>=1 → node is both root and leaf; np>1 → multi-parent leaf
+        return per_node.filter(
+            ((F.col("l") == 1) & (F.col("np") >= 1)) | (F.col("np") > 1)
+        ).count()
+
     global _LAST_CC_ROUNDS
-    converged = False
     rounds = 0
-    for _ in range(max_iters):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+    while _star_forest_violations(edges) != 0:
+        if rounds >= max_iters:
+            _LAST_CC_ROUNDS = rounds
+            raise RuntimeError(
+                f"connected_components did not converge within max_iters="
+                f"{max_iters} rounds (edge set still moving) — raise the cap"
+            )
+        edges = _small_star(_large_star(edges)).localCheckpoint()
         rounds += 1
-        # set equality: distinct frames, so equal counts + empty anti-join
-        changed = (
-            new_edges.count() != edges.count()
-            or new_edges.join(edges, ["lo", "hi"], "left_anti").count() != 0
-        )
-        edges = new_edges
-        if not changed:
-            converged = True
-            break
     _LAST_CC_ROUNDS = rounds
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge within max_iters={max_iters} "
-            "rounds (edge set still moving) — raise the cap"
-        )
     # fixed point is a star forest: every edge is (component_min, node).
     # Labels = leaves → their root, plus each root → itself.
     labels = (

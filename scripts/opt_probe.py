@@ -1,4 +1,4 @@
-"""Per-query optimization probe (r13).
+"""Per-query optimization probe (r13; r14: --plans-dir).
 
 Times a chosen subset of catalog queries with the SAME methodology as
 bench.py (cold touch, then WARM_PASSES back-to-back count() passes,
@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--plans-dir", default="r14")
     ap.add_argument("--passes", type=int, default=WARM_PASSES)
     args = ap.parse_args()
 
@@ -57,7 +58,7 @@ def main() -> None:
     spark = get_spark(app_name="bread-spark-opt-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    plans_dir = os.path.join(repo, "plans", "r13")
+    plans_dir = os.path.join(repo, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     # cold touch (seam builds, JIT) — untimed for the medians
