@@ -125,15 +125,20 @@ def paragraph_dedup_df(
 def _chunk_first_occurrence_rebuild(arrs: DataFrame) -> DataFrame:
     """Corpus-wide first-occurrence-wins chunk dedup + per-doc rebuild
     over a (doc_id, chunks: array<string>) frame — the shared tail of
-    `paragraph_dedup` (fixed token windows) and `cdc_chunk_dedup`
-    (content-defined boundaries). One digest-keyed shuffle decides the
-    winners (chunk text rides only as payload), one doc_id-keyed
-    aggregate reassembles survivors in order."""
-    chunked = arrs.select(
-        "doc_id",
-        F.size("chunks").alias("n_chunks"),
-        F.posexplode("chunks").alias("chunk_idx", "chunk"),
-    )
+    `paragraph_dedup` (fixed token windows), `cdc_chunk_dedup`
+    (content-defined boundaries) and `curated_corpus_v2`'s CDC stage.
+
+    r14 (VERDICT r13 #3, guide §8/§2.3): decide with SMALL rows, move
+    the text ONCE. The winner decision needs only (digest, packed
+    ordinal) — 24-byte rows — and the winning ordinal DECODES back to
+    (doc_id, chunk_idx) by construction, so the per-doc kept-index sets
+    come from two light shuffles. The chunk text then moves exactly
+    once: the unexploded (doc_id, chunks) arrays join the kept-index
+    frame doc_id-keyed and the surviving text is rebuilt in-row with
+    one array transform. Previous shape shuffled the exploded chunk
+    TEXT twice (digest-keyed winners join + doc_id-keyed reassembly);
+    at 100 TB that is the §8 anti-pattern (heavy payload crossing two
+    exchanges to carry a 24-byte decision)."""
     in_range = (
         (F.col("doc_id") >= 0)
         & (F.col("doc_id") < F.lit(1 << 43))
@@ -151,24 +156,29 @@ def _chunk_first_occurrence_rebuild(arrs: DataFrame) -> DataFrame:
         )
         .alias("ord")
     )
-    digest = F.unhex(F.md5(F.col("chunk").cast("binary"))).alias("chash")
-    with_ord = chunked.select(
-        "doc_id", "n_chunks", "chunk_idx", "chunk", digest, ordinal
+    # light exploded projection: 16-byte digest + 8-byte ordinal — the
+    # chunk text itself never enters a shuffle here
+    lite = arrs.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    ).select(
+        F.unhex(F.md5(F.col("chunk").cast("binary"))).alias("chash"), ordinal
     )
-    winners = with_ord.groupBy("chash").agg(F.min("ord").alias("win_ord"))
-    kept = (
-        with_ord.join(winners, "chash")
-        .filter(F.col("ord") == F.col("win_ord"))
-        .select("doc_id", "n_chunks", "chunk_idx", "chunk")
+    winners = lite.groupBy("chash").agg(F.min("ord").alias("win_ord"))
+    kept_idx = (
+        winners.select(
+            F.expr(f"win_ord div {1 << 20}").alias("doc_id"),
+            (F.col("win_ord") % F.lit(1 << 20)).cast("int").alias("chunk_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept"))
     )
-    return kept.groupBy("doc_id").agg(
-        F.first("n_chunks").alias("n_chunks"),
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.expr("transform(sort_array(collect_list(struct(chunk_idx, chunk))), s -> s.chunk)"),
-            " ",
-        ).alias("text"),
-    ).select("doc_id", "n_chunks", "n_kept", "text")
+    return arrs.join(kept_idx, "doc_id").select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        # count() in the old reassembly aggregate was a BIGINT — keep it
+        F.size("kept").cast("long").alias("n_kept"),
+        F.array_join(F.expr("transform(kept, i -> chunks[i])"), " ").alias("text"),
+    )
 
 
 # ---------------------------------------------------------------------------
