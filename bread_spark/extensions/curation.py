@@ -419,24 +419,43 @@ def boilerplate_filter_df(
     chunk_tokens: int = CHUNK_TOKENS,
     min_docs: int = BOILER_MIN_DOCS,
 ) -> DataFrame:
-    """`boilerplate_filtered_corpus` core over any (doc_id, text) frame."""
-    stream = _fixed_chunk_stream(docs, chunk_tokens)
-    boiler = _boilerplate_table(stream, min_docs).select("chash")
-    kept = stream.join(F.broadcast(boiler), "chash", "left_anti")
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.first("n_chunks").alias("n_chunks"),
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(chunk_idx, chunk))), "
-                    "s -> s.chunk)"
-                ),
-                " ",
-            ).alias("text"),
-        )
-        .select("doc_id", "n_chunks", "n_kept", "text")
+    """`boilerplate_filtered_corpus` core over any (doc_id, text) frame.
+
+    r14 (guide §8, the `_chunk_first_occurrence_rebuild` move): the
+    boilerplate verdict is per-DIGEST and the anti-join is broadcast,
+    so the kept-chunk decision needs only (doc_id, chunk_idx, digest)
+    rows; the chunk text stays in its unexploded per-doc array and
+    joins the per-doc kept-index sets doc_id-keyed — the former
+    doc_id-keyed reassembly shuffle carried every surviving chunk's
+    text; now the text crosses zero exchanges locally (kept-index frame
+    broadcasts) and at worst one at scale."""
+    arrs = docs.select(
+        "doc_id", F.expr(_chunk_expr("text", chunk_tokens)).alias("chunks")
+    )
+    lite = arrs.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.unhex(F.md5(F.col("chunk").cast("binary"))).alias("chash"),
+    )
+    boiler = (
+        lite.groupBy("chash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chash")
+    )
+    kept_idx = (
+        lite.join(F.broadcast(boiler), "chash", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("kept"))
+    )
+    return arrs.join(kept_idx, "doc_id").select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        # count() in the old reassembly aggregate was a BIGINT — keep it
+        F.size("kept").cast("long").alias("n_kept"),
+        F.array_join(F.expr("transform(kept, i -> chunks[i])"), " ").alias("text"),
     )
 
 
