@@ -87,7 +87,10 @@ def test_trigger_overhead_decomposition_stateless_vs_stateful(spark, tmp_path):
 
     from bread_spark.streaming.dedup import dedup_stream_exact
 
-    m = datetime.timedelta(minutes=1)
+    # one-SECOND steps: the whole fixture spans 5 min << the 1 h
+    # horizon, so no row can be late whatever order availableNow
+    # processes the files in (file pickup order is not name-ordered)
+    m = datetime.timedelta(seconds=1)
     n_files, rows_per_file = 6, 50
     results = {}
     for label, fn, expected_rows in [
@@ -103,8 +106,8 @@ def test_trigger_overhead_decomposition_stateless_vs_stateful(spark, tmp_path):
         ),
         (
             "windowed_count",
-            lambda s: s.withWatermark("ts", "1 minute")
-            .groupBy(F.window("ts", "10 minutes"), "payload")
+            lambda s: s.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute"), "payload")
             .agg(F.count(F.lit(1)).alias("n"))
             .select("payload", "n"),
             None,  # append-mode window emission depends on watermark advance
@@ -131,7 +134,9 @@ def test_trigger_overhead_decomposition_stateless_vs_stateful(spark, tmp_path):
             n_files,
         )
         results[label] = (n_batches, tot)
-        assert n_batches == n_files, (label, n_batches)
+        # stateful queries may run one extra no-data batch (watermark
+        # advance / state cleanup) before the availableNow query stops
+        assert n_files <= n_batches <= n_files + 1, (label, n_batches)
         if expected_rows is not None:
             got = spark.read.parquet(sink).count()
             assert got == expected_rows, (label, got)
