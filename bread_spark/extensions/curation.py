@@ -1868,9 +1868,15 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import PROBE_MAX_DOC_ID, decontaminate, pack_sequences_df
 
     bp = _boilerplate_filtered_frame(spark, sf_dir).select("doc_id", "text")
-    cdc = _chunk_first_occurrence_rebuild(_cdc_chunk_frame(bp)).select(
-        "doc_id", "text"
-    )
+    # r14: the Rabin-Karp boundary expression is the chain's heaviest
+    # map-side work and the rebuild consumes its output TWICE (digest
+    # decision + text join) — checkpoint the bounded O(docs)
+    # chunk-array frame so the boundary scan runs once per invocation
+    # (the seam-shared cdc_chunk_dedup already reads a checkpointed
+    # chunk frame; this is the same move for curated's scrubbed-text
+    # generation of it).
+    cdc_arrs = _cdc_chunk_frame(bp).localCheckpoint()
+    cdc = _chunk_first_occurrence_rebuild(cdc_arrs).select("doc_id", "text")
     gate = (
         perplexity_buckets_ngram5(spark, sf_dir)
         .filter(F.col("bucket") <= PPL_KEEP_BUCKETS)
