@@ -642,10 +642,6 @@ def connected_components(
         .localCheckpoint()
     )
 
-    if max_iters is None:
-        # pure safety net: star rounds need O(log² V) ≤ any edge count
-        max_iters = max(int(edges.count()), 1)
-
     def _large_star(e: DataFrame) -> DataFrame:
         # symmetric view: each node u sees its full neighborhood.
         # No distinct here — duplicates are absorbed by small-star's
@@ -701,6 +697,11 @@ def connected_components(
     global _LAST_CC_ROUNDS
     rounds = 0
     while _star_forest_violations(edges) != 0:
+        if max_iters is None:
+            # pure safety net, computed lazily only when a round is
+            # actually needed (an already-star graph skips the job):
+            # star rounds need O(log² V) ≤ any edge count
+            max_iters = max(int(edges.count()), 1)
         if rounds >= max_iters:
             _LAST_CC_ROUNDS = rounds
             raise RuntimeError(
