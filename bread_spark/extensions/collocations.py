@@ -93,13 +93,26 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def top_collocations_by_source_df(docs: DataFrame) -> DataFrame:
+def top_collocations_by_source_df(
+    docs: DataFrame, uni: DataFrame | None = None
+) -> DataFrame:
+    """Per-source collocation miner over any (source, text) frame.
+
+    `uni` accepts a prebuilt (source, token, n) count table — the
+    catalog entry passes the shared `source_token_counts` seam (r14),
+    which drops one of the two full text scans this build paid per
+    invocation (the unigram explode+aggregate; the bigram pair stream
+    is the one pass over text that remains — pairs cannot fold from
+    unigram counts)."""
     toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
     w = docs.select("source", toks_arr.alias("toks")).filter(
         F.size("toks") >= 1
     )
-    toks = w.select("source", F.explode("toks").alias("token"))
-    uni = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    if uni is None:
+        toks = w.select("source", F.explode("toks").alias("token"))
+        uni = toks.groupBy("source", "token").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     pairs = w.select(
         "source",
         F.explode(
@@ -147,9 +160,16 @@ def top_collocations_by_source_df(docs: DataFrame) -> DataFrame:
 
 def top_collocations_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top-5 collocations (module docstring): (source, rk,
-    w1, w2, n_pair, pmi_lift_micro)."""
+    w1, w2, n_pair, pmi_lift_micro). The unigram side rides the shared
+    `source_token_counts` seam (identical counts, one tokenization pass
+    per catalog pass — see `top_collocations_by_source_df`)."""
+    from .sketch import source_token_counts_frame
+
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    return top_collocations_by_source_df(docs)
+    uni = source_token_counts_frame(spark, sf_dir).select(
+        "source", "token", F.col("n_st").alias("n")
+    )
+    return top_collocations_by_source_df(docs, uni)
 
 
 _COUNTS_CTE = """

@@ -708,7 +708,10 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     below KenLM's 5-gram.
 
     Low (very negative) scores mean a document of rare tokens; high means
-    common-token text. Plan: explode → token-count aggregate (the LM) →
+    common-token text. Plan: ONE explode for the join-back stream; the
+    LM itself rides the shared `lm_unigram_frame` seam (r14 — the
+    aggregate branch previously re-evaluated the same scan+explode
+    subtree, exchange keys differ so ReusedExchange never fires) →
     token-keyed join back (broadcast here; at real vocab sizes a
     shuffle join on token — both sides token-partitioned, and the heavy
     side already exists from the explode) → per-doc mean. All JVM.
@@ -717,7 +720,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
-    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    lm = lm_unigram_frame(spark, sf_dir)
     total = lm.agg(F.sum("n").alias("total"))
     lm_p = lm.join(F.broadcast(total)).select(
         "token", (F.log10(F.col("n") / F.col("total"))).alias("logp")
@@ -797,18 +800,22 @@ def lm_unigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compute-once unigram count table (token, n) for the canonical
     documents table — shared by the bigram AND trigram LM builds (the
     trigram was re-counting the identical tables its lower orders
-    already built). Cache contract: plans/materialize.py."""
+    already built). Cache contract: plans/materialize.py.
+
+    r14: folds the `source_token_counts` seam by token instead of
+    re-tokenizing the corpus — the two families (LM scorers /
+    distributional profiles) counted the IDENTICAL token multiset in
+    two separate full-text aggregates per catalog pass. The fold is a
+    vocabulary-sized aggregate over the already-checkpointed seam, so
+    one tokenization pass now serves both; per-token counts are
+    bit-identical (same split/filter, grouped one level finer then
+    summed)."""
     from ..plans.materialize import materialized_frame
 
     def build():
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        toks_arr = F.filter(F.split("text", " "), lambda t: t != "")
-        w = docs.select(toks_arr.alias("toks")).filter(F.size("toks") >= 1)
-        return (
-            w.select(F.explode("toks").alias("token"))
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        from .sketch import corpus_token_counts
+
+        return corpus_token_counts(spark, sf_dir)
 
     return materialized_frame(spark, "lm_uni", sf_dir, build)
 

@@ -1507,14 +1507,15 @@ def mg_heavy_hitters(
     max_underestimate, within_bound). The true side is the full
     term-frequency shuffle the summary exists to avoid; at sf scale it
     verifies the ledger: 0 ≤ underestimate ≤ max_underestimate on every
-    row (an int comparison, pinned here AND by the oracle hash)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    row (an int comparison, pinned here AND by the oracle hash).
+
+    r14: the true side folds the `source_token_counts` seam instead of
+    a second full text scan — identical counts (same tokenization,
+    summed over sources), and the per-invocation cost drops to a
+    vocabulary-sized fold of the checkpointed seam."""
     summ = mg_summary(spark, sf_dir, k, n_shards)
-    true = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("true_count"))
+    true = corpus_token_counts(spark, sf_dir).select(
+        "token", F.col("n").alias("true_count")
     )
     return summ.join(true, "token").select(
         "token",

@@ -82,12 +82,16 @@ def vocab_topk(spark: SparkSession, sf_dir: str, k: int = VOCAB_K) -> DataFrame:
     global window over the full distinct-token aggregate (tens of millions
     of rows through one window partition at 100 TB — VERDICT r2 #5). The
     residual rank window runs over the already-limited k rows only.
+
+    r14: the count table rides the shared `source_token_counts` fold
+    (`corpus_token_counts`) instead of its own scan+explode+aggregate —
+    identical (token, n) rows (same tokenization, grouped one level
+    finer then summed), and the catalog pass tokenizes the corpus once
+    for this, the LM family, and the distributional profiles together.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(F.explode(F.split("text", " ")).alias("token")).filter(
-        F.col("token") != ""
-    )
-    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from .sketch import corpus_token_counts
+
+    counts = corpus_token_counts(spark, sf_dir)
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return top.select(
