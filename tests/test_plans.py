@@ -159,6 +159,24 @@ def test_vocab_topk_uses_take_ordered_not_global_window(plans):
     assert p.index("Window") < p.index("TakeOrderedAndProject")
 
 
+def test_token_count_consumers_ride_seams(plans):
+    """r14 wave 2: token-frequency consumers read the shared count
+    seams instead of re-tokenizing the corpus per invocation.
+    vocab_topk's only input is the checkpointed corpus fold (zero
+    parquet scans); the per-source collocation miner keeps exactly ONE
+    text scan (the bigram pair stream — pairs cannot fold from unigram
+    counts; its uni/u1/u2/totals previously re-evaluated the unigram
+    subtree 3x); the unigram LM scorer keeps one (the per-doc
+    join-back stream — its LM aggregate rides lm_unigram_frame); the
+    MG calibration's true side folds the seam (only the shard-keyed
+    summary scans remain)."""
+    p = plans("vocab_topk")
+    assert p.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in p
+    assert plans("top_collocations_by_source").count("Scan parquet") == 1
+    assert plans("unigram_logprob_scores").count("Scan parquet") == 1
+
+
 def test_shuffle_order_distributed_has_no_window(plans):
     """The scale path ranks via range partitioning + per-partition offsets
     — no Window operator (and so no single-partition sort) anywhere."""
